@@ -1,0 +1,187 @@
+"""Model registry: name → assembled (encoder, head) with deterministic weights.
+
+Mirrors the reference's registry-by-name surface (``opennre/pretrain.py:
+126-178``: ``wiki80_cnn_softmax`` = CNNEncoder(max_length=40, hidden 230) +
+SoftmaxNN; ``wiki80_bert*`` = max_length 80) but, since this sandbox has no
+network and no torch, checkpoints are *seeded* — every weight tensor is drawn
+from a name-keyed PRNG so any two processes (driver, actors, tests) construct
+bit-identical models. ``model_hash`` content-addresses the weights for
+lineage columns (SURVEY.md §4 checkpoint/lineage design).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from . import fixtures
+from .models import (
+    BertSentenceEncoder,
+    CnnSentenceEncoder,
+    PcnnSentenceEncoder,
+    SigmoidHead,
+    SoftmaxHead,
+)
+
+
+def _seed_for(name: str) -> int:
+    return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little")
+
+
+def _cnn_weights(rng, vocab_size, word_dim=50, pos_dim=5, hidden=230,
+                 kernel=3, max_length=40):
+    emb_in = word_dim + 2 * pos_dim
+    scale = 1.0 / np.sqrt(emb_in * kernel)
+    w = {
+        "word_emb": rng.standard_normal((vocab_size + 2, word_dim)).astype(np.float32) / np.sqrt(word_dim),
+        "pos1_emb": rng.standard_normal((2 * max_length, pos_dim)).astype(np.float32) / np.sqrt(pos_dim),
+        "pos2_emb": rng.standard_normal((2 * max_length, pos_dim)).astype(np.float32) / np.sqrt(pos_dim),
+        "conv_w": (rng.standard_normal((hidden, emb_in, kernel)).astype(np.float32) * scale),
+        "conv_b": np.zeros(hidden, dtype=np.float32),
+    }
+    # padding_idx=0 rows are zero in the reference position embeddings
+    w["pos1_emb"][0] = 0
+    w["pos2_emb"][0] = 0
+    # [PAD] word row zero, mirroring the reference's blank row init
+    w["word_emb"][-1] = 0
+    return w
+
+
+def _bert_weights(rng, vocab_size, hidden=64, n_layers=2, inner=128,
+                  max_length=80, entity_repr=False):
+    def mat(*shape, scale=0.02):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w = {
+        "word_emb": mat(vocab_size, hidden),
+        "pos_emb": mat(max_length, hidden),
+        "type_emb": mat(2, hidden),
+        "emb_ln_g": np.ones(hidden, dtype=np.float32),
+        "emb_ln_b": np.zeros(hidden, dtype=np.float32),
+        "pool_w": mat(hidden, hidden),
+        "pool_b": np.zeros(hidden, dtype=np.float32),
+        "layers": [],
+    }
+    for _ in range(n_layers):
+        w["layers"].append({
+            "q_w": mat(hidden, hidden), "q_b": np.zeros(hidden, np.float32),
+            "k_w": mat(hidden, hidden), "k_b": np.zeros(hidden, np.float32),
+            "v_w": mat(hidden, hidden), "v_b": np.zeros(hidden, np.float32),
+            "o_w": mat(hidden, hidden), "o_b": np.zeros(hidden, np.float32),
+            "ln_g": np.ones(hidden, np.float32), "ln_b": np.zeros(hidden, np.float32),
+            "i_w": mat(inner, hidden), "i_b": np.zeros(inner, np.float32),
+            "f_w": mat(hidden, inner), "f_b": np.zeros(hidden, np.float32),
+            "f_ln_g": np.ones(hidden, np.float32), "f_ln_b": np.zeros(hidden, np.float32),
+        })
+    if entity_repr:
+        w["ent_w"] = mat(2 * hidden, 2 * hidden)
+        w["ent_b"] = np.zeros(2 * hidden, dtype=np.float32)
+    return w
+
+
+def _weights_hash(w) -> str:
+    h = hashlib.sha256()
+
+    def feed(obj):
+        if isinstance(obj, dict):
+            for k in sorted(obj):
+                h.update(k.encode())
+                feed(obj[k])
+        elif isinstance(obj, list):
+            for item in obj:
+                feed(item)
+        else:
+            h.update(np.ascontiguousarray(obj).tobytes())
+
+    feed(w)
+    return h.hexdigest()[:16]
+
+
+class NREModel:
+    """Assembled encoder + head, the unit scorer actors hold per process."""
+
+    def __init__(self, name, encoder, head, aggregator=None, diag=None):
+        self.name = name
+        self.encoder = encoder
+        self.head = head
+        self.aggregator = aggregator   # bag-level models only ('att'/'avg'/'one')
+        self.diag = diag
+        self.rel2id = head.rel2id
+        self.id2rel = head.id2rel
+        self.model_hash = None  # filled by get_model
+
+    # --- single-item convenience, matching the reference infer() contract ---
+    def infer(self, item: dict) -> tuple[str, float]:
+        """One instance dict → (relation, score); reference
+        ``softmax_nn.py:28-39``. Batch pipelines use the stage API instead."""
+        texts = [item.get("text")]
+        token_lists = [item.get("token")] if "text" not in item else None
+        h = np.array([list(item["h"]["pos"])])
+        t = np.array([list(item["t"]["pos"])])
+        enc = self.encoder.encode_batch(texts, h, t, token_lists=token_lists)
+        rep = self.encoder(enc)
+        pred, score = self.head.infer_batch(rep)
+        return self.id2rel[int(pred[0])], float(score[0])
+
+    def infer_bag(self, bag: list[dict]) -> tuple[str, float]:
+        """Bag of instance dicts → (relation, score); reference
+        ``bag_attention.py:33-66``."""
+        from .models import BAG_EVAL_AGGREGATORS
+        texts = [it.get("text") for it in bag]
+        h = np.array([list(it["h"]["pos"]) for it in bag])
+        t = np.array([list(it["t"]["pos"]) for it in bag])
+        enc = self.encoder.encode_batch(texts, h, t)
+        rep = self.encoder(enc)
+        scores = BAG_EVAL_AGGREGATORS[self.aggregator](
+            rep, self.head.fc_w, self.head.fc_b, diag=self.diag)
+        pred = int(scores.argmax())
+        return self.id2rel[pred], float(scores[pred])
+
+
+def get_model(name: str, rel2id=None, word2id=None) -> NREModel:
+    """Build a named model with deterministic seeded weights.
+
+    Supported names (hyperparameters per reference ``pretrain.py:126-178``):
+      wiki80_cnn_softmax, wiki80_pcnn_softmax       (max_length=40, hidden 230)
+      wiki80_bert_softmax, wiki80_bertentity_softmax (max_length=80)
+      wiki80_cnn_sigmoid                             (multi-label head)
+      nyt10_pcnn_att / nyt10_pcnn_avg / nyt10_pcnn_one (bag-level)
+    """
+    rng = np.random.default_rng(_seed_for(name))
+    rel2id = rel2id or fixtures.default_rel2id()
+    n_rel = len(rel2id)
+    aggregator = None
+    diag = None
+
+    if "bert" in name:
+        vocab = bert_vocab = fixtures.bert_vocab()
+        entity_repr = "bertentity" in name
+        hidden = 64
+        enc = BertSentenceEncoder(
+            vocab, _bert_weights(rng, len(vocab), hidden=hidden,
+                                 entity_repr=entity_repr),
+            max_length=80, hidden_size=hidden, n_layers=2, n_heads=4,
+            entity_repr=entity_repr)
+    else:
+        word2id = word2id or fixtures.default_word2id()
+        cls = PcnnSentenceEncoder if "pcnn" in name else CnnSentenceEncoder
+        enc = cls(word2id, _cnn_weights(rng, len(word2id)),
+                  max_length=40, hidden_size=230)
+
+    head_cls = SigmoidHead if "sigmoid" in name else SoftmaxHead
+    fc_w = (rng.standard_normal((n_rel, enc.hidden_size)).astype(np.float32)
+            / np.sqrt(enc.hidden_size))
+    fc_b = np.zeros(n_rel, dtype=np.float32)
+    head = head_cls(fc_w, fc_b, rel2id)
+
+    for agg in ("att", "avg", "one"):
+        if name.endswith("_" + agg):
+            aggregator = agg
+    if aggregator == "att":
+        diag = np.ones(enc.hidden_size, dtype=np.float32)
+
+    model = NREModel(name, enc, head, aggregator=aggregator, diag=diag)
+    model.model_hash = _weights_hash(
+        {"enc": enc.w, "fc_w": fc_w, "fc_b": fc_b})
+    return model
