@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only distinct is the fact set (``data_loader.py:151-164``);
+a web-scale corpus additionally needs document-level near-dedup. All
+operators follow the same scale shape:
+
+  vectorized per-batch signature → (small) shuffle on signature keys →
+  per-group resolution
+
+so no stage ever holds the corpus; the shuffles move signatures, not
+documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
+    """Keep the min-key row per identical text: hash-partition + per-group min.
+
+    The md5 column keeps the shuffle key small (16 bytes vs document bytes).
+    """
+    from ray.data.aggregate import Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("content_md5", pa.array(h, pa.string()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    keep = hashed.groupby("content_md5").aggregate(
+        Min(key_col, alias_name=key_col))
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-shingles."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
+    out = {int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                          "little") for g in grams}
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
+                      k: int = 3) -> np.ndarray:
+    """(num_perm,) uint64 MinHash signature via tabulated affine permutations."""
+    sh = shingle_hashes(text, k)
+    if len(sh) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (P, S) affine transform mod Mersenne prime, min over shingles
+    vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHashLSH:
+    """map_batches stage: doc → (band_id, band_hash, doc_id) rows.
+
+    ``num_perm = bands * rows_per_band``. Docs sharing any band bucket are
+    near-dup candidates; the groupby on (band_id, band_hash) is the shuffle.
+    """
+
+    def __init__(self, num_bands: int = 16, rows_per_band: int = 4,
+                 shingle_k: int = 3, text_col: str = "text",
+                 key_col: str = "doc_id"):
+        self.num_bands = num_bands
+        self.rows = rows_per_band
+        self.k = shingle_k
+        self.text_col = text_col
+        self.key_col = key_col
+        self.a, self.b = _minhash_params(num_bands * rows_per_band)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, keys = [], [], []
+        for key, text in zip(batch.column(self.key_col).to_pylist(),
+                             batch.column(self.text_col).to_pylist()):
+            sig = minhash_signature(text, self.a, self.b, self.k)
+            for bi in range(self.num_bands):
+                band = sig[bi * self.rows: (bi + 1) * self.rows]
+                band_hashes.append(hashlib.blake2b(
+                    band.tobytes(), digest_size=8).hexdigest())
+                band_ids.append(bi)
+                keys.append(key)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            self.key_col: pa.array(keys),
+        })
+
+
+def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
+                             shingle_k=3, text_col="text", key_col="doc_id"):
+    """Docs → (doc_id, dup_group) for docs sharing ≥1 LSH band bucket.
+
+    dup_group = min doc key in the bucket (single-round min-label propagation;
+    buckets overlapping through a shared doc resolve via a second small
+    groupby on doc). Returns only docs that hit at least one non-singleton
+    bucket.
+    """
+    import pandas as pd
+
+    bands = ds.map_batches(
+        MinHashLSH(num_bands, rows_per_band, shingle_k, text_col, key_col),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({key_col: [], "dup_group": []})
+        root = g[key_col].min()
+        return pd.DataFrame({key_col: g[key_col], "dup_group": root})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+    return cand.groupby(key_col).aggregate(Min("dup_group",
+                                               alias_name="dup_group"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unit weights)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    for w in text.split():
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+class SimHashStage:
+    """map_batches stage: doc → (doc_id, simhash, band0..band3).
+
+    The 4 × 16-bit bands support Hamming-distance ≤3 candidate search via
+    exact-match on any band (pigeonhole)."""
+
+    def __init__(self, text_col="text", key_col="doc_id"):
+        self.text_col = text_col
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [simhash64(t) for t in batch.column(self.text_col).to_pylist()]
+        arr = np.array(hashes, dtype=np.uint64)
+        out = {self.key_col: batch.column(self.key_col),
+               "simhash": pa.array(arr)}
+        for b in range(4):
+            out[f"band{b}"] = pa.array(
+                ((arr >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.uint32))
+        return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard similarity."""
+    a = set(map(int, shingle_hashes(text_a, k)))
+    b = set(map(int, shingle_hashes(text_b, k)))
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def verify_candidates(ds_docs, candidates, threshold=0.8, k=3,
+                      text_col="text", key_col="doc_id"):
+    """Filter candidate pairs by exact Jaccard.
+
+    ``candidates``: list of (key_a, key_b). The doc texts for the candidate
+    set are fetched via a broadcast dict (candidate sets are small relative
+    to the corpus by construction).
+    """
+    import ray
+
+    wanted = {a for a, _ in candidates} | {b for _, b in candidates}
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_in(batch.column(key_col),
+                     value_set=pa.array(list(wanted)))
+        return batch.filter(m).select([key_col, text_col])
+
+    texts = {}
+    for b in ds_docs.map_batches(project,
+                                 batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for key, t in zip(b.column(key_col).to_pylist(),
+                          b.column(text_col).to_pylist()):
+            texts[key] = t
+    out = []
+    for a, b_ in candidates:
+        sim = jaccard(texts.get(a, ""), texts.get(b_, ""), k)
+        if sim >= threshold:
+            out.append((a, b_, sim))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
+                         vec_col="embedding", n_planes=12, seed=11):
+    """Near-dup via random-hyperplane LSH buckets + in-bucket cosine verify.
+
+    Vectors whose signs agree on all ``n_planes`` random projections land in
+    one bucket; exact cosine runs only within buckets (each a tiny dense
+    matmul). Returns (vec_id, dup_group) rows for verified members.
+    """
+    import pandas as pd
+
+    class PlaneSig:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal(
+                    (mat.shape[1], n_planes)).astype(np.float32)
+            bits = (mat @ self.planes) > 0
+            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            return pa.table({
+                key_col: batch.column(key_col),
+                "bucket": pa.array(sig.astype(np.int64)),
+                vec_col: batch.column(vec_col),
+            })
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({key_col: [], "dup_group": []})
+        mat = np.stack(g[vec_col].to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        keys = g[key_col].to_numpy()
+        members = set()
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if sims[i, j] >= threshold:
+                    members.add(keys[i])
+                    members.add(keys[j])
+        if not members:
+            return pd.DataFrame({key_col: [], "dup_group": []})
+        root = min(members)
+        mm = sorted(members)
+        return pd.DataFrame({key_col: mm, "dup_group": root})
+
+    sig = ds_emb.map_batches(PlaneSig, batch_format="pyarrow", concurrency=(1, 4))
+    return sig.groupby("bucket").map_groups(in_bucket, batch_format="pandas")

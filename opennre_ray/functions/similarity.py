@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one dense matmul against it, a partial
+top-k per batch, then a tiny global merge. Scale path: LSH-bucketed search
+(probe only matching hyperplane buckets) for corpora where even one matmul
+pass is too expensive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> arrow column → (N, D) float64 matrix."""
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class PartialTopK:
+    """map_batches stage: per-batch cosine top-k against broadcast queries.
+
+    Emits ≤ (n_queries × k) candidate rows per batch; the global answer is
+    the top-k of the union of partials (associative merge), so the final
+    reduce handles kilobytes regardless of corpus size.
+    """
+
+    def __init__(self, queries_ref, k: int, key_col="vec_id",
+                 vec_col="embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) \
+            else queries_ref
+        self.query_ids, qmat = q
+        self.qn = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.key_col = key_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch.column(self.vec_col)))
+        keys = np.asarray(batch.column(self.key_col).to_pylist())
+        sims = self.qn @ mat.T                      # (Q, B)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.query_ids)):
+            sel = idx[qi]
+            out_q.extend([self.query_ids[qi]] * len(sel))
+            out_n.extend(keys[sel].tolist())
+            out_s.extend(sims[qi, sel].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "cosine": pa.array(np.round(out_s, 6), pa.float64()),
+        })
+
+
+def knn_brute_force(ds_emb, query_ids, query_matrix, k=10,
+                    key_col="vec_id", vec_col="embedding"):
+    """Exact cosine top-k for each query vector. Returns a small pa.Table
+    (query_id, neighbor_id, cosine, rank) sorted deterministically."""
+    import ray
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix)))
+    partials = ds_emb.map_batches(
+        PartialTopK, batch_format="pyarrow",
+        fn_constructor_args=(ref, k),
+        fn_constructor_kwargs={"key_col": key_col, "vec_col": vec_col},
+        concurrency=(1, 8))
+    # global merge: tiny — (#batches × Q × k) rows
+    import pandas as pd
+    pdf = partials.to_pandas()
+    out = []
+    for qid, g in pdf.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    res = pd.concat(out).sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(res.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
+            key_col="vec_id", vec_col="embedding"):
+    """Approximate top-k: probe only vectors in the query's hyperplane bucket.
+
+    Recall < 1 by design; the bucket predicate turns the scan into a
+    filter + small matmul. Same output schema as ``knn_brute_force``.
+    """
+    import ray
+
+    qmat = np.asarray(query_matrix, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((qmat.shape[1], n_planes))
+    qsig = ((qmat @ planes) > 0).astype(np.int64)
+    qbuckets = (qsig * (1 << np.arange(n_planes))).sum(axis=1)
+    ref = ray.put((list(query_ids), qmat, planes, qbuckets))
+
+    class BucketTopK:
+        def __init__(self):
+            self.query_ids, qm, self.planes, self.qbuckets = ray.get(ref)
+            self.qn = _normalize(qm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch.column(vec_col))
+            keys = np.asarray(batch.column(key_col).to_pylist())
+            bits = (mat @ self.planes) > 0
+            buckets = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            matn = _normalize(mat)
+            out_q, out_n, out_s = [], [], []
+            for qi, qb in enumerate(self.qbuckets):
+                m = buckets == qb
+                if not m.any():
+                    continue
+                sims = matn[m] @ self.qn[qi]
+                kk = min(k, len(sims))
+                sel = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([self.query_ids[qi]] * kk)
+                out_n.extend(keys[m][sel].tolist())
+                out_s.extend(sims[sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cosine": pa.array(np.round(out_s, 6), pa.float64()),
+            })
+
+    partials = ds_emb.map_batches(BucketTopK, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+    import pandas as pd
+    pdf = partials.to_pandas()
+    out = []
+    for qid, g in pdf.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    if not out:
+        return pa.table({"query_id": [], "neighbor_id": [],
+                         "cosine": [], "rank": []})
+    res = pd.concat(out).sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(res.reset_index(drop=True),
+                                preserve_index=False)

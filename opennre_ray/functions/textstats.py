@@ -1,0 +1,116 @@
+"""Text-analysis operators over the documents table (SURVEY extension set).
+
+Language-ID, quality scoring, token counting, fingerprinting — the text-side
+utilities a 100 TB training-data pipeline needs. All are stateless
+``map_batches`` UDFs with vectorized bodies; the token split matches
+``tokenization.split_on_whitespace`` semantics (strip + whitespace split) so
+results agree with the RE tokenizer and with the DuckDB oracle
+(``regexp_split_to_array(trim(text), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Function-word profiles for the n-gram/stopword language heuristic.
+# (No external langid model in this sandbox; heuristic over closed classes.)
+_LANG_MARKERS = {
+    "en": {"the", "a", "of", "and", "in", "to", "is", "was"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit"},
+    "es": {"el", "la", "de", "y", "es", "un", "una", "que"},
+    "fr": {"le", "la", "et", "est", "un", "une", "que", "pour"},
+}
+
+_STOPWORDS = {"the", "a", "an", "of", "and", "or", "in", "on", "to", "is"}
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return t.split() if t else []
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens — whitespace token count (strip + split semantics)."""
+    counts = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(batch.column("text")),
+                               r"\s+"))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_tokens": counts.cast(pa.int64())})
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Per-document quality features: length, token stats, stopword ratio.
+
+    Mirrors common web-corpus quality filters (length/punct/stopword ratio);
+    ratios rounded to 6 digits so float compare with the SQL oracle is exact.
+    """
+    texts = batch.column("text").to_pylist()
+    n_chars, n_toks, stop_ratio, mean_len = [], [], [], []
+    for t in texts:
+        toks = _tokens(t)
+        n = len(toks)
+        n_chars.append(len(t))
+        n_toks.append(n)
+        stops = sum(1 for w in toks if w.lower() in _STOPWORDS)
+        stop_ratio.append(round(stops / n, 6) if n else 0.0)
+        mean_len.append(round(sum(len(w) for w in toks) / n, 6) if n else 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_toks, pa.int64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        "mean_token_len": pa.array(mean_len, pa.float64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprints: md5 hex (exact dedup key) + 64-bit rolling hash.
+
+    The rolling hash is a polynomial Rabin-Karp over bytes (deterministic,
+    shift-resistant prefix property) for cheap near-identity probes.
+    """
+    texts = batch.column("text").to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    rolls = []
+    MOD = (1 << 61) - 1
+    BASE = 257
+    for t in texts:
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        rolls.append(h)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "md5": pa.array(md5s, pa.string()),
+        "rolling_hash": pa.array(np.array(rolls, dtype=np.uint64)),
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: argmax of function-word hit-rate per profile.
+
+    Falls back to 'und' when no profile scores > 0. (The synthetic corpus's
+    ``lang`` column is generator metadata, not derivable from the word-salad
+    text — this operator demonstrates the real heuristic.)
+    """
+    texts = batch.column("text").to_pylist()
+    langs, confs = [], []
+    for t in texts:
+        toks = [w.lower() for w in _tokens(t)]
+        n = max(1, len(toks))
+        best_lang, best = "und", 0.0
+        for lang, markers in _LANG_MARKERS.items():
+            s = sum(1 for w in toks if w in markers) / n
+            if s > best:
+                best, best_lang = s, lang
+        langs.append(best_lang)
+        confs.append(round(best, 6))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(langs, pa.string()),
+        "confidence": pa.array(confs, pa.float64()),
+    })

@@ -1,0 +1,132 @@
+"""Evaluation metrics (SURVEY §2.5 O1-O7), numpy only (no sklearn in box).
+
+- sentence-level accuracy + micro P/R/F1 with negative-label auto-detection:
+  reference ``framework/data_loader.py:53-103``
+- bag-level PR curve, AUC (trapezoid — equivalent to sklearn.metrics.auc),
+  P@k, max-F1 + best threshold, per-entpair micro/macro F1:
+  reference ``data_loader.py:239-310``
+- multi-label variant NA aliases: reference ``data_loader.py:375-446``
+
+The bag eval's global score sort (O1) is expressed on the Dataset
+(``ds.sort('score', descending=True)``) and the cumulative pass runs on the
+collected (small) prediction rows — prediction rows are bags × relations,
+orders of magnitude smaller than instances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NEG_ALIASES_SENT = ("NA", "na", "no_relation", "Other", "Others")
+NEG_ALIASES_MULTI = ("NA", "na", "N/A", "None", "none", "n/a", "no_relation")
+
+
+def detect_negative(rel2id: dict, aliases=NEG_ALIASES_SENT):
+    """First matching negative alias present in the vocabulary, else None."""
+    for name in aliases:
+        if name in rel2id:
+            return rel2id[name]
+    return None
+
+
+def sentence_eval(gold_ids, pred_ids, rel2id: dict) -> dict:
+    """acc + micro P/R/F1 excluding the negative class (reference O6)."""
+    gold = np.asarray(gold_ids)
+    pred = np.asarray(pred_ids)
+    neg = detect_negative(rel2id)
+    correct = (gold == pred)
+    acc = float(correct.mean()) if len(gold) else 0.0
+    pos_gold = gold != neg
+    pos_pred = pred != neg
+    correct_positive = int((correct & pos_gold).sum())
+    micro_p = correct_positive / int(pos_pred.sum()) if pos_pred.any() else 0.0
+    micro_r = correct_positive / int(pos_gold.sum()) if pos_gold.any() else 0.0
+    denom = micro_p + micro_r
+    micro_f1 = 2 * micro_p * micro_r / denom if denom else 0.0
+    return {"acc": acc, "micro_p": micro_p, "micro_r": micro_r,
+            "micro_f1": micro_f1}
+
+
+def auc_trapezoid(x: np.ndarray, y: np.ndarray) -> float:
+    """Area under the (x, y) curve by trapezoidal rule (sklearn.auc equiv)."""
+    order = np.argsort(x, kind="stable")
+    return float(np.trapz(y[order], x[order]))
+
+
+def bag_eval(pred_rows, facts: set, rel2id: dict, threshold=0.5) -> dict:
+    """PR curve / AUC / P@k / max-F1 over sorted prediction rows (O1-O5).
+
+    Args:
+        pred_rows: iterable of dicts {h_id, t_id, relation, score}
+            (non-NA rows only — M17 expansion output).
+        facts: set of (h_id, t_id, relation) gold triples (G2 fact set).
+    """
+    rows = sorted(pred_rows, key=lambda r: -r["score"])
+    total = len(facts)
+    hits = np.fromiter(
+        ((r["h_id"], r["t_id"], r["relation"]) in facts for r in rows),
+        dtype=np.int64, count=len(rows))
+    cum = hits.cumsum()
+    ranks = np.arange(1, len(rows) + 1)
+    prec = cum / ranks
+    rec = cum / max(total, 1)
+    f1s = 2 * prec * rec / (prec + rec + 1e-20)
+    best_i = int(f1s.argmax()) if len(rows) else 0
+    out = {
+        "auc": auc_trapezoid(rec, prec) if len(rows) else 0.0,
+        "max_micro_f1": float(f1s.max()) if len(rows) else 0.0,
+        "best_threshold": rows[best_i]["score"] if rows else 0.0,
+        "mean_prec": float(prec.mean()) if len(rows) else 0.0,
+    }
+    for k in (100, 200, 300):
+        out[f"p@{k}"] = float(prec[k - 1]) if len(rows) >= k else None
+    # per-entpair micro/macro over the 0.5-threshold predictions (O5)
+    n_rel = len(rel2id)
+    by_pair: dict = {}
+    for r in rows:
+        key = (r["h_id"], r["t_id"])
+        if key not in by_pair:
+            by_pair[key] = {"label": np.zeros(n_rel, np.int64),
+                            "pred": np.zeros(n_rel, np.int64)}
+        rid = rel2id[r["relation"]]
+        if (r["h_id"], r["t_id"], r["relation"]) in facts:
+            by_pair[key]["label"][rid] = 1
+        if r["score"] >= threshold:
+            by_pair[key]["pred"][rid] = 1
+    if by_pair:
+        label = np.stack([v["label"] for v in by_pair.values()])
+        pred = np.stack([v["pred"] for v in by_pair.values()])
+        pos = slice(1, n_rel)   # labels 1..N-1 (exclude NA at 0)
+        out.update(_prf(label[:, pos], pred[:, pos]))
+    return out
+
+
+def _prf(label: np.ndarray, pred: np.ndarray) -> dict:
+    """micro + macro P/R/F1 over a binary label/pred matrix."""
+    tp = (label & pred).sum()
+    micro_p = tp / pred.sum() if pred.sum() else 0.0
+    micro_r = tp / label.sum() if label.sum() else 0.0
+    micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                if micro_p + micro_r else 0.0)
+    # macro: average over relation columns
+    ps, rs, fs = [], [], []
+    for c in range(label.shape[1]):
+        tp_c = int((label[:, c] & pred[:, c]).sum())
+        p = tp_c / pred[:, c].sum() if pred[:, c].sum() else 0.0
+        r = tp_c / label[:, c].sum() if label[:, c].sum() else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        ps.append(p); rs.append(r); fs.append(f)
+    return {"micro_p_05": float(micro_p), "micro_r_05": float(micro_r),
+            "micro_f1_05": float(micro_f1), "macro_p": float(np.mean(ps)),
+            "macro_r": float(np.mean(rs)), "macro_f1": float(np.mean(fs))}
+
+
+def triple_prf(pred_triples, gold_triples) -> dict:
+    """Set P/R/F1 of (subj, pred, obj) triples — the north-star P/R gate."""
+    p_set, g_set = set(pred_triples), set(gold_triples)
+    inter = len(p_set & g_set)
+    prec = inter / len(p_set) if p_set else 0.0
+    rec = inter / len(g_set) if g_set else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1,
+            "n_pred": len(p_set), "n_gold": len(g_set)}

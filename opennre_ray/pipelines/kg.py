@@ -1,0 +1,119 @@
+"""The flagship KG-construction pipeline (SURVEY §7.1).
+
+    read pages (parquet / synthesized)
+      → ExtractText                (stateless tasks; drops html immediately)
+      → SentenceMentions           (actor pool: pinned alias table)
+      → generate_pairs             (stateless explode)
+      → RelationScorer             (actor pool: model weights in __init__)
+      → filter score ≥ τ, rel ≠ NA (vectorized arrow filter)
+      → canonicalize               (two-phase groupby + broadcast rewrite)
+      → triple dedup               (groupby (subj,pred,obj) — exact distinct,
+                                    the reference's fact-set semantics,
+                                    data_loader.py:151-164)
+      → sort(subj) → write adjacency parquet partitions + lineage manifest
+
+Every stage streams; nothing materializes the full corpus. The only wide
+operations are the two groupbys and the final sort, all over data already
+reduced by filtering/partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import read_pages
+from ..stages.canonicalize import CanonicalizeIds, build_canonical_map
+from ..stages.extract import ExtractText
+from ..stages.ner import SentenceMentions
+from ..stages.pairs import generate_pairs
+from ..stages.score import RelationScorer
+
+DEFAULT_MODEL = "wiki80_cnn_softmax"
+SCORE_THRESHOLD = 0.12   # seeded-weight scale; ~uniform is 1/|R| = 0.10
+
+
+def candidate_instances(pages_ds, *, scorer_concurrency=(1, 8),
+                        batch_size=2048, model_name=DEFAULT_MODEL):
+    """pages → scored instance rows (everything before the wide stages)."""
+    ds = pages_ds.map_batches(ExtractText(), batch_format="pyarrow")
+    ds = ds.map_batches(SentenceMentions, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=scorer_concurrency)
+    ds = ds.map_batches(generate_pairs, batch_format="pyarrow")
+    ds = ds.map_batches(RelationScorer, batch_format="pyarrow",
+                        batch_size=batch_size,
+                        concurrency=scorer_concurrency,
+                        fn_constructor_kwargs={"model_name": model_name})
+    return ds
+
+
+def filter_triples(batch: pa.Table, threshold: float = SCORE_THRESHOLD) -> pa.Table:
+    keep = pc.and_(pc.not_equal(batch.column("pred_rel"), "NA"),
+                   pc.greater_equal(batch.column("score"), threshold))
+    return batch.filter(keep)
+
+
+def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
+                    threshold=SCORE_THRESHOLD, concurrency=(1, 8),
+                    batch_size=2048, canonicalize=True):
+    """Full pipeline → deduplicated triple Dataset.
+
+    Output schema: subj, pred, obj (canonical ids), n_evidence (instance
+    count), score (max), sample_url + model_hash (lineage).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    pages = read_pages(sf_dir)
+    inst = candidate_instances(pages, scorer_concurrency=concurrency,
+                               batch_size=batch_size, model_name=model_name)
+    inst = inst.map_batches(lambda b: filter_triples(b, threshold),
+                            batch_format="pyarrow")
+
+    if canonicalize:
+        # two passes over the (already heavily filtered) instance stream:
+        # pass 1 builds the tiny surface→canonical map, pass 2 rewrites.
+        inst = inst.materialize()    # small: candidates only, html long gone
+        canon = build_canonical_map(inst)
+        import ray
+        canon_ref = ray.put(canon)
+        inst = inst.map_batches(
+            CanonicalizeIds, batch_format="pyarrow",
+            fn_constructor_args=(canon_ref,), concurrency=(1, 4))
+
+    # exact triple dedup == the reference's distinct fact set
+    # (data_loader.py:151-164), as a hash-shuffle groupby.
+    triples = (
+        inst
+        .groupby(["h_id", "pred_rel", "t_id"])
+        .aggregate(Count(alias_name="n_evidence"),
+                   Max("score", alias_name="score"),
+                   Min("url", alias_name="sample_url"))
+    )
+    triples = triples.map_batches(
+        lambda b: b.rename_columns(
+            ["subj", "pred", "obj", "n_evidence", "score", "sample_url"]),
+        batch_format="pyarrow")
+    return triples
+
+
+def materialize_graph(triples_ds, out_dir: str, model_hash: str = ""):
+    """Dedup-and-sort graph materialize: adjacency-ordered parquet + manifest.
+
+    Sorting by subj clusters each entity's outgoing edges (adjacency-list
+    layout); parquet row-group stats then let readers range-prune by subj.
+    """
+    import json
+    import os
+
+    sorted_ds = triples_ds.sort("subj")
+    sorted_ds.write_parquet(out_dir)
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    manifest = {
+        "version": 1,
+        "model_hash": model_hash,
+        "files": files,
+        "num_files": len(files),
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

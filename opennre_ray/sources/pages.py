@@ -1,0 +1,62 @@
+"""Page-corpus source: Common-Crawl-style web-page table.
+
+BASELINE input_hint schema: ``(url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string)``. In production this is ``ray.data.read_parquet``
+over the crawl dump with column pruning; in this sandbox the corpus is
+synthesized deterministically from the driver-provided ``documents`` table
+(seeded, byte-stable per url) so the HTML→text extraction stage has a known
+byte-exact answer per url.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..fixtures import page_url, render_html
+
+_EPOCH_US = 1_700_000_000_000_000  # fixed warc_ts base (2023-11-14T22:13:20Z)
+
+
+def documents_to_pages(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, source) → pages(url, warc_ts, html, text, lang).
+
+    Pure per-row transform (stateless map_batches). html embeds the exact
+    text so extraction is verifiable byte-for-byte (north-star invariant).
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    urls = [page_url(s, d) for s, d in zip(sources, doc_ids)]
+    htmls = [render_html(d, t) for d, t in zip(doc_ids, texts)]
+    ts = pa.array(
+        np.asarray(doc_ids, dtype=np.int64) * 1_000_000 + _EPOCH_US,
+        type=pa.timestamp("us"),
+    )
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": ts,
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": batch.column("text"),
+        "lang": batch.column("lang"),
+    })
+
+
+def read_pages(sf_dir: str, drop_text: bool = True):
+    """Dataset of synthetic pages for ``sf_dir``.
+
+    ``drop_text=True`` removes the ground-truth ``text`` column so the
+    pipeline must really extract from ``html`` (text re-enters via the
+    extraction stage); pass False for extraction-parity checks.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    ds = ds.map_batches(documents_to_pages, batch_format="pyarrow")
+    if drop_text:
+        ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
+    return ds

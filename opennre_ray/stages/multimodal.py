@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video ride as ``binary`` columns with sidecar metadata columns;
+decode / feature-extract stages are actor-pool ``map_batches`` stages whose
+Ray-side plumbing (schema, batch sizing, actor signature, output layout) is
+real and tested, while the codec itself is STUBBED — no image/audio libraries
+exist in this container. ``DecodeImage(fake=True)`` substitutes a
+deterministic fake decoder so pipelines exercise end-to-end; ``fake=False``
+raises ``NotImplementedError`` at the decode call, marking exactly where a
+real codec (PIL/libvips/ffmpeg) plugs in.
+
+Scale notes: binary payloads dominate block size — these stages run with
+small ``batch_size`` and the payload column is dropped as soon as features
+are extracted (same rule as the html column, SURVEY §7.4 item 7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.binary()),
+    ("mime", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def synthesize_media_batch(batch: pa.Table, payload_from: str = "text",
+                           key_from: str = "doc_id") -> pa.Table:
+    """Turn any table into a media table (deterministic fake payloads)."""
+    keys = batch.column(key_from).to_pylist()
+    srcs = batch.column(payload_from).to_pylist()
+    payloads = [hashlib.blake2b(str(s).encode(), digest_size=32).digest() * 8
+                for s in srcs]
+    n = batch.num_rows
+    return pa.table({
+        "media_id": pa.array([f"m{k}" for k in keys], pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/fake"] * n, pa.string()),
+        "width": pa.array([16] * n, pa.int32()),
+        "height": pa.array([16] * n, pa.int32()),
+    })
+
+
+class DecodeImage:
+    """Actor stage: payload binary → (H, W, 3) uint8 image tensor column.
+
+    Real decoder NOT available in this sandbox: ``fake=True`` derives a
+    deterministic pixel block from the payload bytes (stable across retries);
+    ``fake=False`` raises NotImplementedError — the plumbing contract is
+    what's under test.
+    """
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "no image codec in this environment; plug PIL/turbojpeg here")
+        raw = np.frombuffer(
+            (payload * ((w * h * 3) // max(len(payload), 1) + 1))[: w * h * 3],
+            dtype=np.uint8)
+        return raw.reshape(h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> dict:
+        imgs = [self._decode(p, w, h) for p, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist())]
+        return {
+            "media_id": batch.column("media_id").to_numpy(zero_copy_only=False),
+            "image": np.stack(imgs),          # (B, H, W, 3) tensor column
+        }
+
+
+class ImageFeatures:
+    """Actor stage: image tensor → small feature vector (mean/std per channel
+    + 8×8 luma histogram). Stands in for a real vision model forward."""
+
+    def __call__(self, batch: dict) -> dict:
+        imgs = batch["image"].astype(np.float32)
+        mean = imgs.mean(axis=(1, 2))                       # (B, 3)
+        std = imgs.std(axis=(1, 2))                         # (B, 3)
+        luma = imgs.mean(axis=3)
+        hist = np.stack([np.histogram(x, bins=8, range=(0, 255))[0]
+                         for x in luma]).astype(np.float32)
+        feats = np.concatenate([mean, std, hist], axis=1)
+        return {"media_id": batch["media_id"], "features": feats}
+
+
+def media_feature_pipeline(ds, batch_size: int = 64):
+    """documents-like Dataset → media features, exercising the full plumbing.
+
+    Small batch_size: payload bytes × batch must fit the worker heap.
+    """
+    media = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(DecodeImage, batch_format="pyarrow",
+                                batch_size=batch_size, concurrency=(1, 4))
+    return decoded.map_batches(ImageFeatures, batch_format="numpy",
+                               batch_size=batch_size, concurrency=(1, 4))

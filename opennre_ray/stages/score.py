@@ -1,0 +1,80 @@
+"""Relation scoring stages (actor pools holding model weights).
+
+Two granularities:
+
+- ``EncodeInstances`` — the standalone tokenize/encode operator (SURVEY M1/M2
+  as a stage), emitting fixed-length int32 id/position arrays. Useful when
+  encoded tensors are the product (training export) or for parity tests.
+- ``RelationScorer`` — the fused encode+forward+head stage the KG pipeline
+  uses: instance rows in, instance rows + (pred_rel, score, model_hash) out.
+  Fusing avoids materializing (N, L) int arrays in the object store between
+  two stages; tokenization is <10% of forward cost, so the fusion loses no
+  parallelism while halving object-store traffic. Weights are built once per
+  actor in ``__init__`` (reference loads them once per process too:
+  ``pretrain.py:147``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..registry import get_model
+
+
+def _spans(batch: pa.Table, prefix: str) -> np.ndarray:
+    s = batch.column(f"{prefix}_start").to_numpy(zero_copy_only=False)
+    e = batch.column(f"{prefix}_end").to_numpy(zero_copy_only=False)
+    return np.stack([s, e], axis=1)
+
+
+class EncodeInstances:
+    """map_batches UDF: instance rows → encoded id/position arrays (numpy)."""
+
+    def __init__(self, model_name: str = "wiki80_cnn_softmax"):
+        self.model = get_model(model_name)
+
+    def __call__(self, batch: pa.Table) -> dict:
+        texts = batch.column("text").to_pylist()
+        enc = self.model.encoder.encode_batch(
+            texts, _spans(batch, "h"), _spans(batch, "t"))
+        out = {c: batch.column(c).to_numpy(zero_copy_only=False)
+               for c in ("url", "h_id", "t_id")}
+        out.update(enc)
+        return out
+
+
+class RelationScorer:
+    """Fused encode → forward → softmax head actor stage.
+
+    Emits one scored row per instance: the sentence-level equivalent of the
+    reference's ``infer()`` loop (``softmax_nn.py:28-39``) vectorized over a
+    batch. ``model_hash`` rides along for lineage (north-star requirement).
+    """
+
+    def __init__(self, model_name: str = "wiki80_cnn_softmax",
+                 rel2id: dict | None = None):
+        self.model = get_model(model_name, rel2id=rel2id)
+        self.id2rel = self.model.id2rel
+        # constant-per-actor columns, built once
+        self._hash = self.model.model_hash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pred_rel", pa.array([], pa.string())
+            ).append_column("score", pa.array([], pa.float32())
+            ).append_column("model_hash", pa.array([], pa.string()))
+        texts = batch.column("text").to_pylist()
+        enc = self.model.encoder.encode_batch(
+            texts, _spans(batch, "h"), _spans(batch, "t"))
+        rep = self.model.encoder(enc)
+        pred, score = self.model.head.infer_batch(rep)
+        rels = np.array([self.id2rel[int(p)] for p in pred], dtype=object)
+        return (batch
+                .append_column("pred_rel", pa.array(rels, pa.string()))
+                .append_column("score", pa.array(score.astype(np.float32),
+                                                 pa.float32()))
+                .append_column("model_hash",
+                               pa.array([self._hash] * batch.num_rows,
+                                        pa.string())))

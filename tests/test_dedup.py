@@ -1,0 +1,112 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, Jaccard, embedding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from opennre_ray.functions.dedup import (
+    MinHashLSH,
+    SimHashStage,
+    embedding_dup_groups,
+    exact_dedup,
+    jaccard,
+    minhash_duplicate_groups,
+    minhash_signature,
+    _minhash_params,
+    shingle_hashes,
+    simhash64,
+)
+
+
+def test_shingles_and_jaccard():
+    a = "the quick brown fox jumps over the lazy dog"
+    assert jaccard(a, a) == 1.0
+    b = "the quick brown fox jumps over a lazy dog"
+    assert 0.3 < jaccard(a, b) < 1.0
+    assert jaccard("completely different words here now", a) == 0.0
+    assert jaccard("", "") == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:80] + [f"x{i}" for i in range(20)])
+    pa_, pb_ = _minhash_params(256)
+    sa = minhash_signature(a, pa_, pb_)
+    sb = minhash_signature(b, pa_, pb_)
+    est = (sa == sb).mean()
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.12
+
+
+def test_simhash_near_duplicates_close_in_hamming():
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = a + " extra"
+    c = " ".join(f"other{i}" for i in range(50))
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < 8 < d_ac
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": 3, "text": "same text"},
+        {"doc_id": 1, "text": "same text"},
+        {"doc_id": 2, "text": "different"},
+    ])
+    out = exact_dedup(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_minhash_lsh_stage_shapes():
+    stage = MinHashLSH(num_bands=4, rows_per_band=2)
+    batch = pa.table({"doc_id": [1, 2], "text": ["a b c d", "a b c d"]})
+    out = stage(batch)
+    assert out.num_rows == 8     # 2 docs × 4 bands
+    # identical docs share every band hash
+    df = out.to_pandas()
+    g = df.groupby("band_id")["band_hash"].nunique()
+    assert (g == 1).all()
+
+
+def test_minhash_duplicate_groups_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    far = " ".join(f"q{i}" for i in range(60))
+    ds = rd.from_items([
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": near},
+        {"doc_id": 12, "text": far},
+    ])
+    out = minhash_duplicate_groups(ds, num_bands=16, rows_per_band=2).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    assert groups.get(10) == 10 and groups.get(11) == 10
+    assert 12 not in groups or groups[12] == 12
+
+
+def test_simhash_stage_bands():
+    stage = SimHashStage()
+    out = stage(pa.table({"doc_id": [1], "text": ["hello world tokens"]}))
+    h = out.column("simhash")[0].as_py()
+    for b in range(4):
+        assert out.column(f"band{b}")[0].as_py() == (h >> (16 * b)) & 0xFFFF
+
+
+def test_embedding_dup_groups(ray_session, sf_dir):
+    import ray.data as rd
+
+    v = np.random.default_rng(5).standard_normal(16).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist()},
+        {"vec_id": 2, "embedding": (v * 1.001).tolist()},   # same direction
+        {"vec_id": 3, "embedding": (-v).tolist()},          # opposite
+    ]
+    out = embedding_dup_groups(rd.from_items(rows), threshold=0.99).to_pandas()
+    got = dict(zip(out["vec_id"], out["dup_group"]))
+    assert got == {1: 1, 2: 1}

@@ -1,0 +1,55 @@
+"""Similarity-search tests: brute-force cosine top-k vs numpy oracle; LSH."""
+
+import numpy as np
+import pytest
+
+from opennre_ray.functions.similarity import knn_brute_force, knn_lsh
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session, sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _oracle(sf_dir, query_ids, qmat, k):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    out = {}
+    for qi, qid in enumerate(query_ids):
+        sims = np.round(mat @ qn[qi], 6)
+        order = np.lexsort((ids, -sims))[:k]
+        out[qid] = list(zip(ids[order], sims[order]))
+    return out
+
+
+def test_knn_brute_force_matches_oracle(emb, sf_dir):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmat = np.array(t.column("embedding").to_pylist()[:3], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:3]
+    res = knn_brute_force(emb, qids, qmat, k=5).to_pandas()
+    oracle = _oracle(sf_dir, qids, qmat, 5)
+    for qid in qids:
+        g = res[res["query_id"] == qid].sort_values("rank")
+        want = oracle[qid]
+        assert list(g["neighbor_id"]) == [w[0] for w in want]
+        np.testing.assert_allclose(g["cosine"], [w[1] for w in want], atol=1e-5)
+        # self is its own nearest neighbor
+        assert g.iloc[0]["neighbor_id"] == qid
+
+
+def test_knn_lsh_recalls_self(emb, sf_dir):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmat = np.array(t.column("embedding").to_pylist()[:4], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:4]
+    res = knn_lsh(emb, qids, qmat, k=5, n_planes=6).to_pandas()
+    # approximate: each query must at least find itself (same bucket)
+    for qid in qids:
+        g = res[res["query_id"] == qid]
+        assert qid in set(g["neighbor_id"])

@@ -1,0 +1,210 @@
+"""Stage-level tests: extraction byte-identity, NER, pair gen, scoring,
+canonicalization, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from opennre_ray.fixtures import default_alias_table, entity_id, render_html
+from opennre_ray.stages.extract import ExtractText, extract_text
+from opennre_ray.stages.ner import (
+    AliasMatcher,
+    SentenceMentions,
+    normalize_surface,
+    split_sentences,
+)
+from opennre_ray.stages.pairs import generate_pairs
+
+
+def test_extract_text_byte_identical_roundtrip():
+    """North-star invariant: extractor inverts the page template exactly."""
+    for text in ["plain words here", "a & b < c > d", "multi  space",
+                 "unicode Máel 中文 text"]:
+        html = render_html(7, text)
+        assert extract_text(html) == text
+
+
+def test_extract_drops_boilerplate():
+    html = (b"<html><head><script>x</script></head><body>"
+            b"<nav>menu</nav><p>keep this</p><footer>f</footer></body></html>")
+    assert extract_text(html) == "keep this"
+
+
+def test_extract_fallback_no_paragraphs():
+    assert "hello world" in extract_text(b"<html><body>hello world</body></html>")
+
+
+def test_extract_against_real_documents(ray_session, sf_dir):
+    """Per-url byte identity over the whole sf0.001 corpus via Ray."""
+    from opennre_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir, drop_text=False)
+    extracted = pages.map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"),
+            "orig": b.column("text"),
+            "got": pa.array([extract_text(h)
+                             for h in b.column("html").to_pylist()]),
+        }), batch_format="pyarrow")
+    bad = extracted.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b.column("orig"),
+                                                b.column("got"))),
+        batch_format="pyarrow")
+    assert bad.count() == 0
+
+
+def test_split_sentences_offsets():
+    text = "First sentence. Second one! Third?"
+    sents = split_sentences(text)
+    assert [s for _, s in sents] == ["First sentence.", "Second one!", "Third?"]
+    for start, s in sents:
+        assert text[start: start + len(s)] == s
+
+
+def test_split_sentences_windows_long_text():
+    text = " ".join(["word"] * 60)
+    sents = split_sentences(text, max_tokens=24)
+    assert len(sents) == 3
+    for start, s in sents:
+        assert text[start: start + len(s)] == s
+        assert len(s.split()) <= 24
+
+
+def test_alias_matcher_leftmost_longest():
+    table = default_alias_table()
+    m = AliasMatcher(table)
+    found = m.find("the hash join was slow")
+    # multi-word 'hash join' must win over bare 'hash'/'join'
+    assert [(f[2]) for f in found] == ["hash join"]
+    assert found[0][3] == entity_id("join")
+    s = "the hash join was slow"
+    st, en, surf, _ = found[0]
+    assert s[st:en] == surf
+
+
+def test_normalize_surface():
+    assert normalize_surface("  Máel   DÚIN ") == "mael duin"
+    assert normalize_surface("Spark") == "spark"
+
+
+def test_sentence_mentions_stage():
+    stage = SentenceMentions()
+    batch = pa.table({
+        "url": ["u1", "u2"],
+        "text": ["the spark table join was fast.",
+                 "nothing to see here."],
+    })
+    out = stage(batch)
+    assert out.num_rows == 1            # u2 has <2 mentions
+    assert out.column("url")[0].as_py() == "u1"
+    surfaces = out.column("m_surface")[0].as_py()
+    assert surfaces == ["spark", "table", "join"]
+    # char offsets index into the sentence
+    sent = out.column("sentence")[0].as_py()
+    for st, en, sf in zip(out.column("m_start")[0].as_py(),
+                          out.column("m_end")[0].as_py(), surfaces):
+        assert sent[st:en] == sf
+
+
+def test_generate_pairs_gap_cap_and_selfpair():
+    batch = pa.table({
+        "url": ["u"], "sent_idx": [0],
+        "sentence": ["spark table join hash"],
+        "m_start": [[0, 6, 12, 17]],
+        "m_end": [[5, 11, 16, 21]],
+        "m_surface": [["spark", "table", "join", "hash"]],
+        "m_entity": [["e1", "e2", "e3", "e4"]],
+    })
+    out = generate_pairs(batch, max_gap=2, max_pairs=100)
+    pairs = set(zip(out.column("h_id").to_pylist(),
+                    out.column("t_id").to_pylist()))
+    # within gap 2: (1,2),(1,3),(2,3),(2,4),(3,4)
+    assert pairs == {("e1", "e2"), ("e1", "e3"), ("e2", "e3"),
+                     ("e2", "e4"), ("e3", "e4")}
+    # self pairs skipped
+    batch2 = batch.set_column(
+        batch.schema.get_field_index("m_entity"), "m_entity",
+        pa.array([["e1", "e1", "e1", "e1"]], pa.list_(pa.string())))
+    assert generate_pairs(batch2).num_rows == 0
+
+
+def test_relation_scorer_stage_matches_single_infer():
+    from opennre_ray import get_model
+    from opennre_ray.stages.score import RelationScorer
+
+    scorer = RelationScorer("wiki80_cnn_softmax")
+    batch = pa.table({
+        "url": ["u"], "sent_idx": [0],
+        "text": ["the spark table join was fast"],
+        "h_id": ["e1"], "h_name": ["spark"], "h_start": [4], "h_end": [9],
+        "t_id": ["e2"], "t_name": ["join"], "t_start": [16], "t_end": [20],
+    })
+    out = scorer(batch)
+    m = get_model("wiki80_cnn_softmax")
+    rel, score = m.infer({"text": "the spark table join was fast",
+                          "h": {"pos": (4, 9)}, "t": {"pos": (16, 20)}})
+    assert out.column("pred_rel")[0].as_py() == rel
+    assert abs(out.column("score")[0].as_py() - score) < 1e-6
+    assert out.column("model_hash")[0].as_py() == m.model_hash
+
+
+def test_canonicalize_map(ray_session):
+    import ray.data as rd
+    from opennre_ray.stages.canonicalize import (
+        CanonicalizeIds, build_canonical_map)
+
+    inst = rd.from_items([
+        {"h_name": "Spark", "h_id": "A", "t_name": "table", "t_id": "T"},
+        {"h_name": "spark", "h_id": "B", "t_name": "table", "t_id": "T"},
+        {"h_name": "SPARK", "h_id": "B", "t_name": "Table", "t_id": "T"},
+    ])
+    canon = build_canonical_map(inst)
+    # 'spark' surface: B appears 2×, A 1× → canonical B
+    assert canon["spark"] == "B"
+    assert canon["table"] == "T"
+    stage = CanonicalizeIds(canon)
+    out = stage(pa.table({
+        "h_name": ["Spark"], "h_id": ["A"],
+        "t_name": ["TABLE"], "t_id": ["X"]}))
+    assert out.column("h_id")[0].as_py() == "B"
+    assert out.column("t_id")[0].as_py() == "T"
+
+
+def test_multimodal_plumbing(ray_session, sf_dir):
+    import ray.data as rd
+    from opennre_ray.stages.multimodal import (
+        DecodeImage, media_feature_pipeline)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(32)
+    feats = media_feature_pipeline(docs, batch_size=16).to_pandas()
+    assert len(feats) == 32
+    assert feats["features"].iloc[0].shape == (14,)   # 3+3+8
+    # real-decoder path raises the documented stub error
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode(b"x", 4, 4)
+
+
+def test_lineage_resume(tmp_path, ray_session):
+    import ray.data as rd
+    from opennre_ray.state.lineage import (
+        ShardManifest, completed_shards, run_sharded)
+
+    out = str(tmp_path / "graph")
+    calls = []
+
+    def build(name):
+        def _build():
+            calls.append(name)
+            return rd.range(10)
+        return _build
+
+    shards = {"s0": build("s0"), "s1": build("s1")}
+    mk = lambda n: ShardManifest(n, input_path=f"in/{n}", model_hash="h")
+    r1 = run_sharded(shards, out, mk)
+    assert r1["completed"] == ["s0", "s1"] and calls == ["s0", "s1"]
+    assert completed_shards(out) == ["s0", "s1"]
+    # resume: nothing re-runs
+    r2 = run_sharded(shards, out, mk)
+    assert r2["completed"] == [] and r2["skipped"] == ["s0", "s1"]
+    assert calls == ["s0", "s1"]
