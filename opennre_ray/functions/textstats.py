@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .sqlcompat import sql_round
+
 # Function-word profiles for the n-gram/stopword language heuristic.
 # (No external langid model in this sandbox; heuristic over closed classes.)
 _LANG_MARKERS = {
@@ -56,8 +58,9 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
         n_chars.append(len(t))
         n_toks.append(n)
         stops = sum(1 for w in toks if w.lower() in _STOPWORDS)
-        stop_ratio.append(round(stops / n, 6) if n else 0.0)
-        mean_len.append(round(sum(len(w) for w in toks) / n, 6) if n else 0.0)
+        stop_ratio.append(float(sql_round(stops / n, 6)) if n else 0.0)
+        mean_len.append(
+            float(sql_round(sum(len(w) for w in toks) / n, 6)) if n else 0.0)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array(n_chars, pa.int64()),

@@ -33,17 +33,24 @@ DEFAULT_MODEL = "wiki80_cnn_softmax"
 SCORE_THRESHOLD = 0.12   # seeded-weight scale; ~uniform is 1/|R| = 0.10
 
 
-def candidate_instances(pages_ds, *, scorer_concurrency=(1, 8),
-                        batch_size=2048, model_name=DEFAULT_MODEL):
-    """pages → scored instance rows (everything before the wide stages)."""
+def candidate_instances(pages_ds, *, batch_size=1024,
+                        model_name=DEFAULT_MODEL):
+    """pages → scored instance rows (everything before the wide stages).
+
+    All four stages run as stateless tasks with per-worker-cached state
+    (model weights, compiled gazetteer regex) — see ``stages.score`` for
+    why this beats actor pools for CPU-resident models: elastic task
+    scheduling, no pool ramp-up, no pool-vs-pool CPU budget deadlocks.
+    """
+    from ..stages.ner import mentions_udf
+    from ..stages.score import scorer_udf
+
     ds = pages_ds.map_batches(ExtractText(), batch_format="pyarrow")
-    ds = ds.map_batches(SentenceMentions, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=scorer_concurrency)
+    ds = ds.map_batches(mentions_udf(), batch_format="pyarrow",
+                        batch_size=batch_size)
     ds = ds.map_batches(generate_pairs, batch_format="pyarrow")
-    ds = ds.map_batches(RelationScorer, batch_format="pyarrow",
-                        batch_size=batch_size,
-                        concurrency=scorer_concurrency,
-                        fn_constructor_kwargs={"model_name": model_name})
+    ds = ds.map_batches(scorer_udf(model_name), batch_format="pyarrow",
+                        batch_size=batch_size)
     return ds
 
 
@@ -54,8 +61,8 @@ def filter_triples(batch: pa.Table, threshold: float = SCORE_THRESHOLD) -> pa.Ta
 
 
 def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
-                    threshold=SCORE_THRESHOLD, concurrency=(1, 8),
-                    batch_size=2048, canonicalize=True):
+                    threshold=SCORE_THRESHOLD, batch_size=1024,
+                    canonicalize=True):
     """Full pipeline → deduplicated triple Dataset.
 
     Output schema: subj, pred, obj (canonical ids), n_evidence (instance
@@ -64,8 +71,8 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
     from ray.data.aggregate import Count, Max, Min
 
     pages = read_pages(sf_dir)
-    inst = candidate_instances(pages, scorer_concurrency=concurrency,
-                               batch_size=batch_size, model_name=model_name)
+    inst = candidate_instances(pages, batch_size=batch_size,
+                               model_name=model_name)
     inst = inst.map_batches(lambda b: filter_triples(b, threshold),
                             batch_format="pyarrow")
 
@@ -76,9 +83,15 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
         canon = build_canonical_map(inst)
         import ray
         canon_ref = ray.put(canon)
-        inst = inst.map_batches(
-            CanonicalizeIds, batch_format="pyarrow",
-            fn_constructor_args=(canon_ref,), concurrency=(1, 4))
+        ref_key = canon_ref.hex()
+
+        def canonicalize_batch(batch):
+            from ..stages.score import cached
+            stage = cached(("canon", ref_key),
+                           lambda: CanonicalizeIds(canon_ref))
+            return stage(batch)
+
+        inst = inst.map_batches(canonicalize_batch, batch_format="pyarrow")
 
     # exact triple dedup == the reference's distinct fact set
     # (data_loader.py:151-164), as a hash-shuffle groupby.

@@ -1,0 +1,653 @@
+"""Query catalog: every operator exposed as a named pipeline over the
+driver's parquet tables, with a DuckDB oracle where SQL can express it.
+
+Each entry is ``fn(sf_dir) -> Dataset | pandas.DataFrame | pyarrow.Table``.
+Column names match the oracle SQL exactly (the driver hashes values after
+sorting columns by name). SQL-inexpressible operators (model scoring, LSH,
+sketches) ship without an oracle → the driver records a rows-only check and
+their correctness is covered by the pytest oracles instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sqlcompat import sql_round
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _read(sf_dir, table, columns=None, split: bool = True):
+    """Column-pruned read; single-row-group testdata files are split into
+    blocks post-read so fused downstream stages parallelize (see
+    ``sources.pages.default_num_blocks``)."""
+    import pyarrow.parquet as pq
+    from ..sources.pages import default_num_blocks
+
+    path = f"{sf_dir}/{table}.parquet"
+    kwargs = {}
+    if split:
+        n = default_num_blocks(pq.ParquetFile(path).metadata.num_rows,
+                               rows_per_block=4096)
+        if n > 1:
+            kwargs["override_num_blocks"] = n
+    return _rd().read_parquet(path, columns=columns, **kwargs)
+
+
+def _small(sf_dir, table, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/{table}.parquet",
+                         columns=columns).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Relational core (groupby-agg / filter / sort-limit / joins / set ops)
+# ---------------------------------------------------------------------------
+
+def lineitem_group_agg(sf_dir):
+    """TPC-H Q1-style grouped aggregate with map-side-combinable Sums."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", rev)
+
+    out = (ds.map_batches(revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b[c] = sql_round(b[c], 2)
+        b["avg_qty"] = sql_round(b["avg_qty"], 4)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_LINEITEM_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)                        AS avg_qty,
+       count(*)                                         AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def lineitem_filter_agg(sf_dir):
+    """TPC-H Q6-style pushed-down filter + single-row aggregate."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(batch.column("l_discount"), 0.05),
+                            pc.less_equal(batch.column("l_discount"), 0.07)),
+                    pc.less(batch.column("l_quantity"), 24.0))
+        f = batch.filter(m)
+        rev = pc.sum(pc.multiply(f.column("l_extendedprice"),
+                                 f.column("l_discount"))).as_py() or 0.0
+        return pa.table({"partial_rev": pa.array([rev], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"revenue": [float(sql_round(parts["partial_rev"].sum(), 2))]})
+
+
+SQL_LINEITEM_FILTER_AGG = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def topk_orders(sf_dir):
+    """Global sort-desc + limit (O1/O3 pattern) with deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(100)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def customer_nation_join(sf_dir):
+    """Broadcast dimension join + grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+    from ..functions.relational import broadcast_join
+
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(ds, nation, on="c_nationkey")
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="sum_acctbal"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_acctbal"] = sql_round(b["sum_acctbal"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_CUSTOMER_NATION_JOIN = """
+SELECT n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def supplier_region_join(sf_dir):
+    """Two chained broadcast joins (supplier → nation → region)."""
+    from ray.data.aggregate import Count, Sum
+    from ..functions.relational import broadcast_join
+
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    dim = dim.rename(columns={"n_nationkey": "s_nationkey"})
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    joined = broadcast_join(ds, dim, on="s_nationkey")
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="sum_acctbal"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_acctbal"] = sql_round(b["sum_acctbal"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_SUPPLIER_REGION_JOIN = """
+SELECT r_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def part_brand_stats(sf_dir):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Max("p_size", alias_name="max_size"),
+        Sum("p_retailprice", alias_name="sum_price"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_price"] = sql_round(b["sum_price"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+       round(sum(p_retailprice), 2) AS sum_price
+FROM part GROUP BY p_brand
+"""
+
+
+def region_nation_union(sf_dir):
+    """Dataset union + distinct-style sort (set op the reference lacks)."""
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow")
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow")
+    return r.union(n).sort("name")
+
+
+SQL_REGION_NATION_UNION = """
+SELECT r_name AS name FROM region
+UNION ALL
+SELECT n_name AS name FROM nation
+ORDER BY name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events (log-shaped: distinct, windows, anti-join)
+# ---------------------------------------------------------------------------
+
+def events_type_stats(sf_dir):
+    """Per event type: events, distinct users (2-level groupby), value sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    base = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value")).to_pandas()
+    # exact distinct via pair-groupby (shuffle on (type,user), then count)
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c"))
+    users = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    out = base.merge(users, on="event_type")
+    out["sum_value"] = sql_round(out["sum_value"], 2)
+    return out[["event_type", "n_events", "n_users", "sum_value"]]
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_daily_window(sf_dir):
+    """Tumbling event-time window per user (streaming-shaped aggregate)."""
+    from ray.data.aggregate import Count, Sum
+    from ..functions.relational import add_time_window
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    windowed = add_time_window(ds, "ts", unit="day", out_col="day")
+    out = windowed.groupby(["user_id", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = sql_round(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_DAILY_WINDOW = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, day
+"""
+
+
+def events_anti_join(sf_dir):
+    """Users who viewed but never purchased (broadcast anti-join)."""
+    from ..functions.relational import semi_anti_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    purchasers = set(
+        _small(sf_dir, "events", ["user_id", "event_type"])
+        .query("event_type == 'purchase'")["user_id"])
+    viewers = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "view")),
+        batch_format="pyarrow")
+    out = semi_anti_join(viewers, purchasers, "user_id", anti=True)
+    # distinct via groupby (Dataset.unique() returns a list / None when empty)
+    from ray.data.aggregate import Count
+    d = out.groupby("user_id").aggregate(Count(alias_name="_c")).to_pandas()
+    if "user_id" not in d.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return d[["user_id"]]
+
+
+SQL_EVENTS_ANTI_JOIN = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'view'
+  AND user_id NOT IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def docs_token_count(sf_dir):
+    from ..functions.textstats import token_count_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_TOKEN_COUNT = r"""
+SELECT doc_id,
+       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def docs_quality(sf_dir):
+    from ..functions.textstats import quality_score_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents)
+SELECT doc_id, n_chars, length(toks) AS n_tokens,
+       round(length(list_filter(toks, w -> lower(w) IN
+         ('the','a','an','of','and','or','in','on','to','is')))
+         / length(toks)::DOUBLE, 6) AS stopword_ratio,
+       round(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+         / length(toks)::DOUBLE, 6) AS mean_token_len
+FROM t
+"""
+
+
+def docs_word_freq(sf_dir):
+    """Word count with map-side combining before the groupby shuffle."""
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+SQL_DOCS_WORD_FREQ = r"""
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents)
+GROUP BY token
+"""
+
+
+def docs_fingerprint(sf_dir):
+    from ..functions.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "md5"])
+
+
+SQL_DOCS_FINGERPRINT = """
+SELECT doc_id, md5(text) AS md5 FROM documents
+"""
+
+
+def docs_exact_dedup(sf_dir):
+    from ..functions.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["content_md5", "doc_id"])
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+FROM documents GROUP BY text
+"""
+
+
+def docs_lang_dist(sf_dir):
+    from ray.data.aggregate import Count
+    return _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs"))
+
+
+SQL_DOCS_LANG_DIST = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: norms + similarity search
+# ---------------------------------------------------------------------------
+
+def embed_norms(sf_dir):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        l2 = sql_round(np.sqrt((mat * mat).sum(axis=1)), 6)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "l2_norm": pa.array(l2, pa.float64())})
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+SQL_EMBED_NORMS = """
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+KNN_QUERY_IDS = (0, 1, 2)
+KNN_K = 10
+
+
+def knn_cosine(sf_dir):
+    from ..functions.similarity import knn_brute_force
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    small = _small(sf_dir, "embeddings")
+    qrows = small[small["vec_id"].isin(KNN_QUERY_IDS)].sort_values("vec_id")
+    qmat = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
+    res = knn_brute_force(emb, qrows["vec_id"].tolist(), qmat, k=KNN_K)
+    df = res.to_pandas()
+    df["rank"] = df["rank"].astype(np.int64)
+    return df
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN {KNN_QUERY_IDS}),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                 list_transform(q.qe, x -> x::DOUBLE),
+                 list_transform(e.embedding, x -> x::DOUBLE)), 6) AS cosine
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model / KG / sketch operators — no SQL oracle (rows-only driver check;
+# correctness covered by pytest oracles in tests/)
+# ---------------------------------------------------------------------------
+
+def kg_triples(sf_dir):
+    from .kg import extract_triples
+    return extract_triples(sf_dir)
+
+
+def sentence_relation_scores(sf_dir):
+    """Per-instance scored candidates (pre-aggregation KG stream)."""
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+    return candidate_instances(read_pages(sf_dir)).select_columns(
+        ["url", "sent_idx", "h_id", "t_id", "pred_rel", "score", "model_hash"])
+
+
+def encoded_instances(sf_dir):
+    """Standalone tokenize/encode operator output (M1 as a stage)."""
+    from ..sources.pages import read_pages
+    from ..stages.extract import ExtractText
+    from ..stages.ner import mentions_udf
+    from ..stages.pairs import generate_pairs
+
+    def encode_batch(batch):
+        from ..stages.score import EncodeInstances, cached
+        enc = cached(("encode", "wiki80_cnn_softmax"), EncodeInstances)
+        return enc(batch)
+
+    pages = read_pages(sf_dir)
+    inst = (pages.map_batches(ExtractText(), batch_format="pyarrow")
+            .map_batches(mentions_udf(), batch_format="pyarrow")
+            .map_batches(generate_pairs, batch_format="pyarrow"))
+    return inst.map_batches(encode_batch, batch_format="pyarrow")
+
+
+def bag_relation_scores(sf_dir):
+    """Distant-supervision bag pipeline over the extracted instances."""
+    from .bag import bag_scores
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir)).select_columns(
+        ["text", "h_id", "h_start", "h_end", "t_id", "t_start", "t_end"])
+    return bag_scores(inst, model_name="nyt10_pcnn_att")
+
+
+def bag_eval_metrics(sf_dir):
+    """O1-O5 metric pass over the bag scores (single-row result)."""
+    from .evalmetrics import bag_eval
+    from ..fixtures import default_rel2id
+
+    scores = bag_relation_scores(sf_dir).to_pandas()
+    rows = scores.rename(columns={"relation": "relation"}).to_dict("records")
+    # synthetic fact set: top-scoring relation per entity pair
+    facts = set()
+    for (h, t), g in scores.groupby(["h_id", "t_id"]):
+        best = g.loc[g["score"].idxmax()]
+        facts.add((h, t, best["relation"]))
+    m = bag_eval(
+        [{"h_id": r["h_id"], "t_id": r["t_id"], "relation": r["relation"],
+          "score": r["score"]} for r in rows],
+        facts, default_rel2id())
+    scalars = {k: [v] for k, v in m.items() if not isinstance(m[k], np.ndarray)}
+    return pd.DataFrame(scalars)
+
+
+def docs_minhash_dedup(sf_dir):
+    from ..functions.dedup import minhash_duplicate_groups
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_duplicate_groups(ds)
+
+
+def docs_simhash(sf_dir):
+    from ..functions.dedup import SimHashStage
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        SimHashStage(), batch_format="pyarrow")
+
+
+def docs_langid_heuristic(sf_dir):
+    from ..functions.textstats import lang_id_batch
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow")
+
+
+def docs_rolling_fingerprint(sf_dir):
+    from ..functions.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "rolling_hash"])
+
+
+def knn_lsh_query(sf_dir):
+    from ..functions.similarity import knn_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    small = _small(sf_dir, "embeddings")
+    qrows = small[small["vec_id"].isin(KNN_QUERY_IDS)].sort_values("vec_id")
+    qmat = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
+    return knn_lsh(emb, qrows["vec_id"].tolist(), qmat, k=KNN_K)
+
+
+def embedding_near_dups(sf_dir):
+    from ..functions.dedup import embedding_dup_groups
+    return embedding_dup_groups(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
+
+
+def media_features(sf_dir):
+    from ..stages.multimodal import media_feature_pipeline
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    feats = media_feature_pipeline(docs)
+
+    def flatten(batch: dict) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["media_id"],
+            "feat_mean": batch["features"][:, :3].mean(axis=1),
+            "feat_norm": np.linalg.norm(batch["features"], axis=1),
+        })
+
+    return feats.map_batches(flatten, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # SQL-oracled
+    "lineitem_group_agg": lineitem_group_agg,
+    "lineitem_filter_agg": lineitem_filter_agg,
+    "topk_orders": topk_orders,
+    "customer_nation_join": customer_nation_join,
+    "supplier_region_join": supplier_region_join,
+    "part_brand_stats": part_brand_stats,
+    "region_nation_union": region_nation_union,
+    "events_type_stats": events_type_stats,
+    "events_daily_window": events_daily_window,
+    "events_anti_join": events_anti_join,
+    "docs_token_count": docs_token_count,
+    "docs_quality": docs_quality,
+    "docs_word_freq": docs_word_freq,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_lang_dist": docs_lang_dist,
+    "embed_norms": embed_norms,
+    "knn_cosine": knn_cosine,
+    # rows-only (model / sketch / approximate operators)
+    "kg_triples": kg_triples,
+    "sentence_relation_scores": sentence_relation_scores,
+    "encoded_instances": encoded_instances,
+    "bag_relation_scores": bag_relation_scores,
+    "bag_eval_metrics": bag_eval_metrics,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_simhash": docs_simhash,
+    "docs_langid_heuristic": docs_langid_heuristic,
+    "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    "knn_lsh": knn_lsh_query,
+    "embedding_near_dups": embedding_near_dups,
+    "media_features": media_features,
+}
+
+ORACLES = {
+    "lineitem_group_agg": SQL_LINEITEM_GROUP_AGG,
+    "lineitem_filter_agg": SQL_LINEITEM_FILTER_AGG,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
+    "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
+    "region_nation_union": SQL_REGION_NATION_UNION,
+    "events_type_stats": SQL_EVENTS_TYPE_STATS,
+    "events_daily_window": SQL_EVENTS_DAILY_WINDOW,
+    "events_anti_join": SQL_EVENTS_ANTI_JOIN,
+    "docs_token_count": SQL_DOCS_TOKEN_COUNT,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_word_freq": SQL_DOCS_WORD_FREQ,
+    "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_lang_dist": SQL_DOCS_LANG_DIST,
+    "embed_norms": SQL_EMBED_NORMS,
+    "knn_cosine": SQL_KNN_COSINE,
+}

@@ -43,19 +43,40 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_pages(sf_dir: str, drop_text: bool = True):
+def default_num_blocks(n_rows: int, rows_per_block: int = 64) -> int:
+    """Block count for a single-row-group input file.
+
+    The driver testdata ships one row group per file, which Ray cannot split
+    at the read — without an explicit repartition every downstream fused
+    stage runs as ONE task. A real 100 TB crawl has thousands of files and
+    never needs this; locally we split so blocks ≈ 4×CPUs with a floor on
+    rows per block.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(4 * cpus, n_rows // rows_per_block or 1))
+
+
+def read_pages(sf_dir: str, drop_text: bool = True, num_blocks: int | None = None):
     """Dataset of synthetic pages for ``sf_dir``.
 
     ``drop_text=True`` removes the ground-truth ``text`` column so the
     pipeline must really extract from ``html`` (text re-enters via the
     extraction stage); pass False for extraction-parity checks.
     """
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
-    )
+    path = f"{sf_dir}/documents.parquet"
+    if num_blocks is None:
+        num_blocks = default_num_blocks(
+            pq.ParquetFile(path).metadata.num_rows)
+    # override_num_blocks splits the single-row-group file into blocks at the
+    # read (one SplitBlocks op) — far cheaper than a Repartition operator,
+    # which costs seconds of fixed overhead per pipeline.
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source"],
+                         override_num_blocks=num_blocks)
     ds = ds.map_batches(documents_to_pages, batch_format="pyarrow")
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])

@@ -82,6 +82,29 @@ class AliasMatcher:
         return out
 
 
+def mentions_udf(alias_ref=None, max_sent_tokens: int = MAX_SENT_TOKENS):
+    """Stateless-task form of ``SentenceMentions`` with per-worker cache.
+
+    The alias table / compiled regex builds once per worker process (module
+    cache in ``stages.score``); tasks schedule elastically with no actor
+    pool to ramp up. ``alias_ref`` may be a ``ray.put`` ObjectRef shared
+    across all workers on a node.
+    """
+
+    # stable per-worker cache key (ObjectRef ids survive serialization;
+    # id() would differ per deserialized copy)
+    ref_key = alias_ref.hex() if hasattr(alias_ref, "hex") else "default"
+
+    def find_mentions(batch):
+        from .score import cached
+
+        stage = cached(("mentions", ref_key, max_sent_tokens),
+                       lambda: SentenceMentions(alias_ref, max_sent_tokens))
+        return stage(batch)
+
+    return find_mentions
+
+
 class SentenceMentions:
     """Actor-pool map_batches stage: pages+text → mention-annotated sentences.
 

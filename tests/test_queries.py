@@ -1,0 +1,63 @@
+"""Replicates the driver's correctness gate: every SQL-oracled query must
+match DuckDB on the same parquet tables (row count + sorted values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from opennre_ray.pipelines.queries import ORACLES, QUERIES
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_duckdb(ray_session, sf_dir, name):
+    got = _canon(_to_df(QUERIES[name](sf_dir)))
+    con = _duck(sf_dir)
+    want = _canon(con.sql(ORACLES[name]).df())
+    con.close()
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert list(got.columns) == list(want.columns), name
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if np.issubdtype(got[col].dtype, np.floating):
+            np.testing.assert_allclose(g.astype(float), w.astype(float),
+                                       rtol=0, atol=1e-9, err_msg=f"{name}.{col}")
+        else:
+            mismatch = (pd.Series(g).astype(str) != pd.Series(w).astype(str))
+            assert not mismatch.any(), (
+                f"{name}.{col}: {mismatch.sum()} mismatches, e.g. "
+                f"{list(zip(g[mismatch][:3], w[mismatch][:3]))}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(ray_session, sf_dir, name):
+    res = _to_df(QUERIES[name](sf_dir))
+    assert len(res) >= 0
+    if len(res):            # empty results may lose schema through map_groups
+        assert len(res.columns) > 0
