@@ -151,6 +151,12 @@ class CnnSentenceEncoder:
         self.hidden_size = hidden_size
         self.mask_entity = mask_entity
         self.kernel_padding = kernel_padding
+        # kernels concatenated side-by-side for the single-GEMM conv
+        # (see _conv_forward); computed once per process
+        cw = self.w["conv_w"]                       # (H, C, K)
+        self._wcat = np.ascontiguousarray(
+            cw.transpose(1, 2, 0).reshape(cw.shape[1], -1))  # (C, K*H)
+        self._scratch: dict = {}
 
     def encode_batch(self, texts, h_pos, t_pos, token_lists=None):
         return encode_instances(
@@ -164,11 +170,55 @@ class CnnSentenceEncoder:
              self.w["pos2_emb"][pos2]], axis=-1,
         ).astype(np.float32)
 
+    def _conv_forward(self, token, pos1, pos2):
+        """Embed + conv with per-shape scratch buffers → (B, Lout, H).
+
+        Every large temporary (padded embed matrix, GEMM output, conv
+        accumulator) is reused across calls: under tens of concurrent
+        worker processes, fresh 10-60 MB allocations per batch cost more
+        than the FLOPs (page faults + kernel zeroing serialize on the
+        memory subsystem).
+        """
+        w = self.w
+        B, L = token.shape
+        H, C, K = w["conv_w"].shape
+        pad = self.kernel_padding
+        Lp = L + 2 * pad
+        Lout = Lp - K + 1
+        # capacity-based scratch: one buffer set per worker, sliced to the
+        # current batch size (blocks produce ragged last chunks — per-size
+        # buffers would reallocate tens of MB per distinct size)
+        sc = self._scratch
+        if not sc or sc["cap"] < B:
+            cap = max(B, 1024)
+            sc.clear()
+            sc.update(
+                cap=cap,
+                x=np.zeros((cap, Lp, C), np.float32),
+                z=np.zeros((cap * Lp, K * H), np.float32),
+                y=np.zeros((cap, Lout, H), np.float32),
+                seg=np.zeros((cap, Lout, H), np.float32),
+            )
+        x = sc["x"][:B]
+        z2d = sc["z"][: B * Lp]
+        y = sc["y"][:B]
+        wd = w["word_emb"].shape[1]
+        pd = w["pos1_emb"].shape[1]
+        xi = x[:, pad: pad + L, :]
+        np.take(w["word_emb"], token, axis=0, out=xi[:, :, :wd])
+        np.take(w["pos1_emb"], pos1, axis=0, out=xi[:, :, wd: wd + pd])
+        np.take(w["pos2_emb"], pos2, axis=0, out=xi[:, :, wd + pd:])
+        np.matmul(x.reshape(B * Lp, C), self._wcat, out=z2d)
+        z = z2d.reshape(B, Lp, K, H)
+        np.copyto(y, z[:, 0:Lout, 0])
+        for j in range(1, K):
+            np.add(y, z[:, j: j + Lout, j], out=y)
+        y += w["conv_b"]
+        return y
+
     def forward(self, token, pos1, pos2):
-        x = self._embed(token, pos1, pos2)                       # (B, L, E)
-        x = nn.conv1d(x, self.w["conv_w"], self.w["conv_b"],
-                      padding=self.kernel_padding)               # (B, L, H)
-        return nn.max_pool_seq(nn.relu(x))                       # (B, H)
+        y = self._conv_forward(token, pos1, pos2)                # (B, L, H)
+        return np.maximum(y, 0.0).max(axis=1)                    # (B, H)
 
     def __call__(self, enc: dict) -> np.ndarray:
         return self.forward(enc["token"], enc["pos1"], enc["pos2"])
@@ -189,13 +239,14 @@ class PcnnSentenceEncoder(CnnSentenceEncoder):
         self.hidden_size = self.hidden_size * 3
 
     def forward(self, token, pos1, pos2, mask=None):
-        x = self._embed(token, pos1, pos2)
-        conv = nn.conv1d(x, self.w["conv_w"], self.w["conv_b"],
-                         padding=self.kernel_padding)            # (B, L, H)
+        conv = self._conv_forward(token, pos1, pos2)             # (B, L, H)
+        tmp = self._scratch["seg"][: len(conv)]
         pools = []
         for seg in (1, 2, 3):
             off = (self._MINUS * (1.0 - (mask == seg))).astype(np.float32)  # (B, L)
-            pools.append(nn.max_pool_seq(nn.relu(conv + off[:, :, None])))
+            np.add(conv, off[:, :, None], out=tmp)
+            np.maximum(tmp, 0.0, out=tmp)
+            pools.append(tmp.max(axis=1))
         return np.concatenate(pools, axis=-1)                    # (B, 3H)
 
     def __call__(self, enc: dict) -> np.ndarray:

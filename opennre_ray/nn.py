@@ -71,11 +71,18 @@ def conv1d(x: np.ndarray, w: np.ndarray, b: np.ndarray,
     H, _, K = w.shape
     if padding:
         x = np.pad(x, ((0, 0), (padding, padding), (0, 0)))
-    # im2col: windows (B, Lout, C, K) flattened to match w's (C, K) minor order
-    win = np.lib.stride_tricks.sliding_window_view(x, K, axis=1)  # (B, Lout, C, K)
-    Lout = win.shape[1]
-    y = win.reshape(B * Lout, C * K) @ w.reshape(H, C * K).T
-    return y.reshape(B, Lout, H) + b
+    Lp = L + 2 * padding
+    Lout = Lp - K + 1
+    # One fully-contiguous GEMM against the K kernels side by side, then K
+    # shifted-view adds: y[l] = Σ_j x[l+j]·W_j. Avoids both the im2col
+    # (B·L, C·K) copy (allocation-heavy under many concurrent workers) and
+    # slow strided batched matmuls.
+    wcat = w.transpose(1, 2, 0).reshape(C, K * H)  # (C, K*H), m = j*H + h
+    z = (x.reshape(B * Lp, C) @ wcat).reshape(B, Lp, K, H)
+    y = z[:, 0:Lout, 0]
+    for j in range(1, K):
+        y = y + z[:, j: j + Lout, j]
+    return y + b
 
 
 def max_pool_seq(x: np.ndarray) -> np.ndarray:

@@ -33,24 +33,27 @@ DEFAULT_MODEL = "wiki80_cnn_softmax"
 SCORE_THRESHOLD = 0.12   # seeded-weight scale; ~uniform is 1/|R| = 0.10
 
 
-def candidate_instances(pages_ds, *, batch_size=1024,
-                        model_name=DEFAULT_MODEL):
+def candidate_instances(pages_ds, *, model_name=DEFAULT_MODEL):
     """pages → scored instance rows (everything before the wide stages).
 
     All four stages run as stateless tasks with per-worker-cached state
     (model weights, compiled gazetteer regex) — see ``stages.score`` for
     why this beats actor pools for CPU-resident models: elastic task
     scheduling, no pool ramp-up, no pool-vs-pool CPU budget deadlocks.
+
+    batch_size is deliberately None on every stage: a non-None batch_size
+    makes the fused operator BUNDLE input blocks until it has that many
+    input rows per task, collapsing a 128-block read into ~5 giant tasks
+    and serializing the pipeline. Task granularity = one input block;
+    numeric chunking happens inside RelationScorer (CHUNK rows).
     """
     from ..stages.ner import mentions_udf
     from ..stages.score import scorer_udf
 
     ds = pages_ds.map_batches(ExtractText(), batch_format="pyarrow")
-    ds = ds.map_batches(mentions_udf(), batch_format="pyarrow",
-                        batch_size=batch_size)
+    ds = ds.map_batches(mentions_udf(), batch_format="pyarrow")
     ds = ds.map_batches(generate_pairs, batch_format="pyarrow")
-    ds = ds.map_batches(scorer_udf(model_name), batch_format="pyarrow",
-                        batch_size=batch_size)
+    ds = ds.map_batches(scorer_udf(model_name), batch_format="pyarrow")
     return ds
 
 
@@ -61,8 +64,8 @@ def filter_triples(batch: pa.Table, threshold: float = SCORE_THRESHOLD) -> pa.Ta
 
 
 def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
-                    threshold=SCORE_THRESHOLD, batch_size=1024,
-                    canonicalize=True):
+                    threshold=SCORE_THRESHOLD,
+                    canonicalize=True, repeat=1, docs_path=None):
     """Full pipeline → deduplicated triple Dataset.
 
     Output schema: subj, pred, obj (canonical ids), n_evidence (instance
@@ -70,9 +73,8 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
     """
     from ray.data.aggregate import Count, Max, Min
 
-    pages = read_pages(sf_dir)
-    inst = candidate_instances(pages, batch_size=batch_size,
-                               model_name=model_name)
+    pages = read_pages(sf_dir, repeat=repeat, docs_path=docs_path)
+    inst = candidate_instances(pages, model_name=model_name)
     inst = inst.map_batches(lambda b: filter_triples(b, threshold),
                             batch_format="pyarrow")
 

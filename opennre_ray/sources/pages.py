@@ -10,6 +10,8 @@ byte-exact answer per url.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -58,26 +60,79 @@ def default_num_blocks(n_rows: int, rows_per_block: int = 64) -> int:
     return max(1, min(4 * cpus, n_rows // rows_per_block or 1))
 
 
-def read_pages(sf_dir: str, drop_text: bool = True, num_blocks: int | None = None):
+def read_pages(sf_dir: str, drop_text: bool = True,
+               num_blocks: int | None = None, repeat: int = 1,
+               docs_path: str | None = None):
     """Dataset of synthetic pages for ``sf_dir``.
 
     ``drop_text=True`` removes the ground-truth ``text`` column so the
     pipeline must really extract from ``html`` (text re-enters via the
     extraction stage); pass False for extraction-parity checks.
+
+    ``repeat``: replicate the corpus N× with shifted doc_ids (distinct urls,
+    identical text) — a deterministic stand-in for a larger crawl so bench /
+    scaling runs measure compute, not fixed overhead. Block sizing accounts
+    for the post-replication row count.
+
+    ``docs_path``: override the documents source; a DIRECTORY of parquet
+    shards reads with one task per file (the real crawl shape — a
+    single-file corpus reads as ONE serial task that only SplitBlocks
+    afterwards, a multi-second serial floor on short jobs; see
+    shard_documents()).
     """
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    path = f"{sf_dir}/documents.parquet"
-    if num_blocks is None:
-        num_blocks = default_num_blocks(
-            pq.ParquetFile(path).metadata.num_rows)
-    # override_num_blocks splits the single-row-group file into blocks at the
-    # read (one SplitBlocks op) — far cheaper than a Repartition operator,
-    # which costs seconds of fixed overhead per pipeline.
-    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source"],
-                         override_num_blocks=num_blocks)
+    path = docs_path or f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "lang", "source"]
+    if os.path.isdir(path):
+        ds = rd.read_parquet(path, columns=cols)
+    else:
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        if num_blocks is None:
+            num_blocks = min(n_rows, default_num_blocks(n_rows * repeat))
+        # override_num_blocks splits the single-row-group file into blocks at
+        # the read (one SplitBlocks op) — far cheaper than a Repartition
+        # operator, which costs seconds of fixed overhead per pipeline.
+        ds = rd.read_parquet(path, columns=cols,
+                             override_num_blocks=num_blocks)
+    if repeat > 1:
+        def replicate(batch: pa.Table) -> pa.Table:
+            parts = []
+            idx = batch.schema.get_field_index("doc_id")
+            for rep in range(repeat):
+                shifted = pc.add(batch.column("doc_id"),
+                                 pa.scalar(rep * 10_000_000, pa.int64()))
+                parts.append(batch.set_column(idx, "doc_id", shifted))
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(replicate, batch_format="pyarrow")
     ds = ds.map_batches(documents_to_pages, batch_format="pyarrow")
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
     return ds
+
+
+def shard_documents(sf_dir: str, out_dir: str, n_shards: int = 128) -> str:
+    """One-time pre-shard of the single-file documents table into n files.
+
+    Emulates the multi-file layout of a real crawl so the read parallelizes
+    (one task per shard). Idempotent: returns immediately if the shard dir
+    is already complete.
+    """
+    import pyarrow.parquet as pq
+
+    done_marker = os.path.join(out_dir, "_SHARDED")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = table.num_rows
+    per = max(1, -(-n // n_shards))
+    for i, off in enumerate(range(0, n, per)):
+        pq.write_table(table.slice(off, per),
+                       os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    with open(done_marker, "w") as fh:
+        fh.write(str(n))
+    return out_dir

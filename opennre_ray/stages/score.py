@@ -78,11 +78,15 @@ class RelationScorer:
     batch. ``model_hash`` rides along for lineage (north-star requirement).
     """
 
+    # numeric chunk size, independent of Ray task granularity: blocks are
+    # sliced internally so a big fused-task block never materializes the
+    # full (N, L) id arrays / conv activations at once.
+    CHUNK = 1024
+
     def __init__(self, model_name: str = "wiki80_cnn_softmax",
                  rel2id: dict | None = None):
         self.model = get_model(model_name, rel2id=rel2id)
         self.id2rel = self.model.id2rel
-        # constant-per-actor columns, built once
         self._hash = self.model.model_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -91,6 +95,11 @@ class RelationScorer:
                 "pred_rel", pa.array([], pa.string())
             ).append_column("score", pa.array([], pa.float32())
             ).append_column("model_hash", pa.array([], pa.string()))
+        out = [self._score_chunk(batch.slice(off, self.CHUNK))
+               for off in range(0, batch.num_rows, self.CHUNK)]
+        return pa.concat_tables(out)
+
+    def _score_chunk(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         enc = self.model.encoder.encode_batch(
             texts, _spans(batch, "h"), _spans(batch, "t"))
