@@ -26,19 +26,26 @@ import pyarrow as pa
 def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
     """Keep the min-key row per identical text: hash-partition + per-group min.
 
-    The md5 column keeps the shuffle key small (16 bytes vs document bytes).
+    The md5 column keeps the shuffle key small (16 bytes vs document bytes);
+    per-group resolution runs through coarse hash buckets (one vectorized
+    pandas groupby per bucket) since group count ≈ corpus size.
     """
-    from ray.data.aggregate import Min
+    import pandas as pd
+
+    from .relational import hash_bucket_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest()
              for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("content_md5", pa.array(h, pa.string()))
+        return pa.table({"content_md5": pa.array(h, pa.string()),
+                         key_col: batch.column(key_col)})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    keep = hashed.groupby("content_md5").aggregate(
-        Min(key_col, alias_name=key_col))
-    return keep
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("content_md5", as_index=False)[key_col].min()
+
+    return hash_bucket_aggregate(hashed, ["content_md5"], per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -124,21 +131,27 @@ def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
     """
     import pandas as pd
 
+    from .relational import hash_bucket_aggregate
+
     bands = ds.map_batches(
         MinHashLSH(num_bands, rows_per_band, shingle_k, text_col, key_col),
         batch_format="pyarrow")
 
+    # ~docs × bands distinct (band_id, band_hash) groups → bucketed resolve
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_group": []})
-        root = g[key_col].min()
-        return pd.DataFrame({key_col: g[key_col], "dup_group": root})
+        roots = g.groupby(["band_id", "band_hash"])[key_col].transform("min")
+        sizes = g.groupby(["band_id", "band_hash"])[key_col].transform("size")
+        hit = g[sizes >= 2]
+        return pd.DataFrame({key_col: hit[key_col],
+                             "dup_group": roots[sizes >= 2]})
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-    return cand.groupby(key_col).aggregate(Min("dup_group",
-                                               alias_name="dup_group"))
+    cand = hash_bucket_aggregate(bands, ["band_id", "band_hash"],
+                                 bucket_pairs)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)["dup_group"].min()
+
+    return hash_bucket_aggregate(cand, [key_col], resolve)
 
 
 # ---------------------------------------------------------------------------

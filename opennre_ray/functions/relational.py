@@ -58,6 +58,35 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int = 64):
+    """High-cardinality grouped aggregation via coarse hash buckets.
+
+    ``ds.groupby(keys)`` with tens of thousands of tiny groups pays Python
+    per-group overhead (measured: 28 s for a 100k-row/40k-group aggregate).
+    Instead: hash the key columns into ``n_buckets`` coarse partitions (the
+    only shuffle), then run a VECTORIZED pandas groupby inside each bucket.
+    Rows with equal keys always share a bucket, so per-bucket aggregation is
+    exact. This is also the scale pattern for skew: n_buckets spreads load
+    regardless of key cardinality, and a hot single key still lands in one
+    bucket whose aggregate is one vectorized reduction.
+
+    ``per_bucket``: fn(pandas.DataFrame) -> DataFrame (must itself group by
+    ``key_cols``).
+    """
+    import pandas as pd
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        df = df.assign(_bucket=(h % n_buckets).astype("int64"))
+        return df
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(group.drop(columns=["_bucket"]))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(run, batch_format="pandas")
+
+
 def add_time_window(ds, ts_col: str, unit: str = "day",
                     out_col: str = "window"):
     """Append a truncated-timestamp window column (event-time tumbling window).

@@ -96,19 +96,23 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
         inst = inst.map_batches(canonicalize_batch, batch_format="pyarrow")
 
     # exact triple dedup == the reference's distinct fact set
-    # (data_loader.py:151-164), as a hash-shuffle groupby.
-    triples = (
-        inst
-        .groupby(["h_id", "pred_rel", "t_id"])
-        .aggregate(Count(alias_name="n_evidence"),
-                   Max("score", alias_name="score"),
-                   Min("url", alias_name="sample_url"))
-    )
-    triples = triples.map_batches(
-        lambda b: b.rename_columns(
-            ["subj", "pred", "obj", "n_evidence", "score", "sample_url"]),
-        batch_format="pyarrow")
-    return triples
+    # (data_loader.py:151-164). Group count ≈ #distinct triples (unbounded
+    # at corpus scale) → coarse hash buckets + vectorized per-bucket
+    # aggregation instead of Ray's per-group path.
+    import pandas as pd
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["h_id", "pred_rel", "t_id"], as_index=False)
+               .agg(n_evidence=("score", "size"), score=("score", "max"),
+                    sample_url=("url", "min")))
+        return out.rename(columns={"h_id": "subj", "pred_rel": "pred",
+                                   "t_id": "obj"})
+
+    proj = inst.select_columns(["h_id", "pred_rel", "t_id", "score", "url"])
+    return hash_bucket_aggregate(proj, ["h_id", "pred_rel", "t_id"],
+                                 dedup_bucket)
 
 
 def materialize_graph(triples_ds, out_dir: str, model_hash: str = ""):

@@ -236,19 +236,27 @@ ORDER BY name
 # ---------------------------------------------------------------------------
 
 def events_type_stats(sf_dir):
-    """Per event type: events, distinct users (2-level groupby), value sum."""
-    from ray.data.aggregate import Count, Sum
+    """Per event type: events, distinct users, value sum.
+
+    Exact count-distinct via user-hash buckets: a (type, user) pair never
+    spans buckets, so per-bucket distinct counts sum exactly.
+    """
+    from ..functions.relational import hash_bucket_aggregate
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
-    base = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value")).to_pandas()
-    # exact distinct via pair-groupby (shuffle on (type,user), then count)
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="_c"))
-    users = pairs.groupby("event_type").aggregate(
-        Count(alias_name="n_users")).to_pandas()
-    out = base.merge(users, on="event_type")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        u = (g.drop_duplicates(["event_type", "user_id"])
+             .groupby("event_type", as_index=False)
+             .agg(n_users=("user_id", "size")))
+        return a.merge(u, on="event_type")
+
+    parts = hash_bucket_aggregate(ds, ["user_id"], per_bucket).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_users=("n_users", "sum"),
+        sum_value=("sum_value", "sum"))
     out["sum_value"] = sql_round(out["sum_value"], 2)
     return out[["event_type", "n_events", "n_users", "sum_value"]]
 
@@ -262,21 +270,23 @@ FROM events GROUP BY event_type
 
 
 def events_daily_window(sf_dir):
-    """Tumbling event-time window per user (streaming-shaped aggregate)."""
-    from ray.data.aggregate import Count, Sum
-    from ..functions.relational import add_time_window
+    """Tumbling event-time window per user (streaming-shaped aggregate).
+
+    (user_id, day) has ~#users × #days groups — far too many for Ray's
+    per-group aggregation path, so this uses the hash-bucket pattern.
+    """
+    from ..functions.relational import add_time_window, hash_bucket_aggregate
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
     windowed = add_time_window(ds, "ts", unit="day", out_col="day")
-    out = windowed.groupby(["user_id", "day"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"))
 
-    def fin(b: pd.DataFrame) -> pd.DataFrame:
-        b["sum_value"] = sql_round(b["sum_value"], 2)
-        return b
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "day"], as_index=False)
+               .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+        out["sum_value"] = sql_round(out["sum_value"], 2)
+        return out
 
-    return out.map_batches(fin, batch_format="pandas")
+    return hash_bucket_aggregate(windowed, ["user_id", "day"], per_bucket)
 
 
 SQL_EVENTS_DAILY_WINDOW = """
