@@ -121,6 +121,44 @@ def _prf(label: np.ndarray, pred: np.ndarray) -> dict:
             "macro_r": float(np.mean(rs)), "macro_f1": float(np.mean(fs))}
 
 
+def multilabel_eval(score_matrix: np.ndarray, label_matrix: np.ndarray,
+                    rel2id: dict, threshold: float = 0.5) -> dict:
+    """Multi-label sentence eval (O7, reference ``data_loader.py:375-446``).
+
+    Args:
+        score_matrix: (n_sent, n_rel) sigmoid scores.
+        label_matrix: (n_sent, n_rel) 0/1 gold (``anno_relation_vec``).
+    Returns PR-curve AUC + max-F1 over non-NA (sent, rel) rows, plus
+    micro/macro P/R/F1 at ``threshold``. The negative label is auto-detected
+    from the multi-label alias list (``data_loader.py:383``).
+    """
+    neg = detect_negative(rel2id, NEG_ALIASES_MULTI)
+    n_rel = score_matrix.shape[1]
+    pos_cols = [c for c in range(n_rel) if c != neg]
+    scores = score_matrix[:, pos_cols].ravel()
+    labels = label_matrix[:, pos_cols].ravel().astype(np.int64)
+    order = np.argsort(-scores, kind="stable")
+    hits = labels[order]
+    cum = hits.cumsum()
+    ranks = np.arange(1, len(hits) + 1)
+    prec = cum / ranks
+    total = max(int(labels.sum()), 1)
+    rec = cum / total
+    f1s = 2 * prec * rec / (prec + rec + 1e-20)
+    out = {
+        "auc": auc_trapezoid(rec, prec) if len(hits) else 0.0,
+        "max_micro_f1": float(f1s.max()) if len(hits) else 0.0,
+        "best_threshold": float(scores[order][f1s.argmax()]) if len(hits) else 0.0,
+    }
+    pred = (score_matrix[:, pos_cols] >= threshold).astype(np.int64)
+    out.update(_prf(label_matrix[:, pos_cols].astype(np.int64), pred))
+    # exact-match accuracy over full label vectors at the threshold
+    full_pred = (score_matrix >= threshold).astype(np.int64)
+    out["acc"] = float((full_pred == label_matrix).all(axis=1).mean()) \
+        if len(score_matrix) else 0.0
+    return out
+
+
 def triple_prf(pred_triples, gold_triples) -> dict:
     """Set P/R/F1 of (subj, pred, obj) triples — the north-star P/R gate."""
     p_set, g_set = set(pred_triples), set(gold_triples)

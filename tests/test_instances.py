@@ -1,0 +1,94 @@
+"""Instance source (S1), label encode (M5), multi-label expansion/eval
+(M18/O7) tests."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from opennre_ray.fixtures import default_rel2id
+from opennre_ray.pipelines.evalmetrics import multilabel_eval
+from opennre_ray.sources.instances import (
+    encode_labels,
+    expand_multilabel_scores,
+    flatten_instance_batch,
+    read_instances_jsonl,
+)
+
+
+def _jsonl_rows():
+    return [
+        {"text": "the spark table join was fast",
+         "h": {"id": "Q1", "name": "spark", "pos": [4, 9]},
+         "t": {"id": "Q2", "name": "join", "pos": [16, 20]},
+         "relation": "father"},
+        {"token": ["slow", "hash", "stream"],
+         "h": {"id": "Q3", "name": "hash", "pos": [1, 2]},
+         "t": {"id": "Q4", "name": "stream", "pos": [2, 3]},
+         "relation": "country"},
+    ]
+
+
+def test_read_instances_jsonl(ray_session, tmp_path):
+    path = str(tmp_path / "inst.jsonl")
+    with open(path, "w") as fh:
+        for r in _jsonl_rows():
+            fh.write(json.dumps(r) + "\n")
+    df = read_instances_jsonl(path).to_pandas()
+    assert len(df) == 2
+    row0 = df.iloc[0]
+    assert row0["text"] == "the spark table join was fast"
+    assert not row0["is_token"]
+    assert (row0["h_id"], row0["h_start"], row0["h_end"]) == ("Q1", 4, 9)
+    row1 = df.iloc[1]
+    assert row1["is_token"] and row1["text"] == "slow hash stream"
+    assert row1["relation"] == "country"
+
+
+def test_encode_labels():
+    batch = pa.table({"relation": ["NA", "father", "country"]})
+    out = encode_labels(batch, default_rel2id())
+    assert out.column("label").to_pylist() == [0, 1, 2]
+
+
+def test_expand_multilabel_scores():
+    scores = np.array([[0.9, 0.1, 0.8], [0.2, 0.7, 0.3]], dtype=np.float32)
+    id2rel = {0: "NA", 1: "a", 2: "b"}
+    out = expand_multilabel_scores([10, 11], scores, id2rel, na_id=0)
+    df = out.to_pandas()
+    assert len(df) == 4             # 2 sents × 2 non-NA relations
+    got = {(r.sent_id, r.relation): round(float(r.score), 4)
+           for r in df.itertuples()}
+    assert got == {(10, "a"): 0.1, (11, "a"): 0.7,
+                   (10, "b"): 0.8, (11, "b"): 0.3}
+
+
+def test_multilabel_eval_hand_computed():
+    rel2id = {"NA": 0, "a": 1, "b": 2}
+    scores = np.array([[0.0, 0.9, 0.2],
+                       [0.0, 0.4, 0.8],
+                       [0.0, 0.6, 0.1]])
+    labels = np.array([[0, 1, 0],
+                       [0, 0, 1],
+                       [0, 1, 0]])
+    m = multilabel_eval(scores, labels, rel2id, threshold=0.5)
+    # at 0.5: preds = [[1,0],[0,1],[1,0]] == labels → perfect micro
+    assert m["micro_p_05"] == 1.0 and m["micro_r_05"] == 1.0
+    assert m["acc"] == 1.0
+    # sorted scores: .9(hit) .8(hit) .6(hit) .4 .2 .1 → max f1 at rank 3
+    assert abs(m["max_micro_f1"] - 1.0) < 1e-9
+    assert m["best_threshold"] == 0.6
+    # prec=[1,1,1,...], rec starts at 1/3 → trapezoid area = 2/3 (same as
+    # the reference's sklearn.auc over the partial curve)
+    assert abs(m["auc"] - 2 / 3) < 1e-9
+
+
+def test_multilabel_eval_imperfect():
+    rel2id = {"NA": 0, "a": 1}
+    scores = np.array([[0.0, 0.9], [0.0, 0.8]])
+    labels = np.array([[0, 1], [0, 0]])
+    m = multilabel_eval(scores, labels, rel2id)
+    assert abs(m["micro_p_05"] - 0.5) < 1e-9
+    assert m["micro_r_05"] == 1.0
+    assert m["acc"] == 0.5
