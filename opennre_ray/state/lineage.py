@@ -59,10 +59,13 @@ def completed_shards(out_root: str) -> list[str]:
     return out
 
 
-def write_shard(ds, out_root: str, shard: str, manifest: ShardManifest):
+def write_shard(ds, out_root: str, shard: str, manifest):
     """Atomically write one shard's Dataset + manifest; idempotent.
 
     If the shard is already complete this is a no-op (resume path).
+    ``manifest`` may be a ShardManifest or a zero-arg callable returning one
+    — callables are invoked AFTER the data is written, so manifests can
+    snapshot post-execution state (stage counters).
     """
     if is_shard_complete(out_root, shard):
         return False
@@ -72,10 +75,19 @@ def write_shard(ds, out_root: str, shard: str, manifest: ShardManifest):
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     ds.write_parquet(tmp)
+    if callable(manifest):
+        manifest = manifest()
     manifest.data["completed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                   time.gmtime())
-    manifest.data["num_files"] = len(
-        [f for f in os.listdir(tmp) if f.endswith(".parquet")])
+    parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    manifest.data["num_files"] = len(parts)
+    try:
+        import pyarrow.parquet as pq
+        manifest.data["num_rows"] = sum(
+            pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+            for f in parts)
+    except Exception:
+        manifest.data["num_rows"] = None
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         fh.write(manifest.to_json())
     if os.path.exists(final):
@@ -90,7 +102,8 @@ def run_sharded(shards: dict[str, "callable"], out_root: str,
 
     Args:
         shards: {shard_name: fn() -> Dataset} lazily-built per-shard pipelines.
-        make_manifest: fn(shard_name) -> ShardManifest.
+        make_manifest: fn(shard_name) -> ShardManifest (called after the
+            shard's data is written — may snapshot execution counters).
     Returns summary {completed, skipped}.
     """
     os.makedirs(out_root, exist_ok=True)
@@ -99,7 +112,8 @@ def run_sharded(shards: dict[str, "callable"], out_root: str,
         if is_shard_complete(out_root, name):
             skipped.append(name)
             continue
-        write_shard(build(), out_root, name, make_manifest(name))
+        write_shard(build(), out_root, name,
+                    lambda name=name: make_manifest(name))
         completed.append(name)
     return {"completed": completed, "skipped": skipped}
 
