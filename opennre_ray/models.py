@@ -152,10 +152,12 @@ class CnnSentenceEncoder:
         self.mask_entity = mask_entity
         self.kernel_padding = kernel_padding
         # kernels concatenated side-by-side for the single-GEMM conv
-        # (see _conv_forward); computed once per process
-        cw = self.w["conv_w"]                       # (H, C, K)
-        self._wcat = np.ascontiguousarray(
-            cw.transpose(1, 2, 0).reshape(cw.shape[1], -1))  # (C, K*H)
+        # (see _conv_forward); computed once per process. RNN/LSTM
+        # subclasses carry no conv weights.
+        if "conv_w" in self.w:
+            cw = self.w["conv_w"]                   # (H, C, K)
+            self._wcat = np.ascontiguousarray(
+                cw.transpose(1, 2, 0).reshape(cw.shape[1], -1))  # (C, K*H)
         self._scratch: dict = {}
 
     def encode_batch(self, texts, h_pos, t_pos, token_lists=None):
@@ -251,6 +253,75 @@ class PcnnSentenceEncoder(CnnSentenceEncoder):
 
     def __call__(self, enc: dict) -> np.ndarray:
         return self.forward(enc["token"], enc["pos1"], enc["pos2"], enc["mask"])
+
+
+class RnnSentenceEncoder(CnnSentenceEncoder):
+    """Tanh-RNN sentence encoder with mean pooling over valid tokens.
+
+    The reference declares RNN/AvgPool modules (``module/nn/rnn.py``,
+    ``module/pool/avg_pool.py``, T7) but no encoder ever uses them (dead
+    code); this is a working equivalent: word⊕pos embed → tanh RNN →
+    mean over non-pad positions. Weights: rnn_w_ih (H, E), rnn_w_hh (H, H),
+    rnn_b (H,).
+    """
+
+    def __init__(self, *args, **kwargs):
+        CnnSentenceEncoder.__init__(self, *args, **kwargs)
+
+    def forward(self, token, pos1, pos2):
+        x = self._embed(token, pos1, pos2)               # (B, L, E)
+        w = self.w
+        B, L, _ = x.shape
+        H = w["rnn_w_hh"].shape[0]
+        h = np.zeros((B, H), dtype=np.float32)
+        states = np.empty((B, L, H), dtype=np.float32)
+        xw = x @ w["rnn_w_ih"].T + w["rnn_b"]            # (B, L, H) once
+        for step in range(L):
+            h = np.tanh(xw[:, step] + h @ w["rnn_w_hh"].T)
+            states[:, step] = h
+        pad_id = self.token2id["[PAD]"]
+        valid = (token != pad_id).astype(np.float32)      # (B, L)
+        denom = np.maximum(valid.sum(axis=1, keepdims=True), 1.0)
+        return (states * valid[:, :, None]).sum(axis=1) / denom
+
+    def __call__(self, enc: dict) -> np.ndarray:
+        return self.forward(enc["token"], enc["pos1"], enc["pos2"])
+
+
+class LstmSentenceEncoder(CnnSentenceEncoder):
+    """LSTM sentence encoder, final hidden state as representation.
+
+    The reference's LSTM module is unreachable AND broken (passes a
+    ``nonlinearity`` kwarg ``nn.LSTM`` doesn't accept, ``module/nn/
+    lstm.py:19-24``); this is a working replacement. Weights: lstm_w_ih
+    (4H, E), lstm_w_hh (4H, H), lstm_b (4H,) with gate order i,f,g,o.
+    """
+
+    def forward(self, token, pos1, pos2):
+        x = self._embed(token, pos1, pos2)
+        w = self.w
+        B, L, _ = x.shape
+        H = w["lstm_w_hh"].shape[1]
+        h = np.zeros((B, H), dtype=np.float32)
+        c = np.zeros((B, H), dtype=np.float32)
+        xw = x @ w["lstm_w_ih"].T + w["lstm_b"]          # (B, L, 4H)
+        pad_id = self.token2id["[PAD]"]
+        valid = (token != pad_id).astype(np.float32)
+        last = np.zeros((B, H), dtype=np.float32)
+        for step in range(L):
+            gates = xw[:, step] + h @ w["lstm_w_hh"].T
+            i = nn.sigmoid(gates[:, :H])
+            f = nn.sigmoid(gates[:, H: 2 * H])
+            g = np.tanh(gates[:, 2 * H: 3 * H])
+            o = nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            m = valid[:, step: step + 1]
+            last = last * (1 - m) + h * m                 # keep last valid h
+        return last
+
+    def __call__(self, enc: dict) -> np.ndarray:
+        return self.forward(enc["token"], enc["pos1"], enc["pos2"])
 
 
 # ---------------------------------------------------------------------------

@@ -324,6 +324,124 @@ WHERE event_type = 'view'
 """
 
 
+def lineitem_topk_per_group(sf_dir):
+    """Top-3 line items per (returnflag, linestatus) by extended price —
+    a per-group window/top-k (rank via deterministic tiebreak on keys).
+
+    Ray side: hash-bucket on the group key, vectorized per-bucket
+    sort+head; groups never span buckets so per-bucket top-k is exact.
+    """
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+                "l_extendedprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey",
+             "l_linenumber"],
+            ascending=[True, True, False, True, True])
+        out = g.groupby(["l_returnflag", "l_linestatus"]).head(3).copy()
+        out["rank"] = out.groupby(["l_returnflag", "l_linestatus"])\
+            .cumcount().add(1).astype("int64")
+        return out
+
+    return hash_bucket_aggregate(
+        ds, ["l_returnflag", "l_linestatus"], per_bucket, n_buckets=16)
+
+
+SQL_LINEITEM_TOPK_PER_GROUP = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+       l_extendedprice, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_returnflag, l_linestatus
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+  FROM lineitem) WHERE rank <= 3
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir):
+    """Per-user session count + mean session length (gap > 30 min splits).
+
+    The streaming-shaped operator: partition by user (hash buckets), sort
+    by ts within the partition, vectorized gap detection. Ordering
+    assumption: per-user order reconstructed by the in-bucket sort — no
+    global order needed (SURVEY §2.7 note).
+    """
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_session = (
+            (g["user_id"] != g["user_id"].shift())
+            | ((g["ts"] - g["ts"].shift()) > pd.Timedelta(minutes=SESSION_GAP_MIN))
+        )
+        g = g.assign(_sid=new_session.cumsum())
+        per_sess = g.groupby(["user_id", "_sid"]).size()
+        out = per_sess.groupby("user_id").agg(["size", "mean"]).reset_index()
+        out.columns = ["user_id", "n_sessions", "mean_session_events"]
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["mean_session_events"] = sql_round(out["mean_session_events"], 6)
+        return out
+
+    return hash_bucket_aggregate(ds, ["user_id"], per_bucket)
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+per_sess AS (
+  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n), 6) AS mean_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+def docs_normalized_dedup(sf_dir):
+    """Exact dedup after normalization (lower + collapse whitespace) —
+    the canonicalization-normalize flavor of dedup."""
+    import re
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = [ws.sub(" ", t.lower()).strip()
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"norm_text": pa.array(texts, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("norm_text", as_index=False)["doc_id"].min()
+
+    normed = ds.map_batches(norm, batch_format="pyarrow")
+    return hash_bucket_aggregate(normed, ["norm_text"], per_bucket)
+
+
+SQL_DOCS_NORMALIZED_DEDUP = r"""
+SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY norm_text
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -618,6 +736,9 @@ QUERIES = {
     "events_type_stats": events_type_stats,
     "events_daily_window": events_daily_window,
     "events_anti_join": events_anti_join,
+    "events_sessionize": events_sessionize,
+    "lineitem_topk_per_group": lineitem_topk_per_group,
+    "docs_normalized_dedup": docs_normalized_dedup,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
@@ -652,6 +773,9 @@ ORACLES = {
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_daily_window": SQL_EVENTS_DAILY_WINDOW,
     "events_anti_join": SQL_EVENTS_ANTI_JOIN,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "lineitem_topk_per_group": SQL_LINEITEM_TOPK_PER_GROUP,
+    "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,

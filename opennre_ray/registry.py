@@ -19,7 +19,9 @@ from . import fixtures
 from .models import (
     BertSentenceEncoder,
     CnnSentenceEncoder,
+    LstmSentenceEncoder,
     PcnnSentenceEncoder,
+    RnnSentenceEncoder,
     SigmoidHead,
     SoftmaxHead,
 )
@@ -165,9 +167,30 @@ def get_model(name: str, rel2id=None, word2id=None) -> NREModel:
             entity_repr=entity_repr)
     else:
         word2id = word2id or fixtures.default_word2id()
-        cls = PcnnSentenceEncoder if "pcnn" in name else CnnSentenceEncoder
-        enc = cls(word2id, _cnn_weights(rng, len(word2id)),
-                  max_length=40, hidden_size=230)
+        weights = _cnn_weights(rng, len(word2id))
+        if "lstm" in name or "_rnn_" in name or name.endswith("rnn_softmax"):
+            hidden = 128
+            emb_in = weights["conv_w"].shape[1]
+            del weights["conv_w"], weights["conv_b"]
+            scale = 1.0 / np.sqrt(hidden)
+            if "lstm" in name:
+                weights["lstm_w_ih"] = (rng.standard_normal(
+                    (4 * hidden, emb_in)).astype(np.float32) * scale)
+                weights["lstm_w_hh"] = (rng.standard_normal(
+                    (4 * hidden, hidden)).astype(np.float32) * scale)
+                weights["lstm_b"] = np.zeros(4 * hidden, np.float32)
+                cls = LstmSentenceEncoder
+            else:
+                weights["rnn_w_ih"] = (rng.standard_normal(
+                    (hidden, emb_in)).astype(np.float32) * scale)
+                weights["rnn_w_hh"] = (rng.standard_normal(
+                    (hidden, hidden)).astype(np.float32) * scale)
+                weights["rnn_b"] = np.zeros(hidden, np.float32)
+                cls = RnnSentenceEncoder
+            enc = cls(word2id, weights, max_length=40, hidden_size=hidden)
+        else:
+            cls = PcnnSentenceEncoder if "pcnn" in name else CnnSentenceEncoder
+            enc = cls(word2id, weights, max_length=40, hidden_size=230)
 
     head_cls = SigmoidHead if "sigmoid" in name else SoftmaxHead
     fc_w = (rng.standard_normal((n_rel, enc.hidden_size)).astype(np.float32)
