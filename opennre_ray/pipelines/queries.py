@@ -606,6 +606,39 @@ def kg_triples(sf_dir):
     return extract_triples(sf_dir)
 
 
+def kg_triples_pcnn(sf_dir):
+    """Same KG pipeline with the piecewise-CNN scorer (T2 path)."""
+    from .kg import extract_triples
+    return extract_triples(sf_dir, model_name="wiki80_pcnn_softmax")
+
+
+def kg_triples_bert(sf_dir):
+    """Same KG pipeline with the BERT-style scorer (T3 path, wordpiece
+    encode + transformer forward in the distributed stage)."""
+    from .kg import extract_triples
+    return extract_triples(sf_dir, model_name="wiki80_bert_softmax",
+                           threshold=0.105)
+
+
+def fewshot_classify(sf_dir):
+    """Few-shot prototypical classification over extracted instances."""
+    from ..fewshot import FewShotProto
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    support = [
+        ({"text": "the spark table join was fast",
+          "h": {"pos": (4, 9)}, "t": {"pos": (16, 20)}}, "relA"),
+        ({"text": "slow hash stream window merge",
+          "h": {"pos": (5, 9)}, "t": {"pos": (10, 16)}}, "relB"),
+    ]
+    fs = FewShotProto().fit(support)
+    inst = candidate_instances(read_pages(sf_dir)).select_columns(
+        ["url", "text", "h_start", "h_end", "t_start", "t_end"])
+    return fs.classify_dataset(inst).select_columns(
+        ["url", "pred_rel", "score"])
+
+
 def sentence_relation_scores(sf_dir):
     """Per-instance scored candidates (pre-aggregation KG stream)."""
     from .kg import candidate_instances
@@ -749,6 +782,9 @@ QUERIES = {
     "knn_cosine": knn_cosine,
     # rows-only (model / sketch / approximate operators)
     "kg_triples": kg_triples,
+    "kg_triples_pcnn": kg_triples_pcnn,
+    "kg_triples_bert": kg_triples_bert,
+    "fewshot_classify": fewshot_classify,
     "sentence_relation_scores": sentence_relation_scores,
     "encoded_instances": encoded_instances,
     "bag_relation_scores": bag_relation_scores,

@@ -1,0 +1,76 @@
+"""Skew-handling tests: hot keys must not concentrate work or break results.
+
+North-star: "entity canonicalization runs as a groupby-aggregate shuffle on
+normalized surface-form keys with explicit hash partitioning and salted keys
+for head-entity skew".
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from opennre_ray.functions.relational import hash_bucket_aggregate
+from opennre_ray.pipelines.bag import BagScorer
+from opennre_ray.stages.canonicalize import PartialSurfaceCounts, build_canonical_map
+
+
+def test_partial_counts_absorb_hot_surface():
+    """A surface mentioned N times in a batch emits ONE partial row —
+    map-side combining is the salt (SURVEY §7.3, canonicalize.py phase 1)."""
+    n = 10_000
+    batch = pa.table({
+        "h_name": ["France"] * n,
+        "h_id": ["Q142"] * n,
+        "t_name": [f"city{i}" for i in range(n)],
+        "t_id": [f"Q{i}" for i in range(n)],
+    })
+    out = PartialSurfaceCounts()(batch)
+    df = out.to_pandas()
+    hot = df[df.norm_surface == "france"]
+    assert len(hot) == 1
+    assert hot.iloc[0]["cnt"] == n
+
+
+def test_canonical_map_under_skew(ray_session):
+    import ray.data as rd
+
+    rows = ([{"h_name": "France", "h_id": "Q142", "t_name": "Paris",
+              "t_id": "QP"}] * 500
+            + [{"h_name": "france", "h_id": "QBAD", "t_name": "Lyon",
+                "t_id": "QL"}] * 3)
+    canon = build_canonical_map(rd.from_items(rows, override_num_blocks=8))
+    assert canon["france"] == "Q142"          # majority id wins
+
+
+def test_hash_bucket_aggregate_hot_key_exact(ray_session):
+    """One key holding 90% of rows still aggregates exactly (single bucket
+    reduction is one vectorized op, not per-row Python)."""
+    import ray.data as rd
+
+    rows = [{"k": "hot", "v": 1.0}] * 9000 + \
+           [{"k": f"cold{i}", "v": 2.0} for i in range(1000)]
+    ds = rd.from_items(rows, override_num_blocks=16)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False).agg(n=("v", "size"),
+                                                  s=("v", "sum"))
+
+    out = hash_bucket_aggregate(ds, ["k"], per_bucket, n_buckets=8).to_pandas()
+    assert len(out) == 1001
+    hot = out[out.k == "hot"].iloc[0]
+    assert hot["n"] == 9000 and hot["s"] == 9000.0
+
+
+def test_giant_bag_bounded_by_resample():
+    """Bag-size skew: a 5000-instance bag is capped to bag_size encoder
+    work (G4 semantics), deterministically."""
+    scorer = BagScorer("nyt10_pcnn_att", bag_size=8)
+    g = pd.DataFrame([{
+        "text": f"data stream window batch row {i}", "h_id": "H", "t_id": "T",
+        "h_start": 0, "h_end": 4, "t_start": 5, "t_end": 11,
+    } for i in range(5000)])
+    out1 = scorer(g.copy())
+    out2 = scorer(g.copy())
+    pd.testing.assert_frame_equal(out1, out2)
+    assert (out1["bag_size"] == 8).all()
