@@ -214,9 +214,25 @@ class CnnSoftmaxTrainer:
         grads["fc_w"] = dlogits.T @ cache["pooled"]
         grads["fc_b"] = dlogits.sum(0)
         dpooled = dlogits @ p["fc_w"]                    # (B, H)
+        grads.update(self.encoder_backward(cache, dpooled))
 
+        self.opt.step(p, grads)
+        # keep the frozen rows frozen (padding_idx=0 position rows, PAD word)
+        p["pos1_emb"][0] = 0
+        p["pos2_emb"][0] = 0
+        self._sync()
+        return loss, acc
+
+    def encoder_backward(self, cache, dpooled) -> dict:
+        """Backprop d loss / d pooled-representation through the encoder.
+
+        Shared by the sentence-level head and the bag-attention trainer
+        (the encoder math is identical; only the head differs).
+        """
+        p = self.params
+        grads: dict = {}
         # max-pool routing: gradient flows to the argmax position
-        H = dpooled.shape[1]
+        B, H = dpooled.shape
         drelu = np.zeros_like(cache["relu"])             # (B, Lout, H)
         bidx = np.repeat(np.arange(B), H)
         hidx = np.tile(np.arange(H), B)
@@ -254,13 +270,7 @@ class CnnSoftmaxTrainer:
         grads["word_emb"] = g_word
         grads["pos1_emb"] = g_p1
         grads["pos2_emb"] = g_p2
-
-        self.opt.step(p, grads)
-        # keep the frozen rows frozen (padding_idx=0 position rows, PAD word)
-        p["pos1_emb"][0] = 0
-        p["pos2_emb"][0] = 0
-        self._sync()
-        return loss, acc
+        return grads
 
     def _sync(self):
         """Push updated params back into the eval-path weight dicts."""
@@ -291,6 +301,165 @@ class CnnSoftmaxTrainer:
             return out
 
         return (loss_at(orig + eps) - loss_at(orig - eps)) / (2 * eps)
+
+
+class BagAttentionTrainer(CnnSoftmaxTrainer):
+    """Bag-level training with label-indexed instance attention (L2/G5).
+
+    Semantics per reference ``bag_attention.py:106-133`` (train,
+    bag_size=0): per bag, attention query = fc.weight[label] * diag,
+    softmax over instance scores, weighted-sum bag representation → fc →
+    (optionally class-weighted) CE. Gradients flow through the attention
+    weights AND the query (fc row + diag) — full softmax Jacobian — then
+    through the shared CNN encoder backward.
+    """
+
+    def __init__(self, model, loss_weights=None, optimizer=None):
+        super().__init__(model, loss_weights=loss_weights, optimizer=optimizer)
+        self.params["diag"] = (model.diag if model.diag is not None
+                               else np.ones(model.encoder.hidden_size,
+                                            np.float32))
+
+    def train_step_bags(self, enc_batch, scopes, labels) -> tuple[float, float]:
+        """One step over a minibatch of bags.
+
+        Args:
+            enc_batch: encoded arrays for ALL instances, bags concatenated.
+            scopes: list of (start, end) instance ranges, one per bag.
+            labels: (n_bags,) gold relation ids.
+        """
+        p = self.params
+        cache = self._forward_cache(enc_batch)
+        rep = cache["pooled"]                            # (nsum, H)
+        n_bags = len(scopes)
+        H = rep.shape[1]
+        N = p["fc_w"].shape[0]
+
+        bag_rep = np.zeros((n_bags, H), dtype=np.float32)
+        att_w = []                                       # per-bag softmax weights
+        for b, (s, e) in enumerate(scopes):
+            q = p["fc_w"][labels[b]] * p["diag"]
+            scores = rep[s:e] @ q
+            w = nn.softmax(scores)
+            att_w.append(w)
+            bag_rep[b] = w @ rep[s:e]
+        logits = bag_rep @ p["fc_w"].T + p["fc_b"]
+        probs = nn.softmax(logits)
+        lw = (self.loss_weights[labels] if self.loss_weights is not None
+              else np.ones(n_bags, dtype=np.float32))
+        loss = float(-(lw * np.log(
+            probs[np.arange(n_bags), labels] + 1e-12)).mean())
+        acc = float((logits.argmax(-1) == labels).mean())
+
+        dlogits = probs * lw[:, None]
+        dlogits[np.arange(n_bags), labels] -= lw
+        dlogits /= n_bags
+
+        grads = {"fc_w": dlogits.T @ bag_rep, "fc_b": dlogits.sum(0),
+                 "diag": np.zeros_like(p["diag"])}
+        dbag = dlogits @ p["fc_w"]                       # (n_bags, H)
+        drep = np.zeros_like(rep)
+        for b, (s, e) in enumerate(scopes):
+            w = att_w[b]
+            r = rep[s:e]
+            q = p["fc_w"][labels[b]] * p["diag"]
+            # bag_rep = w @ r ; att scores a_i = r_i · q
+            g = dbag[b]
+            drep[s:e] += np.outer(w, g)
+            dotg = r @ g                                 # (n,)
+            datt = w * (dotg - float(w @ dotg))          # softmax Jacobian
+            drep[s:e] += np.outer(datt, q)
+            dq = datt @ r                                # (H,)
+            grads["fc_w"][labels[b]] += dq * p["diag"]
+            grads["diag"] += dq * p["fc_w"][labels[b]]
+
+        enc_grads = self.encoder_backward(cache, drep)
+        for k, v in enc_grads.items():
+            grads[k] = v
+        self.opt.step(p, grads)
+        p["pos1_emb"][0] = 0
+        p["pos2_emb"][0] = 0
+        self._sync()
+        if self.model.diag is not None:
+            self.model.diag = p["diag"]
+        return loss, acc
+
+    def bag_loss(self, enc_batch, scopes, labels) -> float:
+        """Loss only (numerical-gradient test hook)."""
+        p = self.params
+        cache = self._forward_cache(enc_batch)
+        rep = cache["pooled"]
+        n_bags = len(scopes)
+        bag_rep = np.zeros((n_bags, rep.shape[1]), dtype=np.float32)
+        for b, (s, e) in enumerate(scopes):
+            q = p["fc_w"][labels[b]] * p["diag"]
+            w = nn.softmax(rep[s:e] @ q)
+            bag_rep[b] = w @ rep[s:e]
+        logits = bag_rep @ p["fc_w"].T + p["fc_b"]
+        probs = nn.softmax(logits)
+        lw = (self.loss_weights[labels] if self.loss_weights is not None
+              else np.ones(n_bags, dtype=np.float32))
+        return float(-(lw * np.log(
+            probs[np.arange(n_bags), labels] + 1e-12)).mean())
+
+
+def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
+                 bag_size=0, lr=0.1, weight_decay=1e-5, seed=42,
+                 use_class_weights=False):
+    """Bag-level epoch loop (L2): group instances by fact key, train with
+    attention aggregation.
+
+    ``instances_df``: pandas frame (text, h_id, t_id, h_start.., relation) —
+    the reference also holds the train set in memory (``data_loader.py:
+    137-143``); distributed scoring/eval is the data-plane's job, the
+    gradient loop is driver-side.
+    """
+    import pandas as pd
+
+    fix_seed(seed)
+    rel2id = model.rel2id
+    weights = None
+    if use_class_weights:
+        counts = instances_df["relation"].value_counts().to_dict()
+        weights = class_weights(counts, rel2id)
+    trainer = BagAttentionTrainer(model, loss_weights=weights,
+                                  optimizer=SgdOptimizer(lr, weight_decay))
+    enc = model.encoder
+    # fact-key grouping (h_id, t_id, relation) per reference data_loader.py:152
+    groups = list(instances_df.groupby(["h_id", "t_id", "relation"]))
+    rng = np.random.default_rng(seed)
+    history = []
+    for epoch in range(epochs):
+        order = rng.permutation(len(groups))
+        loss_m, acc_m = AverageMeter(), AverageMeter()
+        for start in range(0, len(order), bags_per_batch):
+            chunk = [groups[i] for i in order[start: start + bags_per_batch]]
+            texts, h, t, scopes, labels = [], [], [], [], []
+            pos = 0
+            for (h_id, t_id, rel), g in chunk:
+                if bag_size > 0:
+                    bag_rng = np.random.default_rng(
+                        abs(hash((h_id, t_id))) % (2**32))
+                    n = len(g)
+                    idx = (bag_rng.choice(n, bag_size, replace=False)
+                           if n >= bag_size else
+                           np.concatenate([np.arange(n),
+                                           bag_rng.choice(n, bag_size - n)]))
+                    g = g.iloc[np.sort(idx)]
+                texts.extend(g["text"].tolist())
+                h.append(g[["h_start", "h_end"]].to_numpy())
+                t.append(g[["t_start", "t_end"]].to_numpy())
+                scopes.append((pos, pos + len(g)))
+                pos += len(g)
+                labels.append(rel2id[rel])
+            enc_batch = enc.encode_batch(texts, np.concatenate(h),
+                                         np.concatenate(t))
+            loss, acc = trainer.train_step_bags(enc_batch, scopes,
+                                                np.array(labels))
+            loss_m.update(loss, len(labels))
+            acc_m.update(acc, len(labels))
+        history.append({"epoch": epoch, "loss": loss_m.avg, "acc": acc_m.avg})
+    return history
 
 
 def train_sentence_re(model, instances_ds, *, epochs=3, batch_size=64,
