@@ -23,7 +23,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Corpus replication factor for the headline job: large enough that model
 # compute dominates fixed overhead (the scaling criterion measures
 # steady-state throughput, not session startup).
-REPEAT = int(os.environ.get("BENCH_REPEAT", "12"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "6"))
 
 
 def _warm_workers(num: int):

@@ -151,10 +151,12 @@ def multilabel_eval(score_matrix: np.ndarray, label_matrix: np.ndarray,
         "best_threshold": float(scores[order][f1s.argmax()]) if len(hits) else 0.0,
     }
     pred = (score_matrix[:, pos_cols] >= threshold).astype(np.int64)
-    out.update(_prf(label_matrix[:, pos_cols].astype(np.int64), pred))
-    # exact-match accuracy over full label vectors at the threshold
-    full_pred = (score_matrix >= threshold).astype(np.int64)
-    out["acc"] = float((full_pred == label_matrix).all(axis=1).mean()) \
+    gold = label_matrix[:, pos_cols].astype(np.int64)
+    out.update(_prf(gold, pred))
+    # exact-match accuracy over the trained (non-NA) label columns — the
+    # loss never constrains the NA logit (multi_label_sentence_re.py trains
+    # labels 1..N-1 only), so it is excluded here too
+    out["acc"] = float((pred == gold).all(axis=1).mean()) \
         if len(score_matrix) else 0.0
     return out
 

@@ -94,6 +94,65 @@ class ImageFeatures:
         return {"media_id": batch["media_id"], "features": feats}
 
 
+class ResizeImage:
+    """Actor stage: (B, H, W, 3) → (B, h2, w2, 3) via block-mean pooling.
+
+    Real resampling (bilinear/lanczos) would plug into ``_resize``; the
+    numpy block-mean keeps the plumbing deterministic and library-free.
+    """
+
+    def __init__(self, out_hw: tuple[int, int] = (8, 8)):
+        self.out_hw = out_hw
+
+    def __call__(self, batch: dict) -> dict:
+        imgs = batch["image"]
+        B, H, W, C = imgs.shape
+        h2, w2 = self.out_hw
+        fh, fw = H // h2, W // w2
+        small = imgs[:, : h2 * fh, : w2 * fw, :].reshape(
+            B, h2, fh, w2, fw, C).mean(axis=(2, 4)).astype(np.uint8)
+        return {"media_id": batch["media_id"], "image": small}
+
+
+class SampleFrames:
+    """Actor stage for video-shaped payloads: decode every k-th frame.
+
+    Payload = concatenated fake frames; real ffmpeg seek-decode would plug
+    in at ``_frames``. Emits one row per sampled frame with frame_idx —
+    the explode pattern for video → frame-level rows.
+    """
+
+    def __init__(self, frame_bytes: int = 256, every: int = 4,
+                 max_frames: int = 8, fake: bool = True):
+        self.frame_bytes = frame_bytes
+        self.every = every
+        self.max_frames = max_frames
+        self.fake = fake
+
+    def _frames(self, payload: bytes):
+        if not self.fake:
+            raise NotImplementedError(
+                "no video codec in this environment; plug ffmpeg here")
+        n = len(payload) // self.frame_bytes
+        idxs = list(range(0, n, self.every))[: self.max_frames]
+        return [(i, payload[i * self.frame_bytes: (i + 1) * self.frame_bytes])
+                for i in idxs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            for i, fr in self._frames(payload):
+                ids.append(mid)
+                fidx.append(i)
+                frames.append(fr)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
 def media_feature_pipeline(ds, batch_size: int = 64):
     """documents-like Dataset → media features, exercising the full plumbing.
 

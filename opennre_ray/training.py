@@ -403,6 +403,41 @@ class BagAttentionTrainer(CnnSoftmaxTrainer):
             probs[np.arange(n_bags), labels] + 1e-12)).mean())
 
 
+class MultiLabelTrainer(CnnSoftmaxTrainer):
+    """Multi-label sentence training: BCE-with-logits over labels 1..N-1.
+
+    Reference ``framework/multi_label_sentence_re.py:9-174`` (L3) — the NA
+    column (id 0) is excluded from the loss; predictions threshold the
+    per-label sigmoid scores.
+    """
+
+    def train_step_multilabel(self, enc_batch,
+                              label_matrix: np.ndarray) -> tuple[float, float]:
+        cache = self._forward_cache(enc_batch)
+        p = self.params
+        B, N = cache["logits"].shape
+        pos = np.arange(1, N)                       # exclude NA (col 0)
+        logits = cache["logits"][:, pos]
+        y = label_matrix[:, pos].astype(np.float32)
+        s = nn.sigmoid(logits)
+        eps = 1e-12
+        loss = float(-(y * np.log(s + eps)
+                       + (1 - y) * np.log(1 - s + eps)).mean())
+        acc = float(((s >= 0.5) == (y >= 0.5)).all(axis=1).mean())
+
+        dlogits_pos = (s - y) / (B * len(pos))
+        dlogits = np.zeros((B, N), dtype=np.float32)
+        dlogits[:, pos] = dlogits_pos
+        grads = {"fc_w": dlogits.T @ cache["pooled"], "fc_b": dlogits.sum(0)}
+        dpooled = dlogits @ p["fc_w"]
+        grads.update(self.encoder_backward(cache, dpooled))
+        self.opt.step(p, grads)
+        p["pos1_emb"][0] = 0
+        p["pos2_emb"][0] = 0
+        self._sync()
+        return loss, acc
+
+
 def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
                  bag_size=0, lr=0.1, weight_decay=1e-5, seed=42,
                  use_class_weights=False):

@@ -70,6 +70,31 @@ def test_bag_training_descends_and_memorizes():
         assert scores.argmax() == label
 
 
+def test_multilabel_trainer_descends_and_scores():
+    from opennre_ray.pipelines.evalmetrics import multilabel_eval
+    from opennre_ray.training import MultiLabelTrainer
+
+    fix_seed(2)
+    model = get_model("wiki80_cnn_sigmoid")
+    trainer = MultiLabelTrainer(model, optimizer=SgdOptimizer(lr=0.5,
+                                                              weight_decay=0))
+    enc, _, _ = _bag_batch(model)
+    n_rel = len(model.rel2id)
+    labels = np.zeros((4, n_rel), dtype=np.int64)
+    labels[0, 1] = labels[1, 1] = 1
+    labels[2, 2] = 1
+    labels[3, 3] = labels[3, 4] = 1      # genuinely multi-label row
+    losses = []
+    for _ in range(60):
+        loss, acc = trainer.train_step_multilabel(enc, labels)
+        losses.append(loss)
+    assert losses[-1] < losses[0] * 0.2
+    # eval path: sigmoid head scores reproduce the memorized label matrix
+    scores = model.head.scores(model.encoder(enc))
+    m = multilabel_eval(scores, labels, model.rel2id)
+    assert m["acc"] == 1.0 and m["micro_f1_05"] == 1.0
+
+
 def test_train_bag_re_loop():
     fix_seed(1)
     rows = []

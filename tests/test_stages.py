@@ -185,6 +185,28 @@ def test_multimodal_plumbing(ray_session, sf_dir):
         DecodeImage(fake=False)._decode(b"x", 4, 4)
 
 
+def test_multimodal_resize_and_frame_sample(ray_session, sf_dir):
+    import ray.data as rd
+    from opennre_ray.stages.multimodal import (
+        DecodeImage, ResizeImage, SampleFrames, synthesize_media_batch)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(16)
+    media = docs.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    resized = (media.map_batches(DecodeImage, batch_format="pyarrow",
+                                 batch_size=8, concurrency=(1, 2))
+               .map_batches(ResizeImage, fn_constructor_args=((4, 4),),
+                            batch_format="numpy", batch_size=8,
+                            concurrency=(1, 2))).to_pandas()
+    assert resized["image"].iloc[0].shape == (4, 4, 3)
+    frames = media.map_batches(SampleFrames(every=2, max_frames=3),
+                               batch_format="pyarrow").to_pandas()
+    assert set(frames["frame_idx"].unique()) <= {0, 2, 4}
+    assert (frames.groupby("media_id").size() <= 3).all()
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)._frames(b"x" * 1024)
+
+
 def test_lineage_resume(tmp_path, ray_session):
     import ray.data as rd
     from opennre_ray.state.lineage import (
