@@ -152,9 +152,13 @@ def scaling():
     """
     lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi = int(os.environ.get("BENCH_SCALE_HI", str(4 * lo)))
+    # bigger corpus for the scaling pair so steady-state compute dominates
+    # session-fixed costs (canon/dedup barriers, worker spawn)
+    repeat = os.environ.get("BENCH_REPEAT", "16")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPEAT=repeat)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -78,10 +78,13 @@ class RelationScorer:
     batch. ``model_hash`` rides along for lineage (north-star requirement).
     """
 
-    # numeric chunk size, independent of Ray task granularity: blocks are
+    # Numeric chunk size, independent of Ray task granularity: blocks are
     # sliced internally so a big fused-task block never materializes the
-    # full (N, L) id arrays / conv activations at once.
-    CHUNK = 1024
+    # full (N, L) id arrays / conv activations at once. 256 keeps the conv
+    # scratch working set ~50 MB per worker — measured 5-7x faster than
+    # 1024 (~190 MB) under 32 concurrent workers (cache pressure + huge-page
+    # first-touch stalls dominate above that).
+    CHUNK = 256
 
     def __init__(self, model_name: str = "wiki80_cnn_softmax",
                  rel2id: dict | None = None):
