@@ -1,0 +1,148 @@
+"""Mergeable sketches: heavy hitters (Misra-Gries) and HyperLogLog.
+
+The scale pattern for approximate aggregation (Ray guide: "emit one
+serialized sketch per batch and merge them in a second, tiny stage"):
+vectorized per-batch sketch build → tiny all-to-all of sketches → driver
+(or single-task) merge. Both sketches here have the standard mergeability
+proofs: Misra-Gries summaries merge by counter addition + trim (Agarwal et
+al. 2012), HLL registers merge by elementwise max (Flajolet et al. 2007).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def mg_sketch(items, k: int) -> dict[str, int]:
+    """Misra-Gries summary with k counters over an item stream."""
+    counters: dict[str, int] = {}
+    for it in items:
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def mg_merge(sketches, k: int) -> dict[str, int]:
+    """Merge summaries: add counters, then subtract the (k+1)-th largest."""
+    total: Counter = Counter()
+    for sk in sketches:
+        total.update(sk)
+    if len(total) <= k:
+        return dict(total)
+    values = sorted(total.values(), reverse=True)
+    cut = values[k]
+    return {key: c - cut for key, c in total.items() if c > cut}
+
+
+def heavy_hitters(ds, column: str, k: int = 10, counters: int = 64):
+    """Approximate top-k frequent values of a column.
+
+    Guarantee: any value with true frequency > n/counters survives; counts
+    are under-estimates by at most n/counters. Returns a pa.Table
+    (value, approx_count) sorted desc — verify against exact counts in
+    tests, not SQL (the sketch is deliberately approximate).
+    """
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk = mg_sketch(batch.column(column).to_pylist(), counters)
+        return pa.table({"value": pa.array(list(sk.keys()), pa.string()),
+                         "cnt": pa.array(list(sk.values()), pa.int64())})
+
+    # merge = counter addition (associative); each per-batch summary already
+    # under-counts by ≤ batch_n/counters, so sums keep the guarantee
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    total: Counter = Counter()
+    for v, c in zip(parts["value"], parts["cnt"]):
+        total[v] += int(c)
+    top = total.most_common(k)
+    return pa.table({"value": pa.array([t[0] for t in top], pa.string()),
+                     "approx_count": pa.array([t[1] for t in top], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+class HLL:
+    """HyperLogLog with 2^p registers (p=12 → ~1.6% typical error)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_many(self, items):
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(str(it).encode(),
+                                            digest_size=8).digest(), "little")
+             for it in items), dtype=np.uint64, count=len(items))
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hashes << np.uint64(self.p)
+        # rank = leading zeros of the remaining bits + 1 (capped)
+        ranks = np.zeros(len(hashes), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        rem = rest.copy()
+        rank = np.ones(len(hashes), dtype=np.uint8)
+        live = np.ones(len(hashes), dtype=bool)
+        for _ in range(64 - self.p):
+            top = (rem & mask) != 0
+            done = live & top
+            ranks[done] = rank[done]
+            live &= ~top
+            rem = rem << np.uint64(1)
+            rank += 1
+        ranks[live] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, ranks)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)          # small-range correction
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, p: int = 12) -> "HLL":
+        h = cls(p)
+        h.registers = np.frombuffer(raw, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distributed approximate count-distinct: one HLL per batch, register
+    max-merge on the driver (bytes are tiny: 2^p)."""
+    def per_batch(batch: pa.Table) -> pa.Table:
+        h = HLL(p).add_many(batch.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HLL(p)
+    for b in ds.map_batches(per_batch,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged.merge(HLL.from_bytes(raw, p))
+    return merged.estimate()

@@ -1,0 +1,93 @@
+"""Stream-shaped operators: running aggregates and incremental keyed state.
+
+Ray Data has no event-time windows/watermarks (SURVEY §2.7 — neither does
+the reference); stream semantics are expressed as:
+
+- ordered per-key computation: hash-bucket the key, sort by ts inside the
+  bucket, vectorized cumulative ops (``running_totals``) — the batch
+  expression of a per-key ordered stream;
+- genuinely incremental state: ``KeyedStateActor`` — one actor per key-hash
+  bucket fed batches in ts order, holding running state across feeds
+  (the pattern for operators whose state cannot be recomputed per window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64):
+    """Per-row running count and running sum per key, ordered by ts.
+
+    Equivalent SQL: ``sum(value) OVER (PARTITION BY key ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)``. Keys never span buckets, so per-bucket
+    sort+cumsum is exact.
+    """
+    from .relational import hash_bucket_aggregate
+    from .sqlcompat import sql_round
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts])
+        g["running_n"] = g.groupby(key).cumcount().add(1).astype("int64")
+        g["running_sum"] = sql_round(
+            g.groupby(key)[value].cumsum().to_numpy(), 2)
+        return g
+
+    return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
+
+
+class KeyedStateActor:
+    """Incremental per-key state held in a Ray actor (one per bucket).
+
+    Feed batches in ts order; the actor maintains running (count, sum, max)
+    per key across feeds. This is the escape hatch for true streaming state
+    (e.g. deduplicating an unbounded stream, monotonic counters) where the
+    groupby-recompute expression doesn't apply.
+    """
+
+    def __init__(self):
+        self.state: dict = {}
+
+    def feed(self, keys, values) -> int:
+        for k, v in zip(keys, values):
+            cur = self.state.get(k)
+            if cur is None:
+                self.state[k] = [1, float(v), float(v)]
+            else:
+                cur[0] += 1
+                cur[1] += float(v)
+                if v > cur[2]:
+                    cur[2] = float(v)
+        return len(keys)
+
+    def snapshot(self) -> dict:
+        return {k: tuple(v) for k, v in self.state.items()}
+
+
+def incremental_keyed_state(ds, key: str, ts: str, value: str,
+                            n_buckets: int = 8) -> dict:
+    """Drive a bucket-sharded actor fleet over a Dataset in ts order.
+
+    Returns the merged {key: (count, sum, max)} state. The per-bucket feed
+    order follows the global ts sort, so state transitions observe the
+    stream order (the ordering assumption is the sort — document per use).
+    """
+    import ray
+
+    actors = [ray.remote(KeyedStateActor).remote() for _ in range(n_buckets)]
+    ordered = ds.sort(ts)
+    for batch in ordered.iter_batches(batch_size=4096, batch_format="pandas"):
+        h = pd.util.hash_pandas_object(batch[[key]], index=False).to_numpy()
+        buckets = (h % n_buckets).astype(np.int64)
+        pending = []
+        for b in range(n_buckets):
+            m = buckets == b
+            if m.any():
+                pending.append(actors[b].feed.remote(
+                    batch.loc[m, key].tolist(), batch.loc[m, value].tolist()))
+        ray.get(pending)     # barrier per batch preserves ts order per key
+    merged: dict = {}
+    for snap in ray.get([a.snapshot.remote() for a in actors]):
+        merged.update(snap)
+    return merged

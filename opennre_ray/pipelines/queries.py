@@ -442,6 +442,54 @@ FROM documents GROUP BY norm_text
 """
 
 
+def events_running_total(sf_dir):
+    """Per-event running count + sum per user in ts order (streaming-shaped
+    cumulative aggregate; keyed by event_id for oracle comparison)."""
+    from ..functions.streaming import running_totals
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = running_totals(ds, "user_id", "ts", "value")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["event_id", "running_n", "running_sum"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id,
+       row_number() OVER w AS running_n,
+       round(sum(value) OVER w, 2) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def docs_heavy_hitter_words(sf_dir):
+    """Approximate top-10 words via per-batch Misra-Gries summaries."""
+    from ..functions.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = []
+        for t in batch.column("text").to_pylist():
+            words.extend(t.split())
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    return heavy_hitters(ds.map_batches(explode, batch_format="pyarrow"),
+                         "word", k=10, counters=64)
+
+
+def events_approx_distinct_users(sf_dir):
+    """HLL approximate count-distinct of users (mergeable sketch)."""
+    from ..functions.sketches import approx_distinct
+
+    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame({"approx_users": [round(est, 1)]})
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -770,6 +818,7 @@ QUERIES = {
     "events_daily_window": events_daily_window,
     "events_anti_join": events_anti_join,
     "events_sessionize": events_sessionize,
+    "events_running_total": events_running_total,
     "lineitem_topk_per_group": lineitem_topk_per_group,
     "docs_normalized_dedup": docs_normalized_dedup,
     "docs_token_count": docs_token_count,
@@ -790,6 +839,8 @@ QUERIES = {
     "bag_relation_scores": bag_relation_scores,
     "bag_eval_metrics": bag_eval_metrics,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_heavy_hitter_words": docs_heavy_hitter_words,
+    "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
@@ -810,6 +861,7 @@ ORACLES = {
     "events_daily_window": SQL_EVENTS_DAILY_WINDOW,
     "events_anti_join": SQL_EVENTS_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "lineitem_topk_per_group": SQL_LINEITEM_TOPK_PER_GROUP,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
