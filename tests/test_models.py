@@ -173,6 +173,28 @@ def test_golden_determinism_cnn():
     assert abs(r1[1] - m.infer(GOLDEN_ITEM)[1]) < 1e-9
 
 
+# Pinned expected outputs for the golden sentence under each seeded model
+# (the engine's analogue of the reference's hard-coded
+# ('father', 0.7500484585762024) ± 1e-6 gate, tests/test_inference.py:8-11;
+# those checkpoints require torch + network, absent here). Any drift in
+# tokenization, encoding, seeding, or forward math trips these.
+GOLDEN_EXPECTED = {
+    "wiki80_cnn_softmax": ("NA", 0.16976232826709747),
+    "wiki80_pcnn_softmax": ("educated_at", 0.16718536615371704),
+    "wiki80_bert_softmax": ("country", 0.1157071590423584),
+    "wiki80_rnn_softmax": ("located_in", 0.11777178198099136),
+    "wiki80_lstm_softmax": ("founder_of", 0.11167243123054504),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_EXPECTED))
+def test_golden_pinned_scores(name):
+    rel, score = get_model(name).infer(GOLDEN_ITEM)
+    want_rel, want_score = GOLDEN_EXPECTED[name]
+    assert rel == want_rel
+    assert abs(score - want_score) < 1e-6
+
+
 def test_bert_encode_markers_and_forward():
     m = get_model("wiki80_bert_softmax")
     enc = m.encoder.encode_batch(["the customer data was big"],

@@ -108,18 +108,18 @@ def test_keyed_state_actor_incremental():
 
 
 def test_incremental_keyed_state_matches_batch(ray_session, sf_dir):
-    import duckdb
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"]).limit(500)
+                         columns=["user_id", "ts", "value"])
     state = incremental_keyed_state(ds, "user_id", "ts", "value", n_buckets=4)
-    import pyarrow.parquet as pq
-    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas().head(0)
-    # oracle over the same limited rows
-    full = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
-    sub = full.sort_values("ts")  # limit() takes the first block rows
-    # instead of matching limit() row selection, just verify per-key totals
-    # over the keys the actor saw
-    for k, (n, s, mx) in list(state.items())[:20]:
-        assert n >= 1 and s >= mx
+    # exact oracle: full-table per-key aggregates
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    want = df.groupby("user_id")["value"].agg(["size", "sum", "max"])
+    assert len(state) == len(want)
+    for k, row in want.iterrows():
+        n, s, mx = state[k]
+        assert n == row["size"]
+        np.testing.assert_allclose(s, row["sum"], rtol=1e-9)
+        np.testing.assert_allclose(mx, row["max"], rtol=1e-12)
