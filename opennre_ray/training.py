@@ -185,13 +185,28 @@ class CnnSoftmaxTrainer:
         for j in range(1, K):
             conv += z[:, j: j + Lout, j]
         conv += p["conv_b"]
-        relu = np.maximum(conv, 0.0)
-        pooled = relu.max(axis=1)                       # (B, H)
-        argmax = relu.argmax(axis=1)                    # (B, H)
-        logits = pooled @ p["fc_w"].T + p["fc_b"]
-        return {"token": token, "pos1": pos1, "pos2": pos2, "xp": xp,
-                "relu": relu, "pooled": pooled, "argmax": argmax,
-                "logits": logits, "pad": pad, "Lout": Lout, "K": K}
+        cache = {"token": token, "pos1": pos1, "pos2": pos2, "xp": xp,
+                 "conv": conv, "pad": pad, "Lout": Lout, "K": K}
+        cache["mask"] = enc_batch.get("mask")
+        self._pool_forward(cache)
+        cache["logits"] = cache["pooled"] @ p["fc_w"].T + p["fc_b"]
+        return cache
+
+    def _pool_forward(self, cache):
+        """ReLU + global max-pool (CNN flavor, T1)."""
+        relu = np.maximum(cache["conv"], 0.0)
+        cache["relu"] = relu
+        cache["pooled"] = relu.max(axis=1)              # (B, H)
+        cache["argmax"] = relu.argmax(axis=1)           # (B, H)
+
+    def _pool_backward(self, cache, dpooled):
+        """Route pooled-gradient back to dconv through argmax + ReLU mask."""
+        B, H = dpooled.shape
+        drelu = np.zeros_like(cache["relu"])             # (B, Lout, H)
+        bidx = np.repeat(np.arange(B), H)
+        hidx = np.tile(np.arange(H), B)
+        drelu[bidx, cache["argmax"].reshape(-1), hidx] = dpooled.reshape(-1)
+        return drelu * (cache["relu"] > 0)
 
     def train_step(self, enc_batch, labels: np.ndarray) -> tuple[float, float]:
         """One minibatch SGD step → (loss, accuracy)."""
@@ -231,14 +246,7 @@ class CnnSoftmaxTrainer:
         """
         p = self.params
         grads: dict = {}
-        # max-pool routing: gradient flows to the argmax position
-        B, H = dpooled.shape
-        drelu = np.zeros_like(cache["relu"])             # (B, Lout, H)
-        bidx = np.repeat(np.arange(B), H)
-        hidx = np.tile(np.arange(H), B)
-        drelu[bidx, cache["argmax"].reshape(-1), hidx] = dpooled.reshape(-1)
-        dconv = drelu * (cache["relu"] > 0)
-
+        dconv = self._pool_backward(cache, dpooled)
         grads["conv_b"] = dconv.sum(axis=(0, 1))
         K = cache["K"]
         Lout = cache["Lout"]
@@ -301,6 +309,45 @@ class CnnSoftmaxTrainer:
             return out
 
         return (loss_at(orig + eps) - loss_at(orig - eps)) / (2 * eps)
+
+
+class PcnnSoftmaxTrainer(CnnSoftmaxTrainer):
+    """Trainable piecewise-CNN (T2): per-segment masked max-pool, (B, 3H).
+
+    Forward matches ``PcnnSentenceEncoder.forward`` (additive -100 mask
+    BEFORE ReLU, ``pcnn_encoder.py:54-80``); backward routes each segment's
+    pooled gradient through its own argmax + ReLU mask into the shared conv
+    backward. The mask constant itself carries no gradient.
+    """
+
+    _MINUS = -100.0
+
+    def _pool_forward(self, cache):
+        conv = cache["conv"]
+        mask = cache["mask"]
+        acts, pools, argmaxes = [], [], []
+        for seg in (1, 2, 3):
+            off = (self._MINUS * (1.0 - (mask == seg))).astype(np.float32)
+            act = np.maximum(conv + off[:, :, None], 0.0)
+            acts.append(act)
+            pools.append(act.max(axis=1))
+            argmaxes.append(act.argmax(axis=1))
+        cache["acts"] = acts
+        cache["argmaxes"] = argmaxes
+        cache["pooled"] = np.concatenate(pools, axis=-1)   # (B, 3H)
+
+    def _pool_backward(self, cache, dpooled):
+        B = dpooled.shape[0]
+        H = cache["conv"].shape[2]
+        dconv = np.zeros_like(cache["conv"])
+        bidx = np.repeat(np.arange(B), H)
+        hidx = np.tile(np.arange(H), B)
+        for s in range(3):
+            dp = dpooled[:, s * H: (s + 1) * H]
+            dact = np.zeros_like(cache["conv"])
+            dact[bidx, cache["argmaxes"][s].reshape(-1), hidx] = dp.reshape(-1)
+            dconv += dact * (cache["acts"][s] > 0)
+        return dconv
 
 
 class BagAttentionTrainer(CnnSoftmaxTrainer):
@@ -401,6 +448,12 @@ class BagAttentionTrainer(CnnSoftmaxTrainer):
               else np.ones(n_bags, dtype=np.float32))
         return float(-(lw * np.log(
             probs[np.arange(n_bags), labels] + 1e-12)).mean())
+
+
+class PcnnBagAttentionTrainer(BagAttentionTrainer, PcnnSoftmaxTrainer):
+    """PCNN encoder + bag attention — the reference's recommended distant-
+    supervision config (README.md:130-141: pcnn + att). Composition via
+    MRO: bag-attention head backprop over the piecewise pooling."""
 
 
 class MultiLabelTrainer(CnnSoftmaxTrainer):

@@ -70,6 +70,55 @@ def test_bag_training_descends_and_memorizes():
         assert scores.argmax() == label
 
 
+def test_pcnn_trainer_gradient_check():
+    from opennre_ray.training import PcnnSoftmaxTrainer
+
+    fix_seed(3)
+    model = get_model("wiki80_pcnn_softmax")
+    trainer = PcnnSoftmaxTrainer(model, optimizer=SgdOptimizer(lr=0.0))
+    texts = ["the spark table join was fast", "slow hash stream window merge"]
+    h = np.array([[4, 9], [5, 9]])
+    t = np.array([[16, 20], [10, 16]])
+    enc = model.encoder.encode_batch(texts, h, t)
+    labels = np.array([1, 2])
+
+    captured = {}
+    trainer.opt.step = lambda params, grads: captured.update(grads)
+    trainer.train_step(enc, labels)
+    for name, idx in [("fc_w", (1, 100)), ("conv_w", (5, 10, 1)),
+                      ("conv_b", (3,)),
+                      ("word_emb", (int(enc["token"][0][1]), 2))]:
+        num = trainer.grads_numerical(enc, labels, name, idx)
+        ana = captured[name][idx]
+        assert abs(num - ana) < 5e-3 * max(1.0, abs(num)), (name, num, ana)
+
+
+def test_pcnn_bag_attention_trainer_descends():
+    from opennre_ray.models import bag_attention_eval
+    from opennre_ray.training import PcnnBagAttentionTrainer
+
+    fix_seed(4)
+    model = get_model("wiki80_pcnn_softmax")
+    model.diag = np.ones(model.encoder.hidden_size, np.float32)
+    trainer = PcnnBagAttentionTrainer(model, optimizer=SgdOptimizer(
+        lr=0.3, weight_decay=0))
+    texts = ["the spark table join was fast", "a spark table join is fast",
+             "slow hash stream window merge", "data batch merge sort key"]
+    h = np.array([[4, 9], [2, 7], [5, 9], [0, 4]])
+    t = np.array([[16, 20], [14, 18], [10, 16], [11, 16]])
+    enc = model.encoder.encode_batch(texts, h, t)
+    scopes = [(0, 2), (2, 4)]
+    labels = np.array([1, 2])
+    losses = [trainer.train_step_bags(enc, scopes, labels)[0]
+              for _ in range(40)]
+    assert losses[-1] < losses[0] * 0.25
+    rep = model.encoder(enc)
+    for (s, e), label in zip(scopes, labels):
+        scores = bag_attention_eval(rep[s:e], model.head.fc_w,
+                                    model.head.fc_b, trainer.params["diag"])
+        assert scores.argmax() == label
+
+
 def test_multilabel_trainer_descends_and_scores():
     from opennre_ray.pipelines.evalmetrics import multilabel_eval
     from opennre_ray.training import MultiLabelTrainer
