@@ -1,0 +1,73 @@
+"""Property-based robustness tests (hypothesis) + import integrity."""
+
+import importlib
+import pkgutil
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import opennre_ray
+from opennre_ray.fixtures import default_word2id
+from opennre_ray.models import encode_instances
+from opennre_ray.stages.extract import extract_text
+from opennre_ray.stages.ner import split_sentences
+
+
+def vocab():
+    d = dict(default_word2id())
+    d["[UNK]"] = len(d)
+    d["[PAD]"] = len(d)
+    return d
+
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0, max_size=120)
+
+
+@given(TEXT, st.integers(0, 120), st.integers(0, 20),
+       st.integers(0, 120), st.integers(0, 20))
+@settings(max_examples=60, deadline=None)
+def test_encode_never_crashes_and_shapes_hold(text, h0, hlen, t0, tlen):
+    """Arbitrary text + arbitrary (possibly out-of-range/overlapping) spans
+    must encode to well-formed fixed-size arrays — malformed rows crash the
+    reference at tokenize time (SURVEY §1.3); this engine must not."""
+    L = 16
+    h = np.array([[min(h0, len(text)), min(h0 + hlen, len(text))]])
+    t = np.array([[min(t0, len(text)), min(t0 + tlen, len(text))]])
+    out = encode_instances([text], h, t, vocab(), max_length=L,
+                           with_mask=True)
+    for key in ("token", "pos1", "pos2", "mask"):
+        assert out[key].shape == (1, L)
+    V = len(vocab())
+    assert (out["token"] >= 0).all() and (out["token"] < V).all()
+    assert (out["pos1"] >= 0).all() and (out["pos1"] <= 2 * L - 1).all()
+    assert (out["pos2"] >= 0).all() and (out["pos2"] <= 2 * L - 1).all()
+    assert set(np.unique(out["mask"])) <= {0, 1, 2, 3}
+
+
+@given(TEXT)
+@settings(max_examples=60, deadline=None)
+def test_split_sentences_offsets_always_valid(text):
+    for start, sent in split_sentences(text):
+        assert text[start: start + len(sent)] == sent
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=100))
+@settings(max_examples=60, deadline=None)
+def test_extract_roundtrips_template_for_ascii(body):
+    from opennre_ray.fixtures import render_html
+    assert extract_text(render_html(1, body)) == body
+
+
+def test_all_modules_import():
+    """Every module in the package imports cleanly (no dead references)."""
+    failed = []
+    for mod in pkgutil.walk_packages(opennre_ray.__path__,
+                                     prefix="opennre_ray."):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as exc:       # pragma: no cover
+            failed.append((mod.name, exc))
+    assert not failed, failed
