@@ -668,6 +668,20 @@ def kg_triples_bert(sf_dir):
                            threshold=0.105)
 
 
+def kg_degree_stats(sf_dir):
+    """Per-entity in/out-degree over the extracted knowledge graph."""
+    from ..functions.graph import degree_stats
+    from .kg import extract_triples
+    return degree_stats(extract_triples(sf_dir))
+
+
+def kg_components(sf_dir):
+    """Connected components of the extracted graph (min-label propagation)."""
+    from ..functions.graph import connected_components
+    from .kg import extract_triples
+    return connected_components(extract_triples(sf_dir))
+
+
 def fewshot_classify(sf_dir):
     """Few-shot prototypical classification over extracted instances."""
     from ..fewshot import FewShotProto
@@ -833,6 +847,8 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_triples_pcnn": kg_triples_pcnn,
     "kg_triples_bert": kg_triples_bert,
+    "kg_degree_stats": kg_degree_stats,
+    "kg_components": kg_components,
     "fewshot_classify": fewshot_classify,
     "sentence_relation_scores": sentence_relation_scores,
     "encoded_instances": encoded_instances,

@@ -1,0 +1,81 @@
+"""Graph analytics vs pure-python oracles (BFS / union-find)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opennre_ray.functions.graph import (
+    connected_components,
+    degree_stats,
+    k_hop_neighbors,
+)
+
+EDGES = [
+    ("a", "r1", "b"), ("b", "r1", "c"), ("a", "r2", "c"),   # comp {a,b,c}
+    ("d", "r1", "e"),                                        # comp {d,e}
+    ("f", "r3", "f2"), ("f2", "r3", "f3"), ("f3", "r1", "f"),  # cycle
+]
+
+
+@pytest.fixture(scope="module")
+def triples(ray_session):
+    import ray.data as rd
+    return rd.from_items(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in EDGES])
+
+
+def test_degree_stats(triples):
+    df = degree_stats(triples).to_pandas().set_index("entity")
+    assert df.loc["a", "out_degree"] == 2 and df.loc["a", "in_degree"] == 0
+    assert df.loc["c", "in_degree"] == 2 and df.loc["c", "out_degree"] == 0
+    assert df.loc["b", "out_degree"] == 1 and df.loc["b", "in_degree"] == 1
+    assert df.loc["a", "n_preds"] == 2
+
+
+def test_k_hop(triples):
+    reached = k_hop_neighbors(triples, ["a"], k=2)
+    assert reached == {"a": 0, "b": 1, "c": 1}
+    reached_f = k_hop_neighbors(triples, ["f"], k=3)
+    assert reached_f == {"f": 0, "f2": 1, "f3": 2}
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for s, _, o in edges:
+        union(s, o)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_vs_union_find(triples):
+    got = connected_components(triples)
+    got_map = dict(zip(got["entity"], got["component"]))
+    want = _uf_oracle(EDGES)
+    # same partition: components must induce the same grouping and the
+    # min-label representative matches union-find's min root
+    assert got_map == want
+
+
+def test_components_on_kg_output(ray_session, sf_dir):
+    from opennre_ray.pipelines.kg import extract_triples
+
+    tr = extract_triples(sf_dir)
+    comp = connected_components(tr)
+    deg = degree_stats(tr).to_pandas()
+    # every entity in the degree table has a component assignment
+    assert set(deg["entity"]) <= set(comp["entity"])
+    # component representative is a member entity and is minimal
+    for c, grp in comp.groupby("component"):
+        assert c == grp["entity"].min()
