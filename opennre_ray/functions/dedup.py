@@ -263,7 +263,9 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-            if self.planes is None:
+            # planes are a pure function of (dim, seed) so a cached stage
+            # instance shared across datasets of different dims stays correct
+            if self.planes is None or self.planes.shape[0] != mat.shape[1]:
                 rng = np.random.default_rng(seed)
                 self.planes = rng.standard_normal(
                     (mat.shape[1], n_planes)).astype(np.float32)
@@ -294,5 +296,12 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
         mm = sorted(members)
         return pd.DataFrame({key_col: mm, "dup_group": root})
 
-    sig = ds_emb.map_batches(PlaneSig, batch_format="pyarrow", concurrency=(1, 4))
+    def plane_sig_batch(batch):
+        from ..stages.score import cached
+
+        stage = cached(("planesig", n_planes, seed, vec_col, key_col),
+                       PlaneSig)
+        return stage(batch)
+
+    sig = ds_emb.map_batches(plane_sig_batch, batch_format="pyarrow")
     return sig.groupby("bucket").map_groups(in_bucket, batch_format="pandas")

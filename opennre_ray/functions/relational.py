@@ -27,15 +27,15 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
     import ray
 
     ref = ray.put(small_df)
+    ref_key = ref.hex()
 
-    class Join:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.score import cached
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        small = cached(("bjoin", ref_key), lambda: ray.get(ref))
+        return batch.merge(small, on=on, how=how)
 
-    return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(join_batch, batch_format="pandas")
 
 
 def semi_anti_join(ds, keys, col: str, anti: bool = False):
@@ -43,19 +43,21 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     import ray
 
     ref = ray.put(frozenset(keys))
+    ref_key = ref.hex()
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            m = pc.is_in(batch.column(col), value_set=pa.array(list(self.keys)))
-            if anti:
-                m = pc.invert(m)
-            return batch.filter(m)
+        from ..stages.score import cached
 
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+        key_arr = cached(("semijoin", ref_key),
+                         lambda: pa.array(list(ray.get(ref))))
+        m = pc.is_in(batch.column(col), value_set=key_arr)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
 
 
 def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int = 64):

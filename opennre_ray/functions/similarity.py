@@ -67,11 +67,17 @@ def knn_brute_force(ds_emb, query_ids, query_matrix, k=10,
     import ray
 
     ref = ray.put((list(query_ids), np.asarray(query_matrix)))
-    partials = ds_emb.map_batches(
-        PartialTopK, batch_format="pyarrow",
-        fn_constructor_args=(ref, k),
-        fn_constructor_kwargs={"key_col": key_col, "vec_col": vec_col},
-        concurrency=(1, 8))
+    ref_key = ref.hex()
+
+    def topk_batch(batch):
+        from ..stages.score import cached
+
+        stage = cached(("knn", ref_key, k, key_col, vec_col),
+                       lambda: PartialTopK(ref, k, key_col=key_col,
+                                           vec_col=vec_col))
+        return stage(batch)
+
+    partials = ds_emb.map_batches(topk_batch, batch_format="pyarrow")
     # global merge: tiny — (#batches × Q × k) rows
     import pandas as pd
     pdf = partials.to_pandas()
@@ -130,8 +136,15 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
                 "cosine": pa.array(np.round(out_s, 6), pa.float64()),
             })
 
-    partials = ds_emb.map_batches(BucketTopK, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+    ref_key = ref.hex()
+
+    def bucket_topk_batch(batch):
+        from ..stages.score import cached
+
+        stage = cached(("knn_lsh", ref_key, k), BucketTopK)
+        return stage(batch)
+
+    partials = ds_emb.map_batches(bucket_topk_batch, batch_format="pyarrow")
     import pandas as pd
     pdf = partials.to_pandas()
     out = []
