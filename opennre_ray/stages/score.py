@@ -104,8 +104,18 @@ class RelationScorer:
 
     def _score_chunk(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        # pre-tokenized rows (S1 JSONL source) carry token-level offsets —
+        # route them through the token branch (the reference's exclusive
+        # text/token split, base_encoder.py:91-96)
+        token_lists = None
+        if "is_token" in batch.column_names:
+            flags = batch.column("is_token").to_pylist()
+            if any(flags):
+                token_lists = [t.split(" ") if f else None
+                               for t, f in zip(texts, flags)]
         enc = self.model.encoder.encode_batch(
-            texts, _spans(batch, "h"), _spans(batch, "t"))
+            texts, _spans(batch, "h"), _spans(batch, "t"),
+            token_lists=token_lists)
         rep = self.model.encoder(enc)
         pred, score = self.model.head.infer_batch(rep)
         rels = np.array([self.id2rel[int(p)] for p in pred], dtype=object)

@@ -46,6 +46,32 @@ def test_read_instances_jsonl(ray_session, tmp_path):
     assert row1["relation"] == "country"
 
 
+def test_scorer_honors_token_branch():
+    """A pre-tokenized instance scores identically to infer() on the token
+    variant, not on the re-joined text with char offsets."""
+    import numpy as np
+
+    from opennre_ray import get_model
+    from opennre_ray.stages.score import RelationScorer
+
+    scorer = RelationScorer("wiki80_cnn_softmax")
+    batch = pa.table({
+        "text": ["slow hash stream"],
+        "is_token": [True],
+        "h_start": pa.array([1], pa.int32()),
+        "h_end": pa.array([2], pa.int32()),
+        "t_start": pa.array([2], pa.int32()),
+        "t_end": pa.array([3], pa.int32()),
+    })
+    out = scorer(batch)
+    m = get_model("wiki80_cnn_softmax")
+    rel, score = m.infer({"token": ["slow", "hash", "stream"],
+                          "h": {"pos": (1, 2)}, "t": {"pos": (2, 3)}})
+    assert out.column("pred_rel")[0].as_py() == rel
+    np.testing.assert_allclose(out.column("score")[0].as_py(), score,
+                               rtol=1e-6)
+
+
 def test_encode_labels():
     batch = pa.table({"relation": ["NA", "father", "country"]})
     out = encode_labels(batch, default_rel2id())
