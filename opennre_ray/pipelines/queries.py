@@ -298,12 +298,18 @@ FROM events GROUP BY user_id, day
 
 def events_anti_join(sf_dir):
     """Users who viewed but never purchased (broadcast anti-join)."""
-    from ..functions.relational import semi_anti_join
+    from ..functions.relational import hash_bucket_aggregate, semi_anti_join
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    purchasers = set(
-        _small(sf_dir, "events", ["user_id", "event_type"])
-        .query("event_type == 'purchase'")["user_id"])
+    # distinct purchaser keys computed distributed (filter + bucketed
+    # distinct); only the small distinct key set reaches the driver
+    purch = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
+        .select(["user_id"]), batch_format="pyarrow")
+    dkeys = hash_bucket_aggregate(
+        purch, ["user_id"],
+        lambda g: g.drop_duplicates("user_id"), n_buckets=16).to_pandas()
+    purchasers = set(dkeys["user_id"]) if len(dkeys) else set()
     viewers = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), "view")),
         batch_format="pyarrow")
@@ -617,14 +623,25 @@ KNN_QUERY_IDS = (0, 1, 2)
 KNN_K = 10
 
 
+def _query_vectors(sf_dir):
+    """Row-filtered read of just the query vectors (predicate pushdown —
+    never the whole embedding table on the driver)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(KNN_QUERY_IDS))])
+    df = t.to_pandas().sort_values("vec_id")
+    return df["vec_id"].tolist(), np.stack(
+        df["embedding"].to_numpy()).astype(np.float64)
+
+
 def knn_cosine(sf_dir):
     from ..functions.similarity import knn_brute_force
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    small = _small(sf_dir, "embeddings")
-    qrows = small[small["vec_id"].isin(KNN_QUERY_IDS)].sort_values("vec_id")
-    qmat = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
-    res = knn_brute_force(emb, qrows["vec_id"].tolist(), qmat, k=KNN_K)
+    qids, qmat = _query_vectors(sf_dir)
+    res = knn_brute_force(emb, qids, qmat, k=KNN_K)
     df = res.to_pandas()
     df["rank"] = df["rank"].astype(np.int64)
     return df
@@ -788,10 +805,8 @@ def knn_lsh_query(sf_dir):
     from ..functions.similarity import knn_lsh
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    small = _small(sf_dir, "embeddings")
-    qrows = small[small["vec_id"].isin(KNN_QUERY_IDS)].sort_values("vec_id")
-    qmat = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
-    return knn_lsh(emb, qrows["vec_id"].tolist(), qmat, k=KNN_K)
+    qids, qmat = _query_vectors(sf_dir)
+    return knn_lsh(emb, qids, qmat, k=KNN_K)
 
 
 def embedding_near_dups(sf_dir):
