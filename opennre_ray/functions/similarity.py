@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .sqlcompat import sql_round
+
 
 def _as_matrix(col) -> np.ndarray:
     """list<float> arrow column → (N, D) float64 matrix."""
@@ -56,7 +58,7 @@ class PartialTopK:
         return pa.table({
             "query_id": pa.array(out_q),
             "neighbor_id": pa.array(out_n),
-            "cosine": pa.array(np.round(out_s, 6), pa.float64()),
+            "cosine": pa.array(sql_round(out_s, 6), pa.float64()),
         })
 
 
@@ -133,7 +135,7 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
             return pa.table({
                 "query_id": pa.array(out_q),
                 "neighbor_id": pa.array(out_n),
-                "cosine": pa.array(np.round(out_s, 6), pa.float64()),
+                "cosine": pa.array(sql_round(out_s, 6), pa.float64()),
             })
 
     ref_key = ref.hex()

@@ -17,18 +17,23 @@ import numpy as np
 import pandas as pd
 
 
-def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64):
+def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64,
+                   tiebreak: str | None = None):
     """Per-row running count and running sum per key, ordered by ts.
 
     Equivalent SQL: ``sum(value) OVER (PARTITION BY key ORDER BY ts ROWS
     UNBOUNDED PRECEDING)``. Keys never span buckets, so per-bucket
-    sort+cumsum is exact.
+    sort+cumsum is exact. Pass ``tiebreak`` (a unique column) whenever ts
+    values can repeat per key — without it, tie order is whatever the
+    shuffle produced and the cumulative values become nondeterministic.
     """
     from .relational import hash_bucket_aggregate
     from .sqlcompat import sql_round
 
+    order = [key, ts] + ([tiebreak] if tiebreak else [])
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts])
+        g = g.sort_values(order)
         g["running_n"] = g.groupby(key).cumcount().add(1).astype("int64")
         g["running_sum"] = sql_round(
             g.groupby(key)[value].cumsum().to_numpy(), 2)

@@ -36,10 +36,13 @@ def _tokens(text: str) -> list[str]:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_tokens — whitespace token count (strip + split semantics)."""
-    counts = pc.list_value_length(
-        pc.split_pattern_regex(pc.utf8_trim_whitespace(batch.column("text")),
-                               r"\s+"))
+    """doc_id, n_tokens — whitespace token count (strip + split semantics;
+    empty / whitespace-only text counts 0 tokens, unlike a bare regexp
+    split which yields [''])."""
+    trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+    counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    counts = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()),
+                        counts)
     return pa.table({"doc_id": batch.column("doc_id"),
                      "n_tokens": counts.cast(pa.int64())})
 

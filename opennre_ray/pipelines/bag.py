@@ -15,8 +15,22 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import hashlib
+
 from ..models import BAG_EVAL_AGGREGATORS
 from ..registry import get_model
+
+
+def bag_seed(h_id, t_id) -> int:
+    """Content-derived per-bag RNG seed.
+
+    Python's ``hash()`` is salted per process (PYTHONHASHSEED), so it would
+    make 'deterministic' resampling differ across workers/retries — a
+    content hash keeps samples identical under any partitioning.
+    """
+    digest = hashlib.blake2b(f"{h_id}\x00{t_id}".encode(),
+                             digest_size=4).digest()
+    return int.from_bytes(digest, "little")
 
 
 class BagScorer:
@@ -39,8 +53,7 @@ class BagScorer:
         h_id = group["h_id"].iloc[0]
         t_id = group["t_id"].iloc[0]
         if self.bag_size > 0:
-            seed = abs(hash((h_id, t_id))) % (2**32)
-            rng = np.random.default_rng(seed)
+            rng = np.random.default_rng(bag_seed(h_id, t_id))
             n = len(group)
             if n >= self.bag_size:
                 idx = rng.choice(n, self.bag_size, replace=False)

@@ -9,8 +9,9 @@ service (north-star checkpoint/resume; the reference has no data-plane
 resume at all, only best-model saves, ``sentence_re.py:134-139``).
 
 Counters are collected by a zero-CPU Ray actor that every stage tallies
-into per batch (fire-and-forget), then snapshotted into each shard's
-manifest — per-partition metrics without a metrics service.
+into per batch (awaited, so the post-write snapshot can't race in-flight
+adds), then snapshotted into each shard's manifest — per-partition metrics
+without a metrics service.
 """
 
 from __future__ import annotations
@@ -33,8 +34,10 @@ def _counter_actor():
         def __init__(self):
             self.counts: dict[str, int] = {}
 
-        def add(self, key: str, n: int):
-            self.counts[key] = self.counts.get(key, 0) + int(n)
+        def add_many(self, updates: dict) -> bool:
+            for key, n in updates.items():
+                self.counts[key] = self.counts.get(key, 0) + int(n)
+            return True
 
         def snapshot(self, reset: bool = False) -> dict:
             out = dict(self.counts)
@@ -46,13 +49,21 @@ def _counter_actor():
 
 
 def _counted(fn, counters, stage: str):
-    """Wrap a batch UDF to tally rows-in/rows-out into the counter actor."""
+    """Wrap a batch UDF to tally rows-in/rows-out into the counter actor.
+
+    The add is AWAITED (one tiny RPC per batch): a fire-and-forget add can
+    still be in flight when the post-write snapshot(reset=True) runs, which
+    would drop it from this shard's manifest and mis-attribute it to the
+    next shard's.
+    """
+    import ray
+
     def wrapper(batch):
         out = fn(batch)
         n_in = batch.num_rows if hasattr(batch, "num_rows") else len(batch)
         n_out = out.num_rows if hasattr(out, "num_rows") else len(out)
-        counters.add.remote(f"{stage}.rows_in", n_in)
-        counters.add.remote(f"{stage}.rows_out", n_out)
+        ray.get(counters.add_many.remote(
+            {f"{stage}.rows_in": n_in, f"{stage}.rows_out": n_out}))
         return out
 
     return wrapper
@@ -73,8 +84,6 @@ def shard_triples(shard_file: str, *, model_name=DEFAULT_MODEL,
     from ..stages.pairs import generate_pairs
     from ..stages.score import scorer_udf
     from .kg import filter_triples
-    from ..functions.relational import hash_bucket_aggregate
-    from ..stages.canonicalize import build_canonical_map, CanonicalizeIds
 
     ds = rd.read_parquet(shard_file,
                          columns=["doc_id", "text", "lang", "source"])
@@ -86,38 +95,16 @@ def shard_triples(shard_file: str, *, model_name=DEFAULT_MODEL,
         ("score", scorer_udf(model_name)),
         ("filter", lambda b: filter_triples(b, threshold)),
     ]
-    for i, (name, fn) in enumerate(stages):
+    for name, fn in stages:
         if counters is not None:
             fn = _counted(fn, counters, name)
         ds = ds.map_batches(fn, batch_format="pyarrow")
         if name == "pages":
             ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
 
-    ds = ds.materialize()
-    canon = build_canonical_map(ds)
-    import pandas as pd
-    import ray
-    canon_ref = ray.put(canon)
-    ref_key = canon_ref.hex()
+    from .kg import finalize_triples
 
-    def canonicalize_batch(batch):
-        from ..stages.score import cached
-        stage = cached(("canon", ref_key), lambda: CanonicalizeIds(canon_ref))
-        return stage(batch)
-
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(["h_id", "pred_rel", "t_id"], as_index=False)
-               .agg(n_evidence=("score", "size"), score=("score", "max"),
-                    sample_url=("url", "min")))
-        return out.rename(columns={"h_id": "subj", "pred_rel": "pred",
-                                   "t_id": "obj"})
-
-    proj = ds.select_columns(["h_id", "pred_rel", "t_id", "score", "url"])
-    triples = hash_bucket_aggregate(proj, ["h_id", "pred_rel", "t_id"],
-                                    dedup_bucket)
-    return triples.sort("subj")
+    return finalize_triples(ds).sort("subj")
 
 
 def run_kg_job(shard_files: list[str] | dict[str, str], out_root: str, *,

@@ -63,26 +63,24 @@ def filter_triples(batch: pa.Table, threshold: float = SCORE_THRESHOLD) -> pa.Ta
     return batch.filter(keep)
 
 
-def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
-                    threshold=SCORE_THRESHOLD,
-                    canonicalize=True, repeat=1, docs_path=None):
-    """Full pipeline → deduplicated triple Dataset.
+def finalize_triples(inst_ds, canonicalize: bool = True):
+    """Shared wide-stage tail: filtered candidates → deduplicated triples.
 
-    Output schema: subj, pred, obj (canonical ids), n_evidence (instance
-    count), score (max), sample_url + model_hash (lineage).
+    Two passes for canonicalization (pass 1 builds the tiny surface →
+    canonical map from the materialized candidates, pass 2 rewrites via a
+    broadcast), then exact triple dedup == the reference's distinct fact
+    set (``data_loader.py:151-164``). Group count ≈ #distinct triples
+    (unbounded at corpus scale) → coarse hash buckets + vectorized
+    per-bucket aggregation instead of Ray's per-group path. Used by both
+    ``extract_triples`` and the sharded job so semantics cannot drift.
     """
-    from ray.data.aggregate import Count, Max, Min
+    import pandas as pd
 
-    pages = read_pages(sf_dir, repeat=repeat, docs_path=docs_path)
-    inst = candidate_instances(pages, model_name=model_name)
-    inst = inst.map_batches(lambda b: filter_triples(b, threshold),
-                            batch_format="pyarrow")
+    from ..functions.relational import hash_bucket_aggregate
 
     if canonicalize:
-        # two passes over the (already heavily filtered) instance stream:
-        # pass 1 builds the tiny surface→canonical map, pass 2 rewrites.
-        inst = inst.materialize()    # small: candidates only, html long gone
-        canon = build_canonical_map(inst)
+        inst_ds = inst_ds.materialize()   # small: candidates only
+        canon = build_canonical_map(inst_ds)
         import ray
         canon_ref = ray.put(canon)
         ref_key = canon_ref.hex()
@@ -93,15 +91,8 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
                            lambda: CanonicalizeIds(canon_ref))
             return stage(batch)
 
-        inst = inst.map_batches(canonicalize_batch, batch_format="pyarrow")
-
-    # exact triple dedup == the reference's distinct fact set
-    # (data_loader.py:151-164). Group count ≈ #distinct triples (unbounded
-    # at corpus scale) → coarse hash buckets + vectorized per-bucket
-    # aggregation instead of Ray's per-group path.
-    import pandas as pd
-
-    from ..functions.relational import hash_bucket_aggregate
+        inst_ds = inst_ds.map_batches(canonicalize_batch,
+                                      batch_format="pyarrow")
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["h_id", "pred_rel", "t_id"], as_index=False)
@@ -110,9 +101,25 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
         return out.rename(columns={"h_id": "subj", "pred_rel": "pred",
                                    "t_id": "obj"})
 
-    proj = inst.select_columns(["h_id", "pred_rel", "t_id", "score", "url"])
+    proj = inst_ds.select_columns(["h_id", "pred_rel", "t_id", "score",
+                                   "url"])
     return hash_bucket_aggregate(proj, ["h_id", "pred_rel", "t_id"],
                                  dedup_bucket)
+
+
+def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
+                    threshold=SCORE_THRESHOLD,
+                    canonicalize=True, repeat=1, docs_path=None):
+    """Full pipeline → deduplicated triple Dataset.
+
+    Output schema: subj, pred, obj (canonical ids), n_evidence (instance
+    count), score (max), sample_url + model_hash (lineage).
+    """
+    pages = read_pages(sf_dir, repeat=repeat, docs_path=docs_path)
+    inst = candidate_instances(pages, model_name=model_name)
+    inst = inst.map_batches(lambda b: filter_triples(b, threshold),
+                            batch_format="pyarrow")
+    return finalize_triples(inst, canonicalize=canonicalize)
 
 
 def materialize_graph(triples_ds, out_dir: str, model_hash: str = ""):

@@ -454,7 +454,7 @@ def events_running_total(sf_dir):
     from ..functions.streaming import running_totals
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = running_totals(ds, "user_id", "ts", "value")
+    out = running_totals(ds, "user_id", "ts", "value", tiebreak="event_id")
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return b[["event_id", "running_n", "running_sum"]]
@@ -508,7 +508,9 @@ def docs_token_count(sf_dir):
 
 SQL_DOCS_TOKEN_COUNT = r"""
 SELECT doc_id,
-       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+         AS n_tokens
 FROM documents
 """
 
@@ -522,14 +524,17 @@ def docs_quality(sf_dir):
 SQL_DOCS_QUALITY = r"""
 WITH t AS (
   SELECT doc_id, length(text) AS n_chars,
-         regexp_split_to_array(trim(text), '\s+') AS toks
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
   FROM documents)
 SELECT doc_id, n_chars, length(toks) AS n_tokens,
-       round(length(list_filter(toks, w -> lower(w) IN
-         ('the','a','an','of','and','or','in','on','to','is')))
-         / length(toks)::DOUBLE, 6) AS stopword_ratio,
-       round(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
-         / length(toks)::DOUBLE, 6) AS mean_token_len
+       CASE WHEN length(toks) = 0 THEN 0.0 ELSE
+         round(length(list_filter(toks, w -> lower(w) IN
+           ('the','a','an','of','and','or','in','on','to','is')))
+           / length(toks)::DOUBLE, 6) END AS stopword_ratio,
+       CASE WHEN length(toks) = 0 THEN 0.0 ELSE
+         round(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+           / length(toks)::DOUBLE, 6) END AS mean_token_len
 FROM t
 """
 
@@ -556,6 +561,7 @@ SQL_DOCS_WORD_FREQ = r"""
 SELECT token, count(*) AS cnt FROM (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
   FROM documents)
+WHERE token <> ''      -- empty docs contribute no tokens (engine semantics)
 GROUP BY token
 """
 

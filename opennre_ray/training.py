@@ -84,11 +84,18 @@ def save_checkpoint(path: str, weights: dict, meta: dict | None = None):
         for k, v in meta.items():
             flat[f"__meta__/{k}"] = np.asarray(v)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # np.savez silently appends '.npz' when missing — normalize here so
+    # save/load agree on the final filename
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez(path, **flat)
+    return path
 
 
 def load_checkpoint(path: str) -> dict:
     """Inverse of ``save_checkpoint`` → nested dict (lists restored)."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"
     flat = dict(np.load(path, allow_pickle=False).items())
     root: dict = {}
     for key, arr in flat.items():
@@ -510,8 +517,14 @@ def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
     if use_class_weights:
         counts = instances_df["relation"].value_counts().to_dict()
         weights = class_weights(counts, rel2id)
-    trainer = BagAttentionTrainer(model, loss_weights=weights,
-                                  optimizer=SgdOptimizer(lr, weight_decay))
+    # pick the trainer matching the encoder's pooling (a PCNN head is
+    # (N, 3H) — the CNN global-max trainer would shape-mismatch)
+    from .models import PcnnSentenceEncoder
+    trainer_cls = (PcnnBagAttentionTrainer
+                   if isinstance(model.encoder, PcnnSentenceEncoder)
+                   else BagAttentionTrainer)
+    trainer = trainer_cls(model, loss_weights=weights,
+                          optimizer=SgdOptimizer(lr, weight_decay))
     enc = model.encoder
     # fact-key grouping (h_id, t_id, relation) per reference data_loader.py:152
     groups = list(instances_df.groupby(["h_id", "t_id", "relation"]))
@@ -526,8 +539,8 @@ def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
             pos = 0
             for (h_id, t_id, rel), g in chunk:
                 if bag_size > 0:
-                    bag_rng = np.random.default_rng(
-                        abs(hash((h_id, t_id))) % (2**32))
+                    from .pipelines.bag import bag_seed
+                    bag_rng = np.random.default_rng(bag_seed(h_id, t_id))
                     n = len(g)
                     idx = (bag_rng.choice(n, bag_size, replace=False)
                            if n >= bag_size else

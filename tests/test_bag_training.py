@@ -160,3 +160,34 @@ def test_train_bag_re_loop():
     hist = train_bag_re(model, df, epochs=3, lr=0.2, use_class_weights=True)
     assert len(hist) == 3
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_train_bag_re_selects_pcnn_trainer():
+    """The reference's recommended pcnn+att config must train (the CNN
+    trainer would shape-mismatch on the (N, 3H) head)."""
+    fix_seed(5)
+    rows = []
+    for text, hs, he, ts, te, hid, tid, rel in [
+            ("the spark table join was fast", 4, 9, 16, 20, "E1", "E2",
+             "father"),
+            ("slow hash stream window merge", 5, 9, 10, 16, "E3", "E4",
+             "country")] * 3:
+        rows.append({"text": text, "h_start": hs, "h_end": he, "t_start": ts,
+                     "t_end": te, "h_id": hid, "t_id": tid, "relation": rel})
+    model = get_model("nyt10_pcnn_att")
+    hist = train_bag_re(model, pd.DataFrame(rows), epochs=2, lr=0.2,
+                        bag_size=2)
+    assert len(hist) == 2 and hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_bag_seed_is_content_stable():
+    """Seed must not depend on Python's per-process salted hash()."""
+    import subprocess
+    import sys
+
+    code = ("from opennre_ray.pipelines.bag import bag_seed;"
+            "print(bag_seed('Q1', 'Q2'))")
+    outs = {subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                           capture_output=True, text=True).stdout.strip()
+            for _ in range(2)}
+    assert len(outs) == 1 and outs.pop().isdigit()
