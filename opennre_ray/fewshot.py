@@ -22,6 +22,19 @@ from .stages.ner import AliasMatcher, normalize_surface
 from .fixtures import default_alias_table
 
 
+def proto_scores(rep: np.ndarray, prototypes: np.ndarray) -> np.ndarray:
+    """Softmax over negative squared distances to class prototypes.
+
+    Single definition shared by the local ``scores`` path and the
+    distributed ``classify_dataset`` stage so the two can never drift.
+    """
+    d2 = ((rep[:, None, :] - prototypes[None, :, :]) ** 2).sum(-1)
+    z = -d2
+    z -= z.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
+
+
 class FewShotProto:
     """N-way K-shot nearest-centroid relation classifier.
 
@@ -54,11 +67,7 @@ class FewShotProto:
 
     def scores(self, rep: np.ndarray) -> np.ndarray:
         """(B, H) reps → (B, N) softmax over -squared-distance."""
-        d2 = ((rep[:, None, :] - self.prototypes[None, :, :]) ** 2).sum(-1)
-        z = -d2
-        z -= z.max(axis=1, keepdims=True)
-        e = np.exp(z)
-        return e / e.sum(axis=1, keepdims=True)
+        return proto_scores(rep, self.prototypes)
 
     def infer(self, query: dict) -> tuple[str, float]:
         """Reference FewShotRE.infer contract: one query → (relation, score)."""
@@ -90,11 +99,7 @@ class FewShotProto:
             t = np.stack([batch.column("t_start").to_numpy(zero_copy_only=False),
                           batch.column("t_end").to_numpy(zero_copy_only=False)], 1)
             rep = model.encoder(model.encoder.encode_batch(texts, h, t))
-            d2 = ((rep[:, None, :] - proto[None, :, :]) ** 2).sum(-1)
-            z = -d2
-            z -= z.max(axis=1, keepdims=True)
-            e = np.exp(z)
-            probs = e / e.sum(axis=1, keepdims=True)
+            probs = proto_scores(rep, proto)
             pred = probs.argmax(axis=1)
             return (batch
                     .append_column("pred_rel", pa.array(

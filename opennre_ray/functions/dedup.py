@@ -284,17 +284,30 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ mat.T
         keys = g[key_col].to_numpy()
-        members = set()
+        # union-find over SIMILAR PAIRS only — a flat min(members) root
+        # would merge disjoint duplicate pairs that merely share a bucket
+        parent = {k: k for k in keys}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
         for i in range(len(keys)):
             for j in range(i + 1, len(keys)):
                 if sims[i, j] >= threshold:
-                    members.add(keys[i])
-                    members.add(keys[j])
-        if not members:
+                    ri, rj = find(keys[i]), find(keys[j])
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+                    touched.add(keys[i])
+                    touched.add(keys[j])
+        if not touched:
             return pd.DataFrame({key_col: [], "dup_group": []})
-        root = min(members)
-        mm = sorted(members)
-        return pd.DataFrame({key_col: mm, "dup_group": root})
+        mm = sorted(touched)
+        return pd.DataFrame({key_col: mm,
+                             "dup_group": [find(k) for k in mm]})
 
     def plane_sig_batch(batch):
         from ..stages.score import cached

@@ -39,10 +39,15 @@ def degree_stats(triples_ds, subj_col="subj", obj_col="obj"):
     edges = triples_ds.map_batches(explode, batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized flags, no per-group Python lambdas (they reintroduce
+        # the per-group overhead this module exists to avoid)
+        g = g.assign(_out=(g["direction"] == "out"),
+                     _in=(g["direction"] == "in"))
         out = g.groupby("entity").agg(
-            out_degree=("direction", lambda d: int((d == "out").sum())),
-            in_degree=("direction", lambda d: int((d == "in").sum())),
+            out_degree=("_out", "sum"), in_degree=("_in", "sum"),
             n_preds=("pred", "nunique")).reset_index()
+        out["out_degree"] = out["out_degree"].astype("int64")
+        out["in_degree"] = out["in_degree"].astype("int64")
         return out
 
     return hash_bucket_aggregate(edges, ["entity"], per_bucket, n_buckets=32)

@@ -46,19 +46,22 @@ class PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_as_matrix(batch.column(self.vec_col)))
         keys = np.asarray(batch.column(self.key_col).to_pylist())
-        sims = self.qn @ mat.T                      # (Q, B)
+        # rank on the ROUNDED value with the neighbor-id tiebreak, exactly
+        # like the oracle's ORDER BY round(cosine,6) DESC, neighbor_id —
+        # raw-cosine argpartition could pick the wrong member of a tie at
+        # the k boundary
+        sims = sql_round(self.qn @ mat.T, 6)        # (Q, B)
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_n, out_s = [], [], []
         for qi in range(len(self.query_ids)):
-            sel = idx[qi]
-            out_q.extend([self.query_ids[qi]] * len(sel))
-            out_n.extend(keys[sel].tolist())
-            out_s.extend(sims[qi, sel].tolist())
+            order = np.lexsort((keys, -sims[qi]))[:k]
+            out_q.extend([self.query_ids[qi]] * len(order))
+            out_n.extend(keys[order].tolist())
+            out_s.extend(sims[qi, order].tolist())
         return pa.table({
             "query_id": pa.array(out_q),
             "neighbor_id": pa.array(out_n),
-            "cosine": pa.array(sql_round(out_s, 6), pa.float64()),
+            "cosine": pa.array(np.asarray(out_s, dtype=np.float64)),
         })
 
 

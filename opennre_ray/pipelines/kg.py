@@ -97,12 +97,13 @@ def finalize_triples(inst_ds, canonicalize: bool = True):
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["h_id", "pred_rel", "t_id"], as_index=False)
                .agg(n_evidence=("score", "size"), score=("score", "max"),
-                    sample_url=("url", "min")))
+                    sample_url=("url", "min"),
+                    model_hash=("model_hash", "min")))
         return out.rename(columns={"h_id": "subj", "pred_rel": "pred",
                                    "t_id": "obj"})
 
     proj = inst_ds.select_columns(["h_id", "pred_rel", "t_id", "score",
-                                   "url"])
+                                   "url", "model_hash"])
     return hash_bucket_aggregate(proj, ["h_id", "pred_rel", "t_id"],
                                  dedup_bucket)
 
@@ -113,7 +114,7 @@ def extract_triples(sf_dir: str, *, model_name=DEFAULT_MODEL,
     """Full pipeline → deduplicated triple Dataset.
 
     Output schema: subj, pred, obj (canonical ids), n_evidence (instance
-    count), score (max), sample_url + model_hash (lineage).
+    count), score (max), sample_url, model_hash (per-row lineage).
     """
     pages = read_pages(sf_dir, repeat=repeat, docs_path=docs_path)
     inst = candidate_instances(pages, model_name=model_name)

@@ -60,19 +60,16 @@ def build_canonical_map(instances_ds) -> dict[str, str]:
     totals = partials.groupby(["norm_surface", "entity_id"]).aggregate(
         Sum("cnt", alias_name="total"))
     best: dict[str, tuple[int, str]] = {}
-    # deterministic tie-break: higher count wins, then lexicographic id
+    # deterministic tie-break: higher count wins; on equal counts the
+    # lexicographically SMALLER id wins (direct comparison — a negated
+    # char-tuple trick inverts for prefix strings like 'Q1' vs 'Q12')
     for row in totals.iter_rows():
         key = row["norm_surface"]
-        cand = (row["total"], row["entity_id"])
+        cnt, eid = row["total"], row["entity_id"]
         cur = best.get(key)
-        if cur is None or (cand[0], _neg(cand[1])) > (cur[0], _neg(cur[1])):
-            best[key] = cand
+        if cur is None or cnt > cur[0] or (cnt == cur[0] and eid < cur[1]):
+            best[key] = (cnt, eid)
     return {k: v[1] for k, v in best.items()}
-
-
-def _neg(s: str):
-    """Invert lexicographic order so smaller ids win ties under max()."""
-    return tuple(-ord(c) for c in s)
 
 
 class CanonicalizeIds:

@@ -29,10 +29,16 @@ from ..registry import get_model
 # pool ramp-up dominate short stages). Use actor pools instead when state
 # must pin a GPU or is too large to build per worker.
 _WORKER_CACHE: dict = {}
+_WORKER_CACHE_CAP = 32
 
 
 def cached(key, factory):
+    """FIFO-bounded per-worker cache: entries keyed by broadcast ObjectRefs
+    would otherwise pin every dimension table / query matrix a long-lived
+    session ever shipped, growing worker memory without bound."""
     if key not in _WORKER_CACHE:
+        while len(_WORKER_CACHE) >= _WORKER_CACHE_CAP:
+            _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
         _WORKER_CACHE[key] = factory()
     return _WORKER_CACHE[key]
 

@@ -88,8 +88,19 @@ def write_shard(ds, out_root: str, shard: str, manifest):
             for f in parts)
     except Exception:
         manifest.data["num_rows"] = None
-    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+    mpath = os.path.join(tmp, "manifest.json")
+    with open(mpath, "w") as fh:
         fh.write(manifest.to_json())
+        fh.flush()
+        os.fsync(fh.fileno())
+    # sync the tmp directory so file entries are durable before the rename
+    # publishes the shard (a crash after rename must not expose a complete-
+    # looking shard with missing contents)
+    dfd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     if os.path.exists(final):
         shutil.rmtree(final)
     os.rename(tmp, final)

@@ -577,8 +577,11 @@ def train_sentence_re(model, instances_ds, *, epochs=3, batch_size=64,
     fix_seed(seed)
     opt = (SgdOptimizer(lr, weight_decay) if optimizer == "sgd"
            else AdamOptimizer(lr, weight_decay=weight_decay))
-    trainer = CnnSoftmaxTrainer(model, loss_weights=loss_weights,
-                                optimizer=opt)
+    from .models import PcnnSentenceEncoder
+    trainer_cls = (PcnnSoftmaxTrainer
+                   if isinstance(model.encoder, PcnnSentenceEncoder)
+                   else CnnSoftmaxTrainer)
+    trainer = trainer_cls(model, loss_weights=loss_weights, optimizer=opt)
     rel2id = model.rel2id
     enc = model.encoder
     history = []

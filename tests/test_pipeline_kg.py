@@ -102,10 +102,14 @@ def test_pipeline_deterministic(ray_session, sf_dir, pipeline_triples):
 
 def test_triples_schema_and_lineage(pipeline_triples):
     assert list(pipeline_triples.columns) == [
-        "subj", "pred", "obj", "n_evidence", "score", "sample_url"]
+        "subj", "pred", "obj", "n_evidence", "score", "sample_url",
+        "model_hash"]
     assert (pipeline_triples["n_evidence"] >= 1).all()
     assert pipeline_triples["sample_url"].str.startswith("https://").all()
     assert (pipeline_triples["pred"] != "NA").all()
+    from opennre_ray import get_model
+    assert (pipeline_triples["model_hash"]
+            == get_model("wiki80_cnn_softmax").model_hash).all()
 
 
 def test_graph_materialize_sorted_and_manifest(ray_session, sf_dir, tmp_path):
