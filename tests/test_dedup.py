@@ -110,3 +110,30 @@ def test_embedding_dup_groups(ray_session, sf_dir):
     out = embedding_dup_groups(rd.from_items(rows), threshold=0.99).to_pandas()
     got = dict(zip(out["vec_id"], out["dup_group"]))
     assert got == {1: 1, 2: 1}
+
+
+def test_embedding_dup_groups_keeps_disjoint_pairs_separate(ray_session):
+    """Two similar PAIRS sharing an LSH bucket must not merge into one
+    group (regression: flat min-of-members union)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    # two orthogonal directions → two disjoint near-dup pairs
+    u = rng.standard_normal(32).astype(np.float32)
+    v = rng.standard_normal(32).astype(np.float32)
+    v -= v @ u / (u @ u) * u          # orthogonalize
+    rows = [
+        {"vec_id": 1, "embedding": u.tolist()},
+        {"vec_id": 2, "embedding": (u * 1.01).tolist()},
+        {"vec_id": 3, "embedding": v.tolist()},
+        {"vec_id": 4, "embedding": (v * 0.99).tolist()},
+    ]
+    # n_planes=0 buckets would collide everything; use 1 plane so the two
+    # pairs may or may not share a bucket — assert grouping is pairwise
+    out = embedding_dup_groups(rd.from_items(rows), threshold=0.99,
+                               n_planes=1).to_pandas()
+    got = dict(zip(out["vec_id"], out["dup_group"]))
+    if 1 in got or 2 in got:
+        assert got.get(1, 1) == 1 and got.get(2, 1) == 1
+    if 3 in got or 4 in got:
+        assert got.get(3, 3) == 3 and got.get(4, 3) == 3

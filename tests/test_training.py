@@ -119,3 +119,15 @@ def test_train_sentence_re_over_ray_dataset(ray_session, tmp_path):
     assert "val" in hist[1] and 0 <= hist[1]["val"]["acc"] <= 1
     loaded = load_checkpoint(ckpt)
     assert "fc_w" in loaded and "enc" in loaded
+
+
+def test_train_sentence_re_dispatches_pcnn(ray_session):
+    """PCNN sentence training must not shape-mismatch (regression)."""
+    import ray.data as rd
+
+    rows = [{"text": r[0], "h_start": r[1], "h_end": r[2], "t_start": r[3],
+             "t_end": r[4], "relation": r[5]} for r in TEXTS * 4]
+    model = get_model("wiki80_pcnn_softmax")
+    hist = train_sentence_re(model, rd.from_items(rows), epochs=2,
+                             batch_size=8, lr=0.2)
+    assert len(hist) == 2 and hist[1]["loss"] < hist[0]["loss"]
