@@ -195,6 +195,11 @@ class WordTokenizer:
     ):
         return tokens_to_ids(self.vocab, tokens, max_seq_length, blank_id, unk_id, uncased)
 
+    def convert_ids_to_tokens(self, ids):
+        """Inverse vocab lookup (reference ``word_tokenizer.py:69-72``)."""
+        inv = {v: k for k, v in self.vocab.items()}
+        return [inv.get(i, self.unk_token) for i in ids]
+
 
 _NEVER_SPLIT = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
 
@@ -292,6 +297,11 @@ class BertTokenizer:
         # path uses, bert_encoder.py:21).
         unk = self.vocab.get("[UNK]", 1)
         return [self.vocab.get(t, self.vocab.get(t.lower(), unk)) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids):
+        """Inverse vocab lookup (reference ``bert_tokenizer.py:58-59``)."""
+        inv = {v: k for k, v in self.vocab.items()}
+        return [inv.get(i, "[UNK]") for i in ids]
 
 
 def load_vocab_file(path) -> dict[str, int]:

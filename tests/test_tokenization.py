@@ -123,3 +123,12 @@ def test_clean_text_idempotent_and_no_controls(s):
 def test_split_punct_reassembles(s):
     # splitting never loses non-punct content
     assert "".join(split_on_punctuation(s)) == s
+
+
+def test_ids_to_tokens_roundtrip():
+    vocab = {"a": 0, "b": 1, "[UNK]": 2}
+    wt = WordTokenizer(vocab=vocab)
+    assert wt.convert_ids_to_tokens([1, 0, 9]) == ["b", "a", "[UNK]"]
+    bt = BertTokenizer(vocab)
+    assert bt.convert_ids_to_tokens(bt.convert_tokens_to_ids(["a", "b"])) == \
+        ["a", "b"]
