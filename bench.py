@@ -104,8 +104,11 @@ def main():
 
     import ray
 
+    # log_to_driver=False: Ray forwards worker log lines to the driver's
+    # stdout, which would break this script's one-JSON-line contract
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
