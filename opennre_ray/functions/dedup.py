@@ -262,7 +262,8 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+            from .similarity import _as_matrix
+            mat = _as_matrix(batch.column(vec_col), dtype=np.float32)
             # planes are a pure function of (dim, seed) so a cached stage
             # instance shared across datasets of different dims stays correct
             if self.planes is None or self.planes.shape[0] != mat.shape[1]:

@@ -15,9 +15,24 @@ import pyarrow as pa
 from .sqlcompat import sql_round
 
 
-def _as_matrix(col) -> np.ndarray:
-    """list<float> arrow column → (N, D) float64 matrix."""
-    return np.array(col.to_pylist(), dtype=np.float64)
+def _as_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> / fixed_size_list arrow column → (N, D) matrix.
+
+    Near-zero-copy: flatten the list values to one contiguous numpy view and
+    reshape — never ``to_pylist()`` (which boxes every float through Python,
+    measured ~20× slower on wide embedding columns). ``flatten()`` respects
+    chunk slicing/offsets for both list and fixed_size_list layouts.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return flat.reshape(0, 0).astype(dtype, copy=False)
+    d, rem = divmod(flat.size, n)
+    if rem:
+        raise ValueError("ragged embedding column (unequal vector lengths)")
+    return flat.reshape(n, d).astype(dtype, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -61,7 +61,12 @@ def bag_eval(pred_rows, facts: set, rel2id: dict, threshold=0.5) -> dict:
             (non-NA rows only — M17 expansion output).
         facts: set of (h_id, t_id, relation) gold triples (G2 fact set).
     """
-    rows = sorted(pred_rows, key=lambda r: -r["score"])
+    # deterministic tiebreak on equal scores: the distributed groupby feeding
+    # this gives no stable row order, and AUC/P@k/best_threshold depend on
+    # rank order within ties
+    rows = sorted(pred_rows,
+                  key=lambda r: (-r["score"], r["h_id"], r["t_id"],
+                                 r["relation"]))
     total = len(facts)
     hits = np.fromiter(
         ((r["h_id"], r["t_id"], r["relation"]) in facts for r in rows),

@@ -609,7 +609,8 @@ def embed_norms(sf_dir):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def norms(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        from ..functions.similarity import _as_matrix
+        mat = _as_matrix(batch.column("embedding"))
         l2 = sql_round(np.sqrt((mat * mat).sum(axis=1)), 6)
         return pa.table({"vec_id": batch.column("vec_id"),
                          "l2_norm": pa.array(l2, pa.float64())})

@@ -37,12 +37,18 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
     rels = col("relation")
     out = {k: [] for k in INSTANCE_COLUMNS}
     out["is_token"] = []
+    out["tokens"] = []
     for i in range(batch.num_rows):
         h, t = hs[i] or {}, ts[i] or {}
         is_tok = texts[i] is None
         out["row_id"].append(i)
         out["text"].append(" ".join(tokens[i]) if is_tok else texts[i])
         out["is_token"].append(is_tok)
+        # carry the ORIGINAL token list — a token containing an internal
+        # space (e.g. 'New York') must not be re-split from the joined text,
+        # which would shift token-level entity offsets (reference passes
+        # token lists through untouched, base_encoder.py token branch)
+        out["tokens"].append(list(tokens[i]) if is_tok else None)
         out["h_id"].append(h.get("id", ""))
         out["h_name"].append(h.get("name", ""))
         out["h_start"].append(int(h["pos"][0]))
@@ -56,6 +62,7 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
         "row_id": pa.array(out["row_id"], pa.int64()),
         "text": pa.array(out["text"], pa.string()),
         "is_token": pa.array(out["is_token"], pa.bool_()),
+        "tokens": pa.array(out["tokens"], pa.list_(pa.string())),
         "h_id": pa.array(out["h_id"], pa.string()),
         "h_name": pa.array(out["h_name"], pa.string()),
         "h_start": pa.array(out["h_start"], pa.int32()),

@@ -59,26 +59,69 @@ def split_sentences(text: str, max_tokens: int = MAX_SENT_TOKENS):
     return out
 
 
+def normalize_with_offsets(text: str) -> tuple[str, list[int]]:
+    """``normalize_surface``-equivalent string plus normalized→raw index map.
+
+    Applies the same per-char pipeline (clean → strip accents → lower →
+    collapse whitespace → strip) while recording, for every normalized
+    character, the raw-character index it came from — so matches against the
+    normalized text can be mapped back to raw char spans.
+    """
+    from ..tokenization import _char_class
+
+    chars: list[str] = []
+    idx: list[int] = []
+    pending_space = -1          # raw index of a collapsed whitespace run
+    for i, ch in enumerate(text):
+        cls = _char_class(ch)
+        if cls == 1:
+            continue
+        if cls == 2:
+            if chars and pending_space < 0:
+                pending_space = i
+            continue
+        if pending_space >= 0:
+            chars.append(" ")
+            idx.append(pending_space)
+            pending_space = -1
+        for sub in strip_accents(ch):
+            for low in sub.lower():
+                chars.append(low)
+                idx.append(i)
+    return "".join(chars), idx
+
+
 class AliasMatcher:
-    """Leftmost-longest gazetteer matcher over normalized text."""
+    """Leftmost-longest gazetteer matcher over normalized text.
+
+    The sentence is normalized with an offset map before matching (the alias
+    keys are normalized surfaces), so accented/odd-case surface forms in raw
+    text — e.g. ``quéry`` for the alias key ``query`` — still match, and the
+    emitted spans index the RAW sentence.
+    """
 
     def __init__(self, alias_table: dict[str, str]):
         self.alias_table = alias_table
         # longest alias first so 'hash join' wins over 'hash' at the same start
         pats = sorted(alias_table, key=len, reverse=True)
         self.rx = re.compile(
-            r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b",
-            re.IGNORECASE,
-        )
+            r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b")
 
     def find(self, sentence: str):
-        """→ list of (start, end, surface, entity_id), non-overlapping."""
+        """→ list of (start, end, surface, entity_id), non-overlapping.
+
+        start/end are raw-sentence char offsets; surface is the raw text
+        slice (possibly accented/cased differently from the alias key).
+        """
+        norm, idx = normalize_with_offsets(sentence)
         out = []
-        for m in self.rx.finditer(sentence):
-            surface = m.group(1)
-            eid = self.alias_table.get(normalize_surface(surface))
-            if eid is not None:
-                out.append((m.start(1), m.end(1), surface, eid))
+        for m in self.rx.finditer(norm):
+            eid = self.alias_table.get(m.group(1))
+            if eid is None:
+                continue
+            start = idx[m.start(1)]
+            end = idx[m.end(1) - 1] + 1
+            out.append((start, end, sentence[start:end], eid))
         return out
 
 

@@ -112,9 +112,15 @@ class RelationScorer:
         texts = batch.column("text").to_pylist()
         # pre-tokenized rows (S1 JSONL source) carry token-level offsets —
         # route them through the token branch (the reference's exclusive
-        # text/token split, base_encoder.py:91-96)
+        # text/token split, base_encoder.py:91-96). Prefer the original
+        # token-list column: re-splitting the joined text would break tokens
+        # that contain internal spaces (e.g. 'New York').
         token_lists = None
-        if "is_token" in batch.column_names:
+        if "tokens" in batch.column_names:
+            tl = batch.column("tokens").to_pylist()
+            if any(x is not None for x in tl):
+                token_lists = tl
+        elif "is_token" in batch.column_names:
             flags = batch.column("is_token").to_pylist()
             if any(flags):
                 token_lists = [t.split(" ") if f else None

@@ -186,6 +186,7 @@ class WordTokenizer:
     def __init__(self, vocab: dict[str, int] | None = None, unk_token: str = "[UNK]"):
         self.vocab = vocab or {}
         self.unk_token = unk_token
+        self._inv_vocab: dict[int, str] | None = None
 
     def tokenize(self, text: str) -> list[str]:
         return split_on_whitespace(pad_cjk_chars(clean_text(text)))
@@ -196,8 +197,15 @@ class WordTokenizer:
         return tokens_to_ids(self.vocab, tokens, max_seq_length, blank_id, unk_id, uncased)
 
     def convert_ids_to_tokens(self, ids):
-        """Inverse vocab lookup (reference ``word_tokenizer.py:69-72``)."""
-        inv = {v: k for k, v in self.vocab.items()}
+        """Inverse vocab lookup (reference ``word_tokenizer.py:69-72``).
+
+        The inverse map is cached: rebuilding it per call is an O(V)
+        allocation per decoded sequence inside batch loops. Invalidated
+        lazily if the vocab grows/shrinks.
+        """
+        if self._inv_vocab is None or len(self._inv_vocab) != len(self.vocab):
+            self._inv_vocab = {v: k for k, v in self.vocab.items()}
+        inv = self._inv_vocab
         return [inv.get(i, self.unk_token) for i in ids]
 
 
@@ -283,6 +291,7 @@ class BertTokenizer:
         self.basic = BasicTokenizer(do_lower_case=do_lower_case, never_split=never_split)
         self.wordpiece = WordpieceTokenizer(vocab=vocab)
         self.do_basic_tokenize = do_basic_tokenize
+        self._inv_vocab: dict[int, str] | None = None
 
     def tokenize(self, text: str) -> list[str]:
         if self.do_basic_tokenize:
@@ -299,8 +308,11 @@ class BertTokenizer:
         return [self.vocab.get(t, self.vocab.get(t.lower(), unk)) for t in tokens]
 
     def convert_ids_to_tokens(self, ids):
-        """Inverse vocab lookup (reference ``bert_tokenizer.py:58-59``)."""
-        inv = {v: k for k, v in self.vocab.items()}
+        """Inverse vocab lookup (reference ``bert_tokenizer.py:58-59``);
+        cached like ``WordTokenizer.convert_ids_to_tokens``."""
+        if self._inv_vocab is None or len(self._inv_vocab) != len(self.vocab):
+            self._inv_vocab = {v: k for k, v in self.vocab.items()}
+        inv = self._inv_vocab
         return [inv.get(i, "[UNK]") for i in ids]
 
 
