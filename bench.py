@@ -96,6 +96,17 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.docs_minhash_dedup(sf_dir).to_pandas())
     timed("knn_cosine", lambda: Q.knn_cosine(sf_dir))
     timed("docs_word_freq", lambda: Q.docs_word_freq(sf_dir).to_pandas())
+
+    # bag stage isolated (instances materialized first so the timing is the
+    # bucketed encode+segment-reduce, not the upstream candidate chain)
+    from opennre_ray.pipelines.bag import bag_scores
+    from opennre_ray.pipelines.kg import candidate_instances
+    from opennre_ray.sources.pages import read_pages
+    inst = candidate_instances(read_pages(sf_dir)).select_columns(
+        ["text", "h_id", "h_start", "h_end", "t_id", "t_start",
+         "t_end"]).materialize()
+    timed("bag_relation_scores",
+          lambda: bag_scores(inst, model_name="nyt10_pcnn_att").to_pandas())
     return timings, extras
 
 

@@ -60,7 +60,31 @@ def semi_anti_join(ds, keys, col: str, anti: bool = False):
     return ds.map_batches(filter_batch, batch_format="pyarrow")
 
 
-def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int = 64):
+#: per-bucket row budget: one bucket arrives as ONE pandas frame in one
+#: worker, so bucket size bounds per-worker heap. 64k rows of mixed
+#: string/numeric columns is a few tens of MB — comfortably inside the
+#: ~50 MB per-worker working-set rule (BASELINE.md).
+TARGET_ROWS_PER_BUCKET = 65_536
+_MIN_BUCKETS, _MAX_BUCKETS = 16, 4096
+
+
+def compute_n_buckets(rows_hint: int | None,
+                      target: int = TARGET_ROWS_PER_BUCKET) -> int:
+    """Bucket count from an (approximate) input row count.
+
+    With no hint, fall back to 64 (the measured sweet spot at sf0.1).
+    The hint need only be order-of-magnitude right: buckets scale linearly
+    with rows so per-bucket size stays ~``target`` at any input scale.
+    """
+    if rows_hint is None:
+        return 64
+    import math
+    return max(_MIN_BUCKETS, min(_MAX_BUCKETS,
+                                 math.ceil(max(rows_hint, 1) / target)))
+
+
+def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None,
+                          rows_hint: int | None = None):
     """High-cardinality grouped aggregation via coarse hash buckets.
 
     ``ds.groupby(keys)`` with tens of thousands of tiny groups pays Python
@@ -74,8 +98,15 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int = 64):
 
     ``per_bucket``: fn(pandas.DataFrame) -> DataFrame (must itself group by
     ``key_cols``).
+    ``n_buckets``: explicit bucket count; default derives from ``rows_hint``
+    (pass the parquet-metadata row count when cheaply known) so per-bucket
+    size stays bounded as inputs grow — a fixed count would put rows/64 of
+    the input in a single worker's heap at 100× scale.
     """
     import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = compute_n_buckets(rows_hint)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_cols], index=False)

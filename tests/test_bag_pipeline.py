@@ -53,6 +53,25 @@ def test_bag_scores_match_driver_oracle(ray_session, model_name):
         assert (sub["bag_size"] == len(bag)).all()
 
 
+@pytest.mark.parametrize("bag_size", [0, 3])
+def test_bucket_scorer_matches_per_group(bag_size):
+    """The vectorized bucket path is row-identical to the per-group oracle."""
+    from opennre_ray.pipelines.bag import BucketBagScorer
+
+    rows = pd.DataFrame(_instances())
+    bucket_out = (BucketBagScorer("nyt10_pcnn_att", bag_size=bag_size)(rows)
+                  .sort_values(["h_id", "t_id", "relation"])
+                  .reset_index(drop=True))
+    per_group = BagScorer("nyt10_pcnn_att", bag_size=bag_size)
+    oracle = (pd.concat([per_group(g) for _, g in
+                         rows.groupby(["h_id", "t_id"])])
+              .sort_values(["h_id", "t_id", "relation"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        bucket_out.astype({"bag_size": "int64"}),
+        oracle.astype({"bag_size": "int64"}))
+
+
 def test_bag_resample_deterministic():
     scorer = BagScorer("nyt10_pcnn_att", bag_size=3)
     g = pd.DataFrame(_instances()[-5:])
