@@ -89,62 +89,146 @@ def k_hop_neighbors(triples_ds, seeds, k: int = 2,
     return reached
 
 
-def connected_components(triples_ds, max_iters: int = 20,
+def connected_components(triples_ds, max_iters: int = 30,
                          subj_col="subj", obj_col="obj"):
-    """Undirected connected components via min-label propagation.
+    """Undirected connected components — fully distributed min-label
+    propagation with pointer jumping.
 
-    Each iteration: every vertex adopts the min label among itself and its
-    neighbors (one bucketed aggregate over edge endpoints). Terminates when
-    no label changes. Returns a pandas frame (entity, component) where
-    component = min entity id in the component.
+    The label table is itself a Dataset: no driver-side dict of all
+    vertices, so the vertex set can exceed driver memory (the 100 TB
+    formulation). Each round is:
+
+    1. neighbor-min: hash-join labels onto edges (``Dataset.join`` on the
+       source endpoint), then a bucketed per-entity min over the proposals
+       plus the current labels — change detection rides along in the same
+       bucket pass (old label and candidates co-located by entity).
+    2. pointer jump: ``label(v) ← label(label(v))`` via a label-onto-label
+       self-join. Min labels are always real vertex ids, so the inner join
+       is total. Jumping halves the label-chain depth each round —
+       O(log diameter) rounds on paths instead of O(diameter).
+
+    Converges when the neighbor-min pass changes nothing (local min-
+    stability implies per-component constant labels). Returns a Dataset
+    (entity, component) where component = min entity id in the component.
     """
-    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .relational import compute_n_buckets
+
+    label_schema = pa.schema([("entity", pa.string()),
+                              ("label", pa.string())])
+
+    def conform(ds, schema=label_schema):
+        """Normalize every block to ``schema`` — empty blocks out of the
+        bucketed aggregate carry NO columns, which breaks the per-partition
+        pyarrow hash join ('no match for key field')."""
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            return t.select(schema.names).cast(schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
 
     def edge_frame(batch: pa.Table) -> pa.Table:
-        s = batch.column(subj_col).to_pylist()
-        o = batch.column(obj_col).to_pylist()
-        return pa.table({"a": pa.array(s + o, pa.string()),
-                         "b": pa.array(o + s, pa.string())})
+        s = batch.column(subj_col).combine_chunks() \
+            if isinstance(batch.column(subj_col), pa.ChunkedArray) \
+            else batch.column(subj_col)
+        o = batch.column(obj_col).combine_chunks() \
+            if isinstance(batch.column(obj_col), pa.ChunkedArray) \
+            else batch.column(obj_col)
+        return pa.table({
+            "a": pa.concat_arrays([s.cast(pa.string()), o.cast(pa.string())]),
+            "b": pa.concat_arrays([o.cast(pa.string()), s.cast(pa.string())]),
+        })
 
-    edges = triples_ds.map_batches(
-        edge_frame, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    edges = conform(triples_ds.map_batches(edge_frame,
+                                           batch_format="pyarrow"),
+                    edge_schema).materialize()
+    n_parts = max(2, compute_n_buckets(edges.count()))
+    # compact: every round unions/joins datasets, and Ray ops preserve (or
+    # multiply) input block counts — without a bounded block count per
+    # iteration the plan grows ~6× blocks per round (measured: 3000+ tasks
+    # by round 5 on a 59-edge graph)
+    if edges.num_blocks() > n_parts:
+        edges = edges.repartition(n_parts).materialize()
 
-    # labels start as self; stored driver-side as a frame, joined per round
-    # via broadcast (entity count << edge count for typical KGs; for
-    # web-scale vertex sets the label table would itself be a Dataset and
-    # the join a bucketed shuffle — same algorithm, bigger exchange)
-    labels: dict[str, str] = {}
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        for v in b.column("a").to_pylist():
-            if v not in labels or labels[v] > v:
-                labels[v] = min(labels.get(v, v), v)
+    # init: label(v) = min(v, min neighbor) — the first neighbor-min round,
+    # done with one vectorized elementwise min + a native (vectorized)
+    # groupby aggregate
+    def init_cand(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity": batch.column("a"),
+            "cand": pc.min_element_wise(batch.column("a"),
+                                        batch.column("b")),
+        })
 
-    import ray
+    labels = conform(
+        edges.map_batches(init_cand, batch_format="pyarrow")
+        .groupby("entity").aggregate(Min("cand", alias_name="label"))
+    ).repartition(n_parts).materialize()
+
+    def min_and_diff(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("entity", as_index=False)["cand"].min()
+        old = g[g["is_old"] == 1].set_index("entity")["cand"]
+        new = new.rename(columns={"cand": "label"})
+        new["changed"] = (
+            new["label"] < old.reindex(new["entity"]).to_numpy()
+        ).astype("int64")
+        return new
+
+    from .relational import shuffle_join
+
+    prop_schema = pa.schema([("entity", pa.string()),
+                             ("cand", pa.string()),
+                             ("is_old", pa.int64())])
+
+    def as_prop(src, dst, is_old):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return prop_schema.empty_table()
+            return pa.table({
+                "entity": t.column(src).cast(pa.string()),
+                "cand": t.column(dst).cast(pa.string()),
+                "is_old": pa.array(
+                    np.full(t.num_rows, is_old, dtype=np.int64)),
+            })
+        return fn
 
     for _ in range(max_iters):
-        ref = ray.put(labels)
-
-        def propose(batch: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
-            a = batch.column("a").to_pylist()
-            b = batch.column("b").to_pylist()
-            return pa.table({
-                "entity": pa.array(a, pa.string()),
-                "cand": pa.array([lab[x] for x in b], pa.string()),
-            })
-
-        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("entity", as_index=False)["cand"].min()
-
-        mins = hash_bucket_aggregate(
-            edges.map_batches(propose, batch_format="pyarrow"),
-            ["entity"], per_bucket, n_buckets=16).to_pandas()
-        changed = False
-        for ent, cand in zip(mins["entity"], mins["cand"]):
-            if cand < labels[ent]:
-                labels[ent] = cand
-                changed = True
-        if not changed:
+        # 1. neighbor-min proposals: label of each source endpoint flows to
+        # its neighbor (distributed bucketed hash join; the label table is
+        # never broadcast or collected)
+        joined = shuffle_join(edges, labels, "a", "entity",
+                              ["b"], ["label"], n_buckets=n_parts)
+        prop = joined.map_batches(as_prop("b", "label", 0),
+                                  batch_format="pyarrow")
+        old = labels.map_batches(as_prop("entity", "label", 1),
+                                 batch_format="pyarrow")
+        merged = hash_bucket_aggregate(prop.union(old), ["entity"],
+                                       min_and_diff, n_buckets=n_parts
+                                       ).repartition(n_parts).materialize()
+        n_changed = merged.sum("changed")
+        labels = conform(merged.select_columns(["entity", "label"]))
+        if not n_changed:
             break
-    return pd.DataFrame({"entity": list(labels.keys()),
-                         "component": list(labels.values())})
+        # 2. pointer jump: label(v) ← label(label(v)) — a label-onto-label
+        # self-join, halving label-chain depth each round
+        right = labels.map_batches(
+            lambda t: pa.table({"entity": t.column("entity"),
+                                "label2": t.column("label")})
+            if t.num_rows else pa.schema(
+                [("entity", pa.string()),
+                 ("label2", pa.string())]).empty_table(),
+            batch_format="pyarrow")
+        jumped = shuffle_join(labels, right, "label", "entity",
+                              ["entity"], ["label2"], n_buckets=n_parts)
+        labels = conform(jumped.map_batches(
+            lambda t: pa.table({"entity": t.column("entity"),
+                                "label": t.column("label2")})
+            if t.num_rows else label_schema.empty_table(),
+            batch_format="pyarrow")).repartition(n_parts).materialize()
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["entity", "component"]),
+        batch_format="pyarrow")

@@ -120,6 +120,71 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None
     return bucketed.groupby("_bucket").map_groups(run, batch_format="pandas")
 
 
+def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
+                 left_cols: list[str], right_cols: list[str],
+                 how: str = "inner", n_buckets: int | None = None,
+                 rows_hint: int | None = None):
+    """Distributed hash join of two LARGE datasets (both sides shuffle).
+
+    Use ``broadcast_join`` when one side fits in the object store; this is
+    the fallback when both sides are corpus-scale. Implemented as a tagged
+    union + one coarse hash-bucket shuffle on the key + a vectorized pandas
+    merge per bucket — equal keys always co-locate, so per-bucket merges
+    are exact. (Ray's native ``Dataset.join`` mis-handles the empty /
+    schema-less blocks that groupby aggregates emit — 'no match for key
+    field' at partition finalize — so the join is built on the same
+    bucketing primitive as everything else.)
+
+    ``left_cols`` / ``right_cols``: value columns to carry from each side
+    (must be disjoint names; rename before joining if they collide). The
+    output key column keeps ``left_key``'s name.
+
+    ``how``: 'inner', 'left_semi' or 'left_anti' (semi/anti emit left rows
+    whose key is / is not present on the right; right_cols ignored).
+
+    Caveat: the tagged union stores each side's absent columns as nulls, so
+    non-string value columns may round-trip through pandas as nullable /
+    float — cast downstream if exact dtypes matter.
+    """
+    import pandas as pd
+
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"colliding value columns: {sorted(overlap)}")
+
+    all_cols = list(left_cols) + list(right_cols)
+
+    def tag(cols, key, side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"_key": df[key]})
+            for c in all_cols:
+                out[c] = df[c] if c in cols else None
+            out["_side"] = np.int64(side)
+            return out
+        return fn
+
+    tagged = (left_ds.map_batches(tag(left_cols, left_key, 0),
+                                  batch_format="pandas")
+              .union(right_ds.map_batches(tag(right_cols, right_key, 1),
+                                          batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g.loc[g["_side"] == 0, ["_key"] + list(left_cols)]
+        if how in ("left_semi", "left_anti"):
+            rkeys = g.loc[g["_side"] == 1, "_key"].unique()
+            mask = lhs["_key"].isin(rkeys)
+            out = lhs[mask if how == "left_semi" else ~mask]
+        else:
+            rhs = g.loc[g["_side"] == 1, ["_key"] + list(right_cols)]
+            out = lhs.merge(rhs, on="_key", how="inner")
+        return out.rename(columns={"_key": left_key})
+
+    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
+
+
 def add_time_window(ds, ts_col: str, unit: str = "day",
                     out_col: str = "window"):
     """Append a truncated-timestamp window column (event-time tumbling window).

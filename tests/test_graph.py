@@ -60,7 +60,7 @@ def _uf_oracle(edges):
 
 
 def test_connected_components_vs_union_find(triples):
-    got = connected_components(triples)
+    got = connected_components(triples).to_pandas()
     got_map = dict(zip(got["entity"], got["component"]))
     want = _uf_oracle(EDGES)
     # same partition: components must induce the same grouping and the
@@ -68,11 +68,24 @@ def test_connected_components_vs_union_find(triples):
     assert got_map == want
 
 
+def test_connected_components_long_chain(ray_session):
+    """A 60-node path converges within the iteration budget only because of
+    pointer jumping (plain min propagation needs 59 rounds)."""
+    import ray.data as rd
+
+    edges = [(f"v{i:03d}", "r", f"v{i + 1:03d}") for i in range(59)]
+    ds = rd.from_items([{"subj": s, "pred": p, "obj": o}
+                        for s, p, o in edges])
+    got = connected_components(ds, max_iters=12).to_pandas()
+    assert (got["component"] == "v000").all()
+    assert len(got) == 60
+
+
 def test_components_on_kg_output(ray_session, sf_dir):
     from opennre_ray.pipelines.kg import extract_triples
 
     tr = extract_triples(sf_dir)
-    comp = connected_components(tr)
+    comp = connected_components(tr).to_pandas()
     deg = degree_stats(tr).to_pandas()
     # every entity in the degree table has a component assignment
     assert set(deg["entity"]) <= set(comp["entity"])

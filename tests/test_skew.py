@@ -62,6 +62,59 @@ def test_hash_bucket_aggregate_hot_key_exact(ray_session):
     assert hot["n"] == 9000 and hot["s"] == 9000.0
 
 
+def test_adaptive_buckets_bound_per_bucket_rows():
+    """n_buckets scales with the input row hint so per-bucket size stays
+    ~TARGET_ROWS_PER_BUCKET at any input scale (a fixed 64 would put
+    rows/64 of a 10× input in one worker's heap)."""
+    from opennre_ray.functions.relational import (
+        TARGET_ROWS_PER_BUCKET,
+        compute_n_buckets,
+    )
+
+    assert compute_n_buckets(None) == 64
+    for rows in (1, 10_000, 1_000_000, 10_000_000, 1_000_000_000):
+        n = compute_n_buckets(rows)
+        assert 16 <= n <= 4096
+        if 16 < n < 4096:
+            # interior regime: the per-bucket expectation is bounded
+            assert rows / n <= TARGET_ROWS_PER_BUCKET
+    # 10× the input → ~10× the buckets (same expected per-bucket rows)
+    assert compute_n_buckets(10_000_000) >= 9 * compute_n_buckets(1_000_000)
+
+
+def test_shuffle_join_matches_pandas_merge(ray_session):
+    """Bucketed large-large join == pandas merge (inner / semi / anti)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import shuffle_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": [f"k{i % 40}" for i in range(300)],
+                         "lv": rng.integers(0, 9, 300).astype(str)})
+    right = pd.DataFrame({"rk": [f"k{i}" for i in range(0, 60, 2)],
+                          "rv": [f"v{i}" for i in range(0, 60, 2)]})
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right).repartition(3)
+
+    got = shuffle_join(lds, rds, "k", "rk", ["lv"], ["rv"],
+                       n_buckets=16).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+    anti = shuffle_join(lds, rds, "k", "rk", ["lv"], [],
+                        how="left_anti", n_buckets=16).to_pandas()
+    want_anti = left[~left["k"].isin(right["rk"])]
+    assert len(anti) == len(want_anti)
+    assert set(anti["k"]) == set(want_anti["k"])
+
+    semi = shuffle_join(lds, rds, "k", "rk", ["lv"], [],
+                        how="left_semi", n_buckets=16).to_pandas()
+    assert len(semi) == len(left) - len(want_anti)
+
+
 def test_giant_bag_bounded_by_resample():
     """Bag-size skew: a 5000-instance bag is capped to bag_size encoder
     work (G4 semantics), deterministically."""
