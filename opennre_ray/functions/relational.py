@@ -185,6 +185,45 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+#: distinct-key count above which the anti-join stops collecting keys to
+#: the driver and falls back to the bucketed shuffle path. ~2M short keys
+#: ≈ low hundreds of MB broadcast — the driver/object-store comfort zone.
+ANTI_JOIN_BROADCAST_LIMIT = 2_000_000
+
+
+def anti_join(left_ds, right_ds, col: str, left_cols: list[str] | None = None,
+              *, broadcast_limit: int = ANTI_JOIN_BROADCAST_LIMIT,
+              n_buckets: int | None = None, rows_hint: int | None = None):
+    """Size-gated left-anti join: keep left rows whose ``col`` is absent
+    from the right side.
+
+    The right side's distinct keys are computed distributed (bucketed
+    dedup). If the distinct count fits ``broadcast_limit``, the key set is
+    broadcast and the join is a vectorized per-batch filter (zero extra
+    shuffle of the left side). Beyond the limit — unbounded key
+    cardinality at corpus scale — it falls back to the bucketed shuffle
+    anti-join, which never materializes the key set anywhere.
+
+    Returns ``[col] + left_cols`` columns on both paths.
+    """
+    import pandas as pd
+
+    out_cols = [col] + list(left_cols or [])
+    dkeys = hash_bucket_aggregate(
+        right_ds.select_columns([col]), [col],
+        lambda g: g.drop_duplicates(col),
+        n_buckets=n_buckets, rows_hint=rows_hint).materialize()
+    if dkeys.count() <= broadcast_limit:
+        kdf = dkeys.to_pandas()
+        keys = set(kdf[col]) if len(kdf) else set()
+        out = semi_anti_join(left_ds, keys, col, anti=True)
+        return out.map_batches(lambda b: b.select(out_cols),
+                               batch_format="pyarrow")
+    return shuffle_join(left_ds, dkeys, col, col, list(left_cols or []),
+                        [], how="left_anti", n_buckets=n_buckets,
+                        rows_hint=rows_hint)
+
+
 def add_time_window(ds, ts_col: str, unit: str = "day",
                     out_col: str = "window"):
     """Append a truncated-timestamp window column (event-time tumbling window).

@@ -79,7 +79,14 @@ def finalize_triples(inst_ds, canonicalize: bool = True):
     from ..functions.relational import hash_bucket_aggregate
 
     if canonicalize:
-        inst_ds = inst_ds.materialize()   # small: candidates only
+        # keep ONLY the columns the two passes need (names for the map,
+        # ids/score/lineage for dedup) — materializing with `text` & spans
+        # attached would hold every surviving candidate's sentence in the
+        # object store for no consumer (at corpus scale that is the
+        # difference between caching candidates and caching the corpus)
+        inst_ds = inst_ds.select_columns(
+            ["h_id", "h_name", "t_id", "t_name", "pred_rel", "score",
+             "url", "model_hash"]).materialize()
         canon = build_canonical_map(inst_ds)
         import ray
         canon_ref = ray.put(canon)

@@ -46,6 +46,13 @@ def _small(sf_dir, table, columns=None) -> pd.DataFrame:
                          columns=columns).to_pandas()
 
 
+def _nrows(sf_dir, table) -> int:
+    """Row count from parquet footer metadata — free, no data read; used as
+    the ``rows_hint`` that sizes hash buckets to the input."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # Relational core (groupby-agg / filter / sort-limit / joins / set ops)
 # ---------------------------------------------------------------------------
@@ -253,7 +260,8 @@ def events_type_stats(sf_dir):
              .agg(n_users=("user_id", "size")))
         return a.merge(u, on="event_type")
 
-    parts = hash_bucket_aggregate(ds, ["user_id"], per_bucket).to_pandas()
+    parts = hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                                  rows_hint=_nrows(sf_dir, "events")).to_pandas()
     out = parts.groupby("event_type", as_index=False).agg(
         n_events=("n_events", "sum"), n_users=("n_users", "sum"),
         sum_value=("sum_value", "sum"))
@@ -286,7 +294,8 @@ def events_daily_window(sf_dir):
         out["sum_value"] = sql_round(out["sum_value"], 2)
         return out
 
-    return hash_bucket_aggregate(windowed, ["user_id", "day"], per_bucket)
+    return hash_bucket_aggregate(windowed, ["user_id", "day"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "events"))
 
 
 SQL_EVENTS_DAILY_WINDOW = """
@@ -297,23 +306,21 @@ FROM events GROUP BY user_id, day
 
 
 def events_anti_join(sf_dir):
-    """Users who viewed but never purchased (broadcast anti-join)."""
-    from ..functions.relational import hash_bucket_aggregate, semi_anti_join
+    """Users who viewed but never purchased — size-gated anti-join: the
+    purchaser key set is broadcast while it fits, and spills to a bucketed
+    shuffle anti-join past ``ANTI_JOIN_BROADCAST_LIMIT`` distinct keys
+    (unbounded key cardinality at corpus scale)."""
+    from ..functions.relational import anti_join
 
+    nrows = _nrows(sf_dir, "events")
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    # distinct purchaser keys computed distributed (filter + bucketed
-    # distinct); only the small distinct key set reaches the driver
     purch = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), "purchase"))
         .select(["user_id"]), batch_format="pyarrow")
-    dkeys = hash_bucket_aggregate(
-        purch, ["user_id"],
-        lambda g: g.drop_duplicates("user_id"), n_buckets=16).to_pandas()
-    purchasers = set(dkeys["user_id"]) if len(dkeys) else set()
     viewers = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("event_type"), "view")),
         batch_format="pyarrow")
-    out = semi_anti_join(viewers, purchasers, "user_id", anti=True)
+    out = anti_join(viewers, purch, "user_id", rows_hint=nrows)
     # distinct via groupby (Dataset.unique() returns a list / None when empty)
     from ray.data.aggregate import Count
     d = out.groupby("user_id").aggregate(Count(alias_name="_c")).to_pandas()
@@ -354,7 +361,8 @@ def lineitem_topk_per_group(sf_dir):
         return out
 
     return hash_bucket_aggregate(
-        ds, ["l_returnflag", "l_linestatus"], per_bucket, n_buckets=16)
+        ds, ["l_returnflag", "l_linestatus"], per_bucket,
+        rows_hint=_nrows(sf_dir, "lineitem"))
 
 
 SQL_LINEITEM_TOPK_PER_GROUP = """
@@ -396,7 +404,8 @@ def events_sessionize(sf_dir):
         out["mean_session_events"] = sql_round(out["mean_session_events"], 6)
         return out
 
-    return hash_bucket_aggregate(ds, ["user_id"], per_bucket)
+    return hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "events"))
 
 
 SQL_EVENTS_SESSIONIZE = f"""
@@ -438,7 +447,8 @@ def docs_normalized_dedup(sf_dir):
         return g.groupby("norm_text", as_index=False)["doc_id"].min()
 
     normed = ds.map_batches(norm, batch_format="pyarrow")
-    return hash_bucket_aggregate(normed, ["norm_text"], per_bucket)
+    return hash_bucket_aggregate(normed, ["norm_text"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "documents"))
 
 
 SQL_DOCS_NORMALIZED_DEDUP = r"""

@@ -115,6 +115,28 @@ def test_shuffle_join_matches_pandas_merge(ray_session):
     assert len(semi) == len(left) - len(want_anti)
 
 
+def test_anti_join_size_gate(ray_session):
+    """Both anti-join strategies agree; the shuffle path engages when the
+    distinct key set exceeds the broadcast limit."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import anti_join
+
+    left = pd.DataFrame({"k": [f"u{i % 500}" for i in range(2000)],
+                         "x": ["p"] * 2000})
+    right = pd.DataFrame({"k": [f"u{i}" for i in range(0, 500, 3)]})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    want = sorted(set(left["k"]) - set(right["k"]))
+
+    bcast = anti_join(lds, rds, "k", ["x"]).to_pandas()
+    shuf = anti_join(lds, rds, "k", ["x"], broadcast_limit=10).to_pandas()
+    assert sorted(bcast["k"].unique()) == want
+    assert sorted(shuf["k"].unique()) == want
+    assert list(bcast.columns) == ["k", "x"] == list(shuf.columns)
+    assert len(bcast) == len(shuf)
+
+
 def test_giant_bag_bounded_by_resample():
     """Bag-size skew: a 5000-instance bag is capped to bag_size encoder
     work (G4 semantics), deterministically."""
