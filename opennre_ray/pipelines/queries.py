@@ -679,6 +679,136 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# Graph operators over a DETERMINISTIC edge table (customer → nation), so
+# degree / components / k-hop get full value oracles — the same operators
+# the KG pipelines use, minus the model nondeterminism.
+# ---------------------------------------------------------------------------
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _customer_edges(sf_dir, bidirectional: bool = False):
+    """Edge Dataset subj='C<custkey>' --in_nation--> obj='N<nationkey>'."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        c = _arr(pc.binary_join_element_wise(
+            pa.scalar("C"), pc.cast(batch.column("c_custkey"), pa.string()),
+            pa.scalar("")))
+        n = _arr(pc.binary_join_element_wise(
+            pa.scalar("N"), pc.cast(batch.column("c_nationkey"), pa.string()),
+            pa.scalar("")))
+        if bidirectional:
+            subj = pa.concat_arrays([c, n])
+            obj = pa.concat_arrays([n, c])
+        else:
+            subj, obj = c, n
+        return pa.table({
+            "subj": subj,
+            "pred": pa.array(["in_nation"] * len(subj), pa.string()),
+            "obj": obj,
+        })
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def graph_degree_customers(sf_dir):
+    """degree_stats over the deterministic customer→nation edges."""
+    from ..functions.graph import degree_stats
+    return degree_stats(_customer_edges(sf_dir))
+
+
+SQL_GRAPH_DEGREE_CUSTOMERS = """
+WITH e AS (SELECT 'C' || c_custkey AS subj, 'in_nation' AS pred,
+                  'N' || c_nationkey AS obj FROM customer),
+v AS (SELECT subj AS entity, pred, 1 AS outd, 0 AS ind FROM e
+      UNION ALL SELECT obj, pred, 0, 1 FROM e)
+SELECT entity, sum(outd)::BIGINT AS out_degree, sum(ind)::BIGINT AS in_degree,
+       count(DISTINCT pred)::BIGINT AS n_preds
+FROM v GROUP BY entity
+"""
+
+
+def graph_components_customers(sf_dir):
+    """connected_components over the customer→nation star graph: one
+    component per nation, representative = min member label."""
+    from ..functions.graph import connected_components
+    return connected_components(_customer_edges(sf_dir))
+
+
+SQL_GRAPH_COMPONENTS_CUSTOMERS = """
+WITH e AS (SELECT 'C' || c_custkey AS c, 'N' || c_nationkey AS n
+           FROM customer),
+m AS (SELECT n, least(min(c), n) AS component FROM e GROUP BY n)
+SELECT c AS entity, component FROM e JOIN m USING (n)
+UNION ALL SELECT n AS entity, component FROM m
+"""
+
+
+KHOP_SEEDS = ("C1", "C2", "C3")
+
+
+def graph_khop_customers(sf_dir):
+    """2-hop reachability from seed customers over bidirectional edges
+    (hop 1 = their nations, hop 2 = co-nationals)."""
+    from ..functions.graph import k_hop_neighbors
+
+    reached = k_hop_neighbors(_customer_edges(sf_dir, bidirectional=True),
+                              list(KHOP_SEEDS), k=2)
+    df = pd.DataFrame(sorted(reached.items()), columns=["entity", "hop"])
+    df["hop"] = df["hop"].astype("int64")
+    return df
+
+
+SQL_GRAPH_KHOP_CUSTOMERS = f"""
+WITH e AS (SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+           UNION ALL SELECT 'N' || c_nationkey, 'C' || c_custkey
+           FROM customer),
+h0 AS (SELECT unnest({list(KHOP_SEEDS)}) AS v),
+h1 AS (SELECT DISTINCT b AS v FROM e JOIN h0 ON e.a = h0.v
+       WHERE b NOT IN (SELECT v FROM h0)),
+h2 AS (SELECT DISTINCT b AS v FROM e JOIN h1 ON e.a = h1.v
+       WHERE b NOT IN (SELECT v FROM h0) AND b NOT IN (SELECT v FROM h1))
+SELECT v AS entity, 0::BIGINT AS hop FROM h0
+UNION ALL SELECT v, 1 FROM h1
+UNION ALL SELECT v, 2 FROM h2
+"""
+
+
+def docs_shingles(sf_dir):
+    """Distinct 3-word shingle count per document — the (oracle-able)
+    shingling front half of the MinHash dedup pipeline."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_sh(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            out.append(0 if len(toks) < 3 else
+                       len({tuple(toks[i: i + 3])
+                            for i in range(len(toks) - 2)}))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_shingles": pa.array(out, pa.int64())})
+
+    return ds.map_batches(count_sh, batch_format="pyarrow")
+
+
+SQL_DOCS_SHINGLES = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text)='' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN length(toks) < 3 THEN 0
+       ELSE length(list_distinct(list_transform(range(1, length(toks)-1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) END::BIGINT
+    AS n_shingles
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Model / KG / sketch operators — no SQL oracle (rows-only driver check;
 # correctness covered by pytest oracles in tests/)
 # ---------------------------------------------------------------------------
@@ -875,6 +1005,10 @@ QUERIES = {
     "docs_lang_dist": docs_lang_dist,
     "embed_norms": embed_norms,
     "knn_cosine": knn_cosine,
+    "graph_degree_customers": graph_degree_customers,
+    "graph_components_customers": graph_components_customers,
+    "graph_khop_customers": graph_khop_customers,
+    "docs_shingles": docs_shingles,
     # rows-only (model / sketch / approximate operators)
     "kg_triples": kg_triples,
     "kg_triples_pcnn": kg_triples_pcnn,
@@ -920,4 +1054,8 @@ ORACLES = {
     "docs_lang_dist": SQL_DOCS_LANG_DIST,
     "embed_norms": SQL_EMBED_NORMS,
     "knn_cosine": SQL_KNN_COSINE,
+    "graph_degree_customers": SQL_GRAPH_DEGREE_CUSTOMERS,
+    "graph_components_customers": SQL_GRAPH_COMPONENTS_CUSTOMERS,
+    "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
+    "docs_shingles": SQL_DOCS_SHINGLES,
 }
