@@ -69,12 +69,22 @@ def _counted(fn, counters, stage: str):
     return wrapper
 
 
-def shard_triples(shard_file: str, *, model_name=DEFAULT_MODEL,
-                  threshold=SCORE_THRESHOLD, counters=None):
-    """Triple extraction for ONE input shard file → Dataset.
+#: candidate columns persisted per shard — exactly what global finalize
+#: (canonical map + dedup) consumes; sentence text never hits disk twice
+CANDIDATE_COLUMNS = ["h_id", "h_name", "t_id", "t_name", "pred_rel",
+                     "score", "url", "model_hash"]
 
-    Same stage chain as ``extract_triples`` but parameterized by shard and
-    optionally counter-instrumented.
+
+def shard_candidates(shard_file: str, *, model_name=DEFAULT_MODEL,
+                     threshold=SCORE_THRESHOLD, counters=None):
+    """Scored, filtered candidate rows for ONE input shard → Dataset.
+
+    The expensive model pass, per shard and resumable. Canonicalization and
+    dedup are NOT applied here: the surface→canonical-id map must be built
+    from GLOBAL counts, and triple dedup must span shards — both happen once
+    in ``compact_candidates`` (a per-shard finalize would canonicalize the
+    same surface to different ids in different shards and emit duplicate
+    triples across shards).
     """
     import ray.data as rd
 
@@ -101,20 +111,57 @@ def shard_triples(shard_file: str, *, model_name=DEFAULT_MODEL,
         ds = ds.map_batches(fn, batch_format="pyarrow")
         if name == "pages":
             ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
+    return ds.select_columns(CANDIDATE_COLUMNS)
 
-    from .kg import finalize_triples
 
-    return finalize_triples(ds).sort("subj")
+def compact_candidates(out_root: str, *, model_hash: str = "") -> str:
+    """Global finalize: all candidate shards → canonical deduped triples.
+
+    Builds the surface→canonical map ONCE over every shard's candidates
+    (cross-shard consistent ids), dedups triples across shards, writes the
+    subj-sorted graph to ``<out_root>/triples/`` atomically (tmp + rename).
+    Idempotent: re-running after new shards land simply rebuilds the graph;
+    the expensive model pass is never repeated (it is the resumable part).
+    """
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from .kg import finalize_triples, materialize_graph
+
+    cand_files = sorted(glob.glob(
+        os.path.join(out_root, "candidates", "shard=*", "*.parquet")))
+    final = os.path.join(out_root, "triples")
+    tmp = os.path.join(out_root, f"_tmp-triples-{os.getpid()}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if cand_files:
+        triples = finalize_triples(rd.read_parquet(cand_files))
+        materialize_graph(triples, tmp, model_hash=model_hash)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
 
 
 def run_kg_job(shard_files: list[str] | dict[str, str], out_root: str, *,
-               model_name=DEFAULT_MODEL, threshold=SCORE_THRESHOLD) -> dict:
-    """Resume-aware driver loop over input shards.
+               model_name=DEFAULT_MODEL, threshold=SCORE_THRESHOLD,
+               compact: bool = True) -> dict:
+    """Resume-aware two-phase job.
+
+    Phase 1 (resumable): per input shard, run the model pass and write
+    candidate rows to ``<out_root>/candidates/shard=<name>/`` with a
+    manifest (lineage + stage counters). Restarts skip completed shards.
+    Phase 2 (idempotent): one global canonicalize+dedup over all candidate
+    shards → ``<out_root>/triples/`` — identical semantics to
+    ``extract_triples`` on the whole corpus, regardless of sharding.
 
     Args:
         shard_files: list of parquet paths (shard name = basename), or an
             explicit {name: path} mapping.
-    Returns {completed, skipped, manifests}.
+    Returns {completed, skipped, triples_dir}.
     """
     import ray
 
@@ -125,8 +172,9 @@ def run_kg_job(shard_files: list[str] | dict[str, str], out_root: str, *,
     counters = _counter_actor()
 
     def build(path):
-        return lambda: shard_triples(path, model_name=model_name,
-                                     threshold=threshold, counters=counters)
+        return lambda: shard_candidates(path, model_name=model_name,
+                                        threshold=threshold,
+                                        counters=counters)
 
     def make_manifest(name):
         snap = ray.get(counters.snapshot.remote(reset=True))
@@ -135,5 +183,8 @@ def run_kg_job(shard_files: list[str] | dict[str, str], out_root: str, *,
             extractor_version=EXTRACTOR_VERSION, counters=snap)
 
     result = run_sharded({n: build(p) for n, p in shard_files.items()},
-                         out_root, make_manifest)
+                         os.path.join(out_root, "candidates"), make_manifest)
+    if compact:
+        result["triples_dir"] = compact_candidates(out_root,
+                                                   model_hash=model_hash)
     return result

@@ -35,6 +35,12 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
     hs = col("h")
     ts = col("t")
     rels = col("relation")
+    # annotated multi-label test rows (reference data_loader.py:154-160):
+    # carried through as list columns when the source has them
+    has_anno = ("anno_relation_list" in batch.column_names
+                or "anno_relation_vec" in batch.column_names)
+    anno_lists = col("anno_relation_list")
+    anno_vecs = col("anno_relation_vec")
     out = {k: [] for k in INSTANCE_COLUMNS}
     out["is_token"] = []
     out["tokens"] = []
@@ -72,6 +78,10 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
         "t_start": pa.array(out["t_start"], pa.int32()),
         "t_end": pa.array(out["t_end"], pa.int32()),
         "relation": pa.array(out["relation"], pa.string()),
+        **({"anno_relation_list": pa.array(anno_lists,
+                                           pa.list_(pa.string())),
+            "anno_relation_vec": pa.array(anno_vecs, pa.list_(pa.int64()))}
+           if has_anno else {}),
     })
 
 
@@ -93,6 +103,31 @@ def encode_labels(batch: pa.Table, rel2id: dict[str, int],
     """Vectorized relation→id lookup (M5, reference ``data_loader.py:40``)."""
     ids = [rel2id[r] for r in batch.column(col).to_pylist()]
     return batch.append_column("label", pa.array(ids, pa.int64()))
+
+
+def label_matrix_from_instances(df, rel2id: dict[str, int]) -> np.ndarray:
+    """(n, n_rel) 0/1 gold matrix per reference ``data_loader.py:425-430``:
+    annotated rows use ``anno_relation_vec`` (falling back to one-hots of
+    ``anno_relation_list`` if the vec is absent), plain rows one-hot their
+    single ``relation``.
+    """
+    n_rel = len(rel2id)
+    out = np.zeros((len(df), n_rel), dtype=np.int64)
+    lists = (df["anno_relation_list"].tolist()
+             if "anno_relation_list" in df.columns else [None] * len(df))
+    vecs = (df["anno_relation_vec"].tolist()
+            if "anno_relation_vec" in df.columns else [None] * len(df))
+    rels = df["relation"].tolist()
+    for i, (lst, vec, rel) in enumerate(zip(lists, vecs, rels)):
+        if lst is not None:
+            if vec is not None:
+                out[i] = np.asarray(vec, dtype=np.int64)
+            else:
+                for r in lst:
+                    out[i, rel2id[r]] = 1
+        else:
+            out[i, rel2id[rel]] = 1
+    return out
 
 
 def expand_multilabel_scores(sent_ids, score_matrix: np.ndarray,

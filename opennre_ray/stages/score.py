@@ -76,6 +76,28 @@ class EncodeInstances:
         return out
 
 
+def score_matrix_udf(model_name: str = "wiki80_cnn_sigmoid"):
+    """Stateless-task stage emitting the FULL per-relation score row
+    (``rel_scores`` list column) instead of the argmax — the multi-label
+    eval path (reference ``data_loader.py:375-446`` consumes
+    ``pred_score[sent_num, label_num]``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scorer = cached(("matscorer", model_name),
+                        lambda: RelationScorer(model_name))
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "rel_scores", pa.array([], pa.list_(pa.float32())))
+        mats = [scorer.score_matrix(batch.slice(off, RelationScorer.CHUNK))
+                for off in range(0, batch.num_rows, RelationScorer.CHUNK)]
+        mat = np.concatenate(mats)
+        return batch.append_column(
+            "rel_scores",
+            pa.array(list(mat), pa.list_(pa.float32())))
+
+    return fn
+
+
 class RelationScorer:
     """Fused encode → forward → softmax head actor stage.
 
@@ -108,7 +130,7 @@ class RelationScorer:
                for off in range(0, batch.num_rows, self.CHUNK)]
         return pa.concat_tables(out)
 
-    def _score_chunk(self, batch: pa.Table) -> pa.Table:
+    def _rep(self, batch: pa.Table) -> np.ndarray:
         texts = batch.column("text").to_pylist()
         # pre-tokenized rows (S1 JSONL source) carry token-level offsets —
         # route them through the token branch (the reference's exclusive
@@ -128,7 +150,14 @@ class RelationScorer:
         enc = self.model.encoder.encode_batch(
             texts, _spans(batch, "h"), _spans(batch, "t"),
             token_lists=token_lists)
-        rep = self.model.encoder(enc)
+        return self.model.encoder(enc)
+
+    def score_matrix(self, batch: pa.Table) -> np.ndarray:
+        """(n, n_rel) head scores (softmax probs / sigmoid activations)."""
+        return self.model.head.scores(self._rep(batch)).astype(np.float32)
+
+    def _score_chunk(self, batch: pa.Table) -> pa.Table:
+        rep = self._rep(batch)
         pred, score = self.model.head.infer_batch(rep)
         rels = np.array([self.id2rel[int(p)] for p in pred], dtype=object)
         return (batch

@@ -118,3 +118,126 @@ def test_multilabel_eval_imperfect():
     assert abs(m["micro_p_05"] - 0.5) < 1e-9
     assert m["micro_r_05"] == 1.0
     assert m["acc"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Annotated multi-label ingestion (anno_relation_list/vec,
+# reference data_loader.py:154-160, 425-430) — end to end
+# ---------------------------------------------------------------------------
+
+def _annotated_jsonl_rows(rel2id):
+    """Two annotated rows + one plain row (mixed, like the reference's
+    annotated test sets merged with regular data)."""
+    n = len(rel2id)
+
+    def vec(rels):
+        v = [0] * n
+        for r in rels:
+            v[rel2id[r]] = 1
+        return v
+
+    rels = [r for r in rel2id if r != "NA"]
+    return [
+        {"token": ["the", "spark", "table", "join", "was", "fast"],
+         "h": {"id": "Q1", "name": "spark", "pos": [1, 2]},
+         "t": {"id": "Q2", "name": "join", "pos": [3, 4]},
+         "relation": rels[0],
+         "anno_relation_list": [rels[0], rels[1]],
+         "anno_relation_vec": vec([rels[0], rels[1]])},
+        {"token": ["slow", "hash", "stream", "window"],
+         "h": {"id": "Q3", "name": "hash", "pos": [1, 2]},
+         "t": {"id": "Q4", "name": "stream", "pos": [2, 3]},
+         "relation": rels[2],
+         "anno_relation_list": [rels[2]],
+         "anno_relation_vec": vec([rels[2]])},
+        {"text": "the merge sort was slow",
+         "h": {"id": "Q5", "name": "merge", "pos": [4, 9]},
+         "t": {"id": "Q6", "name": "sort", "pos": [10, 14]},
+         "relation": rels[1]},
+    ]
+
+
+def _reference_multilabel_auc(score_matrix, data_rows, rel2id):
+    """Slow reimplementation of the reference eval loop
+    (data_loader.py:375-410): rank all (sent, non-NA rel) pairs by score,
+    walk precision/recall, trapezoid AUC."""
+    rows = []
+    total = 0
+    for sid in range(len(data_rows)):
+        item = data_rows[sid]
+        for rel, rid in rel2id.items():
+            if rel == "NA":
+                continue
+            rows.append((float(score_matrix[sid][rid]), sid, rel))
+            gold = (rel in item["anno_relation_list"]
+                    if "anno_relation_list" in item
+                    else rel == item["relation"])
+            total += int(gold)
+    rows.sort(key=lambda x: -x[0])
+    prec, rec, correct = [], [], 0
+    for i, (s, sid, rel) in enumerate(rows):
+        item = data_rows[sid]
+        gold = (rel in item["anno_relation_list"]
+                if "anno_relation_list" in item
+                else rel == item["relation"])
+        correct += int(gold)
+        prec.append(correct / (i + 1))
+        rec.append(correct / total)
+    return float(np.trapz(np.array(prec)[np.argsort(rec, kind="stable")],
+                          np.sort(rec)))
+
+
+def test_annotated_multilabel_end_to_end(ray_session, tmp_path):
+    """Raw annotated JSONL → flatten → distributed sigmoid score matrix →
+    label matrix → multilabel_eval, AUC checked against a slow
+    reference-style oracle."""
+    from opennre_ray.registry import get_model
+    from opennre_ray.sources.instances import label_matrix_from_instances
+    from opennre_ray.stages.score import score_matrix_udf
+
+    model = get_model("wiki80_cnn_sigmoid")
+    rel2id = model.rel2id
+    rows = _annotated_jsonl_rows(rel2id)
+    path = str(tmp_path / "anno.jsonl")
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    ds = read_instances_jsonl(path).map_batches(
+        score_matrix_udf("wiki80_cnn_sigmoid"), batch_format="pyarrow")
+    df = ds.to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    # ingestion carried the annotated fields through the whole pipeline
+    assert list(df["anno_relation_list"].iloc[0]) == [
+        r for r in rel2id if r != "NA"][:2]
+    assert df["anno_relation_list"].iloc[2] is None
+
+    labels = label_matrix_from_instances(df, rel2id)
+    n = len(rel2id)
+    assert labels.shape == (3, n)
+    assert labels[0].sum() == 2 and labels[2].sum() == 1
+    # plain row one-hots its single relation
+    assert labels[2][rel2id[rows[2]["relation"]]] == 1
+
+    scores = np.stack(df["rel_scores"].to_numpy()).astype(np.float64)
+    assert scores.shape == (3, n)
+
+    m = multilabel_eval(scores, labels, rel2id)
+    want_auc = _reference_multilabel_auc(scores, rows, rel2id)
+    np.testing.assert_allclose(m["auc"], want_auc, rtol=1e-9)
+    assert 0.0 <= m["max_micro_f1"] <= 1.0
+
+
+def test_label_matrix_fallback_from_list():
+    """anno_relation_vec absent → one-hot derived from anno_relation_list."""
+    import pandas as pd
+
+    from opennre_ray.sources.instances import label_matrix_from_instances
+
+    rel2id = {"NA": 0, "a": 1, "b": 2}
+    df = pd.DataFrame({
+        "relation": ["a", "b"],
+        "anno_relation_list": [["a", "b"], None],
+    })
+    got = label_matrix_from_instances(df, rel2id)
+    np.testing.assert_array_equal(got, [[0, 1, 1], [0, 0, 1]])

@@ -1,4 +1,4 @@
-"""Resumable sharded KG job: manifests, counters, resume, CLI."""
+"""Resumable sharded KG job: manifests, counters, resume, global compaction."""
 
 import json
 import os
@@ -18,35 +18,38 @@ def shards(tmp_path_factory, sf_dir):
     return sorted(glob.glob(os.path.join(out, "*.parquet")))
 
 
+def _cand_dir(out, name):
+    return os.path.join(out, "candidates", f"shard={name}")
+
+
 def test_job_writes_manifests_with_counters(ray_session, shards, tmp_path):
     out = str(tmp_path / "kg")
     res = run_kg_job(shards[:2], out)
     assert len(res["completed"]) == 2 and not res["skipped"]
     for name in res["completed"]:
-        mpath = os.path.join(out, f"shard={name}", "manifest.json")
+        mpath = os.path.join(_cand_dir(out, name), "manifest.json")
         m = json.load(open(mpath))
         assert m["model_hash"]
         assert m["extractor_version"] == "1"
         assert m["counters"]["pages.rows_in"] > 0
         assert m["counters"]["score.rows_out"] >= m["counters"]["filter.rows_out"]
         assert m["completed_at"]
-        # triples parquet (if the shard yielded any) is subj-sorted
-        files = [f for f in os.listdir(os.path.dirname(mpath))
-                 if f.endswith(".parquet")]
-        assert m["num_rows"] == 0 or files
-        if files:
-            import pyarrow as pa
-            t = pa.concat_tables([
-                pq.read_table(os.path.join(os.path.dirname(mpath), f))
-                for f in sorted(files)])
-            assert t.num_rows == m["num_rows"]
-            subj = t.column("subj").to_pylist()
-            assert subj == sorted(subj)
+    # global triples output exists, subj-sorted, with a graph manifest
+    tdir = res["triples_dir"]
+    files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    gm = json.load(open(os.path.join(tdir, "_manifest.json")))
+    assert gm["num_files"] == len(files)
+    if files:
+        import pyarrow as pa
+        t = pa.concat_tables([pq.read_table(os.path.join(tdir, f))
+                              for f in sorted(files)])
+        subj = t.column("subj").to_pylist()
+        assert subj == sorted(subj)
 
 
 def test_job_resume_skips_completed(ray_session, shards, tmp_path):
     out = str(tmp_path / "kg2")
-    r1 = run_kg_job(shards[:1], out)
+    r1 = run_kg_job(shards[:1], out, compact=False)
     assert len(r1["completed"]) == 1
     r2 = run_kg_job(shards[:2], out)
     assert r2["skipped"] == r1["completed"]
@@ -55,11 +58,41 @@ def test_job_resume_skips_completed(ray_session, shards, tmp_path):
 
 def test_counters_are_per_shard(ray_session, shards, tmp_path):
     out = str(tmp_path / "kg3")
-    run_kg_job(shards[:2], out)
-    names = sorted(os.listdir(out))
-    counts = [json.load(open(os.path.join(out, n, "manifest.json")))
+    run_kg_job(shards[:2], out, compact=False)
+    cdir = os.path.join(out, "candidates")
+    names = sorted(os.listdir(cdir))
+    counts = [json.load(open(os.path.join(cdir, n, "manifest.json")))
               ["counters"]["pages.rows_in"] for n in names]
     # each shard counts only its own pages (snapshot resets between shards)
     total = sum(counts)
     n_docs = sum(pq.ParquetFile(s).metadata.num_rows for s in shards[:2])
     assert total == n_docs
+
+
+def test_sharded_job_matches_unsharded_pipeline(ray_session, shards,
+                                               sf_dir, tmp_path):
+    """Cross-shard consistency: splitting the corpus into shards must give
+    the SAME canonical triples as extract_triples on the whole corpus —
+    the canonical map is global and dedup spans shards."""
+    import pandas as pd
+
+    from opennre_ray.pipelines.kg import extract_triples
+
+    out = str(tmp_path / "kg4")
+    res = run_kg_job(shards, out)   # all 4 shards
+    tdir = res["triples_dir"]
+    files = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+    got = pd.concat([pq.read_table(os.path.join(tdir, f)).to_pandas()
+                     for f in files]) if files else pd.DataFrame()
+
+    want = extract_triples(
+        sf_dir, docs_path=os.path.dirname(shards[0])).to_pandas()
+
+    key = ["subj", "pred", "obj"]
+    got_s = got.sort_values(key).reset_index(drop=True) if len(got) else got
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(
+        got_s[key + ["n_evidence", "score"]].reset_index(drop=True),
+        want_s[key + ["n_evidence", "score"]].reset_index(drop=True),
+        check_dtype=False, atol=1e-6)

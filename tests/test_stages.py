@@ -179,7 +179,7 @@ def test_multimodal_plumbing(ray_session, sf_dir):
                            columns=["doc_id", "text"]).limit(32)
     feats = media_feature_pipeline(docs, batch_size=16).to_pandas()
     assert len(feats) == 32
-    assert feats["features"].iloc[0].shape == (14,)   # 3+3+8
+    assert np.asarray(feats["features"].iloc[0]).shape == (14,)   # 3+3+8
     # real-decoder path raises the documented stub error
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)._decode(b"x", 4, 4)
@@ -198,7 +198,7 @@ def test_multimodal_resize_and_frame_sample(ray_session, sf_dir):
                .map_batches(ResizeImage, fn_constructor_args=((4, 4),),
                             batch_format="numpy", batch_size=8,
                             concurrency=(1, 2))).to_pandas()
-    assert resized["image"].iloc[0].shape == (4, 4, 3)
+    assert np.asarray(resized["image"].iloc[0]).shape == (4, 4, 3)
     frames = media.map_batches(SampleFrames(every=2, max_frames=3),
                                batch_format="pyarrow").to_pandas()
     assert set(frames["frame_idx"].unique()) <= {0, 2, 4}
