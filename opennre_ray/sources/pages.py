@@ -87,6 +87,11 @@ def read_pages(sf_dir: str, drop_text: bool = True,
     path = docs_path or f"{sf_dir}/documents.parquet"
     cols = ["doc_id", "text", "lang", "source"]
     if os.path.isdir(path):
+        # one task per shard file. A finer override_num_blocks (8×CPUs) was
+        # measured SLOWER end-to-end (31.5-33s vs 22.5-26s, back-to-back at
+        # 32 CPUs, sf0.1 repeat=16): the extra blocks tax every downstream
+        # stage (bucketize tasks, sort partitions, write tasks) more than
+        # they help pack the skewed map tasks.
         ds = rd.read_parquet(path, columns=cols)
     else:
         n_rows = pq.ParquetFile(path).metadata.num_rows

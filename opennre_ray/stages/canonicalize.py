@@ -59,17 +59,17 @@ def build_canonical_map(instances_ds) -> dict[str, str]:
         PartialSurfaceCounts(), batch_format="pyarrow")
     totals = partials.groupby(["norm_surface", "entity_id"]).aggregate(
         Sum("cnt", alias_name="total"))
-    best: dict[str, tuple[int, str]] = {}
     # deterministic tie-break: higher count wins; on equal counts the
-    # lexicographically SMALLER id wins (direct comparison — a negated
-    # char-tuple trick inverts for prefix strings like 'Q1' vs 'Q12')
-    for row in totals.iter_rows():
-        key = row["norm_surface"]
-        cnt, eid = row["total"], row["entity_id"]
-        cur = best.get(key)
-        if cur is None or cnt > cur[0] or (cnt == cur[0] and eid < cur[1]):
-            best[key] = (cnt, eid)
-    return {k: v[1] for k, v in best.items()}
+    # lexicographically SMALLER id wins. Vectorized argmax (sort + first
+    # per surface) — the per-row iter_rows loop was the one driver-side
+    # Python loop in the canonicalization path.
+    df = totals.to_pandas()
+    if not len(df):
+        return {}
+    df = df.sort_values(["norm_surface", "total", "entity_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    best = df.drop_duplicates("norm_surface", keep="first")
+    return dict(zip(best["norm_surface"], best["entity_id"]))
 
 
 class CanonicalizeIds:
