@@ -37,6 +37,7 @@ def _warm_workers(num: int):
         import pyarrow  # noqa: F401
         from opennre_ray.registry import get_model
         get_model("wiki80_cnn_softmax")
+        get_model("nyt10_pcnn_att")   # bag pipeline's scorer
         return 1
 
     ray.get([warm.remote() for _ in range(num)])
@@ -86,16 +87,21 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     extras["docs_per_sec"] = round(n_pages / kg_sec, 1)
     extras["triples_per_sec"] = round(n_triples / kg_sec, 2)
 
+    def consume(res):
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
     # representative operator pipelines
     timed("lineitem_group_agg",
-          lambda: Q.lineitem_group_agg(sf_dir).to_pandas())
+          lambda: consume(Q.lineitem_group_agg(sf_dir)))
     timed("events_daily_window",
-          lambda: Q.events_daily_window(sf_dir).to_pandas())
-    timed("docs_quality", lambda: Q.docs_quality(sf_dir).to_pandas())
+          lambda: consume(Q.events_daily_window(sf_dir)))
+    timed("docs_quality", lambda: consume(Q.docs_quality(sf_dir)))
     timed("docs_minhash_dedup",
-          lambda: Q.docs_minhash_dedup(sf_dir).to_pandas())
+          lambda: consume(Q.docs_minhash_dedup(sf_dir)))
     timed("knn_cosine", lambda: Q.knn_cosine(sf_dir))
-    timed("docs_word_freq", lambda: Q.docs_word_freq(sf_dir).to_pandas())
+    timed("docs_word_freq", lambda: consume(Q.docs_word_freq(sf_dir)))
+    timed("graph_components_customers",
+          lambda: consume(Q.graph_components_customers(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

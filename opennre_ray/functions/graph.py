@@ -146,12 +146,19 @@ def connected_components(triples_ds, max_iters: int = 30,
                                            batch_format="pyarrow"),
                     edge_schema).materialize()
     n_parts = max(2, compute_n_buckets(edges.count()))
-    # compact: every round unions/joins datasets, and Ray ops preserve (or
-    # multiply) input block counts — without a bounded block count per
-    # iteration the plan grows ~6× blocks per round (measured: 3000+ tasks
-    # by round 5 on a 59-edge graph)
-    if edges.num_blocks() > n_parts:
-        edges = edges.repartition(n_parts).materialize()
+
+    def compact(ds):
+        """Materialize with bounded block count: every round unions/joins
+        datasets, and Ray ops preserve (or multiply) input block counts —
+        unbounded, the plan grows ~6× blocks per round (measured: 3000+
+        tasks by round 5 on a 59-edge graph). The repartition barrier
+        (~1 s fixed cost locally) is paid only when actually over budget."""
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    edges = compact(edges)
 
     # init: label(v) = min(v, min neighbor) — the first neighbor-min round,
     # done with one vectorized elementwise min + a native (vectorized)
@@ -163,10 +170,9 @@ def connected_components(triples_ds, max_iters: int = 30,
                                         batch.column("b")),
         })
 
-    labels = conform(
+    labels = compact(conform(
         edges.map_batches(init_cand, batch_format="pyarrow")
-        .groupby("entity").aggregate(Min("cand", alias_name="label"))
-    ).repartition(n_parts).materialize()
+        .groupby("entity").aggregate(Min("cand", alias_name="label"))))
 
     def min_and_diff(g: pd.DataFrame) -> pd.DataFrame:
         new = g.groupby("entity", as_index=False)["cand"].min()
@@ -205,9 +211,9 @@ def connected_components(triples_ds, max_iters: int = 30,
                                   batch_format="pyarrow")
         old = labels.map_batches(as_prop("entity", "label", 1),
                                  batch_format="pyarrow")
-        merged = hash_bucket_aggregate(prop.union(old), ["entity"],
-                                       min_and_diff, n_buckets=n_parts
-                                       ).repartition(n_parts).materialize()
+        merged = compact(hash_bucket_aggregate(prop.union(old), ["entity"],
+                                               min_and_diff,
+                                               n_buckets=n_parts))
         n_changed = merged.sum("changed")
         labels = conform(merged.select_columns(["entity", "label"]))
         if not n_changed:
@@ -223,11 +229,11 @@ def connected_components(triples_ds, max_iters: int = 30,
             batch_format="pyarrow")
         jumped = shuffle_join(labels, right, "label", "entity",
                               ["entity"], ["label2"], n_buckets=n_parts)
-        labels = conform(jumped.map_batches(
+        labels = compact(conform(jumped.map_batches(
             lambda t: pa.table({"entity": t.column("entity"),
                                 "label": t.column("label2")})
             if t.num_rows else label_schema.empty_table(),
-            batch_format="pyarrow")).repartition(n_parts).materialize()
+            batch_format="pyarrow")))
 
     return labels.map_batches(
         lambda t: t.rename_columns(["entity", "component"]),
