@@ -112,6 +112,106 @@ def knn_brute_force(ds_emb, query_ids, query_matrix, k=10,
                                 preserve_index=False)
 
 
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iters: int = 10,
+                 seed: int = 17) -> np.ndarray:
+    """Seeded Lloyd's k-means on L2-normalized vectors (numpy only).
+
+    Coarse quantizer training for IVF — a few iterations on a driver-side
+    sample is the standard recipe (the sample is small; the corpus never
+    reaches the driver). Empty clusters are re-seeded from the farthest
+    points to keep ``n_centroids`` live.
+    """
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    cents = x[rng.choice(n, min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iters):
+        sims = x @ cents.T                      # cosine == dot (normalized)
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = x[sims.max(axis=1).argmin()]
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(ds_emb, query_ids, query_matrix, k=10, n_centroids=32,
+            nprobe=8, sample_size=2048, seed=17,
+            key_col="vec_id", vec_col="embedding"):
+    """IVF approximate top-k: probe only the ``nprobe`` nearest centroid
+    cells per query.
+
+    Scale shape: the coarse quantizer trains on a driver-side sample;
+    centroids broadcast once; every batch assigns its vectors to cells
+    (one small matmul) and scores a query only against vectors in that
+    query's probed cells (vectorized mask). Per-batch output stays
+    ≤ queries × k rows, merged exactly like the brute-force path. With
+    ``nprobe == n_centroids`` recall is 1.0 by construction.
+    """
+    import ray
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    sample_tables = [ray.get(r) for r in
+                     ds_emb.limit(sample_size).to_arrow_refs()]
+    sample = _as_matrix(pa.concat_tables(sample_tables).column(vec_col))
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+    # per query: indices of its nprobe nearest cells
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((list(query_ids), qmat, cents, probe))
+    ref_key = ref.hex()
+
+    class CellTopK:
+        def __init__(self):
+            self.query_ids, self.qn, self.cents, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch.column(vec_col)))
+            keys = np.asarray(batch.column(key_col).to_pylist())
+            assign = (mat @ self.cents.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.query_ids)):
+                m = np.isin(assign, self.probe[qi])
+                if not m.any():
+                    continue
+                sims = sql_round(mat[m] @ self.qn[qi], 6)
+                sub_keys = keys[m]
+                kk = min(k, len(sims))
+                order = np.lexsort((sub_keys, -sims))[:kk]
+                out_q.extend([self.query_ids[qi]] * kk)
+                out_n.extend(sub_keys[order].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cosine": pa.array(np.asarray(out_s, dtype=np.float64)),
+            })
+
+    def cell_topk_batch(batch):
+        from ..stages.score import cached
+
+        stage = cached(("knn_ivf", ref_key, k), CellTopK)
+        return stage(batch)
+
+    partials = ds_emb.map_batches(cell_topk_batch, batch_format="pyarrow")
+    import pandas as pd
+    pdf = partials.to_pandas()
+    if not len(pdf):
+        return pa.table({"query_id": [], "neighbor_id": [],
+                         "cosine": [], "rank": []})
+    out = []
+    for qid, g in pdf.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    res = pd.concat(out).sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(res.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
             key_col="vec_id", vec_col="embedding"):
     """Approximate top-k: probe only vectors in the query's hyperplane bucket.

@@ -686,6 +686,102 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
 """
 
 
+SLIDING_WINDOW_DAYS = 7
+
+
+def events_sliding_window(sf_dir):
+    """Per-event trailing 7-day count/sum per user (sliding event-time
+    window, RANGE frame semantics: all events with ts in
+    [ts - 6 days, ts], ties included).
+
+    Ray shape: hash-bucket by user (users never span buckets), per-user
+    sort + vectorized two-pointer over cumulative sums — no per-row Python,
+    no global sort.
+    """
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    delta = pd.Timedelta(days=SLIDING_WINDOW_DAYS - 1)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        val = g["value"].to_numpy()
+        users = g["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        n_out = np.empty(len(g), dtype=np.int64)
+        s_out = np.empty(len(g), dtype=np.float64)
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            csum = np.concatenate([[0.0], np.cumsum(val[s:e])])
+            lo = np.searchsorted(t, t - delta, side="left")
+            hi = np.searchsorted(t, t, side="right")   # include ts ties
+            n_out[s:e] = hi - lo
+            s_out[s:e] = csum[hi] - csum[lo]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "sliding_n_7d": n_out,
+                             "sliding_sum_7d": sql_round(s_out, 2)})
+
+    return hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+SELECT event_id,
+       count(*) OVER w AS sliding_n_7d,
+       round(sum(value) OVER w, 2) AS sliding_sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {SLIDING_WINDOW_DAYS - 1} DAY PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+QUANTILE_QS = (0.5, 0.95)
+
+
+def lineitem_quantiles(sf_dir):
+    """Per-group discrete quantiles (p50/p95 of extended price).
+
+    Exact quantiles require each group's values in one place, so this
+    hash-buckets on the group key and sorts per group — the documented
+    partitioning assumption is per-group values fit a worker (true for
+    low-cardinality group keys; for heavy groups use a mergeable quantile
+    sketch instead). Discrete (sorted[ceil(q·n)-1], == DuckDB
+    ``quantile_disc``) rather than interpolated: an actual data element,
+    so no float-interpolation drift between engines.
+    """
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"],
+               rows_per_block=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, grp in g.groupby("l_returnflag"):
+            v = np.sort(grp["l_extendedprice"].to_numpy())
+            n = len(v)
+            qs = [float(v[min(int(np.ceil(q * n)) - 1, n - 1)])
+                  for q in QUANTILE_QS]
+            rows.append((flag, sql_round(qs[0], 2), sql_round(qs[1], 2),
+                         np.int64(n)))
+        return pd.DataFrame(rows, columns=["l_returnflag", "p50_price",
+                                           "p95_price", "n_items"])
+
+    return hash_bucket_aggregate(ds, ["l_returnflag"], per_bucket,
+                                 n_buckets=16)
+
+
+SQL_LINEITEM_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_price,
+       round(quantile_disc(l_extendedprice, 0.95), 2) AS p95_price,
+       count(*)::BIGINT AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph operators over a DETERMINISTIC edge table (customer → nation), so
 # degree / components / k-hop get full value oracles — the same operators
@@ -964,6 +1060,17 @@ def knn_lsh_query(sf_dir):
     return knn_lsh(emb, qids, qmat, k=KNN_K)
 
 
+def knn_ivf_query(sf_dir):
+    """IVF-bucketed ANN: coarse k-means cells, probe nprobe nearest cells
+    per query (the scale path when one brute-force matmul pass over the
+    corpus is too expensive)."""
+    from ..functions.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qmat = _query_vectors(sf_dir)
+    return knn_ivf(emb, qids, qmat, k=KNN_K)
+
+
 def embedding_near_dups(sf_dir):
     from ..functions.dedup import embedding_dup_groups
     return embedding_dup_groups(
@@ -1017,6 +1124,8 @@ QUERIES = {
     "graph_components_customers": graph_components_customers,
     "graph_khop_customers": graph_khop_customers,
     "docs_shingles": docs_shingles,
+    "events_sliding_window": events_sliding_window,
+    "lineitem_quantiles": lineitem_quantiles,
     # rows-only (model / sketch / approximate operators)
     "kg_triples": kg_triples,
     "kg_triples_pcnn": kg_triples_pcnn,
@@ -1035,6 +1144,7 @@ QUERIES = {
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "knn_lsh": knn_lsh_query,
+    "knn_ivf": knn_ivf_query,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
 }
@@ -1066,4 +1176,6 @@ ORACLES = {
     "graph_components_customers": SQL_GRAPH_COMPONENTS_CUSTOMERS,
     "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
     "docs_shingles": SQL_DOCS_SHINGLES,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
 }

@@ -53,3 +53,35 @@ def test_knn_lsh_recalls_self(emb, sf_dir):
     for qid in qids:
         g = res[res["query_id"] == qid]
         assert qid in set(g["neighbor_id"])
+
+
+def test_knn_ivf_recall_and_exactness(emb, sf_dir):
+    """IVF: full-probe == brute force (recall 1.0 by construction);
+    partial probe still recalls self and a solid fraction of the true
+    top-k."""
+    import pyarrow.parquet as pq
+
+    from opennre_ray.functions.similarity import knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmat = np.array(t.column("embedding").to_pylist()[:3], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:3]
+    k = 5
+    exact = knn_brute_force(emb, qids, qmat, k=k).to_pandas()
+
+    full = knn_ivf(emb, qids, qmat, k=k, n_centroids=8, nprobe=8).to_pandas()
+    for qid in qids:
+        want = list(exact[exact["query_id"] == qid]
+                    .sort_values("rank")["neighbor_id"])
+        got = list(full[full["query_id"] == qid]
+                   .sort_values("rank")["neighbor_id"])
+        assert got == want
+
+    part = knn_ivf(emb, qids, qmat, k=k, n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for qid in qids:
+        g = part[part["query_id"] == qid]
+        assert qid in set(g["neighbor_id"])      # self always in own cell
+        want = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(want & set(g["neighbor_id"])) / k)
+    assert np.mean(recalls) >= 0.5
