@@ -26,14 +26,17 @@ from .relational import hash_bucket_aggregate
 def degree_stats(triples_ds, subj_col="subj", obj_col="obj"):
     """Per-entity out-degree, in-degree, and distinct predicate count."""
     def explode(batch: pa.Table) -> pa.Table:
-        subj = batch.column(subj_col).to_pylist()
-        obj = batch.column(obj_col).to_pylist()
-        pred = batch.column("pred").to_pylist()
+        def arr(name):
+            c = batch.column(name)
+            return (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c).cast(pa.string())
+
+        subj, obj, pred = arr(subj_col), arr(obj_col), arr("pred")
+        n = batch.num_rows
         return pa.table({
-            "entity": pa.array(subj + obj, pa.string()),
-            "direction": pa.array(["out"] * len(subj) + ["in"] * len(obj),
-                                  pa.string()),
-            "pred": pa.array(pred + pred, pa.string()),
+            "entity": pa.concat_arrays([subj, obj]),
+            "direction": pa.array(["out"] * n + ["in"] * n, pa.string()),
+            "pred": pa.concat_arrays([pred, pred]),
         })
 
     edges = triples_ds.map_batches(explode, batch_format="pyarrow")
