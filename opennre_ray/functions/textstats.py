@@ -114,7 +114,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
             if s > best:
                 best, best_lang = s, lang
         langs.append(best_lang)
-        confs.append(round(best, 6))
+        confs.append(float(sql_round(best, 6)))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "pred_lang": pa.array(langs, pa.string()),

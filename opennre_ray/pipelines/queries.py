@@ -1045,6 +1045,37 @@ def docs_langid_heuristic(sf_dir):
         lang_id_batch, batch_format="pyarrow")
 
 
+# exact mirror of textstats._LANG_MARKERS + the first-wins argmax tie-break
+# (en beats later profiles on ties; later profiles need strictly greater)
+SQL_DOCS_LANGID = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE list_transform(regexp_split_to_array(trim(text), '\s+'),
+                             w -> lower(w)) END AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    length(list_filter(toks, w -> w IN ('the','a','of','and','in','to','is','was')))
+      / greatest(length(toks),1)::DOUBLE AS s_en,
+    length(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein','nicht','mit')))
+      / greatest(length(toks),1)::DOUBLE AS s_de,
+    length(list_filter(toks, w -> w IN ('el','la','de','y','es','un','una','que')))
+      / greatest(length(toks),1)::DOUBLE AS s_es,
+    length(list_filter(toks, w -> w IN ('le','la','et','est','un','une','que','pour')))
+      / greatest(length(toks),1)::DOUBLE AS s_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+       ELSE 'und' END AS pred_lang,
+  round(greatest(s_en, s_de, s_es, s_fr), 6) AS confidence
+FROM s
+"""
+
+
 def docs_rolling_fingerprint(sf_dir):
     from ..functions.textstats import fingerprint_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1178,4 +1209,5 @@ ORACLES = {
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
+    "docs_langid_heuristic": SQL_DOCS_LANGID,
 }
