@@ -158,16 +158,33 @@ def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unit weights)."""
-    acc = np.zeros(64, dtype=np.int64)
+def _word_hash64(w: str) -> int:
+    """First 8 md5 bytes as uint64 — chosen because BOTH engines can
+    compute it (`('0x' || substr(md5(w),1,16))::UBIGINT` in DuckDB), which
+    makes SimHash fully value-oracle-able."""
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def simhash64(text: str, _cache: dict = {}) -> int:
+    """64-bit SimHash over whitespace tokens (unit weights).
+
+    Word hashes are cached per worker (Zipfian vocab → most lookups hit),
+    and the ±1 bit accumulation is one vectorized pass per document.
+    """
+    words = text.split()
+    if not words:
+        return 0
+    hs = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = _cache.get(w)
+        if h is None:
+            if len(_cache) > 250_000:
+                _cache.clear()
+            h = _cache[w] = _word_hash64(w)
+        hs[i] = h
     shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for w in text.split():
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)   # (W, 64)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

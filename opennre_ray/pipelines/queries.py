@@ -1035,8 +1035,60 @@ def docs_minhash_dedup(sf_dir):
 
 def docs_simhash(sf_dir):
     from ..functions.dedup import SimHashStage
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        SimHashStage(), batch_format="pyarrow")
+
+    def hexify(batch: pa.Table) -> pa.Table:
+        # hex string + int64 bands: engine-neutral types for the oracle hash
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash_hex": pa.array([format(int(v), "016x") for v in sh]),
+            "band0": batch.column("band0").cast(pa.int64()),
+            "band1": batch.column("band1").cast(pa.int64()),
+            "band2": batch.column("band2").cast(pa.int64()),
+            "band3": batch.column("band3").cast(pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(SimHashStage(), batch_format="pyarrow")
+            .map_batches(hexify, batch_format="pyarrow"))
+
+
+# Word hash = first 8 md5 bytes (dedup._word_hash64) so both engines agree;
+# bit i majority over ±1 votes, ties → 0 (strictly-positive test in both).
+SQL_DOCS_SIMHASH = r"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+),
+bits AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hashed, range(64) t(i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+    COALESCE(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << i)
+                      ELSE 0::UBIGINT END), 0)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+full_sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT doc_id,
+  lpad(lower(to_hex(simhash)), 16, '0') AS simhash_hex,
+  ((simhash >> 0)  & 65535)::BIGINT AS band0,
+  ((simhash >> 16) & 65535)::BIGINT AS band1,
+  ((simhash >> 32) & 65535)::BIGINT AS band2,
+  ((simhash >> 48) & 65535)::BIGINT AS band3
+FROM full_sig
+"""
 
 
 def docs_langid_heuristic(sf_dir):
@@ -1210,4 +1262,5 @@ ORACLES = {
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
     "docs_langid_heuristic": SQL_DOCS_LANGID,
+    "docs_simhash": SQL_DOCS_SIMHASH,
 }
