@@ -63,14 +63,18 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct 64-bit hashes of word k-shingles."""
+    """Distinct 64-bit hashes of word k-shingles.
+
+    Shingle hash = first 8 md5 bytes (same convention as
+    :func:`_word_hash64`) so the whole MinHash pipeline is computable by a
+    SQL engine and thus value-oracle-able end to end."""
     words = text.split()
     if len(words) < k:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
-    out = {int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                          "little") for g in grams}
+    out = {int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+           for g in grams}
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 

@@ -1033,6 +1033,55 @@ def docs_minhash_dedup(sf_dir):
     return minhash_duplicate_groups(ds)
 
 
+def _sql_minhash_dedup() -> str:
+    """Full value oracle for MinHash+LSH dedup: the seeded affine
+    permutation params are embedded as literals, the shingle hash is the
+    md5-derived uint64 (dedup.shingle_hashes), and the uint64-wrapping
+    affine transform is replicated in HUGEINT arithmetic. Band buckets
+    group by the 4-value signature tuple — identical partitioning to the
+    engine's blake2b band digest (collision-free on realistic inputs)."""
+    from ..functions.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    A = "[" + ",".join(str(int(x)) for x in a) + "]::UBIGINT[]"
+    B = "[" + ",".join(str(int(x)) for x in b) + "]::UBIGINT[]"
+    return rf"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text)='' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(range(1, length(toks)-1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS g
+  FROM t),
+sh AS (SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams),
+params AS (SELECT unnest(range(64)) AS perm, unnest({A}) AS a, unnest({B}) AS b),
+sig AS (
+  SELECT doc_id, perm,
+    MIN((((h::HUGEINT * a::HUGEINT) % 18446744073709551616 + b)
+        % 18446744073709551616) % 2305843009213693951) AS v
+  FROM sh CROSS JOIN params
+  GROUP BY doc_id, perm),
+bands AS (
+  SELECT doc_id, perm // 4 AS band_id,
+    string_agg(v::VARCHAR, ',' ORDER BY perm) AS bkey
+  FROM sig GROUP BY doc_id, perm // 4),
+buckets AS (
+  SELECT band_id, bkey, min(doc_id) AS root, count(*) AS n
+  FROM bands GROUP BY band_id, bkey)
+SELECT bd.doc_id, min(k.root)::BIGINT AS dup_group
+FROM bands bd JOIN buckets k USING (band_id, bkey)
+WHERE k.n >= 2
+GROUP BY bd.doc_id
+"""
+
+
+SQL_DOCS_MINHASH_DEDUP = _sql_minhash_dedup()
+
+
 def docs_simhash(sf_dir):
     from ..functions.dedup import SimHashStage
 
@@ -1133,6 +1182,21 @@ def docs_rolling_fingerprint(sf_dir):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "rolling_hash"])
+
+
+# Rabin-Karp over bytes, base 257 mod 2^61-1. The oracle folds over code
+# points, which equals the engine's byte fold on this ASCII corpus (the
+# engine itself handles arbitrary UTF-8).
+SQL_DOCS_ROLLING_FINGERPRINT = r"""
+SELECT doc_id,
+  CASE WHEN text = '' THEN 0::UBIGINT
+  ELSE list_reduce(
+    list_prepend(0::HUGEINT,
+      list_transform(split(text, ''), c -> unicode(c)::HUGEINT)),
+    (a, b) -> (a * 257 + b) % 2305843009213693951
+  )::UBIGINT END AS rolling_hash
+FROM documents
+"""
 
 
 def knn_lsh_query(sf_dir):
@@ -1263,4 +1327,6 @@ ORACLES = {
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
     "docs_langid_heuristic": SQL_DOCS_LANGID,
     "docs_simhash": SQL_DOCS_SIMHASH,
+    "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
+    "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
 }
