@@ -112,6 +112,59 @@ def knn_brute_force(ds_emb, query_ids, query_matrix, k=10,
                                 preserve_index=False)
 
 
+def cosine_pair_join(ds_emb, threshold: float = 0.9,
+                     key_col: str = "vec_id", vec_col: str = "embedding"):
+    """EXACT thresholded cosine self-join: all pairs (id_a < id_b) with
+    round(cosine, 6) >= threshold.
+
+    Shape: block-pair tasks over the Dataset's Arrow blocks — block i × j
+    for i <= j, each one dense matmul, emitting only the (tiny) passing
+    pairs. This is the exact baseline; O(B²) block pairs means it is the
+    small/medium-corpus path — at 100 TB use the LSH-bucketed
+    ``dedup.embedding_dup_groups`` (candidates) + this join restricted to
+    candidate buckets. Raw Ray tasks are used because the Dataset API has
+    no self-cartesian; blocks are consumed as object refs (zero-copy, never
+    re-shipped to the driver).
+    """
+    import ray
+
+    def pack(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, vec_col])
+
+    refs = ds_emb.map_batches(pack, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        a = _normalize(_as_matrix(ta.column(vec_col)))
+        b = a if same else _normalize(_as_matrix(tb.column(vec_col)))
+        ka = np.asarray(ta.column(key_col).to_pylist())
+        kb = ka if same else np.asarray(tb.column(key_col).to_pylist())
+        sims = sql_round(a @ b.T, 6)
+        ii, jj = np.nonzero(sims >= threshold)
+        ia, ib, s = ka[ii], kb[jj], sims[ii, jj]
+        keep = ia < ib if same else ia != ib
+        ia, ib, s = ia[keep], ib[keep], s[keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)   # orient id_a < id_b
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "cosine": pa.array(s, pa.float64())})
+
+    tasks = [pair_task.remote(refs[i], refs[j], i == j)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = pa.concat_tables(parts)
+    # cross-block tasks emit each unordered pair once (i<j partitioning),
+    # but both orientations of a pair can appear when ids interleave across
+    # blocks — dedup on the oriented key
+    import pandas as pd
+    pdf = out.to_pandas().drop_duplicates(["id_a", "id_b"])
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iters: int = 10,
                  seed: int = 17) -> np.ndarray:
     """Seeded Lloyd's k-means on L2-normalized vectors (numpy only).

@@ -73,6 +73,48 @@ def heavy_hitters(ds, column: str, k: int = 10, counters: int = 64):
                      "approx_count": pa.array([t[1] for t in top], pa.int64())})
 
 
+def heavy_hitters_verified(ds, column: str, k: int = 10, counters: int = 256):
+    """EXACT top-k via the production candidate+verify pattern.
+
+    Pass 1 streams Misra-Gries summaries (any value with true frequency
+    > n/counters is guaranteed in the merged candidate set); pass 2 streams
+    the data again counting ONLY the candidate values exactly (map-side
+    vectorized count → tiny groupby sum). Two streaming passes instead of a
+    full-vocabulary shuffle — the exchange volume is O(candidates), not
+    O(distinct values). Deterministic tie-break: (count desc, value asc).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk = mg_sketch(batch.column(column).to_pylist(), counters)
+        return pa.table({"value": pa.array(list(sk.keys()), pa.string()),
+                         "cnt": pa.array(list(sk.values()), pa.int64())})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    total: Counter = Counter()
+    for v, c in zip(parts["value"], parts["cnt"]):
+        total[v] += int(c)
+    cand_ref = ray.put(pa.array(sorted(total.keys()), pa.string()))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vals = batch.column(column).combine_chunks()
+        hit = vals.filter(pc.is_in(vals, value_set=ray.get(cand_ref)))
+        vc = pc.value_counts(hit)
+        return pa.table({"value": vc.field("values"),
+                         "cnt": vc.field("counts")})
+
+    exact = (ds.map_batches(count_candidates, batch_format="pyarrow")
+             .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    exact = exact.sort_values(["cnt", "value"],
+                              ascending=[False, True]).head(k)
+    return pa.table({"value": pa.array(exact["value"], pa.string()),
+                     "cnt": pa.array(exact["cnt"].astype("int64"),
+                                     pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

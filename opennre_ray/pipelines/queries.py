@@ -506,6 +506,33 @@ def docs_heavy_hitter_words(sf_dir):
                          "word", k=10, counters=64)
 
 
+def docs_heavy_hitters_verified(sf_dir):
+    """EXACT top-10 words: Misra-Gries candidate pass + exact-count verify
+    pass (the production heavy-hitter pattern — candidate volume, not
+    vocabulary, crosses the wire)."""
+    from ..functions.sketches import heavy_hitters_verified
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = []
+        for t in batch.column("text").to_pylist():
+            words.extend(t.split())
+        return pa.table({"word": pa.array(words, pa.string())})
+
+    return heavy_hitters_verified(
+        ds.map_batches(explode, batch_format="pyarrow"), "word", k=10)
+
+
+SQL_DOCS_HEAVY_HITTERS_VERIFIED = r"""
+SELECT token AS value, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, value ASC LIMIT 10
+"""
+
+
 def events_approx_distinct_users(sf_dir):
     """HLL approximate count-distinct of users (mergeable sketch)."""
     from ..functions.sketches import approx_distinct
@@ -683,6 +710,31 @@ s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
+"""
+
+
+COSINE_PAIR_THRESHOLD = 0.4
+
+
+def embed_cosine_pairs(sf_dir):
+    """Exact thresholded cosine similarity self-join (block-pair matmul) —
+    the exact baseline behind embedding near-dedup."""
+    from ..functions.similarity import cosine_pair_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pair_join(emb, threshold=COSINE_PAIR_THRESHOLD)
+
+
+SQL_EMBED_COSINE_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6)
+      >= {COSINE_PAIR_THRESHOLD}
 """
 
 
@@ -1285,6 +1337,8 @@ QUERIES = {
     "bag_relation_scores": bag_relation_scores,
     "bag_eval_metrics": bag_eval_metrics,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_heavy_hitters_verified": docs_heavy_hitters_verified,
+    "embed_cosine_pairs": embed_cosine_pairs,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1329,4 +1383,6 @@ ORACLES = {
     "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
+    "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
+    "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
 }

@@ -85,3 +85,45 @@ def test_knn_ivf_recall_and_exactness(emb, sf_dir):
         want = set(exact[exact["query_id"] == qid]["neighbor_id"])
         recalls.append(len(want & set(g["neighbor_id"])) / k)
     assert np.mean(recalls) >= 0.5
+
+
+def test_cosine_pair_join_matches_numpy_oracle(emb, sf_dir):
+    """Exact thresholded self-join == all-pairs numpy at the same rounding."""
+    import pyarrow.parquet as pq
+
+    from opennre_ray.functions.similarity import cosine_pair_join
+
+    got = cosine_pair_join(emb, threshold=0.4).to_pandas()
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    ii, jj = np.nonzero(np.triu(sims >= 0.4, k=1))
+    want = {(min(ids[i], ids[j]), max(ids[i], ids[j])): sims[i, j]
+            for i, j in zip(ii, jj)}
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert abs(want[(r.id_a, r.id_b)] - r.cosine) < 1e-9
+
+
+def test_cosine_pair_join_multi_block(ray_session):
+    """Pairs spanning blocks are found exactly once."""
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import cosine_pair_join
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 8))
+    vecs = np.concatenate([base, base + 0.01 * rng.standard_normal((40, 8))])
+    ids = list(range(80))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in zip(ids, vecs)]
+    ).repartition(7)
+    got = cosine_pair_join(ds, threshold=0.99).to_pandas()
+    # each planted near-dup pair (i, i+40) must appear exactly once
+    planted = {(i, i + 40) for i in range(40)}
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert planted <= pairs
+    assert got.duplicated(["id_a", "id_b"]).sum() == 0

@@ -123,3 +123,26 @@ def test_incremental_keyed_state_matches_batch(ray_session, sf_dir):
         assert n == row["size"]
         np.testing.assert_allclose(s, row["sum"], rtol=1e-9)
         np.testing.assert_allclose(mx, row["max"], rtol=1e-12)
+
+
+def test_heavy_hitters_verified_is_exact(ray_session):
+    """Candidate+verify top-k == exact Counter top-k with the same
+    (count desc, value asc) tie-break — including a skewed stream where
+    plain MG counts would be under-estimates."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from opennre_ray.functions.sketches import heavy_hitters_verified
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    weights = 1.0 / np.arange(1, 301) ** 1.2
+    items = list(rng.choice(vocab, size=20000, p=weights / weights.sum()))
+    ds = rd.from_items([{"word": w} for w in items]).repartition(8)
+    got = heavy_hitters_verified(ds, "word", k=10, counters=64).to_pandas()
+
+    c = Counter(items)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["value"]) == [w for w, _ in want]
+    assert list(got["cnt"]) == [n for _, n in want]
