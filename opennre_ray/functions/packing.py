@@ -1,0 +1,87 @@
+"""Training-data assembly operators: sequence packing and deterministic
+hash splits.
+
+A 100 TB pretraining pipeline ends by (a) splitting the corpus into
+train/held-out by a content-stable hash (no global shuffle, no state) and
+(b) packing variable-length documents into fixed-token-budget sequences.
+Both are expressed here so every row's assignment is a pure function of
+the row (+ a partition key), which keeps them embarrassingly parallel AND
+value-oracle-able in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_split(ds, key_col: str = "doc_id", train_frac: float = 0.8,
+               salt: str = ""):
+    """Deterministic train/test assignment: first 4 md5 bytes of
+    ``salt + str(key)`` as a uniform u32 draw. Content-stable (adding or
+    removing rows never reassigns others), stateless, and exactly
+    reproducible by any engine with md5.
+    """
+    cut = int(train_frac * 4294967296)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        draws = [int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:8], 16)
+                 for k in keys]
+        split = pa.array(["train" if d < cut else "test" for d in draws],
+                         pa.string())
+        return batch.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_sequences(ds, budget: int = 512, part_size: int = 1000,
+                   key_col: str = "doc_id", text_col: str = "text"):
+    """Greedy first-fit-in-order sequence packing within key-range
+    partitions.
+
+    Documents are processed in ``key`` order inside each partition
+    (``key // part_size``); a sequence closes when the next document would
+    exceed ``budget`` tokens (an over-budget document sits alone in its own
+    sequence). Partition-local packing is the scale contract: packing is a
+    serial fold, so the parallel unit is the partition, and sequence ids
+    are (part_id, seq_id) pairs — no cross-partition coordination.
+
+    Returns (doc_id, n_tokens, part_id, seq_id, seq_pos).
+    """
+    from .relational import hash_bucket_aggregate
+    from .textstats import token_count_batch
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch)
+        part = pa.compute.divide(
+            batch.column(key_col).cast(pa.int64()),
+            pa.scalar(part_size, pa.int64()))
+        return t.append_column("part_id", part)
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for part_id, grp in g.groupby("part_id", sort=True):
+            grp = grp.sort_values(key_col)
+            n = grp["n_tokens"].to_numpy()
+            seq = np.empty(len(n), dtype=np.int64)
+            pos = np.empty(len(n), dtype=np.int64)
+            cur_seq, filled, cur_pos = 0, 0, 0
+            for i, tok in enumerate(n):
+                if i > 0 and filled + tok > budget:
+                    cur_seq += 1
+                    filled, cur_pos = 0, 0
+                filled += tok
+                seq[i] = cur_seq
+                pos[i] = cur_pos
+                cur_pos += 1
+            out.append(grp.assign(seq_id=seq, seq_pos=pos))
+        return pd.concat(out) if out else g.assign(
+            seq_id=pd.Series(dtype="int64"), seq_pos=pd.Series(dtype="int64"))
+
+    return hash_bucket_aggregate(counted, ["part_id"], pack_bucket)

@@ -713,6 +713,67 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
 """
 
 
+PACK_BUDGET = 512
+PACK_PART_SIZE = 100
+SPLIT_TRAIN_FRAC = 0.8
+
+
+def docs_hash_split(sf_dir):
+    """Deterministic content-stable train/test split (md5 draw per key)."""
+    from ..functions.packing import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id", SPLIT_TRAIN_FRAC).select_columns(
+        ["doc_id", "split"])
+
+
+SQL_DOCS_HASH_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+            < {int(SPLIT_TRAIN_FRAC * 4294967296)}
+       THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def docs_pack_sequences(sf_dir):
+    """Greedy sequence packing into {PACK_BUDGET}-token sequences within
+    doc_id-range partitions."""
+    from ..functions.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, budget=PACK_BUDGET, part_size=PACK_PART_SIZE)
+
+
+# the serial greedy fold is per-partition, so the oracle replays it with a
+# recursive CTE keyed on the same (doc_id // part_size) partition
+SQL_DOCS_PACK_SEQUENCES = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_tokens, doc_id // {PACK_PART_SIZE} AS part_id,
+         row_number() OVER (PARTITION BY (doc_id // {PACK_PART_SIZE})
+                            ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\s+'))
+          END::BIGINT AS n_tokens
+        FROM documents)),
+acc AS (
+  SELECT part_id, rn, doc_id, n_tokens, n_tokens AS filled,
+         0::BIGINT AS seq_id, 0::BIGINT AS seq_pos
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.part_id, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN d.n_tokens ELSE a.filled + d.n_tokens END,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN a.seq_id + 1 ELSE a.seq_id END,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN 0 ELSE a.seq_pos + 1 END
+  FROM d JOIN acc a ON d.part_id = a.part_id AND d.rn = a.rn + 1)
+SELECT doc_id, n_tokens, part_id, seq_id, seq_pos FROM acc
+"""
+
+
 COSINE_PAIR_THRESHOLD = 0.4
 
 
@@ -1339,6 +1400,8 @@ QUERIES = {
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_heavy_hitters_verified": docs_heavy_hitters_verified,
     "embed_cosine_pairs": embed_cosine_pairs,
+    "docs_hash_split": docs_hash_split,
+    "docs_pack_sequences": docs_pack_sequences,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1385,4 +1448,6 @@ ORACLES = {
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "docs_hash_split": SQL_DOCS_HASH_SPLIT,
+    "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
 }

@@ -1,0 +1,60 @@
+"""Sequence packing + hash split: budget invariants and stability."""
+
+import numpy as np
+import pytest
+
+from opennre_ray.functions.packing import hash_split, pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(300):
+        if i % 97 == 0:
+            n = 700                     # over budget: must sit alone
+        elif i % 31 == 0:
+            n = 0                       # empty doc
+        else:
+            n = int(rng.integers(20, 200))
+        rows.append({"doc_id": i, "text": " ".join(["w"] * n)})
+    return rd.from_items(rows).repartition(6)
+
+
+def test_pack_sequences_budget_invariant(docs_ds):
+    got = pack_sequences(docs_ds, budget=512, part_size=50).to_pandas()
+    assert len(got) == 300
+    sizes = got.groupby(["part_id", "seq_id"])["n_tokens"].agg(["sum", "size"])
+    over = sizes[sizes["sum"] > 512]
+    # only over-budget singleton docs may exceed the budget
+    assert (over["size"] == 1).all()
+    # greedy in doc order: seq_id non-decreasing, seq_pos consecutive
+    for (_, _), g in got.sort_values("doc_id").groupby(["part_id", "seq_id"]):
+        assert list(g.sort_values("doc_id")["seq_pos"]) == list(range(len(g)))
+
+
+def test_pack_sequences_partition_isolation(docs_ds):
+    """Packing a partition never depends on other partitions: re-packing a
+    single partition's docs alone gives identical assignments."""
+    full = pack_sequences(docs_ds, budget=512, part_size=50).to_pandas()
+    import ray.data as rd
+
+    one = docs_ds.filter(lambda r: 50 <= r["doc_id"] < 100)
+    alone = pack_sequences(one, budget=512, part_size=50).to_pandas()
+    merged = full[full["part_id"] == 1].sort_values("doc_id").reset_index(drop=True)
+    alone = alone.sort_values("doc_id").reset_index(drop=True)
+    assert (merged[["doc_id", "seq_id", "seq_pos"]].to_numpy()
+            == alone[["doc_id", "seq_id", "seq_pos"]].to_numpy()).all()
+
+
+def test_hash_split_stable_and_balanced(docs_ds):
+    got = hash_split(docs_ds, "doc_id", 0.8).to_pandas()
+    frac = (got["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    # content-stable: same key -> same split regardless of corpus subset
+    sub = hash_split(docs_ds.filter(lambda r: r["doc_id"] < 100),
+                     "doc_id", 0.8).to_pandas()
+    m = got.set_index("doc_id")["split"]
+    assert all(m[r.doc_id] == r.split for r in sub.itertuples())
