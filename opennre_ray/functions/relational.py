@@ -185,6 +185,74 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def asof_join(left_ds, right_ds, key: str, ts: str,
+              left_cols: list[str], right_cols: list[str],
+              how: str = "left", right_suffix: str = "_m",
+              n_buckets: int | None = None, rows_hint: int | None = None):
+    """Distributed as-of join: each left row matches the LATEST right row
+    of the same ``key`` with right.ts <= left.ts (backward, exact matches
+    allowed) — the operator Ray Data lacks for event-stream enrichment.
+
+    Partitioning assumption: equal keys co-locate (same coarse hash-bucket
+    shuffle as every other wide op here), so each bucket resolves its keys
+    exactly with one vectorized ``pd.merge_asof``. Matched right columns
+    come back suffixed ``right_suffix`` (the right ts is also emitted as
+    ``ts + right_suffix``).
+
+    ``how='left'`` keeps unmatched left rows (null matches, value columns
+    become nullable); ``how='inner'`` drops them. Tie caveat: if the right
+    side has duplicate (key, ts) rows the winner among equals is the last
+    in this sort order — pre-dedupe the right side per (key, ts) when the
+    match must be engine-independent.
+    """
+    import pandas as pd
+
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported how={how!r}")
+    rcols_out = [c + right_suffix for c in right_cols] + [ts + right_suffix]
+    all_cols = list(left_cols) + list(right_cols)
+
+    def tag(cols, side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"_key": df[key], "_ts": df[ts]})
+            for c in all_cols:
+                out[c] = df[c] if c in cols else None
+            out["_side"] = np.int64(side)
+            return out
+        return fn
+
+    tagged = (left_ds.map_batches(tag(left_cols, 0), batch_format="pandas")
+              .union(right_ds.map_batches(tag(right_cols, 1),
+                                          batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = (g.loc[g["_side"] == 0, ["_key", "_ts"] + list(left_cols)]
+               .sort_values("_ts", kind="mergesort"))
+        rhs = (g.loc[g["_side"] == 1, ["_key", "_ts"] + list(right_cols)]
+               .sort_values("_ts", kind="mergesort")
+               .rename(columns={c: c + right_suffix for c in right_cols}))
+        rhs["_ts_r"] = rhs["_ts"]
+        if lhs.empty or rhs.empty:
+            merged = lhs.copy()
+            for c in [c + right_suffix for c in right_cols] + ["_ts_r"]:
+                merged[c] = None
+            if how == "inner":
+                merged = merged.iloc[0:0]
+            return merged.rename(columns={"_key": key, "_ts": ts,
+                                          "_ts_r": ts + right_suffix})[
+                [key, ts] + list(left_cols) + rcols_out]
+        merged = pd.merge_asof(lhs, rhs, on="_ts", by="_key",
+                               direction="backward")
+        if how == "inner":
+            merged = merged[merged["_ts_r"].notna()]
+        return merged.rename(columns={"_key": key, "_ts": ts,
+                                      "_ts_r": ts + right_suffix})[
+            [key, ts] + list(left_cols) + rcols_out]
+
+    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
+
+
 #: distinct-key count above which the anti-join stops collecting keys to
 #: the driver and falls back to the bucketed shuffle path. ~2M short keys
 #: ≈ low hundreds of MB broadcast — the driver/object-store comfort zone.

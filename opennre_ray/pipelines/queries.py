@@ -713,6 +713,33 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
 """
 
 
+def events_asof_view(sf_dir):
+    """Each click event enriched with the user's latest view event at or
+    before it (inner as-of join — the event-stream enrichment operator)."""
+    from ..functions.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = asof_join(clicks, views, "user_id", "ts",
+                    ["event_id"], ["event_id"], how="inner")
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["event_id_m"] = batch["event_id_m"].astype("int64")
+        return batch
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF_VIEW = """
+SELECT c.user_id, c.ts, c.event_id, v.event_id AS event_id_m,
+       v.ts AS ts_m
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 PACK_BUDGET = 512
 PACK_PART_SIZE = 100
 SPLIT_TRAIN_FRAC = 0.8
@@ -1402,6 +1429,7 @@ QUERIES = {
     "embed_cosine_pairs": embed_cosine_pairs,
     "docs_hash_split": docs_hash_split,
     "docs_pack_sequences": docs_pack_sequences,
+    "events_asof_view": events_asof_view,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1450,4 +1478,5 @@ ORACLES = {
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
+    "events_asof_view": SQL_EVENTS_ASOF_VIEW,
 }

@@ -1,0 +1,54 @@
+"""asof_join: backward-match semantics vs a hand-computed oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opennre_ray.functions.relational import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 60),
+        "t": rng.integers(0, 1000, 60).astype("int64"),
+        "lv": np.arange(60, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, 40),          # key 5 never on the left
+        "t": rng.integers(0, 1000, 40).astype("int64"),
+        "rv": np.arange(100, 140, dtype="int64"),
+    }).drop_duplicates(["k", "t"])
+    return (rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3), left, right)
+
+
+def _oracle(left, right, how):
+    out = []
+    for r in left.itertuples():
+        m = right[(right["k"] == r.k) & (right["t"] <= r.t)]
+        if len(m):
+            best = m.sort_values("t").iloc[-1]
+            out.append((r.k, r.t, r.lv, best["rv"], best["t"]))
+        elif how == "left":
+            out.append((r.k, r.t, r.lv, None, None))
+    return sorted(out, key=lambda x: (x[0], x[1], x[2]))
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_asof_join_matches_oracle(sides, how):
+    lds, rds, left, right = sides
+    got = asof_join(lds, rds, "k", "t", ["lv"], ["rv"],
+                    how=how, n_buckets=4).to_pandas()
+    want = _oracle(left, right, how)
+    got = got.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for row, w in zip(got.itertuples(), want):
+        assert (row.k, row.t, row.lv) == w[:3]
+        if w[3] is None:
+            assert pd.isna(row.rv_m)
+        else:
+            assert row.rv_m == w[3] and row.t_m == w[4]
