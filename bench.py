@@ -102,6 +102,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_word_freq", lambda: consume(Q.docs_word_freq(sf_dir)))
     timed("graph_components_customers",
           lambda: consume(Q.graph_components_customers(sf_dir)))
+    timed("events_asof_view", lambda: consume(Q.events_asof_view(sf_dir)))
+    timed("docs_pack_sequences",
+          lambda: consume(Q.docs_pack_sequences(sf_dir)))
+    timed("embed_cosine_pairs", lambda: Q.embed_cosine_pairs(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
