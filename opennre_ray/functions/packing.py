@@ -38,6 +38,39 @@ def hash_split(ds, key_col: str = "doc_id", train_frac: float = 0.8,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
+                      salt: str = ""):
+    """Deterministic down-sampling to equal stratum sizes (in expectation):
+    stratum g keeps each row with probability min_count/count(g), decided by
+    the same md5 draw as :func:`hash_split`.
+
+    The acceptance cut is computed in INTEGER arithmetic
+    (``min_count * 2^32 // count``) so any engine reproduces the exact row
+    set. Scale shape: one tiny groupby for the counts, rates broadcast,
+    then a stateless vectorized filter — the corpus itself never shuffles.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(strat_col).aggregate(
+        Count(alias_name="n")).to_pandas()
+    mn = int(counts["n"].min())
+    cuts = {g: (mn << 32) // int(n)
+            for g, n in zip(counts[strat_col], counts["n"])}
+    ref = ray.put(cuts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(strat_col).to_pylist()
+        draws = [int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:8], 16)
+                 for k in keys]
+        mask = pa.array([d < c[g] for d, g in zip(draws, strata)])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def pack_sequences(ds, budget: int = 512, part_size: int = 1000,
                    key_col: str = "doc_id", text_col: str = "text"):
     """Greedy first-fit-in-order sequence packing within key-range

@@ -763,6 +763,24 @@ FROM documents
 """
 
 
+def docs_lang_balanced_sample(sf_dir):
+    """Stratified sample: every language down-sampled to the smallest
+    language's size (in expectation), deterministically by md5 draw."""
+    from ..functions.packing import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id")
+
+
+SQL_DOCS_LANG_BALANCED_SAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang, (m.mn * 4294967296) // c.n AS cut FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.cut
+"""
+
+
 def docs_pack_sequences(sf_dir):
     """Greedy sequence packing into {PACK_BUDGET}-token sequences within
     doc_id-range partitions."""
@@ -1429,6 +1447,7 @@ QUERIES = {
     "embed_cosine_pairs": embed_cosine_pairs,
     "docs_hash_split": docs_hash_split,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "events_asof_view": events_asof_view,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
@@ -1479,4 +1498,5 @@ ORACLES = {
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
+    "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
 }
