@@ -150,19 +150,15 @@ def cosine_pair_join(ds_emb, threshold: float = 0.9,
 
     tasks = [pair_task.remote(refs[i], refs[j], i == j)
              for i in range(len(refs)) for j in range(i, len(refs))]
-    parts = [t for t in ray.get(tasks) if t.num_rows]
-    if not parts:
+    if not tasks:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
-    out = pa.concat_tables(parts)
-    # cross-block tasks emit each unordered pair once (i<j partitioning),
-    # but both orientations of a pair can appear when ids interleave across
-    # blocks — dedup on the oriented key
-    import pandas as pd
-    pdf = out.to_pandas().drop_duplicates(["id_a", "id_b"])
-    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    # results stay in the object store (a Dataset over the task outputs);
+    # each unordered pair appears exactly once (a vector lives in one block
+    # and block pairs are enumerated i<=j), so no dedup pass is needed
+    import ray.data as rd
+    return rd.from_arrow_refs(tasks)
 
 
 def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iters: int = 10,

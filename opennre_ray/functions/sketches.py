@@ -62,40 +62,53 @@ def heavy_hitters(ds, column: str, k: int = 10, counters: int = 64):
         return pa.table({"value": pa.array(list(sk.keys()), pa.string()),
                          "cnt": pa.array(list(sk.values()), pa.int64())})
 
-    # merge = counter addition (associative); each per-batch summary already
-    # under-counts by ≤ batch_n/counters, so sums keep the guarantee
-    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    total: Counter = Counter()
-    for v, c in zip(parts["value"], parts["cnt"]):
-        total[v] += int(c)
-    top = total.most_common(k)
-    return pa.table({"value": pa.array([t[0] for t in top], pa.string()),
-                     "approx_count": pa.array([t[1] for t in top], pa.int64())})
+    # merge = counter addition (associative + commutative); each per-batch
+    # summary under-counts by ≤ batch_n/counters, so sums keep the
+    # guarantee. Summation runs DISTRIBUTED (the shuffle moves ≤ counters
+    # rows per batch, never the vocabulary); only the summed candidate
+    # table reaches the driver. Deterministic tie-break (cnt desc, value).
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(per_batch, batch_format="pyarrow")
+              .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    top = summed.sort_values(["cnt", "value"],
+                             ascending=[False, True]).head(k)
+    return pa.table({"value": pa.array(top["value"], pa.string()),
+                     "approx_count": pa.array(top["cnt"].astype("int64"),
+                                              pa.int64())})
 
 
 def heavy_hitters_verified(ds, column: str, k: int = 10, counters: int = 256):
     """EXACT top-k via the production candidate+verify pattern.
 
-    Pass 1 streams Misra-Gries summaries (any value with true frequency
-    > n/counters is guaranteed in the merged candidate set); pass 2 streams
-    the data again counting ONLY the candidate values exactly (map-side
-    vectorized count → tiny groupby sum). Two streaming passes instead of a
-    full-vocabulary shuffle — the exchange volume is O(candidates), not
-    O(distinct values). Deterministic tie-break: (count desc, value asc).
+    Pass 1 streams Misra-Gries summaries; their counters are SUMMED
+    DISTRIBUTED (a shuffle of ≤ ``counters`` rows per batch, never the
+    vocabulary), and the candidate set is pruned on the driver with the MG
+    error bound: summed counts under-count true frequency by at most
+    n/counters, so any value whose (summed count + n/counters) is below the
+    k-th largest summed count cannot be in the true top-k. Pass 2 streams
+    the data again counting ONLY those candidates exactly. Deterministic
+    tie-break: (count desc, value asc).
     """
     import ray
     from ray.data.aggregate import Sum
+
+    n_total = ds.count()
 
     def per_batch(batch: pa.Table) -> pa.Table:
         sk = mg_sketch(batch.column(column).to_pylist(), counters)
         return pa.table({"value": pa.array(list(sk.keys()), pa.string()),
                          "cnt": pa.array(list(sk.values()), pa.int64())})
 
-    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    total: Counter = Counter()
-    for v, c in zip(parts["value"], parts["cnt"]):
-        total[v] += int(c)
-    cand_ref = ray.put(pa.array(sorted(total.keys()), pa.string()))
+    summed = (ds.map_batches(per_batch, batch_format="pyarrow")
+              .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    err = n_total // counters
+    kth = (summed["cnt"].nlargest(min(k, len(summed))).iloc[-1]
+           if len(summed) else 0)
+    cand = summed.loc[summed["cnt"] + err >= kth, "value"]
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
 
     def count_candidates(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
