@@ -92,8 +92,42 @@ def k_hop_neighbors(triples_ds, seeds, k: int = 2,
     return reached
 
 
+#: edge count below which components finish with a driver-local union-find
+#: (same size-gate pattern as relational.ANTI_JOIN_BROADCAST_LIMIT): the
+#: distributed rounds cost ~1 s of fixed barrier each, which dominates on
+#: small graphs, while 2M edges of short ids is comfortably driver-sized.
+COMPONENTS_LOCAL_LIMIT = 2_000_000
+
+
+def _local_components(edges_ds) -> "pd.DataFrame":
+    """Union-find with min-id roots over a collected edge list (exact same
+    output as the distributed rounds: component = min entity id)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        for a, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(c, c)
+            ra, rc = find(a), find(c)
+            if ra != rc:                      # min id becomes the root
+                hi, lo = (ra, rc) if ra > rc else (rc, ra)
+                parent[hi] = lo
+    return pd.DataFrame(
+        sorted((v, find(v)) for v in parent),
+        columns=["entity", "component"])
+
+
 def connected_components(triples_ds, max_iters: int = 30,
-                         subj_col="subj", obj_col="obj"):
+                         subj_col="subj", obj_col="obj",
+                         local_limit: int = COMPONENTS_LOCAL_LIMIT):
     """Undirected connected components — fully distributed min-label
     propagation with pointer jumping.
 
@@ -148,7 +182,14 @@ def connected_components(triples_ds, max_iters: int = 30,
     edges = conform(triples_ds.map_batches(edge_frame,
                                            batch_format="pyarrow"),
                     edge_schema).materialize()
-    n_parts = max(2, compute_n_buckets(edges.count()))
+    n_edges = edges.count()
+    if n_edges <= local_limit:
+        # size-gated local finish: at this size the per-round distributed
+        # barriers dominate; beyond the limit the rounds below never hold
+        # the vertex set in any single process
+        import ray.data as rd
+        return rd.from_pandas(_local_components(edges))
+    n_parts = max(2, compute_n_buckets(n_edges))
 
     def compact(ds):
         """Materialize with bounded block count: every round unions/joins

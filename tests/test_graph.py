@@ -59,8 +59,10 @@ def _uf_oracle(edges):
     return {v: find(v) for v in parent}
 
 
-def test_connected_components_vs_union_find(triples):
-    got = connected_components(triples).to_pandas()
+@pytest.mark.parametrize("local_limit", [0, 2_000_000],
+                         ids=["distributed", "local_gate"])
+def test_connected_components_vs_union_find(triples, local_limit):
+    got = connected_components(triples, local_limit=local_limit).to_pandas()
     got_map = dict(zip(got["entity"], got["component"]))
     want = _uf_oracle(EDGES)
     # same partition: components must induce the same grouping and the
@@ -76,7 +78,7 @@ def test_connected_components_long_chain(ray_session):
     edges = [(f"v{i:03d}", "r", f"v{i + 1:03d}") for i in range(59)]
     ds = rd.from_items([{"subj": s, "pred": p, "obj": o}
                         for s, p, o in edges])
-    got = connected_components(ds, max_iters=12).to_pandas()
+    got = connected_components(ds, max_iters=12, local_limit=0).to_pandas()
     assert (got["component"] == "v000").all()
     assert len(got) == 60
 
