@@ -185,6 +185,54 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def broadcast_range_join(ds, bands: pd.DataFrame, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         how: str = "inner"):
+    """Interval (range) join against a small broadcast band table: emit a
+    row per (input row, band) with ``lo <= value < hi``. Bands may overlap
+    (a row matches every covering band).
+
+    The band table is broadcast once; each batch evaluates one vectorized
+    mask per band (O(bands × batch) comparisons, zero shuffle). This is
+    the dimension-table form of the range join — a large×large interval
+    join would instead range-partition both sides by interval boundaries,
+    which nothing in the current pipelines needs.
+
+    ``how='inner'`` drops rows covered by no band.
+    """
+    import ray
+
+    if how != "inner":
+        raise ValueError(f"unsupported how={how!r}")
+    ref = ray.put(bands.reset_index(drop=True))
+    ref_key = ref.hex()
+
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.score import cached
+
+        b = cached(("rjoin", ref_key), lambda: ray.get(ref))
+        v = batch[value_col].to_numpy()
+        parts = []
+        for row in b.itertuples(index=False):
+            d = row._asdict()
+            m = (v >= d[lo_col]) & (v < d[hi_col])
+            if m.any():
+                hit = batch.loc[m].copy()
+                for c, val in d.items():
+                    if c not in (lo_col, hi_col):
+                        hit[c] = val
+                parts.append(hit)
+        if not parts:
+            out = batch.iloc[0:0].copy()
+            for c in b.columns:
+                if c not in (lo_col, hi_col):
+                    out[c] = pd.Series(dtype=b[c].dtype)
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
 def asof_join(left_ds, right_ds, key: str, ts: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "left", right_suffix: str = "_m",

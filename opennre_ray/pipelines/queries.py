@@ -713,6 +713,45 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {KNN_K}
 """
 
 
+QUANTITY_BANDS = [("low", 1.0, 10.0), ("mid", 10.0, 25.0),
+                  ("high", 25.0, 40.0), ("top", 40.0, 51.0)]
+
+
+def lineitem_quantity_bands(sf_dir):
+    """Range join lineitem onto quantity bands (broadcast interval join),
+    then a map-side-combined per-band aggregate."""
+    from ..functions.relational import broadcast_range_join
+
+    bands = pd.DataFrame(QUANTITY_BANDS, columns=["band", "lo", "hi"])
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"],
+               rows_per_block=65536)
+    joined = broadcast_range_join(ds, bands, "l_quantity")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("band", as_index=False)
+                .agg(n_items=("l_quantity", "size"),
+                     sum_price=("l_extendedprice", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("band", as_index=False)
+           .agg(n_items=("n_items", "sum"), sum_price=("sum_price", "sum")))
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_price"] = sql_round(out["sum_price"], 2)
+    return out
+
+
+SQL_LINEITEM_QUANTITY_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 1.0, 10.0), ('mid', 10.0, 25.0),
+  ('high', 25.0, 40.0), ('top', 40.0, 51.0))
+SELECT b.band, count(*)::BIGINT AS n_items,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l JOIN bands b
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+"""
+
+
 def events_asof_view(sf_dir):
     """Each click event enriched with the user's latest view event at or
     before it (inner as-of join — the event-stream enrichment operator)."""
@@ -1449,6 +1488,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "events_asof_view": events_asof_view,
+    "lineitem_quantity_bands": lineitem_quantity_bands,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1499,4 +1539,5 @@ ORACLES = {
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
+    "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
 }

@@ -52,3 +52,19 @@ def test_asof_join_matches_oracle(sides, how):
             assert pd.isna(row.rv_m)
         else:
             assert row.rv_m == w[3] and row.t_m == w[4]
+
+
+def test_broadcast_range_join_overlapping_bands(ray_session):
+    """A row matches EVERY covering band (true interval-join semantics)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import broadcast_range_join
+
+    ds = rd.from_items([{"x": float(v), "rid": i}
+                        for i, v in enumerate([0, 5, 10, 15, 25])])
+    bands = pd.DataFrame({"band": ["a", "b", "c"],
+                          "lo": [0.0, 4.0, 30.0],
+                          "hi": [11.0, 20.0, 40.0]})
+    got = broadcast_range_join(ds, bands, "x").to_pandas()
+    want = {(0, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b")}
+    assert set(zip(got["rid"], got["band"])) == want   # 25 matches nothing
