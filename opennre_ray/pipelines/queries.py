@@ -1416,9 +1416,13 @@ def knn_ivf_query(sf_dir):
 
 
 def embedding_near_dups(sf_dir):
+    # threshold/planes tuned so the synthetic corpus (near-orthogonal
+    # random embeddings, closest pairs ~0.5 cosine) yields a non-trivial
+    # verified group set; real near-dup corpora would run ~0.95 thresholds
     from ..functions.dedup import embedding_dup_groups
     return embedding_dup_groups(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=0.45, n_planes=8)
 
 
 def media_features(sf_dir):
