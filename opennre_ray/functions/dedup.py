@@ -73,7 +73,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]
-    out = {int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+    out = {int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
            for g in grams}
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
@@ -166,7 +166,8 @@ def _word_hash64(w: str) -> int:
     """First 8 md5 bytes as uint64 — chosen because BOTH engines can
     compute it (`('0x' || substr(md5(w),1,16))::UBIGINT` in DuckDB), which
     makes SimHash fully value-oracle-able."""
-    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+    # == int(hexdigest()[:16], 16) but without the hex round-trip
+    return int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
 
 
 def simhash64(text: str, _cache: dict = {}) -> int:
