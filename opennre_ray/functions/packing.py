@@ -46,8 +46,12 @@ def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
 
     The acceptance cut is computed in INTEGER arithmetic
     (``min_count * 2^32 // count``) so any engine reproduces the exact row
-    set. Scale shape: one tiny groupby for the counts, rates broadcast,
-    then a stateless vectorized filter — the corpus itself never shuffles.
+    set. The draw is prefixed ``'strat:'`` so it is INDEPENDENT of
+    :func:`hash_split`'s draw — with a shared hash family, sampling then
+    splitting would send every surviving row of a down-sampled stratum to
+    'train' (sampler keep ⊆ split-train whenever keep rate < train_frac).
+    Scale shape: one tiny groupby for the counts, rates broadcast, then a
+    stateless vectorized filter — the corpus itself never shuffles.
     """
     import ray
     from ray.data.aggregate import Count
@@ -63,8 +67,9 @@ def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
         c = ray.get(ref)
         keys = batch.column(key_col).to_pylist()
         strata = batch.column(strat_col).to_pylist()
-        draws = [int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:8], 16)
-                 for k in keys]
+        draws = [int(hashlib.md5(
+            ("strat:" + salt + str(k)).encode()).hexdigest()[:8], 16)
+            for k in keys]
         mask = pa.array([d < c[g] for d, g in zip(draws, strata)])
         return batch.filter(mask)
 

@@ -159,6 +159,18 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
     def tag(cols, key, side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({"_key": df[key]})
+            # bucketing key canonicalized across dtypes:
+            # pd.util.hash_pandas_object hashes int64 5 and float64 5.0
+            # DIFFERENTLY, so an int-vs-float key dtype mismatch between
+            # the two sides would silently send equal keys to different
+            # buckets (dropped join rows). Numeric keys bucket as float64
+            # (equal values always agree; distinct >2^53 ints merely
+            # co-bucket, which is harmless); the merge still runs on the
+            # original "_key" values.
+            k = df[key]
+            out["_bkey"] = (k.astype("float64")
+                            if pd.api.types.is_numeric_dtype(k)
+                            else k.astype(str))
             for c in all_cols:
                 out[c] = df[c] if c in cols else None
             out["_side"] = np.int64(side)
@@ -181,7 +193,7 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
             out = lhs.merge(rhs, on="_key", how="inner")
         return out.rename(columns={"_key": left_key})
 
-    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
+    return hash_bucket_aggregate(tagged, ["_bkey"], per_bucket,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 

@@ -59,6 +59,10 @@ class PartialTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:         # (0,0) matrix breaks the matmul
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         mat = _normalize(_as_matrix(batch.column(self.vec_col)))
         keys = np.asarray(batch.column(self.key_col).to_pylist())
         # rank on the ROUNDED value with the neighbor-id tiebreak, exactly
@@ -135,10 +139,16 @@ def cosine_pair_join(ds_emb, threshold: float = 0.9,
 
     @ray.remote
     def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        key_type = ta.column(key_col).type
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.table({"id_a": pa.array([], key_type),
+                             "id_b": pa.array([], key_type),
+                             "cosine": pa.array([], pa.float64())})
         a = _normalize(_as_matrix(ta.column(vec_col)))
         b = a if same else _normalize(_as_matrix(tb.column(vec_col)))
-        ka = np.asarray(ta.column(key_col).to_pylist())
-        kb = ka if same else np.asarray(tb.column(key_col).to_pylist())
+        # to_numpy (not to_pylist) keeps the key dtype even for 0 hits
+        ka = ta.column(key_col).to_numpy(zero_copy_only=False)
+        kb = ka if same else tb.column(key_col).to_numpy(zero_copy_only=False)
         sims = sql_round(a @ b.T, 6)
         ii, jj = np.nonzero(sims >= threshold)
         ia, ib, s = ka[ii], kb[jj], sims[ii, jj]
@@ -148,16 +158,18 @@ def cosine_pair_join(ds_emb, threshold: float = 0.9,
         return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
                          "cosine": pa.array(s, pa.float64())})
 
+    import ray.data as rd
+
     tasks = [pair_task.remote(refs[i], refs[j], i == j)
              for i in range(len(refs)) for j in range(i, len(refs))]
-    if not tasks:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+    if not tasks:                       # still a Dataset, like every path
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     # results stay in the object store (a Dataset over the task outputs);
     # each unordered pair appears exactly once (a vector lives in one block
     # and block pairs are enumerated i<=j), so no dedup pass is needed
-    import ray.data as rd
     return rd.from_arrow_refs(tasks)
 
 
@@ -217,6 +229,10 @@ def knn_ivf(ds_emb, query_ids, query_matrix, k=10, n_centroids=32,
             self.query_ids, self.qn, self.cents, self.probe = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             mat = _normalize(_as_matrix(batch.column(vec_col)))
             keys = np.asarray(batch.column(key_col).to_pylist())
             assign = (mat @ self.cents.T).argmax(axis=1)
@@ -283,6 +299,10 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
             self.qn = _normalize(qm)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             mat = _as_matrix(batch.column(vec_col))
             keys = np.asarray(batch.column(key_col).to_pylist())
             bits = (mat @ self.planes) > 0

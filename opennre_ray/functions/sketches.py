@@ -79,42 +79,58 @@ def heavy_hitters(ds, column: str, k: int = 10, counters: int = 64):
                                               pa.int64())})
 
 
-def heavy_hitters_verified(ds, column: str, k: int = 10, counters: int = 256):
+def heavy_hitters_verified(ds, column: str, k: int = 10,
+                           counters: int = 256):
     """EXACT top-k via the production candidate+verify pattern.
 
     Pass 1 streams Misra-Gries summaries; their counters are SUMMED
     DISTRIBUTED (a shuffle of ≤ ``counters`` rows per batch, never the
     vocabulary), and the candidate set is pruned on the driver with the MG
-    error bound: summed counts under-count true frequency by at most
-    n/counters, so any value whose (summed count + n/counters) is below the
-    k-th largest summed count cannot be in the true top-k. Pass 2 streams
-    the data again counting ONLY those candidates exactly. Deterministic
-    tie-break: (count desc, value asc).
+    error bound (err = n/counters): summed counts under-count true
+    frequency by at most err, so a value whose (summed count + err) is
+    below the k-th largest summed count cannot be in the true top-k. Pass
+    2 streams the data again counting ONLY those candidates exactly.
+
+    Exactness guard: the prune is only valid when the k-th summed count
+    exceeds err (i.e. the top-k are genuinely heavy). On distributions too
+    flat for the sketch to bound, this falls back to a full exact count —
+    the vocabulary-wide shuffle is then unavoidable for an exact answer.
+    Deterministic tie-break: (count desc, value asc).
     """
     import ray
     from ray.data.aggregate import Sum
 
-    n_total = ds.count()
-
     def per_batch(batch: pa.Table) -> pa.Table:
         sk = mg_sketch(batch.column(column).to_pylist(), counters)
-        return pa.table({"value": pa.array(list(sk.keys()), pa.string()),
-                         "cnt": pa.array(list(sk.values()), pa.int64())})
+        # one sentinel-free total row per batch would need a reserved
+        # value; carry the batch size in a second column instead
+        t = pa.table({"value": pa.array(list(sk.keys()), pa.string()),
+                      "cnt": pa.array(list(sk.values()), pa.int64())})
+        if t.num_rows == 0:             # empty batch contributes nothing
+            return t.append_column("batch_n", pa.array([], pa.int64()))
+        return t.append_column(
+            "batch_n", pa.array([batch.num_rows] + [0] * (t.num_rows - 1),
+                                pa.int64()))
 
     summed = (ds.map_batches(per_batch, batch_format="pyarrow")
-              .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+              .groupby("value").aggregate(Sum("cnt", alias_name="cnt"),
+                                          Sum("batch_n",
+                                              alias_name="batch_n"))
               .to_pandas())
+    n_total = int(summed["batch_n"].sum()) if len(summed) else 0
     err = n_total // counters
     kth = (summed["cnt"].nlargest(min(k, len(summed))).iloc[-1]
            if len(summed) else 0)
-    cand = summed.loc[summed["cnt"] + err >= kth, "value"]
-    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
+    cand_ref = (ray.put(pa.array(
+        sorted(summed.loc[summed["cnt"] + err >= kth, "value"]), pa.string()))
+        if kth > err else None)
 
     def count_candidates(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         vals = batch.column(column).combine_chunks()
-        hit = vals.filter(pc.is_in(vals, value_set=ray.get(cand_ref)))
-        vc = pc.value_counts(hit)
+        if cand_ref is not None:        # exact-count candidates only
+            vals = vals.filter(pc.is_in(vals, value_set=ray.get(cand_ref)))
+        vc = pc.value_counts(vals)
         return pa.table({"value": vc.field("values"),
                          "cnt": vc.field("counts")})
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 from ..registry import get_model
 from ..stages.extract import EXTRACTOR_VERSION
 from ..state.lineage import ShardManifest, run_sharded
-from .kg import DEFAULT_MODEL, SCORE_THRESHOLD
+from .kg import CANDIDATE_COLUMNS, DEFAULT_MODEL, SCORE_THRESHOLD
 
 
 def _counter_actor():
@@ -69,10 +69,8 @@ def _counted(fn, counters, stage: str):
     return wrapper
 
 
-#: candidate columns persisted per shard — exactly what global finalize
-#: (canonical map + dedup) consumes; sentence text never hits disk twice
-CANDIDATE_COLUMNS = ["h_id", "h_name", "t_id", "t_name", "pred_rel",
-                     "score", "url", "model_hash"]
+# CANDIDATE_COLUMNS (imported from kg.py above): the one list both the
+# sharded job and the unsharded pipeline consume
 
 
 def shard_candidates(shard_file: str, *, model_name=DEFAULT_MODEL,

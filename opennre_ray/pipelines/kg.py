@@ -63,6 +63,12 @@ def filter_triples(batch: pa.Table, threshold: float = SCORE_THRESHOLD) -> pa.Ta
     return batch.filter(keep)
 
 
+#: candidate columns the wide-stage tail consumes (canonical map + dedup);
+#: the sharded job persists exactly these per shard — single source of truth
+CANDIDATE_COLUMNS = ["h_id", "h_name", "t_id", "t_name", "pred_rel",
+                     "score", "url", "model_hash"]
+
+
 def finalize_triples(inst_ds, canonicalize: bool = True):
     """Shared wide-stage tail: filtered candidates → deduplicated triples.
 
@@ -84,9 +90,7 @@ def finalize_triples(inst_ds, canonicalize: bool = True):
         # attached would hold every surviving candidate's sentence in the
         # object store for no consumer (at corpus scale that is the
         # difference between caching candidates and caching the corpus)
-        inst_ds = inst_ds.select_columns(
-            ["h_id", "h_name", "t_id", "t_name", "pred_rel", "score",
-             "url", "model_hash"]).materialize()
+        inst_ds = inst_ds.select_columns(CANDIDATE_COLUMNS).materialize()
         canon = build_canonical_map(inst_ds)
         import ray
         canon_ref = ray.put(canon)

@@ -816,7 +816,8 @@ WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 m AS (SELECT min(n) AS mn FROM c),
 r AS (SELECT lang, (m.mn * 4294967296) // c.n AS cut FROM c, m)
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.cut
+WHERE ('0x' || substr(md5('strat:' || d.doc_id::VARCHAR), 1, 8))::UBIGINT
+      < r.cut
 """
 
 

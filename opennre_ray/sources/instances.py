@@ -93,6 +93,13 @@ def read_instances_jsonl(path: str):
     explicit row_id/url key, never positional order).
     """
     import ray.data as rd
+    from ray.data import DataContext
+
+    # the flattened `tokens` column is list<string> with mixed null/non-null
+    # rows; Ray's automatic TensorArray cast intermittently fails on that
+    # shape in to_pandas(). Disable it HERE — where the column is produced —
+    # so every consumer (not just the test harness) is safe.
+    DataContext.get_current().enable_tensor_extension_casting = False
 
     ds = rd.read_json(path)
     return ds.map_batches(flatten_instance_batch, batch_format="pyarrow")
@@ -119,12 +126,13 @@ def label_matrix_from_instances(df, rel2id: dict[str, int]) -> np.ndarray:
             if "anno_relation_vec" in df.columns else [None] * len(df))
     rels = df["relation"].tolist()
     for i, (lst, vec, rel) in enumerate(zip(lists, vecs, rels)):
-        if lst is not None:
-            if vec is not None:
-                out[i] = np.asarray(vec, dtype=np.int64)
-            else:
-                for r in lst:
-                    out[i, rel2id[r]] = 1
+        # vec wins whenever present (even without a list — sources may
+        # carry only the vector form, reference data_loader.py:425-430)
+        if vec is not None:
+            out[i] = np.asarray(vec, dtype=np.int64)
+        elif lst is not None:
+            for r in lst:
+                out[i, rel2id[r]] = 1
         else:
             out[i, rel2id[rel]] = 1
     return out

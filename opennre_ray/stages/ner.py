@@ -101,9 +101,17 @@ class AliasMatcher:
     """
 
     def __init__(self, alias_table: dict[str, str]):
-        self.alias_table = alias_table
+        # re-normalize keys through the SAME per-char pipeline the matcher
+        # applies to sentences: whole-string lower() (normalize_surface) is
+        # context-sensitive (Greek final sigma), per-char lower() is not —
+        # keys and text must go through one function or such aliases
+        # silently never match. First key wins on (rare) collisions.
+        self.alias_table = {}
+        for k, v in alias_table.items():
+            nk = normalize_with_offsets(k)[0]
+            self.alias_table.setdefault(nk, v)
         # longest alias first so 'hash join' wins over 'hash' at the same start
-        pats = sorted(alias_table, key=len, reverse=True)
+        pats = sorted(self.alias_table, key=len, reverse=True)
         self.rx = re.compile(
             r"\b(" + "|".join(re.escape(a) for a in pats) + r")\b")
 

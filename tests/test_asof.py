@@ -68,3 +68,20 @@ def test_broadcast_range_join_overlapping_bands(ray_session):
     got = broadcast_range_join(ds, bands, "x").to_pandas()
     want = {(0, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b")}
     assert set(zip(got["rid"], got["band"])) == want   # 25 matches nothing
+
+
+def test_shuffle_join_mixed_key_dtypes(ray_session):
+    """int64 keys on one side, float64 on the other: equal values must
+    still co-locate and join (dtype-sensitive bucket hashing regression)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import shuffle_join
+
+    left = rd.from_items([{"k": i, "lv": i * 10} for i in range(20)])
+    right = rd.from_items([{"k": float(i), "rv": i * 100}
+                           for i in range(0, 20, 2)])
+    got = shuffle_join(left, right, "k", "k", ["lv"], ["rv"],
+                       n_buckets=8).to_pandas()
+    assert len(got) == 10
+    assert sorted(got["k"].astype(int)) == list(range(0, 20, 2))
+    assert (got["rv"].to_numpy() == got["k"].to_numpy() * 100).all()

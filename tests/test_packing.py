@@ -58,3 +58,20 @@ def test_hash_split_stable_and_balanced(docs_ds):
                      "doc_id", 0.8).to_pandas()
     m = got.set_index("doc_id")["split"]
     assert all(m[r.doc_id] == r.split for r in sub.itertuples())
+
+
+def test_sample_then_split_draws_are_independent(docs_ds):
+    """stratified_sample and hash_split use distinct hash families: the
+    sampled subset must still split ~train_frac, not collapse to train."""
+    from opennre_ray.functions.packing import stratified_sample
+
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "lang": "big" if i < 260 else "small"}
+            for i in range(300)]
+    ds = rd.from_items(rows).repartition(4)
+    sampled = stratified_sample(ds, "lang", "doc_id")
+    split = hash_split(sampled, "doc_id", 0.8).to_pandas()
+    big = split[split["lang"] == "big"]
+    assert len(big) > 20                       # sampler kept ~40/260
+    assert 0 < (big["split"] == "test").sum() < len(big)
