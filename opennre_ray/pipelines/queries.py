@@ -1338,6 +1338,42 @@ FROM full_sig
 """
 
 
+def docs_repetition(sf_dir):
+    """Gopher-style repetition signal: 1 - distinct/total 3-shingles
+    (0 = no repeated shingles; high values flag boilerplate/spam)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            if len(toks) < 3:
+                out.append(0.0)
+                continue
+            total = len(toks) - 2
+            distinct = len({tuple(toks[i: i + 3]) for i in range(total)})
+            out.append(float(sql_round(1.0 - distinct / total, 6)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "repetition": pa.array(out, pa.float64())})
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_DOCS_REPETITION = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text)='' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN length(toks) < 3 THEN 0.0
+       ELSE round(1.0 - length(list_distinct(
+              list_transform(range(1, length(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+            / (length(toks) - 2)::DOUBLE, 6) END AS repetition
+FROM t
+"""
+
+
 def docs_langid_heuristic(sf_dir):
     from ..functions.textstats import lang_id_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1494,6 +1530,7 @@ QUERIES = {
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
+    "docs_repetition": docs_repetition,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1545,4 +1582,5 @@ ORACLES = {
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
+    "docs_repetition": SQL_DOCS_REPETITION,
 }
