@@ -109,7 +109,17 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None
         n_buckets = compute_n_buckets(rows_hint)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        # canonicalize numeric key dtypes before hashing:
+        # pd.util.hash_pandas_object hashes int64 5 and float64 5.0
+        # DIFFERENTLY, so two datasets bucketed separately on dtype-
+        # mismatched keys (e.g. asof_join / shuffle_join sides) would send
+        # equal keys to different buckets — silent data loss. Equal values
+        # always agree as float64; distinct ints >2^53 merely co-bucket.
+        kdf = df[key_cols].copy()
+        for c in key_cols:
+            if pd.api.types.is_numeric_dtype(kdf[c]):
+                kdf[c] = kdf[c].astype("float64")
+        h = pd.util.hash_pandas_object(kdf, index=False)
         df = df.assign(_bucket=(h % n_buckets).astype("int64"))
         return df
 
@@ -158,19 +168,9 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def tag(cols, key, side):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            # cross-dtype key safety (int64 5 vs float64 5.0) is handled by
+            # hash_bucket_aggregate's canonicalized bucket hash
             out = pd.DataFrame({"_key": df[key]})
-            # bucketing key canonicalized across dtypes:
-            # pd.util.hash_pandas_object hashes int64 5 and float64 5.0
-            # DIFFERENTLY, so an int-vs-float key dtype mismatch between
-            # the two sides would silently send equal keys to different
-            # buckets (dropped join rows). Numeric keys bucket as float64
-            # (equal values always agree; distinct >2^53 ints merely
-            # co-bucket, which is harmless); the merge still runs on the
-            # original "_key" values.
-            k = df[key]
-            out["_bkey"] = (k.astype("float64")
-                            if pd.api.types.is_numeric_dtype(k)
-                            else k.astype(str))
             for c in all_cols:
                 out[c] = df[c] if c in cols else None
             out["_side"] = np.int64(side)
@@ -193,7 +193,7 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
             out = lhs.merge(rhs, on="_key", how="inner")
         return out.rename(columns={"_key": left_key})
 
-    return hash_bucket_aggregate(tagged, ["_bkey"], per_bucket,
+    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 

@@ -39,6 +39,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _empty_topk(query_ids, key_type: pa.DataType) -> pa.Table:
+    """Schema-correct empty partial-top-k table: query_id type inferred
+    from the actual query ids, neighbor_id from the batch key column — a
+    hardcoded int64 would conflict with string-keyed datasets at schema
+    unification time."""
+    qid_t = (pa.array(list(query_ids)).type if len(query_ids)
+             else pa.int64())
+    return pa.table({"query_id": pa.array([], qid_t),
+                     "neighbor_id": pa.array([], key_type),
+                     "cosine": pa.array([], pa.float64())})
+
+
 class PartialTopK:
     """map_batches stage: per-batch cosine top-k against broadcast queries.
 
@@ -60,9 +72,8 @@ class PartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:         # (0,0) matrix breaks the matmul
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _empty_topk(self.query_ids,
+                               batch.column(self.key_col).type)
         mat = _normalize(_as_matrix(batch.column(self.vec_col)))
         keys = np.asarray(batch.column(self.key_col).to_pylist())
         # rank on the ROUNDED value with the neighbor-id tiebreak, exactly
@@ -230,9 +241,8 @@ def knn_ivf(ds_emb, query_ids, query_matrix, k=10, n_centroids=32,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
+                return _empty_topk(self.query_ids,
+                                   batch.column(key_col).type)
             mat = _normalize(_as_matrix(batch.column(vec_col)))
             keys = np.asarray(batch.column(key_col).to_pylist())
             assign = (mat @ self.cents.T).argmax(axis=1)
@@ -300,9 +310,8 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
+                return _empty_topk(self.query_ids,
+                                   batch.column(key_col).type)
             mat = _as_matrix(batch.column(vec_col))
             keys = np.asarray(batch.column(key_col).to_pylist())
             bits = (mat @ self.planes) > 0

@@ -101,15 +101,21 @@ def heavy_hitters_verified(ds, column: str, k: int = 10,
     from ray.data.aggregate import Sum
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        sk = mg_sketch(batch.column(column).to_pylist(), counters)
-        # one sentinel-free total row per batch would need a reserved
-        # value; carry the batch size in a second column instead
+        vals = batch.column(column).to_pylist()
+        sk = mg_sketch(vals, counters)
+        if not sk and vals:
+            # a stream ending on a full-decrement flush drains the sketch
+            # even though the batch was non-empty — keep a zero-count
+            # carrier row so batch_n (and thus the error bound) stays exact
+            sk = {vals[0]: 0}
+        # the batch row count rides on the first summary row; summing the
+        # column across batches reconstructs n without a second pass
         t = pa.table({"value": pa.array(list(sk.keys()), pa.string()),
                       "cnt": pa.array(list(sk.values()), pa.int64())})
-        if t.num_rows == 0:             # empty batch contributes nothing
+        if t.num_rows == 0:             # genuinely empty batch
             return t.append_column("batch_n", pa.array([], pa.int64()))
         return t.append_column(
-            "batch_n", pa.array([batch.num_rows] + [0] * (t.num_rows - 1),
+            "batch_n", pa.array([len(vals)] + [0] * (t.num_rows - 1),
                                 pa.int64()))
 
     summed = (ds.map_batches(per_batch, batch_format="pyarrow")

@@ -1359,10 +1359,11 @@ def docs_repetition(sf_dir):
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+# split-then-filter (not trim) so leading/trailing tabs/newlines match
+# Python str.split() on this ASCII corpus
 SQL_DOCS_REPETITION = r"""
 WITH t AS (SELECT doc_id,
-  CASE WHEN trim(text)='' THEN []::VARCHAR[]
-       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
   FROM documents)
 SELECT doc_id,
   CASE WHEN length(toks) < 3 THEN 0.0

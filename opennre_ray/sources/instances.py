@@ -53,8 +53,11 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
         # carry the ORIGINAL token list — a token containing an internal
         # space (e.g. 'New York') must not be re-split from the joined text,
         # which would shift token-level entity offsets (reference passes
-        # token lists through untouched, base_encoder.py token branch)
-        out["tokens"].append(list(tokens[i]) if is_tok else None)
+        # token lists through untouched, base_encoder.py token branch).
+        # Text rows carry [] (NOT null): a mixed null/list column trips
+        # Ray's automatic TensorArray cast in to_pandas; `is_token` is the
+        # authoritative mode flag.
+        out["tokens"].append(list(tokens[i]) if is_tok else [])
         out["h_id"].append(h.get("id", ""))
         out["h_name"].append(h.get("name", ""))
         out["h_start"].append(int(h["pos"][0]))
@@ -93,13 +96,6 @@ def read_instances_jsonl(path: str):
     explicit row_id/url key, never positional order).
     """
     import ray.data as rd
-    from ray.data import DataContext
-
-    # the flattened `tokens` column is list<string> with mixed null/non-null
-    # rows; Ray's automatic TensorArray cast intermittently fails on that
-    # shape in to_pandas(). Disable it HERE — where the column is produced —
-    # so every consumer (not just the test harness) is safe.
-    DataContext.get_current().enable_tensor_extension_casting = False
 
     ds = rd.read_json(path)
     return ds.map_batches(flatten_instance_batch, batch_format="pyarrow")

@@ -138,10 +138,18 @@ class RelationScorer:
         # token-list column: re-splitting the joined text would break tokens
         # that contain internal spaces (e.g. 'New York').
         token_lists = None
-        if "tokens" in batch.column_names:
+        if ("tokens" in batch.column_names
+                and "is_token" in batch.column_names):
+            # `is_token` is the mode flag; text rows carry tokens == []
+            flags = batch.column("is_token").to_pylist()
+            if any(flags):
+                tl = batch.column("tokens").to_pylist()
+                token_lists = [list(t) if f else None
+                               for t, f in zip(tl, flags)]
+        elif "tokens" in batch.column_names:
             tl = batch.column("tokens").to_pylist()
-            if any(x is not None for x in tl):
-                token_lists = tl
+            if any(x for x in tl):          # null-free or legacy nulls
+                token_lists = [list(t) if t else None for t in tl]
         elif "is_token" in batch.column_names:
             flags = batch.column("is_token").to_pylist()
             if any(flags):
