@@ -42,6 +42,26 @@ def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64,
     return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
 
 
+def lag_column(ds, key: str, ts: str, value: str, n_buckets: int = 64,
+               tiebreak: str | None = None, out_col: str = "prev_value"):
+    """Per-row previous ``value`` of the same key in ts order (SQL
+    ``lag(value) OVER (PARTITION BY key ORDER BY ts)``; null on each key's
+    first row). Same bucketed sort-within-partition shape as
+    ``running_totals`` — keys never span buckets, so per-bucket shift is
+    exact.
+    """
+    from .relational import hash_bucket_aggregate
+
+    order = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        g[out_col] = g.groupby(key)[value].shift(1)
+        return g
+
+    return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
+
+
 class KeyedStateActor:
     """Incremental per-key state held in a Ray actor (one per bucket).
 

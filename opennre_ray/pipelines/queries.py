@@ -490,6 +490,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def events_lag_delta(sf_dir):
+    """Per-event previous value of the same user + delta (lag window)."""
+    from ..functions.streaming import lag_column
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = lag_column(ds, "user_id", "ts", "value", tiebreak="event_id")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(delta=sql_round(b["value"] - b["prev_value"], 2))
+        return b[["event_id", "prev_value", "delta"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_EVENTS_LAG_DELTA = """
+SELECT event_id,
+       lag(value) OVER w AS prev_value,
+       round(value - lag(value) OVER w, 2) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def docs_heavy_hitter_words(sf_dir):
     """Approximate top-10 words via per-batch Misra-Gries summaries."""
     from ..functions.sketches import heavy_hitters
@@ -1532,6 +1555,7 @@ QUERIES = {
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
     "docs_repetition": docs_repetition,
+    "events_lag_delta": events_lag_delta,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1584,4 +1608,5 @@ ORACLES = {
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,
+    "events_lag_delta": SQL_EVENTS_LAG_DELTA,
 }
