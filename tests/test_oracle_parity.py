@@ -8,7 +8,7 @@ driver's hash compare.
 """
 
 import duckdb
-import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from opennre_ray.functions.dedup import _word_hash64, simhash64
@@ -19,13 +19,6 @@ _word = st.text(
     st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
     max_size=8).filter(lambda w: "'" not in w)
 _text = st.lists(_word, min_size=0, max_size=25).map(" ".join)
-
-
-@pytest.fixture(scope="module")
-def con():
-    c = duckdb.connect()
-    yield c
-    c.close()
 
 
 @settings(max_examples=60, deadline=None)
