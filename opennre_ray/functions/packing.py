@@ -58,6 +58,8 @@ def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
 
     counts = ds.groupby(strat_col).aggregate(
         Count(alias_name="n")).to_pandas()
+    if not len(counts):                 # empty input → empty sample
+        return ds
     mn = int(counts["n"].min())
     cuts = {g: (mn << 32) // int(n)
             for g, n in zip(counts[strat_col], counts["n"])}

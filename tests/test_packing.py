@@ -75,3 +75,20 @@ def test_sample_then_split_draws_are_independent(docs_ds):
     big = split[split["lang"] == "big"]
     assert len(big) > 20                       # sampler kept ~40/260
     assert 0 < (big["split"] == "test").sum() < len(big)
+
+
+def test_new_operators_on_empty_input(ray_session):
+    """Empty datasets flow through pack/sample/split without crashing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import stratified_sample
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert stratified_sample(empty, "lang", "doc_id").count() == 0
+    assert hash_split(empty, "doc_id").count() == 0
+    assert len(pack_sequences(empty, budget=64, part_size=10)
+               .to_pandas()) == 0
