@@ -149,3 +149,32 @@ def test_giant_bag_bounded_by_resample():
     out2 = scorer(g.copy())
     pd.testing.assert_frame_equal(out1, out2)
     assert (out1["bag_size"] == 8).all()
+
+
+def test_asof_join_hot_key_exact(ray_session):
+    """One key owning 90% of both sides still resolves exactly (the hot
+    key lands in one bucket whose merge_asof is one vectorized pass)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import asof_join
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 40, n))
+    left = pd.DataFrame({"k": keys, "t": np.arange(n, dtype="int64"),
+                         "lv": np.arange(n)})
+    right = pd.DataFrame({"k": keys[::2], "t": np.arange(0, n, 2) - 1,
+                          "rv": np.arange(n // 2)})
+    got = asof_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(right).repartition(8),
+                    "k", "t", ["lv"], ["rv"], how="inner",
+                    n_buckets=16).to_pandas()
+    want = pd.merge_asof(left.sort_values("t"),
+                         right.sort_values("t").rename(
+                             columns={"rv": "rv_m"}),
+                         on="t", by="k", direction="backward").dropna(
+                             subset=["rv_m"])
+    assert len(got) == len(want)
+    g = got.sort_values(["k", "t"]).reset_index(drop=True)
+    w = want.sort_values(["k", "t"]).reset_index(drop=True)
+    assert (g["rv_m"].to_numpy() == w["rv_m"].to_numpy()).all()
