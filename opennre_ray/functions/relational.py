@@ -336,20 +336,54 @@ def anti_join(left_ds, right_ds, col: str, left_cols: list[str] | None = None,
     """
     import pandas as pd
 
+    import ray
+
     out_cols = [col] + list(left_cols or [])
     dkeys = hash_bucket_aggregate(
         right_ds.select_columns([col]), [col],
         lambda g: g.drop_duplicates(col),
         n_buckets=n_buckets, rows_hint=rows_hint).materialize()
-    if dkeys.count() <= broadcast_limit:
+    n_keys = dkeys.count()
+    if n_keys <= broadcast_limit:
         kdf = dkeys.to_pandas()
         keys = set(kdf[col]) if len(kdf) else set()
         out = semi_anti_join(left_ds, keys, col, anti=True)
         return out.map_batches(lambda b: b.select(out_cols),
                                batch_format="pyarrow")
-    return shuffle_join(left_ds, dkeys, col, col, list(left_cols or []),
-                        [], how="left_anti", n_buckets=n_buckets,
-                        rows_hint=rows_hint)
+
+    # beyond the broadcast limit: Bloom-prefilter the left side so only
+    # maybe-matching rows (true matches + ~0.1% false positives) pay the
+    # shuffle. No false negatives → rows outside the filter are definite
+    # keeps; the residual exact anti-join resolves the rest.
+    from .sketches import Bloom, build_bloom
+
+    n_bits = max(1 << 20, 16 * n_keys)
+    bloom = build_bloom(dkeys, col, n_bits=n_bits)
+    bloom_ref = ray.put(bloom.to_bytes())
+    ref_key = bloom_ref.hex()
+
+    def member_mask(batch: pa.Table) -> np.ndarray:
+        from ..stages.score import cached
+
+        bf = cached(("bloom", ref_key),
+                    lambda: Bloom.from_bytes(ray.get(bloom_ref), n_bits))
+        return bf.contains_many(batch.column(col).to_pylist())
+
+    def keep_definite(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~member_mask(batch))).select(out_cols)
+
+    def keep_maybe(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(member_mask(batch)))
+
+    definite = left_ds.map_batches(keep_definite, batch_format="pyarrow")
+    residual = shuffle_join(
+        left_ds.map_batches(keep_maybe, batch_format="pyarrow"),
+        dkeys, col, col, list(left_cols or []), [], how="left_anti",
+        n_buckets=n_buckets, rows_hint=rows_hint)
+    residual = residual.map_batches(
+        lambda b: b[out_cols] if len(b) else b.reindex(columns=out_cols),
+        batch_format="pandas")
+    return definite.union(residual)
 
 
 def add_time_window(ds, ts_col: str, unit: str = "day",

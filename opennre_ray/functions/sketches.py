@@ -151,6 +151,83 @@ def heavy_hitters_verified(ds, column: str, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (mergeable by OR)
+# ---------------------------------------------------------------------------
+
+class Bloom:
+    """Bit-array Bloom filter with ``n_hashes`` md5-derived probes.
+
+    No false negatives; false-positive rate ≈ (1 - e^(-kn/m))^k. Merge is
+    bitwise OR, so per-batch filters built distributed combine exactly.
+    Probes are vectorized: one md5 per item yields all k probe positions
+    (two independent 32-bit halves via the Kirsch-Mitzenmacher trick).
+    """
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
+        self.n_bits = n_bits
+        self.k = n_hashes
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, items) -> np.ndarray:
+        h1 = np.empty(len(items), dtype=np.uint64)
+        h2 = np.empty(len(items), dtype=np.uint64)
+        for i, it in enumerate(items):
+            d = hashlib.md5(str(it).encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "big")
+            h2[i] = int.from_bytes(d[8:], "big") | 1   # odd → full-period
+        ks = np.arange(self.k, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(self.n_bits))              # (N, k)
+
+    def add_many(self, items) -> "Bloom":
+        if len(items):
+            pos = self._positions(items).ravel()
+            np.bitwise_or.at(self.bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return self
+
+    def contains_many(self, items) -> np.ndarray:
+        if not len(items):
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(items)                   # (N, k)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, n_bits: int = 1 << 20,
+                   n_hashes: int = 5) -> "Bloom":
+        b = cls(n_bits, n_hashes)
+        b.bits = np.frombuffer(raw, dtype=np.uint8).copy()
+        return b
+
+
+def build_bloom(ds, column: str, n_bits: int = 1 << 20,
+                n_hashes: int = 5) -> Bloom:
+    """Distributed Bloom build: one filter per batch, OR-merged on the
+    driver (each is n_bits/8 bytes regardless of input size)."""
+    def per_batch(batch: pa.Table) -> pa.Table:
+        b = Bloom(n_bits, n_hashes).add_many(
+            batch.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([b.to_bytes()], pa.binary())})
+
+    merged = Bloom(n_bits, n_hashes)
+    for t in ds.map_batches(per_batch,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in t.column("sketch").to_pylist():
+            merged.merge(Bloom.from_bytes(raw, n_bits, n_hashes))
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------
 

@@ -146,3 +146,36 @@ def test_heavy_hitters_verified_is_exact(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(got["value"]) == [w for w, _ in want]
     assert list(got["cnt"]) == [n for _, n in want]
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from opennre_ray.functions.sketches import Bloom
+
+    b = Bloom(n_bits=1 << 16, n_hashes=5)
+    members = [f"key{i}" for i in range(2000)]
+    b.add_many(members)
+    assert b.contains_many(members).all()           # no false negatives
+    probes = [f"other{i}" for i in range(5000)]
+    fp = b.contains_many(probes).mean()
+    assert fp < 0.05                                 # m/n=32 → fp << 1%
+
+
+def test_bloom_merge_is_union():
+    from opennre_ray.functions.sketches import Bloom
+
+    a = Bloom(n_bits=1 << 14).add_many(["x", "y"])
+    c = Bloom(n_bits=1 << 14).add_many(["z"])
+    m = Bloom.from_bytes(a.to_bytes(), 1 << 14).merge(
+        Bloom.from_bytes(c.to_bytes(), 1 << 14))
+    assert m.contains_many(["x", "y", "z"]).all()
+
+
+def test_distributed_bloom_build(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.sketches import build_bloom
+
+    ds = rd.from_items([{"k": f"v{i}"} for i in range(3000)]).repartition(6)
+    bf = build_bloom(ds, "k", n_bits=1 << 17)
+    assert bf.contains_many([f"v{i}" for i in range(3000)]).all()
+    assert bf.contains_many([f"w{i}" for i in range(3000)]).mean() < 0.05
