@@ -151,6 +151,84 @@ def heavy_hitters_verified(ds, column: str, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable by elementwise addition)
+# ---------------------------------------------------------------------------
+
+class CountMin:
+    """Count-Min sketch: ``depth`` rows × ``width`` counters.
+
+    Point estimate = min over rows (always an OVER-estimate; error
+    ≤ e·n/width with probability 1 - e^-depth). Merge = elementwise
+    addition, so per-batch sketches built distributed combine exactly.
+    Row hashes derive from one md5 per item (Kirsch-Mitzenmacher).
+    """
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _positions(self, items) -> np.ndarray:
+        h1 = np.empty(len(items), dtype=np.uint64)
+        h2 = np.empty(len(items), dtype=np.uint64)
+        for i, it in enumerate(items):
+            d = hashlib.md5(str(it).encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "big")
+            h2[i] = int.from_bytes(d[8:], "big") | 1
+        ks = np.arange(self.depth, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(self.width))               # (N, depth)
+
+    def add_many(self, items) -> "CountMin":
+        if len(items):
+            pos = self._positions(items)
+            for r in range(self.depth):
+                np.add.at(self.table[r], pos[:, r].astype(np.int64), 1)
+        return self
+
+    def estimate_many(self, items) -> np.ndarray:
+        if not len(items):
+            return np.zeros(0, dtype=np.int64)
+        pos = self._positions(items)
+        ests = np.stack([self.table[r][pos[:, r].astype(np.int64)]
+                         for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, width: int = 1 << 14,
+                   depth: int = 4) -> "CountMin":
+        c = cls(width, depth)
+        c.table = np.frombuffer(raw, dtype=np.int64).reshape(
+            depth, width).copy()
+        return c
+
+
+def build_count_min(ds, column: str, width: int = 1 << 14,
+                    depth: int = 4) -> CountMin:
+    """Distributed CM build: one sketch per batch, added on the driver
+    (each is depth×width×8 bytes regardless of input size)."""
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = CountMin(width, depth).add_many(
+            batch.column(column).to_pylist())
+        return pa.table({"sketch": pa.array([c.to_bytes()], pa.binary())})
+
+    merged = CountMin(width, depth)
+    for t in ds.map_batches(per_batch,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in t.column("sketch").to_pylist():
+            merged.merge(CountMin.from_bytes(raw, width, depth))
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter (mergeable by OR)
 # ---------------------------------------------------------------------------
 

@@ -179,3 +179,26 @@ def test_distributed_bloom_build(ray_session):
     bf = build_bloom(ds, "k", n_bits=1 << 17)
     assert bf.contains_many([f"v{i}" for i in range(3000)]).all()
     assert bf.contains_many([f"w{i}" for i in range(3000)]).mean() < 0.05
+
+
+def test_count_min_overestimates_within_bound(ray_session):
+    """CM point estimates: exact lower bound, ε·n over-estimate bound."""
+    import ray.data as rd
+    from collections import Counter
+
+    from opennre_ray.functions.sketches import build_count_min
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(500)]
+    w = 1.0 / np.arange(1, 501)
+    items = list(rng.choice(vocab, size=30000, p=w / w.sum()))
+    ds = rd.from_items([{"v": x} for x in items]).repartition(8)
+    cm = build_count_min(ds, "v", width=1 << 12, depth=4)
+
+    exact = Counter(items)
+    probes = vocab[:50]
+    est = cm.estimate_many(probes)
+    true = np.array([exact[p] for p in probes])
+    assert (est >= true).all()                        # never under
+    # ε = e/width bound with prob 1 - e^-depth; allow the loose 2ε·n
+    assert (est - true).max() <= 2 * np.e * len(items) / (1 << 12)
