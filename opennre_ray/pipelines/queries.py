@@ -564,6 +564,27 @@ def events_approx_distinct_users(sf_dir):
     return pd.DataFrame({"approx_users": [round(est, 1)]})
 
 
+def events_distinct_users_exact(sf_dir):
+    """Exact count-distinct (map-side per-batch dedup, then a distinct
+    count over the per-batch survivors) — the ground truth the HLL
+    estimate is judged against."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"user_id": pc.unique(
+            batch.column("user_id").combine_chunks())})
+
+    n = (ds.map_batches(partial, batch_format="pyarrow")
+         .unique("user_id"))
+    return pd.DataFrame({"n_users": pd.array([len(n)], dtype="int64")})
+
+
+SQL_EVENTS_DISTINCT_USERS_EXACT = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -1556,6 +1577,7 @@ QUERIES = {
     "lineitem_quantity_bands": lineitem_quantity_bands,
     "docs_repetition": docs_repetition,
     "events_lag_delta": events_lag_delta,
+    "events_distinct_users_exact": events_distinct_users_exact,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1609,4 +1631,5 @@ ORACLES = {
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
+    "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
 }
