@@ -160,6 +160,23 @@ class CnnSentenceEncoder:
                 cw.transpose(1, 2, 0).reshape(cw.shape[1], -1))  # (C, K*H)
         self._scratch: dict = {}
 
+    def load_weights(self, weights: dict):
+        """Replace ALL weights and re-derive cached views.
+
+        Assigning ``encoder.w`` directly leaves ``_wcat`` (the
+        GEMM-concatenated conv kernel computed in ``__init__``) pointing at
+        the OLD conv weights — embeddings update, the conv doesn't, and
+        inference silently degrades. Checkpoint restore must go through
+        here (the trainer refreshes ``_wcat`` itself after each step).
+        """
+        self.w = {k: np.asarray(v, dtype=np.float32)
+                  for k, v in weights.items()}
+        if "conv_w" in self.w:
+            cw = self.w["conv_w"]
+            self._wcat = np.ascontiguousarray(
+                cw.transpose(1, 2, 0).reshape(cw.shape[1], -1))
+        return self
+
     def encode_batch(self, texts, h_pos, t_pos, token_lists=None):
         return encode_instances(
             texts, h_pos, t_pos, self.token2id, self.max_length,

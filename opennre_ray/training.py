@@ -566,7 +566,7 @@ def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
 def train_sentence_re(model, instances_ds, *, epochs=3, batch_size=64,
                       lr=0.1, weight_decay=1e-5, optimizer="sgd",
                       val_ds=None, ckpt_path=None, seed=42,
-                      loss_weights=None):
+                      loss_weights=None, metric="acc"):
     """Epoch loop over a Ray Data instance Dataset (L1 semantics).
 
     ``instances_ds`` columns: text, h_start, h_end, t_start, t_end,
@@ -616,8 +616,10 @@ def train_sentence_re(model, instances_ds, *, epochs=3, batch_size=64,
                 golds.extend(labels.tolist())
                 preds.extend(pred.tolist())
             entry["val"] = sentence_eval(golds, preds, rel2id)
-            if ckpt_path and entry["val"]["acc"] > best_acc:
-                best_acc = entry["val"]["acc"]
+            # best-checkpoint criterion is selectable (reference --metric,
+            # example/train_supervised_cnn.py: micro_f1 | acc)
+            if ckpt_path and entry["val"][metric] > best_acc:
+                best_acc = entry["val"][metric]
                 save_checkpoint(ckpt_path, {"enc": enc.w,
                                             "fc_w": model.head.fc_w,
                                             "fc_b": model.head.fc_b})

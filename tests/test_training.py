@@ -131,3 +131,32 @@ def test_train_sentence_re_dispatches_pcnn(ray_session):
     hist = train_sentence_re(model, rd.from_items(rows), epochs=2,
                              batch_size=8, lr=0.2)
     assert len(hist) == 2 and hist[1]["loss"] < hist[0]["loss"]
+
+
+def test_checkpoint_restore_refreshes_conv_cache():
+    """Restoring weights into a FRESH model must reproduce the saved
+    model's predictions exactly — assigning `.w` without re-deriving the
+    GEMM-concatenated conv kernel (_wcat) silently kept the old conv."""
+    fix_seed(7)
+    model = get_model("wiki80_cnn_softmax")
+    trainer = CnnSoftmaxTrainer(model, optimizer=SgdOptimizer(0.5))
+    enc, labels = _enc_batch(model, TEXTS)
+    for _ in range(5):
+        trainer.train_step(enc, labels)
+
+    rep = model.encoder(enc)
+    want_pred, want_score = model.head.infer_batch(rep)
+
+    save_checkpoint("/tmp/ck_wcat_test", {"enc": model.encoder.w,
+                                          "fc_w": model.head.fc_w,
+                                          "fc_b": model.head.fc_b})
+    fresh = get_model("wiki80_cnn_softmax")
+    w = load_checkpoint("/tmp/ck_wcat_test")
+    fresh.encoder.load_weights(w["enc"])
+    fresh.head.fc_w = np.asarray(w["fc_w"], dtype=np.float32)
+    fresh.head.fc_b = np.asarray(w["fc_b"], dtype=np.float32)
+
+    rep2 = fresh.encoder(enc)
+    got_pred, got_score = fresh.head.infer_batch(rep2)
+    assert (got_pred == want_pred).all()
+    np.testing.assert_allclose(got_score, want_score, rtol=0, atol=1e-6)
