@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--ckpt", default="", help="checkpoint path (.npz)")
     ap.add_argument("--only_test", action="store_true")
     ap.add_argument("--encoder", default="cnn", choices=["cnn", "pcnn"])
+    ap.add_argument("--mode", default="sentence",
+                    choices=["sentence", "bag"],
+                    help="bag = attention-aggregated bag RE "
+                         "(mirrors example/train_bag_cnn.py)")
+    ap.add_argument("--bag_size", default=0, type=int)
     ap.add_argument("--metric", default="micro_f1",
                     choices=["micro_f1", "acc"])
     ap.add_argument("--train_file", default="")
@@ -71,9 +76,26 @@ def main():
 
     with open(args.rel2id_file) as fh:
         rel2id = json.load(fh)
-    model = get_model(f"wiki80_{args.encoder}_softmax", rel2id=rel2id)
 
-    out: dict = {"encoder": args.encoder, "metric": args.metric}
+    out: dict = {"encoder": args.encoder, "metric": args.metric,
+                 "mode": args.mode}
+    if args.mode == "bag":
+        from opennre_ray.training import train_bag_re
+
+        model = get_model(f"nyt10_{args.encoder}_att"
+                          if args.encoder == "pcnn"
+                          else "nyt10_pcnn_att", rel2id=rel2id)
+        df = read_instances_jsonl(args.train_file).to_pandas()
+        history = train_bag_re(model, df, epochs=args.max_epoch,
+                               bag_size=args.bag_size, lr=args.lr,
+                               weight_decay=args.weight_decay,
+                               seed=args.seed)
+        out["final_train"] = {k: history[-1][k] for k in ("loss", "acc")}
+        print(json.dumps(out))
+        ray.shutdown()
+        return
+
+    model = get_model(f"wiki80_{args.encoder}_softmax", rel2id=rel2id)
     if not args.only_test:
         train_ds = read_instances_jsonl(args.train_file)
         val_ds = (read_instances_jsonl(args.val_file)
