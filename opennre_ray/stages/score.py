@@ -76,15 +76,17 @@ class EncodeInstances:
         return out
 
 
-def score_matrix_udf(model_name: str = "wiki80_cnn_sigmoid"):
+def score_matrix_udf(model_name: str = "wiki80_cnn_sigmoid",
+                     rel2id: dict | None = None):
     """Stateless-task stage emitting the FULL per-relation score row
     (``rel_scores`` list column) instead of the argmax — the multi-label
     eval path (reference ``data_loader.py:375-446`` consumes
     ``pred_score[sent_num, label_num]``)."""
+    rel_key = tuple(sorted(rel2id)) if rel2id else None
 
     def fn(batch: pa.Table) -> pa.Table:
-        scorer = cached(("matscorer", model_name),
-                        lambda: RelationScorer(model_name))
+        scorer = cached(("matscorer", model_name, rel_key),
+                        lambda: RelationScorer(model_name, rel2id=rel2id))
         if batch.num_rows == 0:
             return batch.append_column(
                 "rel_scores", pa.array([], pa.list_(pa.float32())))

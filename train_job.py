@@ -45,9 +45,11 @@ def main():
     ap.add_argument("--only_test", action="store_true")
     ap.add_argument("--encoder", default="cnn", choices=["cnn", "pcnn"])
     ap.add_argument("--mode", default="sentence",
-                    choices=["sentence", "bag"],
+                    choices=["sentence", "bag", "multilabel"],
                     help="bag = attention-aggregated bag RE "
-                         "(mirrors example/train_bag_cnn.py)")
+                         "(mirrors example/train_bag_cnn.py); multilabel = "
+                         "annotated multi-label eval "
+                         "(mirrors example/test_multilabel_cnn.py)")
     ap.add_argument("--bag_size", default=0, type=int)
     ap.add_argument("--metric", default="micro_f1",
                     choices=["micro_f1", "acc"])
@@ -69,6 +71,12 @@ def main():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR",
                  log_to_driver=False)
+    from ray.data import DataContext
+
+    # driver-owned session config (like tests/conftest.py): the annotated
+    # multi-label columns are mixed null/list, which Ray's automatic
+    # TensorArray cast cannot handle in to_pandas()
+    DataContext.get_current().enable_tensor_extension_casting = False
 
     from opennre_ray.registry import get_model
     from opennre_ray.sources.instances import read_instances_jsonl
@@ -91,6 +99,25 @@ def main():
                                weight_decay=args.weight_decay,
                                seed=args.seed)
         out["final_train"] = {k: history[-1][k] for k in ("loss", "acc")}
+        print(json.dumps(out))
+        ray.shutdown()
+        return
+
+    if args.mode == "multilabel":
+        from opennre_ray.pipelines.evalmetrics import multilabel_eval
+        from opennre_ray.sources.instances import label_matrix_from_instances
+        from opennre_ray.stages.score import score_matrix_udf
+
+        ds = read_instances_jsonl(args.test_file).map_batches(
+            score_matrix_udf("wiki80_cnn_sigmoid", rel2id=rel2id),
+            batch_format="pyarrow")
+        df = ds.to_pandas().sort_values("row_id").reset_index(drop=True)
+        labels = label_matrix_from_instances(df, rel2id)
+        scores = np.stack(df["rel_scores"].to_numpy()).astype(np.float64)
+        out["multilabel"] = {
+            k: float(v) for k, v in
+            multilabel_eval(scores, labels, rel2id).items()
+            if np.isscalar(v) or isinstance(v, float)}
         print(json.dumps(out))
         ray.shutdown()
         return
