@@ -357,33 +357,58 @@ def anti_join(left_ds, right_ds, col: str, left_cols: list[str] | None = None,
     # keeps; the residual exact anti-join resolves the rest.
     from .sketches import Bloom, build_bloom
 
+    def canon_vals(values: list) -> list:
+        # the Bloom hashes str(value): int64 5 and float64 5.0 must probe
+        # the same bits (the same cross-dtype equality every other
+        # anti-join path honors), so numeric keys canonicalize to float
+        return [float(v) if isinstance(v, (int, float)) and
+                not isinstance(v, bool) else v for v in values]
+
     n_bits = max(1 << 20, 16 * n_keys)
-    bloom = build_bloom(dkeys, col, n_bits=n_bits)
+    bloom = build_bloom(dkeys, col, n_bits=n_bits, canon=canon_vals)
     bloom_ref = ray.put(bloom.to_bytes())
     ref_key = bloom_ref.hex()
 
-    def member_mask(batch: pa.Table) -> np.ndarray:
+    def add_maybe(batch: pa.Table) -> pa.Table:
         from ..stages.score import cached
 
         bf = cached(("bloom", ref_key),
                     lambda: Bloom.from_bytes(ray.get(bloom_ref), n_bits))
-        return bf.contains_many(batch.column(col).to_pylist())
+        m = bf.contains_many(canon_vals(batch.column(col).to_pylist()))
+        return batch.append_column("_maybe", pa.array(m))
+
+    # one masked pass, materialized: the upstream left pipeline and the
+    # md5 probes run ONCE; the two filters below read cached blocks
+    masked = left_ds.map_batches(add_maybe,
+                                 batch_format="pyarrow").materialize()
+    # authoritative output dtypes (shuffle_join's tagged union degrades
+    # int value columns to float on its null-padded side)
+    sch = masked.schema()
+    target = pa.schema([(c, sch.base_schema.field(c).type)
+                        for c in out_cols])
 
     def keep_definite(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(~member_mask(batch))).select(out_cols)
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.invert(batch.column("_maybe"))).select(out_cols)
 
     def keep_maybe(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array(member_mask(batch)))
+        return batch.filter(batch.column("_maybe")).select([col]
+                                                           + list(left_cols
+                                                                  or []))
 
-    definite = left_ds.map_batches(keep_definite, batch_format="pyarrow")
+    definite = masked.map_batches(keep_definite, batch_format="pyarrow")
     residual = shuffle_join(
-        left_ds.map_batches(keep_maybe, batch_format="pyarrow"),
+        masked.map_batches(keep_maybe, batch_format="pyarrow"),
         dkeys, col, col, list(left_cols or []), [], how="left_anti",
         n_buckets=n_buckets, rows_hint=rows_hint)
-    residual = residual.map_batches(
-        lambda b: b[out_cols] if len(b) else b.reindex(columns=out_cols),
-        batch_format="pandas")
-    return definite.union(residual)
+
+    def conform(b: pd.DataFrame) -> pa.Table:
+        b = b.reindex(columns=out_cols) if not len(b) else b[out_cols]
+        return pa.Table.from_pandas(b, preserve_index=False).cast(target)
+
+    return definite.union(
+        residual.map_batches(conform, batch_format="pandas"))
 
 
 def add_time_window(ds, ts_col: str, unit: str = "day",

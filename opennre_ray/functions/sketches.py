@@ -154,6 +154,21 @@ def heavy_hitters_verified(ds, column: str, k: int = 10,
 # Count-Min sketch (mergeable by elementwise addition)
 # ---------------------------------------------------------------------------
 
+def _km_positions(items, k: int, mod: int) -> np.ndarray:
+    """(N, k) probe positions via Kirsch-Mitzenmacher double hashing: one
+    md5 per item, its two 64-bit halves combined as h1 + i*h2 (mod ``mod``).
+    Shared by Bloom and Count-Min so the derivation cannot drift."""
+    h1 = np.empty(len(items), dtype=np.uint64)
+    h2 = np.empty(len(items), dtype=np.uint64)
+    for i, it in enumerate(items):
+        d = hashlib.md5(str(it).encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big") | 1   # odd -> full period
+    ks = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(mod)
+
+
+
 class CountMin:
     """Count-Min sketch: ``depth`` rows × ``width`` counters.
 
@@ -169,15 +184,7 @@ class CountMin:
         self.table = np.zeros((depth, width), dtype=np.int64)
 
     def _positions(self, items) -> np.ndarray:
-        h1 = np.empty(len(items), dtype=np.uint64)
-        h2 = np.empty(len(items), dtype=np.uint64)
-        for i, it in enumerate(items):
-            d = hashlib.md5(str(it).encode()).digest()
-            h1[i] = int.from_bytes(d[:8], "big")
-            h2[i] = int.from_bytes(d[8:], "big") | 1
-        ks = np.arange(self.depth, dtype=np.uint64)
-        return ((h1[:, None] + ks[None, :] * h2[:, None])
-                % np.uint64(self.width))               # (N, depth)
+        return _km_positions(items, self.depth, self.width)   # (N, depth)
 
     def add_many(self, items) -> "CountMin":
         if len(items):
@@ -237,8 +244,8 @@ class Bloom:
 
     No false negatives; false-positive rate ≈ (1 - e^(-kn/m))^k. Merge is
     bitwise OR, so per-batch filters built distributed combine exactly.
-    Probes are vectorized: one md5 per item yields all k probe positions
-    (two independent 32-bit halves via the Kirsch-Mitzenmacher trick).
+    One md5 per item yields all k probe positions — its two 64-bit halves
+    combined via the Kirsch-Mitzenmacher double-hash trick.
     """
 
     def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5):
@@ -247,15 +254,7 @@ class Bloom:
         self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
 
     def _positions(self, items) -> np.ndarray:
-        h1 = np.empty(len(items), dtype=np.uint64)
-        h2 = np.empty(len(items), dtype=np.uint64)
-        for i, it in enumerate(items):
-            d = hashlib.md5(str(it).encode()).digest()
-            h1[i] = int.from_bytes(d[:8], "big")
-            h2[i] = int.from_bytes(d[8:], "big") | 1   # odd → full-period
-        ks = np.arange(self.k, dtype=np.uint64)
-        return ((h1[:, None] + ks[None, :] * h2[:, None])
-                % np.uint64(self.n_bits))              # (N, k)
+        return _km_positions(items, self.k, self.n_bits)      # (N, k)
 
     def add_many(self, items) -> "Bloom":
         if len(items):
@@ -288,12 +287,16 @@ class Bloom:
 
 
 def build_bloom(ds, column: str, n_bits: int = 1 << 20,
-                n_hashes: int = 5) -> Bloom:
+                n_hashes: int = 5, canon=None) -> Bloom:
     """Distributed Bloom build: one filter per batch, OR-merged on the
-    driver (each is n_bits/8 bytes regardless of input size)."""
+    driver (each is n_bits/8 bytes regardless of input size). ``canon``
+    (optional) canonicalizes values before hashing — probes must apply
+    the SAME transform."""
     def per_batch(batch: pa.Table) -> pa.Table:
-        b = Bloom(n_bits, n_hashes).add_many(
-            batch.column(column).to_pylist())
+        vals = batch.column(column).to_pylist()
+        if canon is not None:
+            vals = canon(vals)
+        b = Bloom(n_bits, n_hashes).add_many(vals)
         return pa.table({"sketch": pa.array([b.to_bytes()], pa.binary())})
 
     merged = Bloom(n_bits, n_hashes)

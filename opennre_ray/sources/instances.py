@@ -81,9 +81,15 @@ def flatten_instance_batch(batch: pa.Table) -> pa.Table:
         "t_start": pa.array(out["t_start"], pa.int32()),
         "t_end": pa.array(out["t_end"], pa.int32()),
         "relation": pa.array(out["relation"], pa.string()),
-        **({"anno_relation_list": pa.array(anno_lists,
-                                           pa.list_(pa.string())),
-            "anno_relation_vec": pa.array(anno_vecs, pa.list_(pa.int64()))}
+        # non-annotated rows carry [] (not null): mixed null/list columns
+        # trip Ray's TensorArray cast in to_pandas (same rule as `tokens`);
+        # empty == not annotated
+        **({"anno_relation_list": pa.array(
+                [l if l is not None else [] for l in anno_lists],
+                pa.list_(pa.string())),
+            "anno_relation_vec": pa.array(
+                [v if v is not None else [] for v in anno_vecs],
+                pa.list_(pa.int64()))}
            if has_anno else {}),
     })
 
@@ -123,10 +129,11 @@ def label_matrix_from_instances(df, rel2id: dict[str, int]) -> np.ndarray:
     rels = df["relation"].tolist()
     for i, (lst, vec, rel) in enumerate(zip(lists, vecs, rels)):
         # vec wins whenever present (even without a list — sources may
-        # carry only the vector form, reference data_loader.py:425-430)
-        if vec is not None:
+        # carry only the vector form, reference data_loader.py:425-430);
+        # empty ([] or None) means not annotated
+        if vec is not None and len(vec):
             out[i] = np.asarray(vec, dtype=np.int64)
-        elif lst is not None:
+        elif lst is not None and len(lst):
             for r in lst:
                 out[i, rel2id[r]] = 1
         else:

@@ -82,7 +82,10 @@ def score_matrix_udf(model_name: str = "wiki80_cnn_sigmoid",
     (``rel_scores`` list column) instead of the argmax — the multi-label
     eval path (reference ``data_loader.py:375-446`` consumes
     ``pred_score[sent_num, label_num]``)."""
-    rel_key = tuple(sorted(rel2id)) if rel2id else None
+    # cache key must include the id ASSIGNMENTS, not just the relation
+    # names — same names with permuted ids would hit a stale scorer whose
+    # rel_scores columns are in the old order
+    rel_key = tuple(sorted(rel2id.items())) if rel2id else None
 
     def fn(batch: pa.Table) -> pa.Table:
         scorer = cached(("matscorer", model_name, rel_key),

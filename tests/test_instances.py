@@ -210,7 +210,7 @@ def test_annotated_multilabel_end_to_end(ray_session, tmp_path):
     # ingestion carried the annotated fields through the whole pipeline
     assert list(df["anno_relation_list"].iloc[0]) == [
         r for r in rel2id if r != "NA"][:2]
-    assert df["anno_relation_list"].iloc[2] is None
+    assert len(df["anno_relation_list"].iloc[2]) == 0   # [] == not annotated
 
     labels = label_matrix_from_instances(df, rel2id)
     n = len(rel2id)

@@ -178,3 +178,29 @@ def test_asof_join_hot_key_exact(ray_session):
     g = got.sort_values(["k", "t"]).reset_index(drop=True)
     w = want.sort_values(["k", "t"]).reset_index(drop=True)
     assert (g["rv_m"].to_numpy() == w["rv_m"].to_numpy()).all()
+
+
+def test_anti_join_bloom_path_cross_dtype_and_schema(ray_session):
+    """The bloom-prefiltered fallback must (a) honor int-vs-float key
+    equality like the broadcast path and (b) emit dtype-consistent blocks
+    (the residual join's tagged union degrades ints to float)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import anti_join
+
+    left = pd.DataFrame({"k": np.arange(200, dtype="int64"),
+                         "x": np.arange(200, dtype="int64") * 2})
+    right = pd.DataFrame({"k": np.arange(0, 200, 2, dtype="float64")})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+
+    got = anti_join(lds, rds, "k", ["x"], broadcast_limit=5)  # bloom path
+    tbl = pa.concat_tables(
+        [b for b in got.iter_batches(batch_format="pyarrow")])
+    assert tbl.column("k").type == pa.int64()      # schema conformed
+    assert tbl.column("x").type == pa.int64()
+    assert sorted(tbl.column("k").to_pylist()) == list(range(1, 200, 2))
+
+    bcast = anti_join(lds, rds, "k", ["x"]).to_pandas()
+    assert sorted(bcast["k"]) == sorted(tbl.column("k").to_pylist())

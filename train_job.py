@@ -90,9 +90,7 @@ def main():
     if args.mode == "bag":
         from opennre_ray.training import train_bag_re
 
-        model = get_model(f"nyt10_{args.encoder}_att"
-                          if args.encoder == "pcnn"
-                          else "nyt10_pcnn_att", rel2id=rel2id)
+        model = get_model(f"nyt10_{args.encoder}_att", rel2id=rel2id)
         df = read_instances_jsonl(args.train_file).to_pandas()
         history = train_bag_re(model, df, epochs=args.max_epoch,
                                bag_size=args.bag_size, lr=args.lr,
@@ -104,6 +102,11 @@ def main():
         return
 
     if args.mode == "multilabel":
+        if args.ckpt:
+            ap.error("--mode multilabel evaluates the named registry "
+                     "sigmoid model; custom checkpoints are not supported "
+                     "on this path (train with --mode sentence and eval "
+                     "via --only_test instead)")
         from opennre_ray.pipelines.evalmetrics import multilabel_eval
         from opennre_ray.sources.instances import label_matrix_from_instances
         from opennre_ray.stages.score import score_matrix_udf
@@ -136,6 +139,14 @@ def main():
         out["final_train"] = {k: history[-1][k] for k in ("loss", "acc")}
         if val_ds is not None:
             out["best_val"] = max(h["val"][args.metric] for h in history)
+            if args.ckpt:
+                # test with the BEST checkpoint (just saved), not the
+                # final epoch's weights — the reference examples reload
+                # the best ckpt before the test pass
+                w = load_checkpoint(args.ckpt)
+                model.encoder.load_weights(w["enc"])
+                model.head.fc_w = np.asarray(w["fc_w"], dtype=np.float32)
+                model.head.fc_b = np.asarray(w["fc_b"], dtype=np.float32)
     elif args.ckpt:
         w = load_checkpoint(args.ckpt)
         model.encoder.load_weights(w["enc"])   # re-derives the conv cache
