@@ -11,9 +11,6 @@ def ray_session():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # list<string> columns with mixed null/non-null rows (e.g. `tokens`)
-    # intermittently fail Ray's automatic TensorArray cast in to_pandas()
-    ctx.enable_tensor_extension_casting = False
     yield ray
     ray.shutdown()
 

@@ -71,12 +71,6 @@ def main():
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR",
                  log_to_driver=False)
-    from ray.data import DataContext
-
-    # driver-owned session config (like tests/conftest.py): the annotated
-    # multi-label columns are mixed null/list, which Ray's automatic
-    # TensorArray cast cannot handle in to_pandas()
-    DataContext.get_current().enable_tensor_extension_casting = False
 
     from opennre_ray.registry import get_model
     from opennre_ray.sources.instances import read_instances_jsonl
