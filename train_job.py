@@ -43,7 +43,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="", help="checkpoint path (.npz)")
     ap.add_argument("--only_test", action="store_true")
-    ap.add_argument("--encoder", default="cnn", choices=["cnn", "pcnn"])
+    ap.add_argument("--encoder", default="cnn",
+                    choices=["cnn", "pcnn", "bert"])
     ap.add_argument("--mode", default="sentence",
                     choices=["sentence", "bag", "multilabel"],
                     help="bag = attention-aggregated bag RE "
@@ -79,6 +80,13 @@ def main():
     with open(args.rel2id_file) as fh:
         rel2id = json.load(fh)
 
+    if args.encoder == "bert" and not (args.mode == "multilabel"
+                                       or args.only_test):
+        # the numpy training loops cover the conv encoders; BERT is
+        # inference/eval-only in this sandbox (no torch)
+        ap.error("--encoder bert supports --mode multilabel or "
+                 "--only_test evaluation only")
+
     out: dict = {"encoder": args.encoder, "metric": args.metric,
                  "mode": args.mode}
     if args.mode == "bag":
@@ -106,7 +114,8 @@ def main():
         from opennre_ray.stages.score import score_matrix_udf
 
         ds = read_instances_jsonl(args.test_file).map_batches(
-            score_matrix_udf("wiki80_cnn_sigmoid", rel2id=rel2id),
+            score_matrix_udf(f"wiki80_{args.encoder}_sigmoid",
+                             rel2id=rel2id),
             batch_format="pyarrow")
         df = ds.to_pandas().sort_values("row_id").reset_index(drop=True)
         labels = label_matrix_from_instances(df, rel2id)
