@@ -42,7 +42,8 @@ def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64,
     return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
 
 
-def lag_column(ds, key: str, ts: str, value: str, n_buckets: int = 64,
+def lag_column(ds, key: str, ts: str, value: str,
+               n_buckets: int | None = None, rows_hint: int | None = None,
                tiebreak: str | None = None, out_col: str = "prev_value"):
     """Per-row previous ``value`` of the same key in ts order (SQL
     ``lag(value) OVER (PARTITION BY key ORDER BY ts)``; null on each key's
@@ -59,7 +60,8 @@ def lag_column(ds, key: str, ts: str, value: str, n_buckets: int = 64,
         g[out_col] = g.groupby(key)[value].shift(1)
         return g
 
-    return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
+    return hash_bucket_aggregate(ds, [key], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
 
 
 class KeyedStateActor:

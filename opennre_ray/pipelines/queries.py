@@ -495,7 +495,8 @@ def events_lag_delta(sf_dir):
     from ..functions.streaming import lag_column
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = lag_column(ds, "user_id", "ts", "value", tiebreak="event_id")
+    out = lag_column(ds, "user_id", "ts", "value", tiebreak="event_id",
+                     rows_hint=_nrows(sf_dir, "events"))
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(delta=sql_round(b["value"] - b["prev_value"], 2))
