@@ -33,11 +33,21 @@ def _warm_workers(num: int):
 
     @ray.remote(num_cpus=1)
     def warm():
-        import pandas  # noqa: F401
+        import pandas as pd
         import pyarrow  # noqa: F401
+        from opennre_ray.pipelines.bag import BucketBagScorer
         from opennre_ray.registry import get_model
+        from opennre_ray.stages.score import cached
         get_model("wiki80_cnn_softmax")
-        get_model("nyt10_pcnn_att")   # bag pipeline's scorer
+        # drive ONE row through the exact cached bag-scorer path: model
+        # build alone leaves the conv scratch buffers (tens of MB/worker)
+        # cold, and their first-touch page-zeroing across 32 workers
+        # measured as a 12.2s-vs-4.4s first-run penalty on the bag stage
+        scorer = cached(("bag_bucket", "nyt10_pcnn_att", 0, None),
+                        lambda: BucketBagScorer("nyt10_pcnn_att", 0, None))
+        scorer(pd.DataFrame({
+            "text": ["warm up row"], "h_id": ["W1"], "t_id": ["W2"],
+            "h_start": [0], "h_end": [4], "t_start": [5], "t_end": [7]}))
         return 1
 
     ray.get([warm.remote() for _ in range(num)])
