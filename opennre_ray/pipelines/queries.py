@@ -165,6 +165,52 @@ def customer_nation_join(sf_dir):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def revenue_by_nation(sf_dir):
+    """Three-table chain (orders ⋈ customer ⋈ nation) with map-side
+    combine: the fact table streams once, both dimensions broadcast, and
+    each batch pre-reduces to ≤25 partial rows before the tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+    from ..functions.relational import broadcast_join
+
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    # dimension⋈dimension happens driver-side (both tiny); the fact table
+    # joins the pre-merged map in ONE broadcast pass
+    dim = cust.merge(nation, on="c_nationkey")[["o_custkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("n_name", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     revenue=("o_totalprice", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("n_name").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue", alias_name="revenue"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 SQL_CUSTOMER_NATION_JOIN = """
 SELECT n_name, count(*) AS n_customers,
        round(sum(c_acctbal), 2) AS sum_acctbal
@@ -1579,6 +1625,7 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "events_lag_delta": events_lag_delta,
     "events_distinct_users_exact": events_distinct_users_exact,
+    "revenue_by_nation": revenue_by_nation,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1633,4 +1680,5 @@ ORACLES = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
     "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 }
