@@ -165,6 +165,41 @@ def customer_nation_join(sf_dir):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def orders_above_customer_avg(sf_dir):
+    """Detail rows filtered against their own group's aggregate (the
+    correlated-subquery shape): one customer-hash shuffle computes the
+    per-customer mean AND applies the filter inside the same bucket pass —
+    no second join of the aggregate back onto the detail."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        avg = g.groupby("o_custkey")["o_totalprice"].transform("mean")
+        out = g[g["o_totalprice"] > 1.5 * avg].copy()
+        # round at 6 (not 2): cent-valued prices put group means ON the
+        # .xx5 boundary, where the engines' different summation orders
+        # flip the last cent; at 6 decimals no reachable mean of cent
+        # values with small group sizes lands on a rounding boundary
+        out["cust_avg"] = sql_round(avg[out.index], 6)
+        return out
+
+    out = hash_bucket_aggregate(ds, ["o_custkey"], per_bucket,
+                                rows_hint=_nrows(sf_dir, "orders"))
+    return out.map_batches(
+        lambda b: b[["o_orderkey", "o_custkey", "o_totalprice", "cust_avg"]]
+        if len(b) else b,
+        batch_format="pandas")
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS cust_avg
+FROM orders
+QUALIFY o_totalprice > 1.5 * avg(o_totalprice) OVER (PARTITION BY o_custkey)
+"""
+
+
 def revenue_by_nation(sf_dir):
     """Three-table chain (orders ⋈ customer ⋈ nation) with map-side
     combine: the fact table streams once, both dimensions broadcast, and
@@ -1626,6 +1661,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_distinct_users_exact": events_distinct_users_exact,
     "revenue_by_nation": revenue_by_nation,
+    "orders_above_customer_avg": orders_above_customer_avg,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1681,4 +1717,5 @@ ORACLES = {
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
     "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
 }
