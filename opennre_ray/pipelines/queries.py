@@ -985,6 +985,112 @@ SELECT doc_id, n_tokens, part_id, seq_id, seq_pos FROM acc
 """
 
 
+PRETRAIN_MIN_TOKENS = 30
+PRETRAIN_MAX_REPETITION = 0.9
+
+
+def docs_pretrain_pipeline(sf_dir):
+    """The full pretraining-data preprocessing chain as ONE streaming
+    pipeline: exact dedup → quality filter (length + repetition) →
+    deterministic train split → sequence packing. Every stage is a library
+    operator; the whole composition is value-oracled.
+
+    Scale shape: the only corpus-wide shuffle is the content-hash dedup
+    (unavoidable when the keeper must carry its text); stats/filter/split
+    are stateless vectorized passes, and packing folds within doc_id-range
+    partitions."""
+    import hashlib as _hl
+
+    from ..functions.packing import pack_sequences
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # 1. exact dedup, keeper carries text (min doc_id per content hash)
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b["_md5"] = [_hl.md5(t.encode()).hexdigest() for t in b["text"]]
+        return b
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").drop_duplicates("_md5")[
+            ["doc_id", "text"]]
+
+    surv = hash_bucket_aggregate(
+        docs.map_batches(add_key, batch_format="pandas"), ["_md5"],
+        keep_min, rows_hint=_nrows(sf_dir, "documents"))
+
+    # 2+3. quality filter + train-split draw, one vectorized pass
+    cut = int(SPLIT_TRAIN_FRAC * 4294967296)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        nt = token_count_batch(batch).column("n_tokens").to_numpy()
+        reps = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            reps.append(0.0 if len(toks) < 3 else
+                        1.0 - len({tuple(toks[i: i + 3])
+                                   for i in range(len(toks) - 2)})
+                        / (len(toks) - 2))
+        draws = np.array([int(_hl.md5(str(k).encode()).hexdigest()[:8], 16)
+                          for k in batch.column("doc_id").to_pylist()])
+        m = ((nt >= PRETRAIN_MIN_TOKENS)
+             & (np.array(reps) <= PRETRAIN_MAX_REPETITION)
+             & (draws < cut))
+        return batch.filter(pa.array(m))
+
+    kept = surv.map_batches(keep, batch_format="pyarrow")
+
+    # 4. pack into fixed-token-budget sequences
+    return pack_sequences(kept, budget=PACK_BUDGET,
+                          part_size=PACK_PART_SIZE)
+
+
+SQL_DOCS_PRETRAIN_PIPELINE = rf"""
+WITH RECURSIVE surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+stats AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+    END::BIGINT AS n_tokens,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM surv),
+keep AS (
+  SELECT doc_id, n_tokens FROM stats
+  WHERE n_tokens >= {PRETRAIN_MIN_TOKENS}
+    AND (CASE WHEN length(toks) < 3 THEN 0.0
+         ELSE 1.0 - length(list_distinct(
+                list_transform(range(1, length(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              / (length(toks) - 2)::DOUBLE END) <= {PRETRAIN_MAX_REPETITION}
+    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+        < {int(SPLIT_TRAIN_FRAC * 4294967296)}),
+d AS (
+  SELECT doc_id, n_tokens, doc_id // {PACK_PART_SIZE} AS part_id,
+         row_number() OVER (PARTITION BY (doc_id // {PACK_PART_SIZE})
+                            ORDER BY doc_id) AS rn
+  FROM keep),
+acc AS (
+  SELECT part_id, rn, doc_id, n_tokens, n_tokens AS filled,
+         0::BIGINT AS seq_id, 0::BIGINT AS seq_pos
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.part_id, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN d.n_tokens ELSE a.filled + d.n_tokens END,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN a.seq_id + 1 ELSE a.seq_id END,
+    CASE WHEN a.filled + d.n_tokens > {PACK_BUDGET}
+         THEN 0 ELSE a.seq_pos + 1 END
+  FROM d JOIN acc a ON d.part_id = a.part_id AND d.rn = a.rn + 1)
+SELECT doc_id, n_tokens, part_id, seq_id, seq_pos FROM acc
+"""
+
+
 COSINE_PAIR_THRESHOLD = 0.4
 
 
@@ -1662,6 +1768,7 @@ QUERIES = {
     "events_distinct_users_exact": events_distinct_users_exact,
     "revenue_by_nation": revenue_by_nation,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "docs_pretrain_pipeline": docs_pretrain_pipeline,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
@@ -1718,4 +1825,5 @@ ORACLES = {
     "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
 }
