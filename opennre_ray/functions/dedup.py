@@ -23,29 +23,46 @@ import pyarrow as pa
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
+                carry_cols: list[str] | None = None,
+                rows_hint: int | None = None):
     """Keep the min-key row per identical text: hash-partition + per-group min.
 
     The md5 column keeps the shuffle key small (16 bytes vs document bytes);
     per-group resolution runs through coarse hash buckets (one vectorized
     pandas groupby per bucket) since group count ≈ corpus size.
+
+    Default output: (content_md5, key). With ``carry_cols``, the keeper ROW
+    survives with those columns attached (e.g. the text itself for a
+    downstream pipeline) — the shuffle then moves the carried columns too.
     """
     import pandas as pd
 
     from .relational import hash_bucket_aggregate
 
+    carry = list(carry_cols or [])
+
     def add_hash(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest()
              for t in batch.column(text_col).to_pylist()]
-        return pa.table({"content_md5": pa.array(h, pa.string()),
-                         key_col: batch.column(key_col)})
+        cols = {"content_md5": pa.array(h, pa.string()),
+                key_col: batch.column(key_col)}
+        for c in carry:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("content_md5", as_index=False)[key_col].min()
+    if not carry:
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("content_md5", as_index=False)[key_col].min()
+    else:
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.sort_values(key_col)
+                    .drop_duplicates("content_md5")[[key_col] + carry])
 
-    return hash_bucket_aggregate(hashed, ["content_md5"], per_bucket)
+    return hash_bucket_aggregate(hashed, ["content_md5"], per_bucket,
+                                 rows_hint=rows_hint)
 
 
 # ---------------------------------------------------------------------------

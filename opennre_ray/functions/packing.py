@@ -25,17 +25,29 @@ def hash_split(ds, key_col: str = "doc_id", train_frac: float = 0.8,
     removing rows never reassigns others), stateless, and exactly
     reproducible by any engine with md5.
     """
-    cut = int(train_frac * 4294967296)
+    cut = split_cut(train_frac)
 
     def assign(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        draws = [int(hashlib.md5((salt + str(k)).encode()).hexdigest()[:8], 16)
-                 for k in keys]
+        draws = split_draws(batch.column(key_col).to_pylist(), salt)
         split = pa.array(["train" if d < cut else "test" for d in draws],
                          pa.string())
         return batch.append_column("split", split)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def split_cut(train_frac: float) -> int:
+    """u32 acceptance cut for :func:`split_draws` (floor of frac·2^32)."""
+    return int(train_frac * 4294967296)
+
+
+def split_draws(keys, salt: str = "") -> np.ndarray:
+    """The hash_split uniform draw (first 4 md5 bytes of salt+str(key)) —
+    shared so compositions (e.g. the pretrain pipeline) cannot drift from
+    ``docs_hash_split``'s oracle."""
+    return np.array([int(hashlib.md5(
+        (salt + str(k)).encode()).hexdigest()[:8], 16) for k in keys],
+        dtype=np.uint64)
 
 
 def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
@@ -90,13 +102,18 @@ def pack_sequences(ds, budget: int = 512, part_size: int = 1000,
     serial fold, so the parallel unit is the partition, and sequence ids
     are (part_id, seq_id) pairs — no cross-partition coordination.
 
-    Returns (doc_id, n_tokens, part_id, seq_id, seq_pos).
+    Returns (doc_id, n_tokens, part_id, seq_id, seq_pos). If the input
+    already carries an ``n_tokens`` column (an upstream stage counted),
+    it is used as-is — no re-tokenization pass.
     """
     from .relational import hash_bucket_aggregate
     from .textstats import token_count_batch
 
     def counts(batch: pa.Table) -> pa.Table:
-        t = token_count_batch(batch)
+        if "n_tokens" in batch.column_names:
+            t = batch.select([key_col, "n_tokens"])
+        else:
+            t = token_count_batch(batch)
         part = pa.compute.divide(
             batch.column(key_col).cast(pa.int64()),
             pa.scalar(part_size, pa.int64()))

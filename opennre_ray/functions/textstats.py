@@ -96,6 +96,17 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def repetition_ratio(tokens: list[str]) -> float:
+    """Gopher-style repetition: 1 - distinct/total 3-shingles (0 when the
+    text has fewer than 3 tokens). Shared by ``docs_repetition`` and the
+    pretrain pipeline so the definition cannot drift."""
+    if len(tokens) < 3:
+        return 0.0
+    total = len(tokens) - 2
+    distinct = len({tuple(tokens[i: i + 3]) for i in range(total)})
+    return 1.0 - distinct / total
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Heuristic language ID: argmax of function-word hit-rate per profile.
 

@@ -204,7 +204,7 @@ def revenue_by_nation(sf_dir):
     """Three-table chain (orders ⋈ customer ⋈ nation) with map-side
     combine: the fact table streams once, both dimensions broadcast, and
     each batch pre-reduces to ≤25 partial rows before the tiny groupby."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     from ..functions.relational import broadcast_join
 
     cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -999,49 +999,34 @@ def docs_pretrain_pipeline(sf_dir):
     (unavoidable when the keeper must carry its text); stats/filter/split
     are stateless vectorized passes, and packing folds within doc_id-range
     partitions."""
-    import hashlib as _hl
-
-    from ..functions.packing import pack_sequences
-    from ..functions.relational import hash_bucket_aggregate
-    from ..functions.textstats import token_count_batch
+    from ..functions.dedup import exact_dedup
+    from ..functions.packing import pack_sequences, split_cut, split_draws
+    from ..functions.textstats import repetition_ratio
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # 1. exact dedup, keeper carries text (min doc_id per content hash)
-    def add_key(b: pd.DataFrame) -> pd.DataFrame:
-        b["_md5"] = [_hl.md5(t.encode()).hexdigest() for t in b["text"]]
-        return b
+    # 1. exact dedup, keeper ROW carries its text
+    surv = exact_dedup(docs, carry_cols=["text"],
+                       rows_hint=_nrows(sf_dir, "documents"))
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").drop_duplicates("_md5")[
-            ["doc_id", "text"]]
-
-    surv = hash_bucket_aggregate(
-        docs.map_batches(add_key, batch_format="pandas"), ["_md5"],
-        keep_min, rows_hint=_nrows(sf_dir, "documents"))
-
-    # 2+3. quality filter + train-split draw, one vectorized pass
-    cut = int(SPLIT_TRAIN_FRAC * 4294967296)
+    # 2+3. quality filter + train-split draw: ONE tokenization pass per
+    # doc (n_tokens rides along so packing doesn't re-tokenize either)
+    cut = split_cut(SPLIT_TRAIN_FRAC)
 
     def keep(batch: pa.Table) -> pa.Table:
-        nt = token_count_batch(batch).column("n_tokens").to_numpy()
-        reps = []
-        for t in batch.column("text").to_pylist():
-            toks = t.split()
-            reps.append(0.0 if len(toks) < 3 else
-                        1.0 - len({tuple(toks[i: i + 3])
-                                   for i in range(len(toks) - 2)})
-                        / (len(toks) - 2))
-        draws = np.array([int(_hl.md5(str(k).encode()).hexdigest()[:8], 16)
-                          for k in batch.column("doc_id").to_pylist()])
+        tok_lists = [t.split() for t in batch.column("text").to_pylist()]
+        nt = np.array([len(t) for t in tok_lists])
+        reps = np.array([repetition_ratio(t) for t in tok_lists])
+        draws = split_draws(batch.column("doc_id").to_pylist())
         m = ((nt >= PRETRAIN_MIN_TOKENS)
-             & (np.array(reps) <= PRETRAIN_MAX_REPETITION)
+             & (reps <= PRETRAIN_MAX_REPETITION)
              & (draws < cut))
-        return batch.filter(pa.array(m))
+        return batch.append_column(
+            "n_tokens", pa.array(nt, pa.int64())).filter(pa.array(m))
 
     kept = surv.map_batches(keep, batch_format="pyarrow")
 
-    # 4. pack into fixed-token-budget sequences
+    # 4. pack into fixed-token-budget sequences (uses the carried counts)
     return pack_sequences(kept, budget=PACK_BUDGET,
                           part_size=PACK_PART_SIZE)
 
@@ -1575,16 +1560,11 @@ def docs_repetition(sf_dir):
     (0 = no repeated shingles; high values flag boilerplate/spam)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    from ..functions.textstats import repetition_ratio
+
     def rep(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            toks = t.split()
-            if len(toks) < 3:
-                out.append(0.0)
-                continue
-            total = len(toks) - 2
-            distinct = len({tuple(toks[i: i + 3]) for i in range(total)})
-            out.append(float(sql_round(1.0 - distinct / total, 6)))
+        out = [float(sql_round(repetition_ratio(t.split()), 6))
+               for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "repetition": pa.array(out, pa.float64())})
 

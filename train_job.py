@@ -80,12 +80,16 @@ def main():
     with open(args.rel2id_file) as fh:
         rel2id = json.load(fh)
 
-    if args.encoder == "bert" and not (args.mode == "multilabel"
-                                       or args.only_test):
-        # the numpy training loops cover the conv encoders; BERT is
-        # inference/eval-only in this sandbox (no torch)
-        ap.error("--encoder bert supports --mode multilabel or "
-                 "--only_test evaluation only")
+    if args.encoder == "bert":
+        # the numpy training loops and .npz checkpoints cover the conv
+        # encoders; BERT is registry-weights inference/eval only
+        if args.mode == "bag" or not (args.mode == "multilabel"
+                                      or args.only_test):
+            ap.error("--encoder bert supports --mode multilabel or "
+                     "sentence-mode --only_test evaluation only")
+        if args.ckpt:
+            ap.error("--encoder bert cannot load conv .npz checkpoints; "
+                     "evaluation uses the named registry weights")
 
     out: dict = {"encoder": args.encoder, "metric": args.metric,
                  "mode": args.mode}
