@@ -23,8 +23,15 @@ import pyarrow as pa
 from .relational import hash_bucket_aggregate
 
 
-def degree_stats(triples_ds, subj_col="subj", obj_col="obj"):
-    """Per-entity out-degree, in-degree, and distinct predicate count."""
+def degree_stats(triples_ds, subj_col="subj", obj_col="obj",
+                 rows_hint: int | None = None):
+    """Per-entity out-degree, in-degree, and distinct predicate count.
+
+    ``rows_hint``: approximate TRIPLE count (each triple explodes into two
+    edge rows; the doubling is applied here) so bucket count scales with
+    input size instead of a fixed 32 putting rows/32 in one worker's heap
+    at 100× scale.
+    """
     def explode(batch: pa.Table) -> pa.Table:
         def arr(name):
             c = batch.column(name)
@@ -53,7 +60,9 @@ def degree_stats(triples_ds, subj_col="subj", obj_col="obj"):
         out["in_degree"] = out["in_degree"].astype("int64")
         return out
 
-    return hash_bucket_aggregate(edges, ["entity"], per_bucket, n_buckets=32)
+    return hash_bucket_aggregate(
+        edges, ["entity"], per_bucket,
+        rows_hint=None if rows_hint is None else 2 * rows_hint)
 
 
 def k_hop_neighbors(triples_ds, seeds, k: int = 2,
@@ -278,6 +287,13 @@ def connected_components(triples_ds, max_iters: int = 30,
                                 "label": t.column("label2")})
             if t.num_rows else label_schema.empty_table(),
             batch_format="pyarrow")))
+    else:
+        # fail loudly rather than return silently-unconverged labels that
+        # look valid — pointer jumping makes this practically unreachable
+        # at max_iters=30, so the check costs nothing in the normal path
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(last round still changed {n_changed} labels)")
 
     return labels.map_batches(
         lambda t: t.rename_columns(["entity", "component"]),

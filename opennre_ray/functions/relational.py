@@ -248,6 +248,7 @@ def broadcast_range_join(ds, bands: pd.DataFrame, value_col: str,
 def asof_join(left_ds, right_ds, key: str, ts: str,
               left_cols: list[str], right_cols: list[str],
               how: str = "left", right_suffix: str = "_m",
+              dedupe_right: bool = False,
               n_buckets: int | None = None, rows_hint: int | None = None):
     """Distributed as-of join: each left row matches the LATEST right row
     of the same ``key`` with right.ts <= left.ts (backward, exact matches
@@ -262,8 +263,10 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     ``how='left'`` keeps unmatched left rows (null matches, value columns
     become nullable); ``how='inner'`` drops them. Tie caveat: if the right
     side has duplicate (key, ts) rows the winner among equals is the last
-    in this sort order — pre-dedupe the right side per (key, ts) when the
-    match must be engine-independent.
+    in this sort order, i.e. bucket-arrival dependent. Pass
+    ``dedupe_right=True`` to resolve duplicates deterministically — the
+    row with the lexicographically smallest ``right_cols`` tuple wins
+    (exact: equal (key, ts) rows always share a bucket).
     """
     import pandas as pd
 
@@ -288,8 +291,12 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = (g.loc[g["_side"] == 0, ["_key", "_ts"] + list(left_cols)]
                .sort_values("_ts", kind="mergesort"))
-        rhs = (g.loc[g["_side"] == 1, ["_key", "_ts"] + list(right_cols)]
-               .sort_values("_ts", kind="mergesort")
+        rhs = g.loc[g["_side"] == 1, ["_key", "_ts"] + list(right_cols)]
+        if dedupe_right:
+            rhs = (rhs.sort_values(["_key", "_ts"] + list(right_cols),
+                                   kind="mergesort")
+                   .drop_duplicates(["_key", "_ts"], keep="first"))
+        rhs = (rhs.sort_values("_ts", kind="mergesort")
                .rename(columns={c: c + right_suffix for c in right_cols}))
         rhs["_ts_r"] = rhs["_ts"]
         if lhs.empty or rhs.empty:

@@ -17,7 +17,9 @@ import numpy as np
 import pandas as pd
 
 
-def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64,
+def running_totals(ds, key: str, ts: str, value: str,
+                   n_buckets: int | None = None,
+                   rows_hint: int | None = None,
                    tiebreak: str | None = None):
     """Per-row running count and running sum per key, ordered by ts.
 
@@ -39,7 +41,8 @@ def running_totals(ds, key: str, ts: str, value: str, n_buckets: int = 64,
             g.groupby(key)[value].cumsum().to_numpy(), 2)
         return g
 
-    return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets)
+    return hash_bucket_aggregate(ds, [key], per_bucket, n_buckets=n_buckets,
+                                 rows_hint=rows_hint)
 
 
 def lag_column(ds, key: str, ts: str, value: str,

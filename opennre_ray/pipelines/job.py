@@ -131,16 +131,25 @@ def compact_candidates(out_root: str, *, model_hash: str = "") -> str:
     cand_files = sorted(glob.glob(
         os.path.join(out_root, "candidates", "shard=*", "*.parquet")))
     final = os.path.join(out_root, "triples")
+    # sweep leftovers from crashed runs (any pid — a crashed run's pid is
+    # gone, so the pid-suffixed dirs would otherwise accumulate forever)
+    for stale in glob.glob(os.path.join(out_root, "_tmp-triples-*")) + \
+            glob.glob(os.path.join(out_root, "_old-triples-*")):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = os.path.join(out_root, f"_tmp-triples-{os.getpid()}")
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     if cand_files:
         triples = finalize_triples(rd.read_parquet(cand_files))
         materialize_graph(triples, tmp, model_hash=model_hash)
+    # swap via two renames (each atomic): the old graph is moved aside —
+    # never deleted — before the new one takes its place, so a crash at any
+    # point leaves either the old or the new graph at ``final``, never
+    # neither (rmtree-then-rename had a no-graph window)
+    old = os.path.join(out_root, f"_old-triples-{os.getpid()}")
     if os.path.exists(final):
-        shutil.rmtree(final)
+        os.rename(final, old)
     os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     return final
 
 

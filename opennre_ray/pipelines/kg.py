@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.pages import read_pages
-from ..stages.canonicalize import CanonicalizeIds, build_canonical_map
+from ..stages.canonicalize import canonicalize_ids
 from ..stages.extract import ExtractText
 from ..stages.ner import SentenceMentions
 from ..stages.pairs import generate_pairs
@@ -91,19 +91,10 @@ def finalize_triples(inst_ds, canonicalize: bool = True):
         # object store for no consumer (at corpus scale that is the
         # difference between caching candidates and caching the corpus)
         inst_ds = inst_ds.select_columns(CANDIDATE_COLUMNS).materialize()
-        canon = build_canonical_map(inst_ds)
-        import ray
-        canon_ref = ray.put(canon)
-        ref_key = canon_ref.hex()
-
-        def canonicalize_batch(batch):
-            from ..stages.score import cached
-            stage = cached(("canon", ref_key),
-                           lambda: CanonicalizeIds(canon_ref))
-            return stage(batch)
-
-        inst_ds = inst_ds.map_batches(canonicalize_batch,
-                                      batch_format="pyarrow")
+        # size-gated: broadcast map under CANON_BROADCAST_LIMIT distinct
+        # surfaces (the gazetteer reality), bucketed-join rewrite above it
+        # (open-web NER, surfaces ≈ corpus cardinality)
+        inst_ds = canonicalize_ids(inst_ds, CANDIDATE_COLUMNS)
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby(["h_id", "pred_rel", "t_id"], as_index=False)

@@ -553,7 +553,8 @@ def events_running_total(sf_dir):
     from ..functions.streaming import running_totals
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = running_totals(ds, "user_id", "ts", "value", tiebreak="event_id")
+    out = running_totals(ds, "user_id", "ts", "value", tiebreak="event_id",
+                         rows_hint=_nrows(sf_dir, "events"))
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return b[["event_id", "running_n", "running_sum"]]
@@ -880,14 +881,19 @@ GROUP BY b.band
 
 def events_asof_view(sf_dir):
     """Each click event enriched with the user's latest view event at or
-    before it (inner as-of join — the event-stream enrichment operator)."""
+    before it (inner as-of join — the event-stream enrichment operator).
+
+    The right side is deduped per (user_id, ts) with a deterministic
+    winner (min event_id) so the match is engine-independent even if two
+    views share a timestamp; the SQL oracle mirrors the dedupe."""
     from ..functions.relational import asof_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     clicks = ev.filter(expr="event_type == 'click'")
     views = ev.filter(expr="event_type == 'view'")
     out = asof_join(clicks, views, "user_id", "ts",
-                    ["event_id"], ["event_id"], how="inner")
+                    ["event_id"], ["event_id"], how="inner",
+                    dedupe_right=True)
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         batch["event_id_m"] = batch["event_id_m"].astype("int64")
@@ -900,7 +906,9 @@ SQL_EVENTS_ASOF_VIEW = """
 SELECT c.user_id, c.ts, c.event_id, v.event_id AS event_id_m,
        v.ts AS ts_m
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF JOIN (SELECT user_id, ts, min(event_id) AS event_id
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, ts) v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
@@ -1235,7 +1243,8 @@ def _customer_edges(sf_dir, bidirectional: bool = False):
 def graph_degree_customers(sf_dir):
     """degree_stats over the deterministic customer→nation edges."""
     from ..functions.graph import degree_stats
-    return degree_stats(_customer_edges(sf_dir))
+    return degree_stats(_customer_edges(sf_dir),
+                        rows_hint=_nrows(sf_dir, "customer"))
 
 
 SQL_GRAPH_DEGREE_CUSTOMERS = """

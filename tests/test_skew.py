@@ -204,3 +204,35 @@ def test_anti_join_bloom_path_cross_dtype_and_schema(ray_session):
 
     bcast = anti_join(lds, rds, "k", ["x"]).to_pandas()
     assert sorted(bcast["k"]) == sorted(tbl.column("k").to_pylist())
+
+
+def test_canonicalize_join_path_matches_broadcast(ray_session):
+    """Over the surface-count limit, canonicalize_ids switches to the
+    bucketed-join rewrite; output must be row-identical to the broadcast
+    path (the size gate may never change semantics)."""
+    import ray.data as rd
+
+    from opennre_ray.stages.canonicalize import canonicalize_ids
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):
+        s = f"Ent{i % 60}"                     # 60 surfaces, mixed case
+        name = s.upper() if i % 3 == 0 else s.lower()
+        rows.append({
+            "h_name": name, "h_id": f"Q{i % 60}_{rng.integers(3)}",
+            "t_name": f"ent{(i + 7) % 60}", "t_id": f"Q{(i + 7) % 60}_0",
+            "pred_rel": "r", "score": 0.5, "url": f"u{i}",
+            "model_hash": "m",
+        })
+    cols = ["h_id", "h_name", "t_id", "t_name", "pred_rel", "score",
+            "url", "model_hash"]
+    ds = rd.from_items(rows, override_num_blocks=8)
+
+    def collect(out_ds):
+        df = out_ds.to_pandas()[cols]
+        return df.sort_values(cols).reset_index(drop=True)
+
+    bcast = collect(canonicalize_ids(ds, cols))                  # broadcast
+    joined = collect(canonicalize_ids(ds, cols, broadcast_limit=0))
+    pd.testing.assert_frame_equal(bcast, joined, check_dtype=False)
