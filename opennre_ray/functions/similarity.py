@@ -184,6 +184,107 @@ def cosine_pair_join(ds_emb, threshold: float = 0.9,
     return rd.from_arrow_refs(tasks)
 
 
+def cosine_pair_join_lsh(ds_emb, threshold: float = 0.9,
+                         key_col: str = "vec_id", vec_col: str = "embedding",
+                         n_planes: int = 8, n_bands: int = 16,
+                         seed: int = 11, rows_hint: int | None = None):
+    """Thresholded cosine self-join with LSH-bucketed candidates — the
+    100 TB path composed from ``cosine_pair_join``'s exact math.
+
+    Banding (the MinHash-LSH recipe applied to random hyperplanes): each of
+    ``n_bands`` independent sets of ``n_planes`` hyperplanes maps a vector
+    to a sign-pattern bucket; vectors sharing ANY band's bucket become
+    candidates, and the exact rounded-cosine test runs only inside buckets
+    (one small dense matmul per group, identical arithmetic to the exact
+    join). A pair at cosine ``c`` agrees on one plane w.p.
+    ``1 - arccos(c)/π``, so recall ≈ ``1-(1-p^n_planes)^n_bands`` — 0.996+
+    at the default setting for c ≥ 0.9, and tunable to any target by
+    raising ``n_bands``. Output ⊆ the exact join by construction (same
+    predicate), ⊇ it with probability controlled by the banding.
+
+    Scale shape: the shuffle moves ``n_bands`` copies of (key, vector) —
+    linear in corpus size, vs the exact join's O(blocks²) matmuls. Pair
+    dedup across bands is a second (id_a, id_b)-bucketed pass over the
+    (tiny) passing pairs only.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucket_aggregate
+
+    class BandSig:
+        def __init__(self):
+            self.planes = None          # (D, n_bands * n_planes), lazy on D
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch.column(vec_col))
+            if self.planes is None or self.planes.shape[0] != mat.shape[1]:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal(
+                    (mat.shape[1], n_bands * n_planes))
+            bits = (mat @ self.planes) > 0                    # (N, B*P)
+            bits = bits.reshape(len(mat), n_bands, n_planes)
+            weights = 1 << np.arange(n_planes)
+            sig = (bits * weights).sum(axis=2).astype(np.int64)  # (N, B)
+            n = batch.num_rows
+            keys = batch.column(key_col)
+            return pa.table({
+                "band": pa.array(np.repeat(np.arange(n_bands,
+                                                     dtype=np.int64), n)),
+                "sig": pa.array(sig.T.reshape(-1)),
+                key_col: pa.concat_arrays(
+                    [keys.combine_chunks() if isinstance(keys,
+                                                         pa.ChunkedArray)
+                     else keys] * n_bands),
+                vec_col: pa.concat_arrays(
+                    [batch.column(vec_col).combine_chunks()
+                     if isinstance(batch.column(vec_col), pa.ChunkedArray)
+                     else batch.column(vec_col)] * n_bands),
+            })
+
+    def sig_batch(batch):
+        from ..stages.score import cached
+
+        stage = cached(("pairlsh", seed, n_planes, n_bands, key_col,
+                        vec_col), BandSig)
+        return stage(batch)
+
+    banded = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket may span several (band, sig) groups — pairs only form
+        # within a (band, sig) group, exactly the LSH candidate predicate
+        parts = []
+        for (_, _), grp in g.groupby(["band", "sig"], sort=False):
+            if len(grp) < 2:
+                continue
+            mat = _normalize(np.stack(grp[vec_col].to_numpy())
+                             .astype(np.float64))
+            keys = grp[key_col].to_numpy()
+            sims = sql_round(mat @ mat.T, 6)        # same math as exact join
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = keys[ii] < keys[jj]
+            if keep.any():
+                parts.append(pd.DataFrame({
+                    "id_a": keys[ii][keep], "id_b": keys[jj][keep],
+                    "cosine": sims[ii, jj][keep]}))
+        if not parts:
+            return pd.DataFrame({"id_a": pd.Series(dtype=g[key_col].dtype),
+                                 "id_b": pd.Series(dtype=g[key_col].dtype),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
+
+    cand = hash_bucket_aggregate(
+        banded, ["band", "sig"], in_bucket,
+        rows_hint=None if rows_hint is None else rows_hint * n_bands)
+
+    # a pair found by several bands appears once per band → exact dedup on
+    # the (tiny) pair set
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])
+
+    return hash_bucket_aggregate(cand, ["id_a", "id_b"], dedup)
+
+
 def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iters: int = 10,
                  seed: int = 17) -> np.ndarray:
     """Seeded Lloyd's k-means on L2-normalized vectors (numpy only).

@@ -1089,7 +1089,13 @@ COSINE_PAIR_THRESHOLD = 0.4
 
 def embed_cosine_pairs(sf_dir):
     """Exact thresholded cosine similarity self-join (block-pair matmul) —
-    the exact baseline behind embedding near-dedup."""
+    the exact baseline behind embedding near-dedup.
+
+    Scale story: this O(blocks²) path is the SMALL-corpus oracle baseline
+    and the only sound operator at low thresholds (0.4 here — sign-LSH
+    banding has no recall there). At near-dup thresholds the linear-shuffle
+    path is ``embed_cosine_pairs_lsh`` below, pinned pair-identical to this
+    join in tests/test_similarity.py."""
     from ..functions.similarity import cosine_pair_join
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1106,6 +1112,58 @@ WHERE round(list_cosine_similarity(
            list_transform(a.embedding, x -> x::DOUBLE),
            list_transform(b.embedding, x -> x::DOUBLE)), 6)
       >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+LSH_PAIR_THRESHOLD = 0.95
+LSH_ID_SHIFT = 1_000_000
+
+
+def embed_cosine_pairs_lsh(sf_dir):
+    """Near-dup thresholded cosine pair join via banded hyperplane LSH —
+    the 100 TB path (linear shuffle of banded copies, exact matmul only
+    inside candidate buckets).
+
+    Input: embeddings ∪ an id-shifted exact copy, so every vector has one
+    planted duplicate at cosine 1.0. Exact copies share every band bucket
+    by construction (identical sign patterns), so recall on them is 1.0
+    DETERMINISTICALLY — which is what makes this hash-oracle-able: the
+    corpus' own max inter-vector cosine (≤0.61 at every sf) sits far below
+    the 0.95 threshold, so the output is exactly the planted pairs and
+    DuckDB replays it with a plain exact join.
+    """
+    import ray.data as rd
+
+    from ..functions.similarity import cosine_pair_join_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.set_column(
+            b.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(b.column("vec_id"), LSH_ID_SHIFT))
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    n = _nrows(sf_dir, "embeddings")
+    return cosine_pair_join_lsh(both, threshold=LSH_PAIR_THRESHOLD,
+                                rows_hint=2 * n)
+
+
+SQL_EMBED_COSINE_PAIRS_LSH = f"""
+WITH uni AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {LSH_ID_SHIFT} AS vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(
+           list_transform(a.embedding, x -> x::DOUBLE),
+           list_transform(b.embedding, x -> x::DOUBLE)), 6)
+      >= {LSH_PAIR_THRESHOLD}
 """
 
 
@@ -1747,6 +1805,7 @@ QUERIES = {
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_heavy_hitters_verified": docs_heavy_hitters_verified,
     "embed_cosine_pairs": embed_cosine_pairs,
+    "embed_cosine_pairs_lsh": embed_cosine_pairs_lsh,
     "docs_hash_split": docs_hash_split,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
@@ -1804,6 +1863,7 @@ ORACLES = {
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
+    "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
     "docs_hash_split": SQL_DOCS_HASH_SPLIT,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,

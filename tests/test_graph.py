@@ -94,3 +94,47 @@ def test_components_on_kg_output(ray_session, sf_dir):
     # component representative is a member entity and is minimal
     for c, grp in comp.groupby("component"):
         assert c == grp["entity"].min()
+
+
+def test_k_hop_dataset_path_matches_driver(triples):
+    """local_limit=0 forces the distributed frontier; results must equal
+    the driver-held path exactly."""
+    want = k_hop_neighbors(triples, ["a"], k=2)
+    got = k_hop_neighbors(triples, ["a"], k=2, local_limit=0)
+    assert got == want
+
+
+def test_k_hop_hub_graph_distributed(ray_session):
+    """Hub graph: one entity links to many — hop-2 frontier is most of the
+    vertex set. The Dataset path must assign first-reach hops exactly
+    (BFS oracle) without any driver-held frontier."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import k_hop_dataset
+
+    n = 500
+    edges = [{"subj": "seed", "pred": "r", "obj": "hub"}]
+    edges += [{"subj": "hub", "pred": "r", "obj": f"v{i}"}
+              for i in range(n)]
+    edges += [{"subj": f"v{i}", "pred": "r", "obj": f"w{i}"}
+              for i in range(0, n, 2)]
+    edges += [{"subj": "v0", "pred": "r", "obj": "hub"}]   # back-edge
+    ds = rd.from_items(edges, override_num_blocks=8)
+
+    out = k_hop_dataset(ds, ["seed"], k=3).to_pandas()
+    got = dict(zip(out["entity"], out["hop"].astype(int)))
+
+    # BFS oracle
+    adj = {}
+    for e in edges:
+        adj.setdefault(e["subj"], []).append(e["obj"])
+    want, frontier = {"seed": 0}, ["seed"]
+    for hop in (1, 2, 3):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == want

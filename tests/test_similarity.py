@@ -127,3 +127,77 @@ def test_cosine_pair_join_multi_block(ray_session):
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert planted <= pairs
     assert got.duplicated(["id_a", "id_b"]).sum() == 0
+
+
+def test_cosine_pair_join_lsh_planted_neardups(ray_session):
+    """The LSH-composed join must recover every planted near-dup pair the
+    exact join finds at threshold 0.98 (superset check both ways: LSH ⊆
+    exact by predicate, exact ⊆ LSH by banding recall)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import (
+        cosine_pair_join, cosine_pair_join_lsh)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        # plant a near-dup of every 4th vector (tiny perturbation)
+        if i % 4 == 0:
+            w = v + rng.standard_normal(16) * 0.01
+            rows.append({"vec_id": 1000 + i, "embedding": w.tolist()})
+    ds = rd.from_items(rows, override_num_blocks=6)
+
+    def pairs(res):
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        return set(zip(df["id_a"], df["id_b"]))
+
+    exact = pairs(cosine_pair_join(ds, threshold=0.98))
+    lsh = pairs(cosine_pair_join_lsh(ds, threshold=0.98, n_planes=8,
+                                     n_bands=16))
+    assert len(exact) >= 10              # every planted pair qualifies
+    assert lsh == exact                  # ⊆ by predicate, ⊇ by banding
+
+
+def test_cosine_pair_join_lsh_values_match_exact(ray_session):
+    """At a near-dup threshold (0.95) on a corpus mixing planted dups with
+    mid-similarity noise, the banded join returns the exact join's pairs
+    WITH identical rounded cosines (same matmul arithmetic per bucket).
+
+    The LSH path is only claimed for near-dup thresholds: at low
+    thresholds (e.g. embed_cosine_pairs' 0.4) sign-agreement probability
+    per plane is too low for banding and the exact O(B²) join is the
+    right operator — that division of labor is the documented scale
+    story."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import (
+        cosine_pair_join, cosine_pair_join_lsh)
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        if i % 3 == 0:      # planted near-dup
+            rows.append({"vec_id": 1000 + i,
+                         "embedding": (v + rng.standard_normal(32) * 0.02)
+                         .tolist()})
+        if i % 5 == 0:      # mid-similarity distractor (~0.7): below the
+            w = v + rng.standard_normal(32) * 0.9   # threshold, never emitted
+            rows.append({"vec_id": 2000 + i, "embedding": w.tolist()})
+    ds = rd.from_items(rows, override_num_blocks=7)
+
+    def canon(res):
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        return (df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+                [["id_a", "id_b", "cosine"]])
+
+    exact = canon(cosine_pair_join(ds, threshold=0.95))
+    lsh = canon(cosine_pair_join_lsh(ds, threshold=0.95, n_planes=8,
+                                     n_bands=16))
+    assert len(exact) >= 20
+    pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
