@@ -1395,13 +1395,74 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
-# Model / KG / sketch operators — no SQL oracle (rows-only driver check;
-# correctness covered by pytest oracles in tests/)
+# Model / KG / sketch operators. SQL cannot replay a seeded numpy model
+# forward, so hard driver signal comes from PINNED-VALUE oracles instead
+# (pipelines/pins.py, regenerated by scripts/gen_pins.py): small outputs pin
+# the full table, large outputs get a companion *_stats query pinning
+# deterministic integer aggregates. Both are golden pins with the same
+# epistemic status as tests/test_models.py::GOLDEN_EXPECTED — they change
+# ONLY on a deliberate semantic change, and the commit must say why.
 # ---------------------------------------------------------------------------
 
+def _round_score_col(ds, col: str = "score"):
+    """Round a float score column to 6 dp as float64 — makes model-pipeline
+    outputs bit-stable for value-hash comparison against pinned literals
+    (repr round-trip is exact for doubles)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index(col), col,
+            pa.array(sql_round(v.astype(np.float64), 6), pa.float64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _distinct_count(ds, cols: list[str], rows_hint: int | None = None) -> int:
+    """Exact distributed distinct count: per-bucket nunique (buckets
+    partition by value, so the partial counts just add)."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    out = hash_bucket_aggregate(
+        ds.select_columns(cols), cols,
+        lambda g: pd.DataFrame({"n": [int(len(g.drop_duplicates(cols)))]}),
+        rows_hint=rows_hint)
+    df = out.to_pandas()
+    return int(df["n"].sum()) if len(df) else 0
+
+
+def _micro_sum(ds, col: str) -> int:
+    """Σ rint(x·10⁶) as int64 — an order-independent (exact integer)
+    checksum of a float column, robust to block/batch boundaries where a
+    float sum would not be."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"s": pa.array(
+            [int(np.rint(v * 1e6).sum())], pa.int64())})
+    s = ds.map_batches(partial, batch_format="pyarrow").sum("s")
+    return int(s or 0)
+
+
+def _int_sum(ds, col: str) -> int:
+    s = ds.sum(col)
+    return int(s or 0)
+
+
+def _triple_stats(triples_ds) -> pd.DataFrame:
+    ds = triples_ds.materialize()
+    return pd.DataFrame({
+        "n_triples": [np.int64(ds.count())],
+        "n_subj": [np.int64(_distinct_count(ds, ["subj"]))],
+        "n_pred": [np.int64(_distinct_count(ds, ["pred"]))],
+        "n_obj": [np.int64(_distinct_count(ds, ["obj"]))],
+        "sum_evidence": [np.int64(_int_sum(ds, "n_evidence"))],
+        "score_sum_micro": [np.int64(_micro_sum(ds, "score"))],
+    })
+
+
 def kg_triples(sf_dir):
+    """Flagship KG pipeline. ``score`` is emitted rounded to 6 dp (float64)
+    so the full 4-row output is pinnable as a value oracle."""
     from .kg import extract_triples
-    return extract_triples(sf_dir)
+    return _round_score_col(extract_triples(sf_dir))
 
 
 def kg_triples_pcnn(sf_dir):
@@ -1507,6 +1568,88 @@ def bag_eval_metrics(sf_dir):
         facts, default_rel2id())
     scalars = {k: [v] for k, v in m.items() if not isinstance(m[k], np.ndarray)}
     return pd.DataFrame(scalars)
+
+
+# --- companion *_stats queries: deterministic integer aggregates over the
+# large model-pipeline outputs, pinnable as value oracles (pins.py) --------
+
+def kg_triples_pcnn_stats(sf_dir):
+    """Pinned-aggregate companion to kg_triples_pcnn (960+ rows is too
+    large for a full-table pin; these six BIGINTs fingerprint it)."""
+    from .kg import extract_triples
+    return _triple_stats(extract_triples(
+        sf_dir, model_name="wiki80_pcnn_softmax"))
+
+
+def kg_triples_bert_stats(sf_dir):
+    """Pinned-aggregate companion to kg_triples_bert."""
+    from .kg import extract_triples
+    return _triple_stats(extract_triples(
+        sf_dir, model_name="wiki80_bert_softmax", threshold=0.105))
+
+
+def sentence_scores_stats(sf_dir):
+    """Pinned-aggregate companion to sentence_relation_scores."""
+    ds = sentence_relation_scores(sf_dir).materialize()
+    return pd.DataFrame({
+        "n_rows": [np.int64(ds.count())],
+        "n_urls": [np.int64(_distinct_count(ds, ["url"]))],
+        "n_rels": [np.int64(_distinct_count(ds, ["pred_rel"]))],
+        "sum_sent_idx": [np.int64(_int_sum(ds, "sent_idx"))],
+        "score_sum_micro": [np.int64(_micro_sum(ds, "score"))],
+    })
+
+
+def encoded_instances_stats(sf_dir):
+    """Pinned-aggregate companion to encoded_instances: integer checksums
+    over the encoded id vectors (exact, order-independent)."""
+    ds = encoded_instances(sf_dir).materialize()
+
+    def vec_sums(b: pa.Table) -> pa.Table:
+        def flat_sum(col):
+            c = b.column(col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            # fixed-size-list OR Ray tensor-extension layout → (N, L) ints
+            mat = np.asarray(c.to_numpy(zero_copy_only=False))
+            return int(np.asarray([row.sum() for row in mat]).sum()
+                       if mat.dtype == object else int(mat.sum()))
+        return pa.table({
+            "token_sum": pa.array([flat_sum("token")], pa.int64()),
+            "pos1_sum": pa.array([flat_sum("pos1")], pa.int64()),
+            "pos2_sum": pa.array([flat_sum("pos2")], pa.int64()),
+        })
+
+    sums = ds.map_batches(vec_sums, batch_format="pyarrow")
+    return pd.DataFrame({
+        "n_rows": [np.int64(ds.count())],
+        "n_pairs": [np.int64(_distinct_count(ds, ["h_id", "t_id"]))],
+        "token_sum": [np.int64(sums.sum("token_sum") or 0)],
+        "pos1_sum": [np.int64(sums.sum("pos1_sum") or 0)],
+        "pos2_sum": [np.int64(sums.sum("pos2_sum") or 0)],
+    })
+
+
+def bag_scores_stats(sf_dir):
+    """Pinned-aggregate companion to bag_relation_scores."""
+    ds = bag_relation_scores(sf_dir).materialize()
+    return pd.DataFrame({
+        "n_rows": [np.int64(ds.count())],
+        "n_bags": [np.int64(_distinct_count(ds, ["h_id", "t_id"]))],
+        "n_rels": [np.int64(_distinct_count(ds, ["relation"]))],
+        "sum_bag_size": [np.int64(_int_sum(ds, "bag_size"))],
+        "score_sum_micro": [np.int64(_micro_sum(ds, "score"))],
+    })
+
+
+def fewshot_stats(sf_dir):
+    """Pinned-aggregate companion to fewshot_classify."""
+    ds = fewshot_classify(sf_dir).materialize()
+    return pd.DataFrame({
+        "n_rows": [np.int64(ds.count())],
+        "n_rels": [np.int64(_distinct_count(ds, ["pred_rel"]))],
+        "score_sum_micro": [np.int64(_micro_sum(ds, "score"))],
+    })
 
 
 def docs_minhash_dedup(sf_dir):
@@ -1791,6 +1934,14 @@ QUERIES = {
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
+    # pinned-value oracles (pins.py) for the model pipelines; the six
+    # *_stats companions fingerprint the outputs too large to pin whole
+    "kg_triples_pcnn_stats": kg_triples_pcnn_stats,
+    "kg_triples_bert_stats": kg_triples_bert_stats,
+    "sentence_scores_stats": sentence_scores_stats,
+    "encoded_instances_stats": encoded_instances_stats,
+    "bag_scores_stats": bag_scores_stats,
+    "fewshot_stats": fewshot_stats,
     # rows-only (model / sketch / approximate operators)
     "kg_triples": kg_triples,
     "kg_triples_pcnn": kg_triples_pcnn,
@@ -1876,3 +2027,13 @@ ORACLES = {
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
 }
+
+# Pinned-value oracles for the model pipelines (golden pins — regenerate
+# with scripts/gen_pins.py ONLY on a deliberate semantic change, and say
+# why in the commit). Kept in a generated module so the pin data never
+# drifts from the generator.
+try:
+    from .pins import PINNED_ORACLES
+except ImportError:          # first build before pins are generated
+    PINNED_ORACLES = {}
+ORACLES.update(PINNED_ORACLES)
