@@ -116,6 +116,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_pack_sequences",
           lambda: consume(Q.docs_pack_sequences(sf_dir)))
     timed("embed_cosine_pairs", lambda: Q.embed_cosine_pairs(sf_dir))
+    timed("embed_cosine_pairs_lsh",
+          lambda: consume(Q.embed_cosine_pairs_lsh(sf_dir)))
     timed("docs_pretrain_pipeline",
           lambda: consume(Q.docs_pretrain_pipeline(sf_dir)))
 

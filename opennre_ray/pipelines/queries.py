@@ -1098,8 +1098,19 @@ def embed_cosine_pairs(sf_dir):
     join in tests/test_similarity.py."""
     from ..functions.similarity import cosine_pair_join
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # explicit coarse blocks: Ray's auto-split makes 64 tiny blocks of this
+    # table → O(64²/2) pair tasks; ~256 rows/block keeps the task count
+    # quadratic in DATA size, not in split count
+    emb = _read_embeddings(sf_dir)
     return cosine_pair_join(emb, threshold=COSINE_PAIR_THRESHOLD)
+
+
+def _read_embeddings(sf_dir):
+    n = _nrows(sf_dir, "embeddings")
+    blocks = max(1, min(32, n // 256))
+    return _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=blocks)
 
 
 SQL_EMBED_COSINE_PAIRS = f"""
@@ -1132,11 +1143,13 @@ def embed_cosine_pairs_lsh(sf_dir):
     the 0.95 threshold, so the output is exactly the planted pairs and
     DuckDB replays it with a plain exact join.
     """
-    import ray.data as rd
-
     from ..functions.similarity import cosine_pair_join_lsh
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # coarse blocks (see embed_cosine_pairs): banding multiplies rows
+    # ×n_bands per block, and the bucket shuffle's sort pays per-block
+    # fixed cost — 128 auto-split blocks measured 4.1 s of pure sort
+    # overhead on a 64k-row banded set vs <1 s at 14 blocks
+    emb = _read_embeddings(sf_dir)
 
     def shift(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

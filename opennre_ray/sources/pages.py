@@ -123,21 +123,39 @@ def shard_documents(sf_dir: str, out_dir: str, n_shards: int = 128) -> str:
     """One-time pre-shard of the single-file documents table into n files.
 
     Emulates the multi-file layout of a real crawl so the read parallelizes
-    (one task per shard). Idempotent: returns immediately if the shard dir
-    is already complete.
+    (one task per shard). Shards are cut at equal cumulative TEXT-BYTE
+    boundaries, not equal row counts: downstream work per page (sentences,
+    pairs, model forward) is ∝ text length, so equal-row shards produced
+    3.85–13.7 s task skew that stranded half the machine in the final wave
+    at 32 CPUs. Byte-weighted cuts equalize task durations instead.
+    Idempotent: returns immediately if the shard dir is already complete
+    (layout-versioned marker, so stale row-weighted caches regenerate).
     """
     import pyarrow.parquet as pq
 
-    done_marker = os.path.join(out_dir, "_SHARDED")
+    done_marker = os.path.join(out_dir, "_SHARDED_BYTEWEIGHTED")
     if os.path.exists(done_marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
     table = pq.read_table(f"{sf_dir}/documents.parquet")
     n = table.num_rows
-    per = max(1, -(-n // n_shards))
-    for i, off in enumerate(range(0, n, per)):
-        pq.write_table(table.slice(off, per),
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):          # drop any old-layout shards
+        if stale.endswith(".parquet") or stale.startswith("_SHARDED"):
+            os.unlink(os.path.join(out_dir, stale))
+    lens = pc.binary_length(table.column("text")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(lens)
+    total = int(cum[-1]) if n else 0
+    # row index just past each equal-byte boundary; dedupe keeps every
+    # shard non-empty when a single huge doc spans several boundaries
+    bounds = np.searchsorted(
+        cum, np.linspace(total / n_shards, total, n_shards), side="left") + 1
+    bounds = np.unique(np.clip(bounds, 1, n))
+    off = 0
+    for i, end in enumerate(bounds):
+        pq.write_table(table.slice(off, int(end) - off),
                        os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        off = int(end)
     with open(done_marker, "w") as fh:
         fh.write(str(n))
     return out_dir
