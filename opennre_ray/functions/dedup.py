@@ -358,3 +358,94 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
 
     sig = ds_emb.map_batches(plane_sig_batch, batch_format="pyarrow")
     return sig.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+#: distinct eval-shingle count above which the filter set stops being an
+#: exact broadcast array and degrades to a Bloom filter (conservative:
+#: Bloom false positives over-REMOVE, never leak contamination). Same
+#: budget reasoning as relational.ANTI_JOIN_BROADCAST_LIMIT.
+DECONTAM_BROADCAST_LIMIT = 50_000_000
+
+
+def decontaminate(docs_ds, eval_ds, *, k: int = 13,
+                  text_col: str = "text", key_col: str = "doc_id",
+                  broadcast_limit: int = DECONTAM_BROADCAST_LIMIT):
+    """Remove corpus documents sharing any word ``k``-gram with an eval set
+    (the GPT-3/Llama-style n-gram decontamination pass an LLM training
+    pipeline runs before pretraining).
+
+    Scale shape: the EVAL side is small by definition — its distinct
+    shingle hashes (the same md5-derived 64-bit hashes the MinHash
+    pipeline uses, so the operator is SQL-replayable) are collected once
+    and broadcast as a sorted uint64 array; each corpus batch then does
+    one vectorized ``np.isin`` over its concatenated shingles and a
+    segment-wise any-reduction. No shuffle of the corpus at all. Above
+    ``broadcast_limit`` distinct eval shingles the exact set degrades to
+    a mergeable Bloom filter (false positives over-remove a ~0.1% sliver
+    of clean docs — conservative by construction; contamination can never
+    leak through, since Bloom has no false negatives).
+
+    Returns the CLEAN rows of ``docs_ds`` (key + text columns).
+    """
+    import ray
+
+    # distinct eval shingle hashes: per-batch set union → tiny driver merge
+    def batch_shingles(b: pa.Table) -> pa.Table:
+        out = set()
+        for t in b.column(text_col).to_pylist():
+            out.update(shingle_hashes(t, k).tolist())
+        return pa.table({"h": pa.array(sorted(out), pa.uint64())})
+
+    parts = eval_ds.map_batches(batch_shingles, batch_format="pyarrow")
+    eval_hashes = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        eval_hashes.update(b.column("h").to_pylist())
+
+    use_bloom = len(eval_hashes) > broadcast_limit
+    if use_bloom:
+        from .sketches import Bloom
+        n_bits = max(1 << 20, 16 * len(eval_hashes))
+        bloom = Bloom(n_bits)
+        bloom.add_many(list(map(str, eval_hashes)))
+        ref = ray.put((True, bloom.to_bytes(), n_bits))
+    else:
+        arr = np.fromiter(eval_hashes, dtype=np.uint64,
+                          count=len(eval_hashes))
+        arr.sort()
+        ref = ray.put((False, arr, None))
+    ref_key = ref.hex()
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        def load():
+            is_bloom, payload, bits = ray.get(ref)
+            if is_bloom:
+                from .sketches import Bloom
+                return (True, Bloom.from_bytes(payload, bits))
+            return (False, payload)
+
+        is_bloom, filt = cached(("decontam", ref_key), load)
+        texts = batch.column(text_col).to_pylist()
+        if not texts:
+            return batch.select([key_col, text_col])
+        sh = [shingle_hashes(t, k) for t in texts]
+        flat = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        if is_bloom:
+            hit = np.asarray(filt.contains_many(
+                [str(int(h)) for h in flat]), dtype=bool)
+        else:
+            hit = np.isin(flat, filt)
+        lens = np.fromiter((len(s) for s in sh), dtype=np.int64,
+                           count=len(sh))
+        seg = np.repeat(np.arange(len(sh)), lens)
+        contaminated = np.zeros(len(sh), dtype=bool)
+        np.logical_or.at(contaminated, seg[hit], True)
+        return batch.filter(pa.array(~contaminated)).select(
+            [key_col, text_col])
+
+    return docs_ds.map_batches(keep_clean, batch_format="pyarrow")

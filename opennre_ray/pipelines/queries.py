@@ -1665,6 +1665,53 @@ def fewshot_stats(sf_dir):
     })
 
 
+DECONTAM_K = 3
+DECONTAM_EVAL_MOD = 97
+
+
+def docs_decontaminate(sf_dir):
+    """Eval-set n-gram decontamination: the corpus docs that share NO word
+    3-gram with the held-out eval slice (doc_id ≡ 0 mod 97). Zero corpus
+    shuffle — the eval shingle-hash set broadcasts once."""
+    from ..functions.dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(want_eval):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % DECONTAM_EVAL_MOD) == 0
+            return b.filter(pa.array(m if want_eval else ~m))
+        return fn
+
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    clean = decontaminate(corpus, ev, k=DECONTAM_K)
+    return clean.select_columns(["doc_id"])
+
+
+SQL_DOCS_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(toks) = 0 THEN ['']
+         WHEN length(toks) < {DECONTAM_K} THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, length(toks)-1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+  FROM toks),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+hits AS (SELECT DISTINCT doc_id FROM grams JOIN ev USING (g)
+         WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0)
+SELECT doc_id FROM documents
+WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 def docs_minhash_dedup(sf_dir):
     from ..functions.dedup import minhash_duplicate_groups
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1933,6 +1980,7 @@ QUERIES = {
     "events_running_total": events_running_total,
     "lineitem_topk_per_group": lineitem_topk_per_group,
     "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_decontaminate": docs_decontaminate,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
@@ -2007,6 +2055,7 @@ ORACLES = {
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "lineitem_topk_per_group": SQL_LINEITEM_TOPK_PER_GROUP,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,

@@ -119,21 +119,52 @@ def read_pages(sf_dir: str, drop_text: bool = True,
     return ds
 
 
+#: estimated cost of one candidate pair relative to one text byte, for the
+#: shard weighting below (the model forward dominates per-pair cost; the
+#: exact ratio only needs to be order-of-magnitude right to kill skew)
+_PAIR_BYTE_RATIO = 250.0
+
+
+def _doc_cost_weights(texts: list[str]) -> np.ndarray:
+    """Per-document task-cost estimate: bytes + 250·(ordered mention pairs).
+
+    Downstream task time is dominated by the relation-scorer forward, which
+    runs once per sentence-level entity pair — a quantity text BYTES only
+    weakly proxy (pairs grow ~quadratically in mentions per sentence). The
+    estimate reuses the production sentence splitter + gazetteer matcher,
+    so it is the cheap first 2 stages of the pipeline run once, driver-side,
+    in the untimed idempotent shard step — the classic cost-based
+    partitioning statistics pass.
+    """
+    from ..fixtures import default_alias_table
+    from ..stages.ner import AliasMatcher, split_sentences
+
+    matcher = AliasMatcher(default_alias_table())
+    w = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        pairs = 0
+        for _, sent in split_sentences(t):
+            m = len(matcher.find(sent))
+            pairs += m * (m - 1)
+        w[i] = len(t) + _PAIR_BYTE_RATIO * pairs
+    return w
+
+
 def shard_documents(sf_dir: str, out_dir: str, n_shards: int = 128) -> str:
     """One-time pre-shard of the single-file documents table into n files.
 
     Emulates the multi-file layout of a real crawl so the read parallelizes
-    (one task per shard). Shards are cut at equal cumulative TEXT-BYTE
-    boundaries, not equal row counts: downstream work per page (sentences,
-    pairs, model forward) is ∝ text length, so equal-row shards produced
-    3.85–13.7 s task skew that stranded half the machine in the final wave
-    at 32 CPUs. Byte-weighted cuts equalize task durations instead.
+    (one task per shard). Shards are cut at equal cumulative ESTIMATED-COST
+    boundaries (see ``_doc_cost_weights``), not equal row counts: equal-row
+    shards produced 3.85–13.7 s task skew that stranded half the machine in
+    the final wave at 32 CPUs, and plain byte weighting measured no better
+    (pair-count variance, not byte variance, drives the skew).
     Idempotent: returns immediately if the shard dir is already complete
-    (layout-versioned marker, so stale row-weighted caches regenerate).
+    (layout-versioned marker, so stale older-layout caches regenerate).
     """
     import pyarrow.parquet as pq
 
-    done_marker = os.path.join(out_dir, "_SHARDED_BYTEWEIGHTED")
+    done_marker = os.path.join(out_dir, "_SHARDED_COSTWEIGHTED")
     if os.path.exists(done_marker):
         return out_dir
     table = pq.read_table(f"{sf_dir}/documents.parquet")
@@ -142,11 +173,10 @@ def shard_documents(sf_dir: str, out_dir: str, n_shards: int = 128) -> str:
     for stale in os.listdir(out_dir):          # drop any old-layout shards
         if stale.endswith(".parquet") or stale.startswith("_SHARDED"):
             os.unlink(os.path.join(out_dir, stale))
-    lens = pc.binary_length(table.column("text")).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    cum = np.cumsum(lens)
-    total = int(cum[-1]) if n else 0
-    # row index just past each equal-byte boundary; dedupe keeps every
+    weights = _doc_cost_weights(table.column("text").to_pylist())
+    cum = np.cumsum(weights)
+    total = float(cum[-1]) if n else 0.0
+    # row index just past each equal-cost boundary; dedupe keeps every
     # shard non-empty when a single huge doc spans several boundaries
     bounds = np.searchsorted(
         cum, np.linspace(total / n_shards, total, n_shards), side="left") + 1

@@ -137,3 +137,33 @@ def test_embedding_dup_groups_keeps_disjoint_pairs_separate(ray_session):
         assert got.get(1, 1) == 1 and got.get(2, 1) == 1
     if 3 in got or 4 in got:
         assert got.get(3, 3) == 3 and got.get(4, 3) == 3
+
+
+def test_decontaminate_planted(ray_session):
+    """A distinctive eval 13-gram planted into two corpus docs removes
+    exactly those docs; the Bloom fallback path is conservative (its clean
+    set never exceeds the exact clean set, and leaks nothing)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import decontaminate
+
+    secret = ("zeta eta theta iota kappa lam mu nu xi omicron pi rho "
+              "sigma")                                       # 13 words
+    eval_rows = [{"doc_id": 1000, "text": f"held out {secret} tail"}]
+    corpus_rows = [
+        {"doc_id": 1, "text": f"left pad {secret} right pad"},    # dirty
+        {"doc_id": 2, "text": f"{secret} starts this one"},       # dirty
+        {"doc_id": 3, "text": "a perfectly clean document " * 5},
+        {"doc_id": 4, "text": "zeta eta theta but only three words match "
+                              "nothing contiguous of length thirteen here"},
+    ]
+    corpus = rd.from_items(corpus_rows, override_num_blocks=2)
+    ev = rd.from_items(eval_rows)
+
+    clean = decontaminate(corpus, ev, k=13).to_pandas()
+    assert sorted(clean["doc_id"]) == [3, 4]
+
+    bloom_clean = decontaminate(corpus, ev, k=13,
+                                broadcast_limit=0).to_pandas()
+    assert set(bloom_clean["doc_id"]) <= {3, 4}      # conservative
+    assert not ({1, 2} & set(bloom_clean["doc_id"]))  # never leaks
