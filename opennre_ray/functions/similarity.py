@@ -75,7 +75,7 @@ class PartialTopK:
             return _empty_topk(self.query_ids,
                                batch.column(self.key_col).type)
         mat = _normalize(_as_matrix(batch.column(self.vec_col)))
-        keys = np.asarray(batch.column(self.key_col).to_pylist())
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         # rank on the ROUNDED value with the neighbor-id tiebreak, exactly
         # like the oracle's ORDER BY round(cosine,6) DESC, neighbor_id —
         # raw-cosine argpartition could pick the wrong member of a tie at
@@ -345,7 +345,7 @@ def knn_ivf(ds_emb, query_ids, query_matrix, k=10, n_centroids=32,
                 return _empty_topk(self.query_ids,
                                    batch.column(key_col).type)
             mat = _normalize(_as_matrix(batch.column(vec_col)))
-            keys = np.asarray(batch.column(key_col).to_pylist())
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
             assign = (mat @ self.cents.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.query_ids)):
@@ -414,7 +414,7 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
                 return _empty_topk(self.query_ids,
                                    batch.column(key_col).type)
             mat = _as_matrix(batch.column(vec_col))
-            keys = np.asarray(batch.column(key_col).to_pylist())
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
             bits = (mat @ self.planes) > 0
             buckets = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
             matn = _normalize(mat)

@@ -381,3 +381,91 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
         for raw in b.column("sketch").to_pylist():
             merged.merge(HLL.from_bytes(raw, p))
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — mergeable relative-error quantile sketch
+# ---------------------------------------------------------------------------
+
+class DDSketch:
+    """Log-bucketed quantile sketch with relative-error guarantee
+    (Masson et al., "DDSketch", VLDB 2019 — public algorithm).
+
+    bucket(x) = ceil(ln x / ln γ); estimate for a bucket is the geometric
+    midpoint 2γ^b/(γ+1), so every estimate is within (γ-1)/(γ+1) relative
+    error of the true value. Chosen over KLL/t-digest because it is fully
+    DETERMINISTIC and order-independent: per-batch bucket counts merge by
+    plain addition, results are identical at any parallelism, and the
+    whole computation is SQL-replayable (hash-oracle-able). Positive
+    values only (zeros/negatives counted separately as ``n_nonpos`` and
+    excluded from quantiles, matching the SQL oracle's WHERE x > 0).
+    """
+
+    def __init__(self, gamma: float = 1.02):
+        if gamma <= 1.0:
+            raise ValueError("gamma must be > 1")
+        self.gamma = gamma
+        self._lg = np.log(gamma)
+        self.counts: dict[int, int] = {}
+        self.n_nonpos = 0
+
+    def add_many(self, values) -> "DDSketch":
+        v = np.asarray(values, dtype=np.float64)
+        pos = v[v > 0]
+        self.n_nonpos += int(v.size - pos.size)
+        if pos.size:
+            buckets = np.ceil(np.log(pos) / self._lg).astype(np.int64)
+            uniq, cnt = np.unique(buckets, return_counts=True)
+            for b, c in zip(uniq.tolist(), cnt.tolist()):
+                self.counts[b] = self.counts.get(b, 0) + int(c)
+        return self
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        for b, c in other.counts.items():
+            self.counts[b] = self.counts.get(b, 0) + c
+        self.n_nonpos += other.n_nonpos
+        return self
+
+    @property
+    def n(self) -> int:
+        return sum(self.counts.values())
+
+    def quantile(self, q: float) -> float:
+        """Smallest bucket whose cumulative count reaches ceil(q·n) —
+        the same integer rank rule as the exact per-group quantiles
+        (quantile_disc semantics over buckets)."""
+        if not self.counts:
+            return float("nan")
+        rank = max(1, int(np.ceil(q * self.n)))
+        cum = 0
+        for b in sorted(self.counts):
+            cum += self.counts[b]
+            if cum >= rank:
+                return 2.0 * self.gamma ** b / (self.gamma + 1.0)
+        raise AssertionError("unreachable")
+
+
+def dd_quantiles(ds, column: str, qs=(0.5, 0.95),
+                 gamma: float = 1.02) -> dict[float, float]:
+    """Distributed approximate quantiles: one DDSketch per batch, count
+    merge on the driver (sketch size is O(log(max/min)/log γ) buckets —
+    kilobytes regardless of input size)."""
+    import pyarrow as pa
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk = DDSketch(gamma).add_many(
+            batch.column(column).to_numpy(zero_copy_only=False))
+        items = sorted(sk.counts.items())
+        return pa.table({
+            "bucket": pa.array([b for b, _ in items], pa.int64()),
+            "n": pa.array([c for _, c in items], pa.int64()),
+        })
+
+    merged = DDSketch(gamma)
+    for b in ds.map_batches(per_batch,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for bk, c in zip(b.column("bucket").to_pylist(),
+                         b.column("n").to_pylist()):
+            merged.counts[bk] = merged.counts.get(bk, 0) + c
+    return {q: merged.quantile(q) for q in qs}

@@ -1232,6 +1232,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+DD_GAMMA = 1.02
+
+
+def lineitem_price_ddsketch(sf_dir):
+    """Approximate p50/p95 of extended price via a DDSketch (mergeable
+    log-bucket quantile sketch, ≤1% relative error at γ=1.02) — the
+    sketch-family answer to quantiles when the exact per-group sort
+    (``lineitem_quantiles``) is too wide. Deterministic and
+    order-independent, so the full bucket→rank→estimate computation is
+    hash-oracled in SQL."""
+    from ..functions.sketches import dd_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = dd_quantiles(ds, "l_extendedprice", qs=(0.5, 0.95),
+                      gamma=DD_GAMMA)
+    return pd.DataFrame({"p50": [sql_round(qs[0.5], 6)],
+                         "p95": [sql_round(qs[0.95], 6)]})
+
+
+SQL_LINEITEM_PRICE_DDSKETCH = f"""
+WITH b AS (SELECT CAST(ceil(ln(l_extendedprice)/ln({DD_GAMMA})) AS BIGINT)
+                  AS bucket
+           FROM lineitem WHERE l_extendedprice > 0),
+counts AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+tot AS (SELECT sum(n) AS t FROM counts),
+c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM counts)
+SELECT
+  round(2*power({DD_GAMMA}, (SELECT min(bucket) FROM c, tot
+        WHERE cum >= greatest(1, ceil(0.5*t))))/({DD_GAMMA}+1), 6) AS p50,
+  round(2*power({DD_GAMMA}, (SELECT min(bucket) FROM c, tot
+        WHERE cum >= greatest(1, ceil(0.95*t))))/({DD_GAMMA}+1), 6) AS p95
+"""
+
+
 QUANTILE_QS = (0.5, 0.95)
 
 
@@ -1995,6 +2029,7 @@ QUERIES = {
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
+    "lineitem_price_ddsketch": lineitem_price_ddsketch,
     # pinned-value oracles (pins.py) for the model pipelines; the six
     # *_stats companions fingerprint the outputs too large to pin whole
     "kg_triples_pcnn_stats": kg_triples_pcnn_stats,
@@ -2070,6 +2105,7 @@ ORACLES = {
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
+    "lineitem_price_ddsketch": SQL_LINEITEM_PRICE_DDSKETCH,
     "docs_langid_heuristic": SQL_DOCS_LANGID,
     "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,

@@ -202,3 +202,50 @@ def test_count_min_overestimates_within_bound(ray_session):
     assert (est >= true).all()                        # never under
     # ε = e/width bound with prob 1 - e^-depth; allow the loose 2ε·n
     assert (est - true).max() <= 2 * np.e * len(items) / (1 << 12)
+
+
+def test_ddsketch_relative_error_and_merge():
+    """Quantile estimates within the (γ-1)/(γ+1) relative-error bound of
+    exact quantiles; merging partial sketches equals one-shot."""
+    from opennre_ray.functions.sketches import DDSketch
+
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.normal(5, 2, size=20_000))       # lognormal spread
+    gamma = 1.02
+    bound = (gamma - 1) / (gamma + 1) + 1e-12
+
+    one = DDSketch(gamma).add_many(vals)
+    parts = DDSketch(gamma)
+    for chunk in np.array_split(vals, 13):
+        parts.merge(DDSketch(gamma).add_many(chunk))
+    assert parts.counts == one.counts
+
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = one.quantile(q)
+        exact = srt[max(1, int(np.ceil(q * len(vals)))) - 1]
+        assert abs(est - exact) / exact <= bound
+
+
+def test_ddsketch_nonpositive_tracked():
+    from opennre_ray.functions.sketches import DDSketch
+
+    sk = DDSketch().add_many([0.0, -3.0, 2.0, 5.0])
+    assert sk.n_nonpos == 2 and sk.n == 2
+
+
+def test_dd_quantiles_distributed_matches_local(ray_session, sf_dir):
+    import ray.data as rd
+
+    from opennre_ray.functions.sketches import DDSketch, dd_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    got = dd_quantiles(ds, "l_extendedprice", qs=(0.5, 0.95))
+    import pyarrow.parquet as pq
+    vals = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"]
+                         ).column(0).to_numpy(zero_copy_only=False)
+    local = DDSketch().add_many(vals)
+    assert got[0.5] == local.quantile(0.5)
+    assert got[0.95] == local.quantile(0.95)
