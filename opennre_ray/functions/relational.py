@@ -418,6 +418,46 @@ def anti_join(left_ds, right_ds, col: str, left_cols: list[str] | None = None,
         residual.map_batches(conform, batch_format="pandas"))
 
 
+def global_rank(ds, sort_cols, out_col: str = "rank",
+                descending: bool = False):
+    """Append a dense 1-based GLOBAL rank by ``sort_cols`` — the
+    distributed row_number() primitive (training-order assignment, top-N
+    cutoffs, stable output numbering).
+
+    Shape: one ``ds.sort`` (the only shuffle) + per-block row counts
+    prefix-summed on the driver (counts are metadata-sized — bytes per
+    block, never rows) + an embarrassingly parallel per-block arange at
+    the right offset. Blocks stay in the object store end to end.
+
+    Determinism: ties in ``sort_cols`` get block-order-dependent ranks —
+    include a unique tiebreaker column, same as any SQL ORDER BY.
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(sort_cols, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def count(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def with_rank(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(
+            out_col, pa.array(np.arange(offset + 1,
+                                        offset + 1 + t.num_rows,
+                                        dtype=np.int64)))
+
+    counts = ray.get([count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts \
+        else np.array([], dtype=np.int64)
+    if not refs:
+        return sorted_ds
+    return rd.from_arrow_refs(
+        [with_rank.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
 def add_time_window(ds, ts_col: str, unit: str = "day",
                     out_col: str = "window"):
     """Append a truncated-timestamp window column (event-time tumbling window).

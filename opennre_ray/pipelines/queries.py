@@ -1699,6 +1699,77 @@ def fewshot_stats(sf_dir):
     })
 
 
+def docs_deterministic_shuffle(sf_dir):
+    """Content-stable global training order: rank every doc by
+    md5(doc_id) — the deterministic epoch shuffle a reproducible training
+    pipeline uses instead of random_shuffle (same order at any
+    parallelism, resumable mid-epoch). One sort shuffle; ranks assigned
+    by the distributed row_number primitive (``global_rank``)."""
+    from ..functions.relational import global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        import hashlib
+        h = [hashlib.md5(str(d).encode()).hexdigest()
+             for d in b.column("doc_id").to_pylist()]
+        return b.append_column("h", pa.array(h, pa.string()))
+
+    ranked = global_rank(ds.map_batches(add_hash, batch_format="pyarrow"),
+                         ["h", "doc_id"], out_col="shuffle_pos")
+    return ranked.select_columns(["doc_id", "shuffle_pos"])
+
+
+SQL_DOCS_DETERMINISTIC_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+           AS shuffle_pos
+FROM documents
+"""
+
+
+BPE_TOP_PAIRS = 10
+
+
+def docs_bpe_pairs(sf_dir):
+    """Top-10 most frequent adjacent token pairs — the first merge-candidate
+    scan of BPE vocabulary induction, map-side combined before one small
+    groupby (the same shape as docs_word_freq)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("pair").aggregate(Sum("cnt", alias_name="cnt")))
+    top = totals.sort(["cnt", "pair"], descending=[True, False]) \
+        .limit(BPE_TOP_PAIRS)
+    return top
+
+
+SQL_DOCS_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM toks WHERE length(toks) >= 2)
+SELECT pair, count(*)::BIGINT AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 DECONTAM_K = 3
 DECONTAM_EVAL_MOD = 97
 
@@ -2015,6 +2086,8 @@ QUERIES = {
     "lineitem_topk_per_group": lineitem_topk_per_group,
     "docs_normalized_dedup": docs_normalized_dedup,
     "docs_decontaminate": docs_decontaminate,
+    "docs_deterministic_shuffle": docs_deterministic_shuffle,
+    "docs_bpe_pairs": docs_bpe_pairs,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
@@ -2091,6 +2164,8 @@ ORACLES = {
     "lineitem_topk_per_group": SQL_LINEITEM_TOPK_PER_GROUP,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
+    "docs_deterministic_shuffle": SQL_DOCS_DETERMINISTIC_SHUFFLE,
+    "docs_bpe_pairs": SQL_DOCS_BPE_PAIRS,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,

@@ -236,3 +236,22 @@ def test_canonicalize_join_path_matches_broadcast(ray_session):
     bcast = collect(canonicalize_ids(ds, cols))                  # broadcast
     joined = collect(canonicalize_ids(ds, cols, broadcast_limit=0))
     pd.testing.assert_frame_equal(bcast, joined, check_dtype=False)
+
+
+def test_global_rank_matches_sql_row_number(ray_session):
+    """Distributed rank == single-process sort rank, at any block count."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import global_rank
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.permutation(1000), "v": np.arange(1000)})
+    ds = rd.from_pandas(df).repartition(7)
+    got = global_rank(ds, ["k"], out_col="r").to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert (got["r"].to_numpy() == np.arange(1, 1001)).all()
+    # ranks are a permutation even when requested descending
+    desc = global_rank(ds, ["k"], out_col="r",
+                       descending=True).to_pandas()
+    assert sorted(desc["r"]) == list(range(1, 1001))
+    assert desc.loc[desc["k"].idxmax(), "r"] == 1
