@@ -365,3 +365,155 @@ def connected_components(triples_ds, max_iters: int = 30,
     return labels.map_batches(
         lambda t: t.rename_columns(["entity", "component"]),
         batch_format="pyarrow")
+
+
+PAGERANK_SCALE = 10 ** 12
+
+
+def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
+             damping_num: int = 85, damping_den: int = 100,
+             subj_col="subj", obj_col="obj",
+             rows_hint: int | None = None):
+    """Distributed PageRank in integer fixed-point arithmetic.
+
+    Floating-point PageRank is not reproducible across distributions: the
+    per-node contribution sum arrives in nondeterministic order, and float
+    addition is not associative. Ranks here are int64 micro-units
+    (``scale`` = 1e12) and every step is integer arithmetic — addition is
+    order-independent and floor division is exact — so the distributed
+    result is bit-identical to a sequential or SQL (DuckDB ``//`` on
+    BIGINT) replay, which makes the query hash-oracle-able.
+
+    Update rule (fixed ``iters`` power iterations; dangling nodes leak
+    mass — the standard no-renormalize formulation):
+
+        contrib(u -> v) = (rank_t(u) * damping_num)
+                          // (damping_den * outdeg(u))
+        rank_{t+1}(v)   = (scale * (damping_den - damping_num))
+                          // (damping_den * N)  +  sum_in contrib
+
+    Scale shape: out-degrees and the static (src, dst, outdeg) edge table
+    are built once (one bucketed shuffle each); each iteration is one
+    bucketed hash join (ranks onto edges by source) plus one bucketed sum
+    (contributions by destination, with the teleport base riding along as
+    one union row per node) — the rank table is never collected to the
+    driver. Block counts are bounded per round the same way
+    ``connected_components`` bounds them.
+
+    Reference scope note: thunlp/OpenNRE stops at the triple table; graph
+    analytics over the extracted KG (degree/components/k-hop/PageRank) are
+    the downstream extension set this engine adds.
+    """
+    from .relational import compute_n_buckets, shuffle_join
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def edge_frame(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return edge_schema.empty_table()
+        def arr(name):
+            c = batch.column(name)
+            return (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c).cast(pa.string())
+        return pa.table({"src": arr(subj_col), "dst": arr(obj_col)})
+
+    edges = triples_ds.map_batches(edge_frame,
+                                   batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    edges = compact(edges)
+
+    # node set: distinct endpoints (one bucketed distinct; never collected)
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"entity": pa.concat_arrays(
+            [t.column("src").combine_chunks(),
+             t.column("dst").combine_chunks()])})
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("entity")
+
+    nodes = compact(hash_bucket_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["entity"], distinct_bucket, n_buckets=n_parts))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": pd.Series([], dtype=str),
+             "rank_micro": pd.Series([], dtype="int64")}))
+
+    base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
+    r0 = scale // n_nodes
+
+    # static out-degree-annotated edge table (built once, reused per iter)
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src", as_index=False).size()
+        out = out.rename(columns={"size": "outdeg"})
+        out["outdeg"] = out["outdeg"].astype("int64")
+        return out
+
+    deg = hash_bucket_aggregate(edges, ["src"], deg_bucket,
+                                n_buckets=n_parts)
+    edges_deg = compact(shuffle_join(edges, deg, "src", "src",
+                                     ["dst"], ["outdeg"],
+                                     n_buckets=n_parts))
+
+    rank_schema = pa.schema([("entity", pa.string()),
+                             ("rank_micro", pa.int64())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return rank_schema.empty_table()
+            return t.select(rank_schema.names).cast(rank_schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    ranks = conform(nodes.map_batches(
+        lambda t: pa.table({
+            "entity": t.column("entity"),
+            "rank_micro": pa.array(
+                np.full(t.num_rows, r0, dtype=np.int64))})
+        if t.num_rows else rank_schema.empty_table(),
+        batch_format="pyarrow"))
+
+    def mk_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"entity": pd.Series([], dtype=str),
+                                 "rank_micro": pd.Series([], dtype="int64")})
+        # int64 throughout: rank*num <= 1e12*85 << 2^63, exact
+        r = df["rank_micro"].to_numpy(dtype=np.int64)
+        d = df["outdeg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "entity": df["dst"].astype(str).to_numpy(),
+            "rank_micro": (r * damping_num) // (damping_den * d)})
+
+    base_rows = conform(nodes.map_batches(
+        lambda t: pa.table({
+            "entity": t.column("entity"),
+            "rank_micro": pa.array(
+                np.full(t.num_rows, base, dtype=np.int64))})
+        if t.num_rows else rank_schema.empty_table(),
+        batch_format="pyarrow"))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", as_index=False)["rank_micro"].sum()
+        out["rank_micro"] = out["rank_micro"].astype("int64")
+        return out
+
+    for _ in range(iters):
+        joined = shuffle_join(edges_deg, ranks, "src", "entity",
+                              ["dst", "outdeg"], ["rank_micro"],
+                              n_buckets=n_parts)
+        contrib = joined.map_batches(mk_contrib, batch_format="pandas")
+        ranks = compact(conform(hash_bucket_aggregate(
+            contrib.union(base_rows), ["entity"], sum_bucket,
+            n_buckets=n_parts)))
+
+    return ranks

@@ -1409,6 +1409,51 @@ UNION ALL SELECT v, 2 FROM h2
 """
 
 
+PAGERANK_ITERS = 5
+
+
+def graph_pagerank_customers(sf_dir):
+    """Integer fixed-point PageRank over the bidirectional customer<->nation
+    graph (nations are hubs with in-degree ~ customers/nation). int64
+    micro-unit arithmetic makes the distributed result bit-identical to the
+    SQL replay — see functions.graph.pagerank for the scale story."""
+    from ..functions.graph import pagerank
+    return pagerank(_customer_edges(sf_dir, bidirectional=True),
+                    iters=PAGERANK_ITERS,
+                    rows_hint=2 * _nrows(sf_dir, "customer"))
+
+
+def _pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
+    """Chained-CTE replay of the integer power iteration (one CTE per
+    round; all arithmetic BIGINT floor-division, matching the engine)."""
+    parts = [f"""
+WITH e AS (SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst
+           FROM customer
+           UNION ALL
+           SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT v, ({scale} // (SELECT n FROM nn))::BIGINT AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (SELECT nodes.v,
+         (({scale} * {den - num}) // ({den} * (SELECT n FROM nn)))::BIGINT
+         + COALESCE(s.inc, 0) AS r
+         FROM nodes LEFT JOIN (
+           SELECT e.dst AS v,
+                  sum((p.r * {num}) // ({den} * deg.outdeg))::BIGINT AS inc
+           FROM e JOIN r{i - 1} p ON e.src = p.v
+                  JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) s ON nodes.v = s.v)""")
+    parts.append(f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_GRAPH_PAGERANK_CUSTOMERS = _pagerank_sql(PAGERANK_ITERS, 10 ** 12,
+                                             85, 100)
+
+
 def docs_shingles(sf_dir):
     """Distinct 3-word shingle count per document — the (oracle-able)
     shingling front half of the MinHash dedup pipeline."""
@@ -2099,6 +2144,7 @@ QUERIES = {
     "graph_degree_customers": graph_degree_customers,
     "graph_components_customers": graph_components_customers,
     "graph_khop_customers": graph_khop_customers,
+    "graph_pagerank_customers": graph_pagerank_customers,
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
@@ -2177,6 +2223,7 @@ ORACLES = {
     "graph_degree_customers": SQL_GRAPH_DEGREE_CUSTOMERS,
     "graph_components_customers": SQL_GRAPH_COMPONENTS_CUSTOMERS,
     "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
+    "graph_pagerank_customers": SQL_GRAPH_PAGERANK_CUSTOMERS,
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,

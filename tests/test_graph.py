@@ -138,3 +138,45 @@ def test_k_hop_hub_graph_distributed(ray_session):
                     nxt.append(v)
         frontier = nxt
     assert got == want
+
+
+def _seq_pagerank(edges, iters=5, scale=10 ** 12, num=85, den=100):
+    """Sequential integer-arithmetic replay of functions.graph.pagerank."""
+    from collections import Counter
+
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+    outdeg = Counter(a for a, b in edges)
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    base = (scale * (den - num)) // (den * n)
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for a, b in edges:
+            nxt[b] += (rank[a] * num) // (den * outdeg[a])
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_sequential(ray_session):
+    """Distributed fixed-point PageRank == sequential integer replay on a
+    graph with a hub, a chain, a dangling sink (no out-edges), and a pure
+    source (no in-edges)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import pagerank
+
+    edges = (
+        # hub h -> many leaves, leaves point back (except the sink)
+        [("h", l) for l in ("l1", "l2", "l3", "l4", "sink")]
+        + [(l, "h") for l in ("l1", "l2", "l3", "l4")]
+        # chain with a pure source
+        + [("s0", "c1"), ("c1", "c2"), ("c2", "c3")]
+        # parallel (multi-)edge: counted twice, like the SQL replay
+        + [("l1", "l2"), ("l1", "l2")]
+    )
+    triples = rd.from_items(
+        [{"subj": a, "pred": "e", "obj": b} for a, b in edges])
+    got = pagerank(triples, iters=5).to_pandas()
+    got_map = dict(zip(got["entity"], got["rank_micro"]))
+    assert got_map == _seq_pagerank(edges, iters=5)
+    assert got["rank_micro"].dtype == np.int64
