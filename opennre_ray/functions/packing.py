@@ -142,3 +142,39 @@ def pack_sequences(ds, budget: int = 512, part_size: int = 1000,
             seq_id=pd.Series(dtype="int64"), seq_pos=pd.Series(dtype="int64"))
 
     return hash_bucket_aggregate(counted, ["part_id"], pack_bucket)
+
+
+def bottomk_sample(ds, key_col: str, id_col: str = "doc_id", k: int = 20,
+                   salt: str = "", rows_hint: int | None = None):
+    """Deterministic per-key bottom-k sample: for each ``key_col`` group,
+    keep the ``k`` rows with the smallest md5 draw of the row id (ties —
+    cryptographically negligible but oracle-relevant — broken by id).
+
+    This is the order-independent equivalent of per-key reservoir
+    sampling: the winner set is a pure function of the row ids, so it is
+    content-stable under re-partitioning / re-ordering and exactly
+    replayable in SQL (``row_number() OVER (PARTITION BY key ORDER BY
+    draw, id) <= k``). Scale shape: a map-side partial bottom-k inside
+    every batch bounds the shuffle to ≤ k rows per (block, key), then one
+    bucketed shuffle finishes the exact per-key bottom-k — the corpus
+    itself never moves, only candidate rows.
+    """
+    from .relational import hash_bucket_aggregate
+
+    def draws_of(ids) -> np.ndarray:
+        return np.array([int(hashlib.md5(
+            ("bk:" + salt + str(i)).encode()).hexdigest()[:8], 16)
+            for i in ids], dtype=np.int64)     # u32 range, int64-safe
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "draw", id_col], kind="mergesort")
+        return df.groupby(key_col, as_index=False, sort=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(draw=pd.Series([], dtype="int64"))
+        return head_k(df.assign(draw=draws_of(df[id_col])))
+
+    candidates = ds.map_batches(partial, batch_format="pandas")
+    return hash_bucket_aggregate(candidates, [key_col], head_k,
+                                 rows_hint=rows_hint)

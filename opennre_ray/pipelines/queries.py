@@ -955,6 +955,35 @@ WHERE ('0x' || substr(md5('strat:' || d.doc_id::VARCHAR), 1, 8))::UBIGINT
 """
 
 
+BOTTOMK_K = 20
+
+
+def docs_bottomk_per_lang(sf_dir):
+    """Deterministic per-language bottom-k sample — the order-independent
+    equivalent of per-key reservoir sampling ("keep k docs per domain").
+    A map-side partial bottom-k bounds the shuffle to <= k candidate rows
+    per (block, lang); the corpus itself never moves."""
+    from ..functions.packing import bottomk_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return bottomk_sample(ds, "lang", "doc_id", k=BOTTOMK_K,
+                          rows_hint=_nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_BOTTOMK_PER_LANG = f"""
+SELECT doc_id, lang, draw FROM (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('bk:' || doc_id::VARCHAR), 1, 8))
+            ::UBIGINT)::BIGINT AS draw,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (('0x' || substr(md5('bk:' || doc_id::VARCHAR), 1, 8))
+                       ::UBIGINT)::BIGINT, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {BOTTOMK_K}
+"""
+
+
 def docs_pack_sequences(sf_dir):
     """Greedy sequence packing into {PACK_BUDGET}-token sequences within
     doc_id-range partitions."""
@@ -2175,6 +2204,7 @@ QUERIES = {
     "docs_hash_split": docs_hash_split,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
+    "docs_bottomk_per_lang": docs_bottomk_per_lang,
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
     "docs_repetition": docs_repetition,
@@ -2239,6 +2269,7 @@ ORACLES = {
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
+    "docs_bottomk_per_lang": SQL_DOCS_BOTTOMK_PER_LANG,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,

@@ -77,6 +77,41 @@ def test_sample_then_split_draws_are_independent(docs_ds):
     assert 0 < (big["split"] == "test").sum() < len(big)
 
 
+def test_bottomk_sample_matches_bruteforce(ray_session):
+    """bottomk_sample == brute-force per-key bottom-k by md5 draw, and the
+    winner set is invariant to how the input is partitioned."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import bottomk_sample
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(200)]
+    # tiny key: fewer rows than k, all must be kept
+    rows += [{"doc_id": 1000 + i, "lang": "rare"} for i in range(3)]
+
+    def draw(i):
+        return int(hashlib.md5(("bk:" + str(i)).encode())
+                   .hexdigest()[:8], 16)
+
+    df = pd.DataFrame(rows)
+    df["draw"] = [draw(i) for i in df["doc_id"]]
+    want = (df.sort_values(["lang", "draw", "doc_id"])
+              .groupby("lang").head(5)
+              .sort_values("doc_id").reset_index(drop=True))
+
+    for n_parts in (1, 7):
+        ds = rd.from_items(rows).repartition(n_parts)
+        got = (bottomk_sample(ds, "lang", "doc_id", k=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (got[["doc_id", "lang", "draw"]].to_numpy()
+                == want[["doc_id", "lang", "draw"]].to_numpy()).all()
+    assert (got[got["lang"] == "rare"]["doc_id"].tolist()
+            == [1000, 1001, 1002])
+
+
 def test_new_operators_on_empty_input(ray_session):
     """Empty datasets flow through pack/sample/split without crashing."""
     import pyarrow as pa
