@@ -469,3 +469,37 @@ def dd_quantiles(ds, column: str, qs=(0.5, 0.95),
                          b.column("n").to_pylist()):
             merged.counts[bk] = merged.counts.get(bk, 0) + c
     return {q: merged.quantile(q) for q in qs}
+
+
+def exact_int_quantile(ds, column: str, q_num: int = 1,
+                       q_den: int = 2) -> int:
+    """Exact quantile of a bounded-cardinality INTEGER column via a
+    distributed value histogram — the exact companion to ``dd_quantiles``
+    (use DDSketch when the value domain is unbounded/continuous).
+
+    Definition (integer-exact, SQL-replayable): the smallest value whose
+    cumulative count reaches ``ceil(n * q_num / q_den)`` in ascending
+    value order. Scale shape: map-side ``value_counts`` collapses every
+    block to its distinct values before one groupby; only the histogram
+    — sized by the value DOMAIN (e.g. token counts ≤ max doc length),
+    not the row count — reaches the driver.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].value_counts()
+        return pd.DataFrame({"v": vc.index.astype("int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    # an all-empty input aggregates to a schema-less empty frame
+    if not len(hist) or "v" not in hist.columns:
+        raise ValueError("exact_int_quantile on an empty dataset")
+    hist = hist.sort_values("v")
+    total = int(hist["c"].sum())
+    rank = -(-total * q_num // q_den)          # ceil, pure integers
+    cum = hist["c"].cumsum()
+    return int(hist.loc[cum >= rank, "v"].iloc[0])

@@ -131,3 +131,63 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         "pred_lang": pa.array(langs, pa.string()),
         "confidence": pa.array(confs, pa.float64()),
     })
+
+
+def top_vocab(docs_ds, n: int = 256) -> frozenset:
+    """Exact top-``n`` corpus vocabulary by (count DESC, token ASC).
+
+    Two-stage: map-side Counter partials collapse each block to its local
+    vocabulary before the groupby shuffle (the shuffle moves vocabulary-
+    sized frames, never the corpus), then one sort+limit over the
+    aggregated counts. The result is ``n`` tokens — kilobytes — which the
+    caller broadcasts (``ray.put``) into the scoring pass. Deterministic
+    tie-break at the cutoff: lexicographic token order, matching the SQL
+    ``ORDER BY cnt DESC, token``.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_tokens(t))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    top = counts.sort(["cnt", "token"],
+                      descending=[True, False]).limit(n).to_pandas()
+    return frozenset(top["token"])
+
+
+def oov_stats(docs_ds, vocab: frozenset):
+    """Per-document out-of-vocabulary counts against a broadcast corpus
+    vocabulary — the corpus-statistics quality signal ("word-salad" docs
+    score high OOV against the corpus's own head vocabulary).
+
+    ``vocab`` ships to workers once via ``ray.put``; each batch emits
+    integer (n_tokens, oov_cnt) so the SQL comparison is exact. Two-pass
+    shape: pass 1 (``top_vocab``) reduces the corpus to a kilobyte
+    statistic, pass 2 is a stateless streaming map — the standard
+    broadcast-statistics pattern (same as the quantile-threshold filter).
+    """
+    import ray
+
+    ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc = ray.get(ref)
+        n_toks, oov = [], []
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            n_toks.append(len(toks))
+            oov.append(sum(1 for w in toks if w not in voc))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "oov_cnt": pa.array(oov, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

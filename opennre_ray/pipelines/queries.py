@@ -687,6 +687,68 @@ FROM documents
 """
 
 
+VOCAB_TOP_N = 256
+
+
+def docs_oov_ratio(sf_dir):
+    """Out-of-vocabulary counts per doc against the corpus's own top-N
+    vocabulary — the two-pass broadcast-statistics quality signal: pass 1
+    reduces the corpus to a kilobyte vocab, pass 2 streams."""
+    from ..functions.textstats import oov_stats, top_vocab
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = top_vocab(docs, VOCAB_TOP_N)
+    return oov_stats(docs, vocab)
+
+
+SQL_DOCS_OOV_RATIO = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_N})),
+agg AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         count(CASE WHEN v.token IS NULL THEN 1 END)::BIGINT AS oov_cnt
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(a.oov_cnt, 0)::BIGINT AS oov_cnt
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def docs_above_median_tokens(sf_dir):
+    """Dynamic-threshold filter: keep docs at or above the corpus-median
+    token count. Pass 1 computes the EXACT median from a distributed value
+    histogram (domain-bounded, never the rows); pass 2 is a streaming
+    filter on the broadcast scalar."""
+    from ..functions.sketches import exact_int_quantile
+    from ..functions.textstats import token_count_batch
+
+    tc = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow")
+    thr = exact_int_quantile(tc, "n_tokens", 1, 2)
+    return tc.filter(expr=f"n_tokens >= {thr}")
+
+
+SQL_DOCS_ABOVE_MEDIAN_TOKENS = r"""
+WITH tc AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\s+'))
+          END)::BIGINT AS n_tokens
+  FROM documents),
+h AS (SELECT n_tokens AS v, count(*)::BIGINT AS c FROM tc GROUP BY v),
+tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+thr AS (SELECT min(v) AS thr FROM cum, tot WHERE cum >= (tot.n + 1) // 2)
+SELECT tc.doc_id, tc.n_tokens FROM tc, thr WHERE tc.n_tokens >= thr.thr
+"""
+
+
 def docs_quality(sf_dir):
     from ..functions.textstats import quality_score_batch
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -2205,6 +2267,8 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "docs_bottomk_per_lang": docs_bottomk_per_lang,
+    "docs_oov_ratio": docs_oov_ratio,
+    "docs_above_median_tokens": docs_above_median_tokens,
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
     "docs_repetition": docs_repetition,
@@ -2270,6 +2334,8 @@ ORACLES = {
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
     "docs_bottomk_per_lang": SQL_DOCS_BOTTOMK_PER_LANG,
+    "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
+    "docs_above_median_tokens": SQL_DOCS_ABOVE_MEDIAN_TOKENS,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,

@@ -249,3 +249,27 @@ def test_dd_quantiles_distributed_matches_local(ray_session, sf_dir):
     local = DDSketch().add_many(vals)
     assert got[0.5] == local.quantile(0.5)
     assert got[0.95] == local.quantile(0.95)
+
+
+def test_exact_int_quantile_rank_semantics(ray_session):
+    """Smallest value whose cumulative count reaches ceil(n*q): checked on
+    even/odd counts, duplicated values, and an all-equal column."""
+    import ray.data as rd
+
+    from opennre_ray.functions.sketches import exact_int_quantile
+
+    def q(vals, num, den):
+        ds = rd.from_items([{"x": v} for v in vals]).repartition(3)
+        return exact_int_quantile(ds, "x", num, den)
+
+    assert q([1, 2, 3, 4], 1, 2) == 2          # ceil(4/2)=2nd of sorted
+    assert q([1, 2, 3, 4, 5], 1, 2) == 3       # ceil(5/2)=3rd
+    assert q([7, 7, 7, 7], 1, 2) == 7
+    assert q([0, 0, 0, 9], 3, 4) == 0          # ceil(3)=3rd -> still 0
+    assert q([0, 0, 0, 9], 4, 4) == 9          # max
+    assert q(list(range(100)), 95, 100) == 94  # ceil(95)=95th -> value 94
+
+    import pytest
+    with pytest.raises(ValueError):
+        exact_int_quantile(
+            rd.from_items([{"x": 1}]).filter(expr="x > 5"), "x")

@@ -230,3 +230,28 @@ def test_lineage_resume(tmp_path, ray_session):
     r2 = run_sharded(shards, out, mk)
     assert r2["completed"] == [] and r2["skipped"] == ["s0", "s1"]
     assert calls == ["s0", "s1"]
+
+
+def test_top_vocab_and_oov_stats(ray_session):
+    """top_vocab: exact (cnt DESC, token ASC) cutoff incl. boundary ties;
+    oov_stats counts tokens outside the broadcast vocab."""
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import oov_stats, top_vocab
+
+    rows = [
+        {"doc_id": 0, "text": "aa aa aa bb bb cc"},
+        {"doc_id": 1, "text": "bb cc dd"},
+        {"doc_id": 2, "text": "  "},          # whitespace-only: 0 tokens
+        {"doc_id": 3, "text": "aa zz zz"},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    # counts: aa=4, bb=3, cc=2, zz=2, dd=1 -> top3 cuts the cc/zz tie at
+    # cnt=2 lexicographically: cc in, zz out
+    vocab = top_vocab(ds, 3)
+    assert vocab == frozenset({"aa", "bb", "cc"})
+
+    got = (oov_stats(ds, vocab).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_tokens"].tolist() == [6, 3, 0, 3]
+    assert got["oov_cnt"].tolist() == [0, 1, 0, 2]
