@@ -458,3 +458,119 @@ def knn_lsh(ds_emb, query_ids, query_matrix, k=10, n_planes=8, seed=11,
     res = pd.concat(out).sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(res.reset_index(drop=True),
                                 preserve_index=False)
+
+
+KM_SCALE = 10 ** 6
+
+
+def _trunc_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero — SQL ``//`` semantics
+    (Python/numpy ``//`` floors, which differs on negative sums)."""
+    q = np.abs(a) // b
+    return np.where(a < 0, -q, q)
+
+
+def kmeans_fixed_point(ds_emb, k: int = 8, iters: int = 3,
+                       scale: int = KM_SCALE, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Distributed Lloyd k-means in integer fixed-point arithmetic.
+
+    Float k-means is not reproducible across distributions (non-associative
+    float sums in the centroid update). Here every coordinate is quantized
+    once — ``floor(x * scale)`` in float64, identical IEEE ops to the SQL
+    ``floor(x * 1e6)`` — and all distances/updates are int64, so the
+    distributed result is bit-identical to a sequential or chained-CTE SQL
+    replay (tie-breaks: argmin → smallest cluster id; centroid division
+    truncates toward zero like SQL ``//``; empty clusters keep their
+    previous centroid).
+
+    Per iteration: ONE streaming pass — each batch computes assignments
+    against the broadcast (``ray.put``) k×D centroid matrix and emits only
+    per-cluster partial sums + counts (k rows/batch, order-independent
+    int64 adds), which the driver folds into new centroids. The corpus
+    never moves and nothing row-sized reaches the driver; a final
+    assignment pass emits (id, cluster). Init: the k smallest ids (exact,
+    via map-side partial bottom-k — no global sort).
+
+    Overflow bounds (int64): dist² ≤ D·(2·scale·|x|ₘₐₓ)², per-cluster sums
+    ≤ n·scale·|x|ₘₐₓ — safe past 10¹² rows for unit-norm-ish embeddings.
+    """
+    import ray
+
+    def quantize(col) -> np.ndarray:
+        return np.floor(_as_matrix(col, np.float64) * scale).astype(np.int64)
+
+    # --- init: k smallest ids, map-side partial bottom-k then tiny merge
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return batch.select([id_col, vec_col])
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(order))
+
+    cand = pa.concat_tables(
+        t for t in ds_emb.map_batches(partial_min, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if t.num_rows)
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:k]
+    cand = cand.take(pa.array(order))
+    cents = quantize(cand.column(vec_col))           # (k', D) int64
+    kk, dim = cents.shape
+
+    # --- Lloyd iterations: assignment + partial-stat pass per round
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ||p-c||² = p² + c² - 2p·c, all int64 (exact); argmin takes the
+        # FIRST minimum → smallest cluster id, matching ORDER BY dist, cluster
+        d2 = ((mat * mat).sum(1, keepdims=True)
+              + (c * c).sum(1)[None, :] - 2 * (mat @ c.T))
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = quantize(batch.column(vec_col))
+            if not len(mat):
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.list_(pa.int64(), dim))})
+            a = assign(mat, c)
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel()), dim)})
+
+        tot_s = np.zeros((kk, dim), dtype=np.int64)
+        tot_c = np.zeros(kk, dtype=np.int64)
+        for b in ds_emb.map_batches(stats, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            sums = (b.column("sums").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False).reshape(-1, dim))
+            np.add.at(tot_s, cl, sums)
+            np.add.at(tot_c, cl,
+                      b.column("cnt").to_numpy(zero_copy_only=False))
+        cents = np.where(tot_c[:, None] > 0,
+                         _trunc_div(tot_s, np.maximum(tot_c, 1)[:, None]),
+                         cents)
+
+    # --- final assignment pass under the converged centroids
+    ref = ray.put(cents)
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = quantize(batch.column(vec_col))
+        a = (assign(mat, c) if len(mat)
+             else np.array([], dtype=np.int64))
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds_emb.map_batches(label, batch_format="pyarrow")

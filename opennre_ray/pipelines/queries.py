@@ -1545,6 +1545,69 @@ SQL_GRAPH_PAGERANK_CUSTOMERS = _pagerank_sql(PAGERANK_ITERS, 10 ** 12,
                                              85, 100)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+EMBED_DIM = 64
+
+
+def embed_kmeans_clusters(sf_dir):
+    """Distributed Lloyd k-means over the embeddings table in integer
+    fixed-point arithmetic — order-independent int64 sums + truncating
+    division make the result bit-identical to the chained-CTE SQL replay
+    (see functions.similarity.kmeans_fixed_point for the scale story)."""
+    from ..functions.similarity import kmeans_fixed_point
+
+    return kmeans_fixed_point(_read_embeddings(sf_dir), k=KMEANS_K,
+                              iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int, iters: int, scale: int, dim: int) -> str:
+    """Chained-CTE replay of the integer Lloyd iteration: quantize →
+    (assign, update) per round — all BIGINT, division truncating like the
+    engine's _trunc_div — then a final assignment."""
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id, i::BIGINT AS dim,
+         floor(embedding[i]::DOUBLE * {scale})::BIGINT AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i)),
+init AS (
+  SELECT vec_id,
+         (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT i.cluster, p.dim, p.v FROM init i JOIN pts p USING (vec_id))"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS (SELECT p.vec_id, c.cluster,
+              sum((p.v - c.v) * (p.v - c.v))::BIGINT AS dist
+       FROM pts p JOIN c{t - 1} c USING (dim)
+       GROUP BY p.vec_id, c.cluster),
+a{t} AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cluster) AS rn
+         FROM d{t}) WHERE rn = 1),
+u{t} AS (SELECT a.cluster, p.dim, (sum(p.v) // count(*))::BIGINT AS v
+       FROM a{t} a JOIN pts p USING (vec_id) GROUP BY a.cluster, p.dim),
+c{t} AS (SELECT c{t - 1}.cluster, c{t - 1}.dim,
+                COALESCE(u{t}.v, c{t - 1}.v) AS v
+       FROM c{t - 1} LEFT JOIN u{t} USING (cluster, dim))""")
+    parts.append(f""",
+df AS (SELECT p.vec_id, c.cluster,
+              sum((p.v - c.v) * (p.v - c.v))::BIGINT AS dist
+       FROM pts p JOIN c{iters} c USING (dim)
+       GROUP BY p.vec_id, c.cluster)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cluster) AS rn
+  FROM df) WHERE rn = 1""")
+    return "".join(parts)
+
+
+SQL_EMBED_KMEANS_CLUSTERS = _kmeans_sql(KMEANS_K, KMEANS_ITERS,
+                                        10 ** 6, EMBED_DIM)
+
+
 def docs_shingles(sf_dir):
     """Distinct 3-word shingle count per document — the (oracle-able)
     shingling front half of the MinHash dedup pipeline."""
@@ -2236,6 +2299,7 @@ QUERIES = {
     "graph_components_customers": graph_components_customers,
     "graph_khop_customers": graph_khop_customers,
     "graph_pagerank_customers": graph_pagerank_customers,
+    "embed_kmeans_clusters": embed_kmeans_clusters,
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
@@ -2318,6 +2382,7 @@ ORACLES = {
     "graph_components_customers": SQL_GRAPH_COMPONENTS_CUSTOMERS,
     "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
     "graph_pagerank_customers": SQL_GRAPH_PAGERANK_CUSTOMERS,
+    "embed_kmeans_clusters": SQL_EMBED_KMEANS_CLUSTERS,
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,

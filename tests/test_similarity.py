@@ -201,3 +201,45 @@ def test_cosine_pair_join_lsh_values_match_exact(ray_session):
                                      n_bands=16))
     assert len(exact) >= 20
     pd.testing.assert_frame_equal(exact, lsh, check_dtype=False)
+
+
+def test_kmeans_fixed_point_matches_sequential(ray_session):
+    """Distributed fixed-point k-means == sequential integer replay,
+    independent of partitioning; clusters keep previous centroids when
+    they empty out (k=6 on 3 tight blobs forces empty clusters)."""
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import (_trunc_div,
+                                                  kmeans_fixed_point)
+
+    rng = np.random.default_rng(7)
+    K, T, S = 6, 3, 10 ** 6
+    blobs = [rng.normal(c, 0.02, (40, 8)) for c in (-0.4, 0.0, 0.4)]
+    X = np.concatenate(blobs).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": X[i].tolist()}
+            for i in range(len(X))]
+
+    Q = np.floor(X.astype(np.float64) * S).astype(np.int64)
+
+    def assign(mat, c):
+        d2 = ((mat * mat).sum(1, keepdims=True)
+              + (c * c).sum(1)[None, :] - 2 * (mat @ c.T))
+        return np.argmin(d2, axis=1)
+
+    cents = Q[:K].copy()               # ids 0..K-1 are the K smallest
+    for _ in range(T):
+        a = assign(Q, cents)
+        for c in range(K):
+            m = a == c
+            if m.sum():
+                cents[c] = _trunc_div(Q[m].sum(0), np.int64(m.sum()))
+    want = assign(Q, cents)
+    assert len(set(want)) < K          # the blob setup empties clusters
+
+    for n_parts in (1, 9):
+        ds = rd.from_items(rows).repartition(n_parts)
+        got = (kmeans_fixed_point(ds, k=K, iters=T).to_pandas()
+               .sort_values("vec_id"))
+        assert (got["cluster"].to_numpy() == want).all()
+        assert got["cluster"].dtype == np.int64
