@@ -449,3 +449,106 @@ def decontaminate(docs_ds, eval_ds, *, k: int = 13,
             [key_col, text_col])
 
     return docs_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (exact-substring dedup primitive)
+# ---------------------------------------------------------------------------
+
+def positional_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit md5 hash of the word k-gram at EVERY position (one per
+    start offset, duplicates kept — unlike :func:`shingle_hashes`).
+    Docs with fewer than ``k`` tokens emit no spans. int64 view of the
+    uint64 hash (bit-reinterpreted) so downstream pandas groupbys stay on
+    a native dtype."""
+    words = text.split()
+    if len(words) < k:
+        return np.empty(0, dtype=np.int64)
+    grams = (" ".join(words[i: i + k]) for i in range(len(words) - k + 1))
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
+                        "big") for g in grams),
+        dtype=np.uint64, count=len(words) - k + 1).view(np.int64)
+
+
+def duplicated_spans(docs_ds, *, k: int = 8, text_col: str = "text",
+                     key_col: str = "doc_id", rows_hint: int | None = None,
+                     broadcast_limit: int = DECONTAM_BROADCAST_LIMIT):
+    """Per-document count of k-gram spans that also appear in ANOTHER
+    document — the detection half of exact-substring dedup (the
+    "deduplicating training data" span-redaction pass): spans whose
+    k-gram has cross-document frequency ≥ 2 are boilerplate/copy
+    candidates.
+
+    Scale shape, two passes, corpus never shuffled:
+    1. document-frequency per shingle hash: each batch emits its docs'
+       DISTINCT hashes (one row per (doc, hash)), a bucketed aggregate
+       sums doc-frequency AND filters to df ≥ 2 inside the bucket — only
+       actual duplicates (typically a tiny fraction) leave the shuffle.
+    2. the dup-hash set broadcasts (sorted int64 array under
+       ``broadcast_limit``, else a Bloom filter — false positives only
+       over-flag, never miss a real duplicate span), and each batch
+       counts span membership vectorized (np.isin).
+
+    Returns (key_col, n_spans, n_dup_spans) — all int64.
+    """
+    import pandas as pd
+    import ray
+
+    from .relational import hash_bucket_aggregate
+
+    def doc_hash_partial(batch: pa.Table) -> pa.Table:
+        hs = []
+        for t in batch.column(text_col).to_pylist():
+            u = np.unique(positional_shingle_hashes(t, k))
+            hs.append(u)
+        n = [len(u) for u in hs]
+        return pa.table({
+            "h": pa.array(np.concatenate(hs) if hs else
+                          np.empty(0, np.int64)),
+            "df": pa.array(np.ones(int(sum(n)), dtype=np.int64))})
+
+    def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False, sort=False)["df"].sum()
+        return s[s["df"] >= 2][["h"]]
+
+    dup = hash_bucket_aggregate(
+        docs_ds.map_batches(doc_hash_partial, batch_format="pyarrow"),
+        ["h"], dup_bucket, rows_hint=rows_hint)
+
+    dup_hashes: list[int] = []
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            dup_hashes.extend(b.column("h").to_pylist())
+
+    use_bloom = len(dup_hashes) > broadcast_limit
+    if use_bloom:
+        from .sketches import Bloom
+        n_bits = max(1 << 20, 16 * len(dup_hashes))
+        bloom = Bloom(n_bits)
+        bloom.add_many(list(map(str, dup_hashes)))
+        ref = ray.put((True, bloom.to_bytes(), n_bits))
+    else:
+        arr = np.array(sorted(dup_hashes), dtype=np.int64)
+        ref = ray.put((False, arr, None))
+
+    def count_spans(batch: pa.Table) -> pa.Table:
+        is_bloom, payload, n_bits = ray.get(ref)
+        if is_bloom:
+            from .sketches import Bloom
+            filt = Bloom.from_bytes(payload, n_bits)
+        n_spans, n_dup = [], []
+        for t in batch.column(text_col).to_pylist():
+            hs = positional_shingle_hashes(t, k)
+            n_spans.append(len(hs))
+            if is_bloom:
+                n_dup.append(int(filt.contains_many(
+                    [str(h) for h in hs.tolist()]).sum()))
+            else:
+                n_dup.append(int(np.isin(hs, payload).sum()))
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_dup_spans": pa.array(n_dup, pa.int64())})
+
+    return docs_ds.map_batches(count_spans, batch_format="pyarrow")

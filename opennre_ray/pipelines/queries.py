@@ -2016,6 +2016,48 @@ WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
 """
 
 
+DUPSPAN_K = 8
+
+
+def docs_duplicated_spans(sf_dir):
+    """Cross-document duplicated k-gram spans (exact-substring dedup
+    primitive): per doc, how many of its k-gram positions also occur in
+    another document. Pass 1 aggregates shingle document-frequency and
+    keeps only df>=2 hashes inside the shuffle buckets; pass 2 broadcasts
+    the dup set and counts membership vectorized."""
+    from ..functions.dedup import duplicated_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_spans(ds, k=DUPSPAN_K,
+                            rows_hint=128 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_DUPLICATED_SPANS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(1, length(toks) - {DUPSPAN_K} + 2)) AS i,
+         toks
+  FROM toks WHERE length(toks) >= {DUPSPAN_K}),
+g2 AS (SELECT doc_id,
+              array_to_string(toks[i:i + {DUPSPAN_K} - 1], ' ') AS g
+       FROM pos),
+dup AS (SELECT g FROM (
+          SELECT g, count(DISTINCT doc_id) AS df FROM g2 GROUP BY g)
+        WHERE df >= 2),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+               count(CASE WHEN d.g IS NOT NULL THEN 1 END)::BIGINT
+                 AS n_dup_spans
+        FROM g2 LEFT JOIN dup d USING (g) GROUP BY doc_id)
+SELECT dd.doc_id, COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(a.n_dup_spans, 0)::BIGINT AS n_dup_spans
+FROM documents dd LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def docs_minhash_dedup(sf_dir):
     from ..functions.dedup import minhash_duplicate_groups
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2332,6 +2374,7 @@ QUERIES = {
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "docs_bottomk_per_lang": docs_bottomk_per_lang,
     "docs_oov_ratio": docs_oov_ratio,
+    "docs_duplicated_spans": docs_duplicated_spans,
     "docs_above_median_tokens": docs_above_median_tokens,
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
@@ -2400,6 +2443,7 @@ ORACLES = {
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
     "docs_bottomk_per_lang": SQL_DOCS_BOTTOMK_PER_LANG,
     "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
+    "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
     "docs_above_median_tokens": SQL_DOCS_ABOVE_MEDIAN_TOKENS,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,

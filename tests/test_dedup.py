@@ -167,3 +167,32 @@ def test_decontaminate_planted(ray_session):
                                 broadcast_limit=0).to_pandas()
     assert set(bloom_clean["doc_id"]) <= {3, 4}      # conservative
     assert not ({1, 2} & set(bloom_clean["doc_id"]))  # never leaks
+
+
+def test_duplicated_spans_planted(ray_session):
+    """Planted shared 8-gram across two docs is flagged at every position
+    it occupies; within-doc-only repetition is NOT cross-document dup.
+    The Bloom fallback path (broadcast_limit=0) matches the exact path."""
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import duplicated_spans
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"          # exactly k=8 tokens
+    rows = [
+        {"doc_id": 0, "text": boiler + " aa bb cc dd ee ff gg hh"},
+        {"doc_id": 1, "text": "xx yy " + boiler},
+        # within-doc repetition only: k-grams repeat inside doc 2 but
+        # appear in no other doc
+        {"doc_id": 2, "text": ("q1 q2 q3 q4 q5 q6 q7 q8 " * 2).strip()},
+        {"doc_id": 3, "text": "short doc"},      # < k tokens: 0 spans
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    got = (duplicated_spans(ds, k=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc0: 9 spans, only position 0 (the boilerplate) is cross-doc
+    assert got["n_spans"].tolist() == [9, 3, 9, 0]
+    assert got["n_dup_spans"].tolist() == [1, 1, 0, 0]
+
+    via_bloom = (duplicated_spans(ds, k=8, broadcast_limit=0).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+    assert via_bloom.equals(got)
