@@ -178,3 +178,22 @@ def bottomk_sample(ds, key_col: str, id_col: str = "doc_id", k: int = 20,
     candidates = ds.map_batches(partial, batch_format="pandas")
     return hash_bucket_aggregate(candidates, [key_col], head_k,
                                  rows_hint=rows_hint)
+
+
+def topk_by_key(ds, key_col: str, score_col: str, id_col: str = "doc_id",
+                k: int = 10, rows_hint: int | None = None):
+    """Exact per-key top-k by a score column ("keep the k best docs per
+    domain"), ties broken by smallest id. Same scale shape as
+    :func:`bottomk_sample`: a map-side partial top-k inside every batch
+    bounds the shuffle to ≤ k candidate rows per (block, key); one
+    bucketed shuffle finishes the exact per-key top-k."""
+    from .relational import hash_bucket_aggregate
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, score_col, id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby(key_col, as_index=False, sort=False).head(k)
+
+    candidates = ds.map_batches(head_k, batch_format="pandas")
+    return hash_bucket_aggregate(candidates, [key_col], head_k,
+                                 rows_hint=rows_hint)

@@ -191,3 +191,41 @@ def oov_stats(docs_ds, vocab: frozenset):
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index(docs_ds, id_col: str = "doc_id",
+                   text_col: str = "text", rows_hint: int | None = None):
+    """Token → (document frequency, sorted posting list) search index.
+
+    Map-side: each batch emits DISTINCT (token, id) pairs per doc (within-
+    doc repeats collapse before the shuffle); one bucketed aggregate then
+    builds each token's posting list. Postings serialize as a
+    comma-joined id string sorted numerically — deterministic and
+    SQL-replayable via ``string_agg(... ORDER BY id)``. Scale note: a
+    token's posting row is O(df); production indexes segment ultra-hot
+    tokens into df-bucketed shards — the aggregation shape here (bucketed
+    by token hash) is the same either way.
+    """
+    import pandas as pd
+
+    from .relational import hash_bucket_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            for w in set(_tokens(t)):
+                ids.append(i)
+                toks.append(w)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.sort_values(id_col).groupby("token", sort=False)[id_col]
+        out = agg.agg(lambda s: ",".join(map(str, s))).rename("postings")
+        df = agg.size().rename("df")
+        return pd.concat([df, out], axis=1).reset_index()
+
+    return hash_bucket_aggregate(docs_ds.map_batches(
+        pairs, batch_format="pyarrow"), ["token"], per_bucket,
+        rows_hint=rows_hint)

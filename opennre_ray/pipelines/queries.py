@@ -800,6 +800,26 @@ GROUP BY token
 """
 
 
+def docs_inverted_index(sf_dir):
+    """Token -> (df, sorted posting list) search index; bucketed by token
+    hash, within-doc repeats collapsed map-side."""
+    from ..functions.textstats import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, rows_hint=64 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_INVERTED_INDEX = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> '')
+SELECT token, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY token
+"""
+
+
 def docs_fingerprint(sf_dir):
     from ..functions.textstats import fingerprint_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1043,6 +1063,39 @@ SELECT doc_id, lang, draw FROM (
                        ::UBIGINT)::BIGINT, doc_id) AS rn
   FROM documents)
 WHERE rn <= {BOTTOMK_K}
+"""
+
+
+TOPK_PER_LANG = 10
+
+
+def docs_topk_tokens_per_lang(sf_dir):
+    """Per-language top-k selection by an explicit score (token count,
+    ties by doc_id) — the "keep the k best docs per domain" op; map-side
+    partial top-k bounds the shuffle to k rows per (block, lang)."""
+    from ..functions.packing import topk_by_key
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tc = docs.map_batches(
+        lambda t: token_count_batch(t).append_column(
+            "lang", t.column("lang")),
+        batch_format="pyarrow")
+    return topk_by_key(tc, "lang", "n_tokens", k=TOPK_PER_LANG)
+
+
+SQL_DOCS_TOPK_TOKENS_PER_LANG = rf"""
+SELECT doc_id, n_tokens, lang FROM (
+  SELECT doc_id, lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\s+'))
+          END)::BIGINT AS n_tokens,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                     END) DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= {TOPK_PER_LANG}
 """
 
 
@@ -2375,6 +2428,8 @@ QUERIES = {
     "docs_bottomk_per_lang": docs_bottomk_per_lang,
     "docs_oov_ratio": docs_oov_ratio,
     "docs_duplicated_spans": docs_duplicated_spans,
+    "docs_inverted_index": docs_inverted_index,
+    "docs_topk_tokens_per_lang": docs_topk_tokens_per_lang,
     "docs_above_median_tokens": docs_above_median_tokens,
     "events_asof_view": events_asof_view,
     "lineitem_quantity_bands": lineitem_quantity_bands,
@@ -2444,6 +2499,8 @@ ORACLES = {
     "docs_bottomk_per_lang": SQL_DOCS_BOTTOMK_PER_LANG,
     "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
+    "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
+    "docs_topk_tokens_per_lang": SQL_DOCS_TOPK_TOKENS_PER_LANG,
     "docs_above_median_tokens": SQL_DOCS_ABOVE_MEDIAN_TOKENS,
     "lineitem_quantity_bands": SQL_LINEITEM_QUANTITY_BANDS,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -127,3 +127,26 @@ def test_new_operators_on_empty_input(ray_session):
     assert hash_split(empty, "doc_id").count() == 0
     assert len(pack_sequences(empty, budget=64, part_size=10)
                .to_pandas()) == 0
+
+
+def test_topk_by_key_matches_bruteforce(ray_session):
+    """topk_by_key == brute-force per-key top-k by (score desc, id asc),
+    invariant to partitioning; boundary score ties resolved by id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import topk_by_key
+
+    rows = [{"k": ["a", "b"][i % 2], "id": i, "score": (i * 7) % 13}
+            for i in range(60)]
+    df = pd.DataFrame(rows)
+    want = (df.sort_values(["k", "score", "id"],
+                           ascending=[True, False, True])
+              .groupby("k").head(4)
+              .sort_values("id").reset_index(drop=True))
+    for n_parts in (1, 6):
+        ds = rd.from_items(rows).repartition(n_parts)
+        got = (topk_by_key(ds, "k", "score", id_col="id", k=4)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert (got[["k", "id", "score"]].to_numpy()
+                == want[["k", "id", "score"]].to_numpy()).all()
