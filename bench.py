@@ -120,6 +120,12 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.embed_cosine_pairs_lsh(sf_dir)))
     timed("docs_pretrain_pipeline",
           lambda: consume(Q.docs_pretrain_pipeline(sf_dir)))
+    timed("graph_pagerank_customers",
+          lambda: consume(Q.graph_pagerank_customers(sf_dir)))
+    timed("embed_kmeans_clusters",
+          lambda: consume(Q.embed_kmeans_clusters(sf_dir)))
+    timed("docs_duplicated_spans",
+          lambda: consume(Q.docs_duplicated_spans(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
