@@ -471,3 +471,91 @@ def add_time_window(ds, ts_col: str, unit: str = "day",
         return batch
 
     return ds.map_batches(trunc, batch_format="pandas")
+
+
+def skew_join(left_ds, right_ds, left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str], *,
+              hot_k: int = 16, counters: int = 64,
+              n_buckets: int | None = None,
+              rows_hint: int | None = None):
+    """Inner join resilient to hot probe keys (skew join).
+
+    A plain hash join sends every row of a hot key to ONE bucket — on a
+    Zipfian fact table a single partition ends up holding a large share
+    of the corpus while the other workers idle. Here a Misra-Gries pass
+    over the LEFT key (approximate is fine: routing, not correctness)
+    picks the ``hot_k`` heaviest keys; the RIGHT rows for those keys —
+    a dimension-side handful — broadcast via ``ray.put`` and the hot left
+    rows join map-side with NO shuffle at all, while the remaining
+    (cold, well-spread) rows take the normal bucketed ``shuffle_join``.
+    The union is exactly the inner join; only the partitioning differs.
+
+    Keys are matched on their canonical string form for hot-routing
+    (values travel natively through both join paths, so no precision is
+    lost — the string form only decides WHICH path a row takes).
+    """
+    import ray
+
+    from .sketches import heavy_hitters
+
+    key_strs = left_ds.map_batches(
+        lambda df: pd.DataFrame({"k": df[left_key].astype(str)}),
+        batch_format="pandas")
+    hot = set(heavy_hitters(key_strs, "k", k=hot_k,
+                            counters=counters).column("value").to_pylist())
+
+    def split(want_hot: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[left_key].astype(str).isin(hot)
+            return df[m if want_hot else ~m]
+        return fn
+
+    left_slim = left_ds.map_batches(
+        lambda df: df[[left_key] + list(left_cols)], batch_format="pandas")
+
+    # dimension rows of the hot keys: a bounded handful -> broadcast
+    right_hot = (right_ds.map_batches(
+        lambda df: df[df[right_key].astype(str).isin(hot)],
+        batch_format="pandas").to_pandas())
+    right_hot = right_hot[[right_key] + list(right_cols)].rename(
+        columns={right_key: left_key})
+
+    hot_res = broadcast_join(
+        left_slim.map_batches(split(True), batch_format="pandas"),
+        right_hot, on=left_key)
+    cold_res = shuffle_join(
+        left_slim.map_batches(split(False), batch_format="pandas"),
+        right_ds, left_key, right_key, list(left_cols), list(right_cols),
+        n_buckets=n_buckets, rows_hint=rows_hint)
+
+    cols = [left_key] + list(left_cols) + list(right_cols)
+
+    # restore exact input dtypes (shuffle_join's tagged union degrades
+    # value columns to object; see its docstring caveat)
+    import pyarrow as pa
+
+    def arrow_types(ds, wanted):
+        s = getattr(ds.schema(), "base_schema", ds.schema())
+        if isinstance(s, pa.Schema):
+            return {c: s.field(c).type for c in wanted}
+        # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
+        by_name = dict(zip(s.names, s.types))
+        out = {}
+        for c in wanted:
+            t = by_name[c]
+            try:
+                out[c] = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                out[c] = pa.string() if t == object else pa.from_numpy_dtype(t)
+        return out
+
+    types = arrow_types(left_ds, [left_key] + list(left_cols))
+    types.update(arrow_types(right_ds, list(right_cols)))
+    out_schema = pa.schema([(c, types[c]) for c in cols])
+
+    def conform(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df[cols], schema=out_schema,
+                                    preserve_index=False)
+
+    return (hot_res.map_batches(conform, batch_format="pandas")
+            .union(cold_res.map_batches(conform, batch_format="pandas")))

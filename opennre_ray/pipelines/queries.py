@@ -246,6 +246,46 @@ GROUP BY n.n_name
 """
 
 
+def lineitem_part_skew_join(sf_dir):
+    """Fact⋈dimension via the skew-resilient hybrid join: Misra-Gries
+    picks the heaviest probe keys, whose rows join map-side against a
+    broadcast slice of the dimension while the cold remainder takes the
+    bucketed shuffle path — then a map-side combine + tiny groupby."""
+    from ray.data.aggregate import Sum
+    from ..functions.relational import skew_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = skew_join(li, part, "l_partkey", "p_partkey",
+                       ["l_extendedprice"], ["p_brand"],
+                       hot_k=16, rows_hint=_nrows(sf_dir, "lineitem"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("p_brand", as_index=False)
+                .agg(n_items=("l_extendedprice", "size"),
+                     revenue=("l_extendedprice", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue", alias_name="revenue"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_items"] = b["n_items"].astype("int64")
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_LINEITEM_PART_SKEW_JOIN = """
+SELECT p_brand, count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 SQL_CUSTOMER_NATION_JOIN = """
 SELECT n_name, count(*) AS n_customers,
        round(sum(c_acctbal), 2) AS sum_acctbal
@@ -2437,6 +2477,7 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_distinct_users_exact": events_distinct_users_exact,
     "revenue_by_nation": revenue_by_nation,
+    "lineitem_part_skew_join": lineitem_part_skew_join,
     "orders_above_customer_avg": orders_above_customer_avg,
     "docs_pretrain_pipeline": docs_pretrain_pipeline,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
@@ -2507,6 +2548,7 @@ ORACLES = {
     "events_lag_delta": SQL_EVENTS_LAG_DELTA,
     "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "lineitem_part_skew_join": SQL_LINEITEM_PART_SKEW_JOIN,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
 }

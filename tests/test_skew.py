@@ -255,3 +255,30 @@ def test_global_rank_matches_sql_row_number(ray_session):
                        descending=True).to_pandas()
     assert sorted(desc["r"]) == list(range(1, 1001))
     assert desc.loc[desc["k"].idxmax(), "r"] == 1
+
+
+def test_skew_join_matches_merge_and_dtypes(ray_session):
+    """Hybrid hot-broadcast + cold-shuffle join == plain inner join, with
+    the inputs' exact Arrow dtypes restored on BOTH paths."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import skew_join
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.4, 0,
+                    rng.integers(0, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys,
+                         "v": rng.integers(0, 99, n).astype(np.int64)})
+    right = pd.DataFrame({"rk": np.arange(150, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(150)]})
+
+    out = skew_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(right).repartition(2),
+                    "k", "rk", ["v"], ["name"],
+                    hot_k=4, rows_hint=n).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")[["k", "v", "name"]]
+    a = out.sort_values(["k", "v", "name"]).reset_index(drop=True)
+    b = exp.sort_values(["k", "v", "name"]).reset_index(drop=True)
+    assert a["k"].dtype == np.int64 and a["v"].dtype == np.int64
+    pd.testing.assert_frame_equal(a, b)
