@@ -552,3 +552,49 @@ def duplicated_spans(docs_ds, *, k: int = 8, text_col: str = "text",
             "n_dup_spans": pa.array(n_dup, pa.int64())})
 
     return docs_ds.map_batches(count_spans, batch_format="pyarrow")
+
+
+def semantic_dedup(ds_emb, *, k: int = 8, iters: int = 3,
+                   threshold: float = 0.45, id_col: str = "vec_id",
+                   vec_col: str = "embedding", rows_hint: int | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then inside each cluster drop any
+    vector whose cosine to a LOWER-id cluster-mate reaches ``threshold``
+    (the lowest id of a near-dup set survives — deterministic keeper).
+
+    Scale shape: the pairwise cosine never runs globally — k-means bounds
+    it to ~ (n/k)^2 per cluster, and at web scale k grows with the corpus
+    (n/k stays a few thousand) so each cluster is one small vectorized
+    matmul inside a bucketed shuffle keyed on the cluster label. The
+    clustering itself is the integer fixed-point streaming k-means
+    (similarity.kmeans_fixed_point) — bit-identical distributed vs
+    sequential, so the whole operator is value-reproducible and its SQL
+    replay oracle-able (cosines rounded at 6 decimals before the
+    threshold compare, same in engine and oracle).
+    """
+    import pandas as pd
+
+    from .relational import hash_bucket_aggregate
+    from .similarity import kmeans_fixed_point
+    from .sqlcompat import sql_round
+
+    labeled = kmeans_fixed_point(ds_emb, k=k, iters=iters, id_col=id_col,
+                                 vec_col=vec_col, keep_vec=True)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cg in g.groupby("cluster", sort=False):
+            cg = cg.sort_values(id_col)
+            m = np.asarray(np.stack(cg[vec_col].to_numpy()), dtype=np.float64)
+            if len(m) > 1:
+                norms = np.sqrt((m * m).sum(axis=1))
+                cos = sql_round((m @ m.T) / np.outer(norms, norms), 6)
+                # drop row i if any j<i (id order) has cos >= threshold
+                dup = (np.tril(cos >= threshold, k=-1)).any(axis=1)
+            else:
+                dup = np.zeros(len(m), dtype=bool)
+            out.append(cg.loc[~dup, [id_col, "cluster"]])
+        return pd.concat(out) if out else g[[id_col, "cluster"]]
+
+    return hash_bucket_aggregate(labeled, ["cluster"], per_cluster,
+                                 rows_hint=rows_hint)

@@ -1701,6 +1701,53 @@ SQL_EMBED_KMEANS_CLUSTERS = _kmeans_sql(KMEANS_K, KMEANS_ITERS,
                                         10 ** 6, EMBED_DIM)
 
 
+SEMDEDUP_T = 0.45
+
+
+def embed_semantic_dedup(sf_dir):
+    """SemDeDup: k-means clusters (integer fixed-point, bit-reproducible)
+    + within-cluster cosine pruning — lowest id of each near-dup set
+    survives. Threshold 0.45 suits the synthetic near-orthogonal corpus
+    (closest pairs ~0.5 cosine); real near-dup corpora run ~0.95."""
+    from ..functions.dedup import semantic_dedup
+
+    return semantic_dedup(_read_embeddings(sf_dir), k=KMEANS_K,
+                          iters=KMEANS_ITERS, threshold=SEMDEDUP_T,
+                          rows_hint=_nrows(sf_dir, "embeddings"))
+
+
+def _semantic_dedup_sql(threshold: float) -> str:
+    """Replay: the k-means CTE labels every vector, then a within-cluster
+    lower-id self-join drops any vector with a near-dup predecessor
+    (cosine computed in DOUBLE from the float32 lists, rounded at 6 —
+    identical to the engine's float64 matmul + round)."""
+    return f"""
+WITH labels AS ({SQL_EMBED_KMEANS_CLUSTERS}),
+psub AS (
+  SELECT vec_id, i::BIGINT AS dim, embedding[i]::DOUBLE AS v
+  FROM embeddings, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i)),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM psub GROUP BY vec_id),
+dots AS (
+  SELECT la.vec_id AS a, lb.vec_id AS b, sum(pa.v * pb.v) AS dot
+  FROM labels la
+  JOIN labels lb ON la.cluster = lb.cluster AND lb.vec_id < la.vec_id
+  JOIN psub pa ON pa.vec_id = la.vec_id
+  JOIN psub pb ON pb.vec_id = lb.vec_id AND pb.dim = pa.dim
+  GROUP BY la.vec_id, lb.vec_id),
+dropped AS (
+  SELECT DISTINCT d.a AS vec_id
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a
+  JOIN norms nb ON nb.vec_id = d.b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {threshold})
+SELECT l.vec_id, l.cluster FROM labels l
+WHERE l.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+SQL_EMBED_SEMANTIC_DEDUP = _semantic_dedup_sql(SEMDEDUP_T)
+
+
 def docs_shingles(sf_dir):
     """Distinct 3-word shingle count per document — the (oracle-able)
     shingling front half of the MinHash dedup pipeline."""
@@ -2374,6 +2421,18 @@ def knn_ivf_query(sf_dir):
     return knn_ivf(emb, qids, qmat, k=KNN_K)
 
 
+def knn_pq_query(sf_dir):
+    """Product-quantization ANN (ADC): data vectors compressed to m=16
+    one-byte codes, queries score via lookup-table gathers — the
+    memory-bound scale path when even one float matmul pass per query
+    batch is too expensive (codes are 16 B/vector vs 256 B float32)."""
+    from ..functions.similarity import knn_pq
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qmat = _query_vectors(sf_dir)
+    return knn_pq(emb, qids, qmat, k=KNN_K, m=16, ksub=32)
+
+
 def embedding_near_dups(sf_dir):
     # threshold/planes tuned so the synthetic corpus (near-orthogonal
     # random embeddings, closest pairs ~0.5 cosine) yields a non-trivial
@@ -2435,6 +2494,7 @@ QUERIES = {
     "graph_khop_customers": graph_khop_customers,
     "graph_pagerank_customers": graph_pagerank_customers,
     "embed_kmeans_clusters": embed_kmeans_clusters,
+    "embed_semantic_dedup": embed_semantic_dedup,
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
@@ -2487,6 +2547,7 @@ QUERIES = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
+    "knn_pq": knn_pq_query,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
 }
@@ -2522,6 +2583,7 @@ ORACLES = {
     "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
     "graph_pagerank_customers": SQL_GRAPH_PAGERANK_CUSTOMERS,
     "embed_kmeans_clusters": SQL_EMBED_KMEANS_CLUSTERS,
+    "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,

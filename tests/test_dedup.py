@@ -196,3 +196,44 @@ def test_duplicated_spans_planted(ray_session):
     via_bloom = (duplicated_spans(ds, k=8, broadcast_limit=0).to_pandas()
                  .sort_values("doc_id").reset_index(drop=True))
     assert via_bloom.equals(got)
+
+
+def test_semantic_dedup_matches_sequential(ray_session):
+    """Distributed SemDeDup == a sequential numpy replay of the same
+    clustering + lowest-id-wins cosine pruning, at any block count; a
+    planted near-identical pair loses its higher id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import semantic_dedup
+    from opennre_ray.functions.similarity import kmeans_fixed_point
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d))
+    vecs[137] = vecs[42] + 1e-4          # planted near-dup (higher id drops)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    ds = rd.from_pandas(df).repartition(7)
+
+    got = semantic_dedup(ds, k=4, iters=2, threshold=0.9,
+                         rows_hint=n).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert 137 not in set(got["vec_id"]) and 42 in set(got["vec_id"])
+
+    # sequential replay: same labels, brute-force prune per cluster
+    labels = (kmeans_fixed_point(ds, k=4, iters=2, keep_vec=False)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    m = np.asarray(np.stack(df["embedding"].to_numpy()), dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    cos = sql_round((m @ m.T) / np.outer(norms, norms), 6)
+    keep = []
+    for i in range(n):
+        cl = labels.loc[i, "cluster"]
+        mates = labels.index[(labels["cluster"] == cl)
+                             & (labels["vec_id"] < i)]
+        if not (cos[i, mates] >= 0.9).any():
+            keep.append((i, cl))
+    exp = pd.DataFrame(keep, columns=["vec_id", "cluster"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
