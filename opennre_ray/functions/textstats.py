@@ -229,3 +229,105 @@ def inverted_index(docs_ds, id_col: str = "doc_id",
     return hash_bucket_aggregate(docs_ds.map_batches(
         pairs, batch_format="pyarrow"), ["token"], per_bucket,
         rows_hint=rows_hint)
+
+
+def tfidf_topk(docs_ds, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text", n_docs: int | None = None,
+               rows_hint: int | None = None,
+               broadcast_limit: int = 2_000_000):
+    """Per-document top-``k`` tf-idf terms (score = tf · ln(N/df), ranked
+    on the 6-decimal-rounded score with lexicographic tie-break — the
+    exact ordering the SQL ``row_number() OVER (ORDER BY score DESC,
+    token)`` replay uses, so distributed output is value-oracle-able).
+
+    Two passes over the corpus:
+      1. document frequency per token — distinct tokens per doc collapse
+         map-side, then ONE bucketed aggregate (the shuffle moves
+         vocabulary-sized partials, never document text);
+      2. scoring — tf per doc is local to the row, idf comes from the df
+         table. Under ``broadcast_limit`` distinct tokens the df map
+         ships once via ``ray.put`` and pass 2 is a stateless streaming
+         map (the in-sandbox reality). Above it (open-web vocab ≈ corpus
+         cardinality) the same math runs as (doc, token, tf) pairs
+         bucket-joined to the df table by token hash, then a per-doc
+         bucketed top-k — no driver-sized state anywhere.
+
+    ``n_docs``: pass the parquet-metadata row count when cheaply known;
+    otherwise a count() pass derives it.
+    """
+    import pandas as pd
+    import ray
+
+    from .relational import hash_bucket_aggregate
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            for w in set(_tokens(t)):
+                ids.append(i)
+                toks.append(w)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    def df_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(df=(id_col, "size"))
+
+    df_ds = hash_bucket_aggregate(
+        docs_ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["token"], df_per_bucket, rows_hint=rows_hint)
+
+    def topk_frame(g: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, token, tf, df) rows → per-doc top-k by rounded score."""
+        # shuffle_join's tagged union degrades value columns to object
+        tf = g["tf"].astype(np.int64)
+        dfc = g["df"].astype(np.int64)
+        g = g.assign(tf=tf, score=sql_round(tf * np.log(n_docs / dfc), 6))
+        g = g.sort_values(["score", "token"], ascending=[False, True],
+                          kind="stable")
+        out = g.groupby(id_col, sort=False).head(k)
+        return out[[id_col, "token", "tf", "score"]]
+
+    n_tokens = df_ds.count()
+    if n_tokens <= broadcast_limit:
+        dfmap = {t: int(c) for t, c in zip(
+            *(df_ds.to_pandas()[c] for c in ("token", "df")))}
+        ref = ray.put(dfmap)
+
+        def score_batch(batch: pa.Table) -> pd.DataFrame:
+            from collections import Counter
+            dfm = ray.get(ref)
+            rows = []
+            id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+            for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+                for w, tf in Counter(_tokens(t)).items():
+                    rows.append((i, w, tf, dfm[w]))
+            return topk_frame(pd.DataFrame(
+                rows, columns=[id_col, "token", "tf", "df"]))
+
+        return docs_ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # scale path: token-bucketed join of (doc, token, tf) onto df,
+    # then a doc-bucketed top-k
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, toks, tfs = [], [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            for w, c in Counter(_tokens(t)).items():
+                ids.append(i)
+                toks.append(w)
+                tfs.append(c)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    from .relational import shuffle_join
+    joined = shuffle_join(
+        docs_ds.map_batches(tf_pairs, batch_format="pyarrow"), df_ds,
+        "token", "token", [id_col, "tf"], ["df"], rows_hint=rows_hint)
+    return hash_bucket_aggregate(joined, [id_col], topk_frame,
+                                 rows_hint=rows_hint)

@@ -840,6 +840,38 @@ GROUP BY token
 """
 
 
+TFIDF_K = 3
+
+
+def docs_tfidf_topk(sf_dir):
+    """Per-document top-k tf-idf keywords — two corpus passes (df
+    aggregate, then scoring) with a size-gated broadcast of the df map;
+    see functions.textstats.tfidf_topk for the beyond-broadcast path."""
+    from ..functions.textstats import tfidf_topk
+
+    n = _nrows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, k=TFIDF_K, n_docs=n, rows_hint=64 * n)
+
+
+SQL_DOCS_TFIDF_TOPK = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+       WHERE token <> '' GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+s AS (SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                              / df.df), 6) AS score
+      FROM tf JOIN df USING (token)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM s)
+SELECT doc_id, token, tf, score FROM r WHERE rn <= {TFIDF_K}
+"""
+
+
 def docs_inverted_index(sf_dir):
     """Token -> (df, sorted posting list) search index; bucketed by token
     hash, within-doc repeats collapsed map-side."""
@@ -2484,6 +2516,7 @@ QUERIES = {
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
+    "docs_tfidf_topk": docs_tfidf_topk,
     "docs_fingerprint": docs_fingerprint,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_lang_dist": docs_lang_dist,
@@ -2573,6 +2606,7 @@ ORACLES = {
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,
+    "docs_tfidf_topk": SQL_DOCS_TFIDF_TOPK,
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_lang_dist": SQL_DOCS_LANG_DIST,

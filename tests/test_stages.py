@@ -255,3 +255,39 @@ def test_top_vocab_and_oov_stats(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["n_tokens"].tolist() == [6, 3, 0, 3]
     assert got["oov_cnt"].tolist() == [0, 1, 0, 2]
+
+
+def test_tfidf_topk_paths_agree(ray_session):
+    """Broadcast-df and beyond-broadcast (token-bucketed join) tf-idf
+    produce identical top-k, and match a hand oracle on a tiny corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["apple banana apple", "banana cherry",
+                 "apple cherry cherry durian", ""],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+
+    cols = ["doc_id", "token", "tf", "score"]
+
+    def norm(out_ds):
+        df = out_ds.to_pandas()[cols]
+        return (df.sort_values(["doc_id", "score", "token"],
+                               ascending=[True, False, True])
+                .reset_index(drop=True).astype({"tf": np.int64}))
+
+    bcast = norm(tfidf_topk(ds, k=2, n_docs=4))
+    joined = norm(tfidf_topk(ds, k=2, n_docs=4, broadcast_limit=0,
+                             rows_hint=20))
+    pd.testing.assert_frame_equal(bcast, joined, check_dtype=False)
+
+    # hand check: doc 0 'apple' tf=2 df=2 → 2·ln(2); 'banana' tf=1 df=2
+    got0 = bcast[bcast.doc_id == 0]
+    assert got0.iloc[0].token == "apple"
+    assert got0.iloc[0].score == round(2 * np.log(4 / 2), 6)
+    assert 3 not in set(bcast.doc_id)      # empty doc emits nothing
