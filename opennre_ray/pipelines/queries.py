@@ -278,6 +278,42 @@ def lineitem_part_skew_join(sf_dir):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def customers_order_counts(sf_dir):
+    """Left OUTER join: every customer keeps a row, zero-order customers
+    included. The fact side pre-aggregates to per-customer partial counts
+    map-side (the shuffle moves customer-cardinality count rows, never
+    order rows), then one bucketed left join fills absent keys with 0."""
+    from ray.data.aggregate import Sum
+    from ..functions.relational import shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_custkey", as_index=False)
+                .agg(cnt=("o_custkey", "size")))
+
+    counts = (orders.map_batches(partial, batch_format="pandas")
+              .groupby("o_custkey").aggregate(Sum("cnt", alias_name="cnt")))
+    joined = shuffle_join(cust, counts, "c_custkey", "o_custkey",
+                          [], ["cnt"], how="left",
+                          rows_hint=_nrows(sf_dir, "customer"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "n_orders": b["cnt"].fillna(0).astype("int64")})
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
+SQL_CUSTOMERS_ORDER_COUNTS = """
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
 SQL_LINEITEM_PART_SKEW_JOIN = """
 SELECT p_brand, count(*)::BIGINT AS n_items,
        round(sum(l_extendedprice), 2) AS revenue
@@ -2571,6 +2607,7 @@ QUERIES = {
     "events_distinct_users_exact": events_distinct_users_exact,
     "revenue_by_nation": revenue_by_nation,
     "lineitem_part_skew_join": lineitem_part_skew_join,
+    "customers_order_counts": customers_order_counts,
     "orders_above_customer_avg": orders_above_customer_avg,
     "docs_pretrain_pipeline": docs_pretrain_pipeline,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
@@ -2645,6 +2682,7 @@ ORACLES = {
     "events_distinct_users_exact": SQL_EVENTS_DISTINCT_USERS_EXACT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "lineitem_part_skew_join": SQL_LINEITEM_PART_SKEW_JOIN,
+    "customers_order_counts": SQL_CUSTOMERS_ORDER_COUNTS,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
 }

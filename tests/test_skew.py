@@ -282,3 +282,22 @@ def test_skew_join_matches_merge_and_dtypes(ray_session):
     b = exp.sort_values(["k", "v", "name"]).reset_index(drop=True)
     assert a["k"].dtype == np.int64 and a["v"].dtype == np.int64
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shuffle_join_left_outer(ray_session):
+    """how='left' keeps unmatched left rows with nulls on the right side."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import shuffle_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"rk": [2, 4], "rv": [20.0, 40.0]})
+    out = shuffle_join(rd.from_pandas(left).repartition(3),
+                       rd.from_pandas(right).repartition(2),
+                       "k", "rk", ["lv"], ["rv"],
+                       how="left", n_buckets=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    exp = left.merge(right, left_on="k", right_on="rk",
+                     how="left")[["k", "lv", "rv"]]
+    pd.testing.assert_frame_equal(out.astype({"rv": float}), exp,
+                                  check_dtype=False)
