@@ -126,6 +126,12 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.embed_kmeans_clusters(sf_dir)))
     timed("docs_duplicated_spans",
           lambda: consume(Q.docs_duplicated_spans(sf_dir)))
+    timed("embed_semantic_dedup",
+          lambda: consume(Q.embed_semantic_dedup(sf_dir)))
+    timed("docs_tfidf_topk", lambda: consume(Q.docs_tfidf_topk(sf_dir)))
+    timed("knn_pq", lambda: Q.knn_pq_query(sf_dir))
+    timed("lineitem_part_skew_join",
+          lambda: consume(Q.lineitem_part_skew_join(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

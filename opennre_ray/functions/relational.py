@@ -83,6 +83,24 @@ def compute_n_buckets(rows_hint: int | None,
                                  math.ceil(max(rows_hint, 1) / target)))
 
 
+def canonical_bucket(df: "pd.DataFrame", key_cols, n_buckets: int):
+    """Dtype-canonical bucket assignment shared by every bucketed shuffle.
+
+    Canonicalizes numeric key dtypes before hashing: ``hash_pandas_object``
+    hashes int64 5 and float64 5.0 DIFFERENTLY, so two datasets bucketed
+    separately on dtype-mismatched keys (e.g. asof_join / shuffle_join
+    sides) would send equal keys to different buckets — silent data loss.
+    Equal values always agree as float64; distinct ints >2^53 merely
+    co-bucket.
+    """
+    kdf = df[key_cols].copy()
+    for c in key_cols:
+        if pd.api.types.is_numeric_dtype(kdf[c]):
+            kdf[c] = kdf[c].astype("float64")
+    h = pd.util.hash_pandas_object(kdf, index=False)
+    return (h % n_buckets).astype("int64")
+
+
 def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None,
                           rows_hint: int | None = None):
     """High-cardinality grouped aggregation via coarse hash buckets.
@@ -109,19 +127,7 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None
         n_buckets = compute_n_buckets(rows_hint)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        # canonicalize numeric key dtypes before hashing:
-        # pd.util.hash_pandas_object hashes int64 5 and float64 5.0
-        # DIFFERENTLY, so two datasets bucketed separately on dtype-
-        # mismatched keys (e.g. asof_join / shuffle_join sides) would send
-        # equal keys to different buckets — silent data loss. Equal values
-        # always agree as float64; distinct ints >2^53 merely co-bucket.
-        kdf = df[key_cols].copy()
-        for c in key_cols:
-            if pd.api.types.is_numeric_dtype(kdf[c]):
-                kdf[c] = kdf[c].astype("float64")
-        h = pd.util.hash_pandas_object(kdf, index=False)
-        df = df.assign(_bucket=(h % n_buckets).astype("int64"))
-        return df
+        return df.assign(_bucket=canonical_bucket(df, key_cols, n_buckets))
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         return per_bucket(group.drop(columns=["_bucket"]))
@@ -474,6 +480,8 @@ def add_time_window(ds, ts_col: str, unit: str = "day",
     return ds.map_batches(trunc, batch_format="pandas")
 
 
+
+
 def skew_join(left_ds, right_ds, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str], *,
               hot_k: int = 16, counters: int = 64,
@@ -483,64 +491,114 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
 
     A plain hash join sends every row of a hot key to ONE bucket — on a
     Zipfian fact table a single partition ends up holding a large share
-    of the corpus while the other workers idle. Here a Misra-Gries pass
-    over the LEFT key (approximate is fine: routing, not correctness)
-    picks the ``hot_k`` heaviest keys; the RIGHT rows for those keys —
-    a dimension-side handful — broadcast via ``ray.put`` and the hot left
-    rows join map-side with NO shuffle at all, while the remaining
-    (cold, well-spread) rows take the normal bucketed ``shuffle_join``.
-    The union is exactly the inner join; only the partitioning differs.
+    of the corpus while the other workers idle. Here a vectorized
+    partial-count pass over the LEFT key (top ``counters`` per batch,
+    summed distributed — approximate is fine: routing, not correctness)
+    picks the ``hot_k`` heaviest keys; the RIGHT rows for those keys — a
+    dimension-side handful — broadcast via ``ray.put``, and ONE tagged
+    pass over the fact table joins hot rows map-side, salting the
+    finished rows evenly across buckets (they only ride the exchange,
+    no bucket concentrates them), while cold rows bucket by key and
+    merge per bucket as usual. Total cost: one sketch pass + one
+    data pass + one balanced shuffle — vs 3 fact-table passes for the
+    naive split-into-two-pipelines formulation.
 
-    Keys are matched on their canonical string form for hot-routing
-    (values travel natively through both join paths, so no precision is
-    lost — the string form only decides WHICH path a row takes).
+    Keys are matched in canonical numeric form (float64) for hot-routing
+    (values travel natively through both join paths — the canonical form
+    only decides WHICH path a row takes), so an int64 fact key still
+    routes with a float64 dimension key.
     """
     import ray
 
-    from .sketches import heavy_hitters
+    if n_buckets is None:
+        n_buckets = compute_n_buckets(rows_hint)
 
-    key_strs = left_ds.map_batches(
-        lambda df: pd.DataFrame({"k": df[left_key].astype(str)}),
-        batch_format="pandas")
-    hot = set(heavy_hitters(key_strs, "k", k=hot_k,
-                            counters=counters).column("value").to_pylist())
+    def canon(s: pd.Series) -> pd.Series:
+        # cross-dtype routing safety: int64 5 and float64 5.0 must agree
+        return (s.astype("float64")
+                if pd.api.types.is_numeric_dtype(s) else s)
 
-    def split(want_hot: bool):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            m = df[left_key].astype(str).isin(hot)
-            return df[m if want_hot else ~m]
-        return fn
+    # hot detection: vectorized per-batch partial counts (top `counters`
+    # per batch), summed distributed. A truly hot key dominates nearly
+    # every batch, so it always survives the per-batch cut; this is
+    # routing, not correctness, so the approximation is free.
+    def partial_vc(df: pd.DataFrame) -> pd.DataFrame:
+        vc = canon(df[left_key]).value_counts().head(counters)
+        return pd.DataFrame({"value": vc.index,
+                             "cnt": vc.values.astype("int64")})
 
-    left_slim = left_ds.map_batches(
-        lambda df: df[[left_key] + list(left_cols)], batch_format="pandas")
+    # partials are <= counters rows per block — kilobytes — so the merge
+    # folds on the driver (a Ray groupby over hundreds of tiny blocks
+    # pays ~4 s of per-block fixed cost; see BASELINE.md)
+    parts = (left_ds.map_batches(partial_vc, batch_format="pandas")
+             .to_pandas())
+    summed = parts.groupby("value", as_index=False)["cnt"].sum()
+    hot = frozenset(summed.sort_values(["cnt", "value"],
+                                       ascending=[False, True])
+                    .head(hot_k)["value"])
 
     # dimension rows of the hot keys: a bounded handful -> broadcast
     right_hot = (right_ds.map_batches(
-        lambda df: df[df[right_key].astype(str).isin(hot)],
+        lambda df: df[canon(df[right_key]).isin(hot)],
         batch_format="pandas").to_pandas())
     right_hot = right_hot[[right_key] + list(right_cols)].rename(
-        columns={right_key: left_key})
+        columns={right_key: "_key"})
+    hot_ref = ray.put((hot, right_hot))
 
-    hot_res = broadcast_join(
-        left_slim.map_batches(split(True), batch_format="pandas"),
-        right_hot, on=left_key)
-    cold_res = shuffle_join(
-        left_slim.map_batches(split(False), batch_format="pandas"),
-        right_ds, left_key, right_key, list(left_cols), list(right_cols),
-        n_buckets=n_buckets, rows_hint=rows_hint)
+    out_cols = ["_key"] + list(left_cols) + list(right_cols)
 
-    cols = [left_key] + list(left_cols) + list(right_cols)
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        hot_keys, rh = ray.get(hot_ref)
+        df = df[[left_key] + list(left_cols)].rename(
+            columns={left_key: "_key"})
+        m = canon(df["_key"]).isin(hot_keys)
+        done = df[m].merge(rh, on="_key")
+        done = done.assign(
+            _side=np.int64(2),
+            # finished rows spread round-robin — no bucket concentrates
+            # a hot key; assignment only affects grouping, not values
+            _bucket=(np.arange(len(done)) % n_buckets).astype("int64"))
+        cold = df[~m]
+        for c in right_cols:
+            cold = cold.assign(**{c: None})
+        cold = cold.assign(
+            _side=np.int64(0),
+            _bucket=canonical_bucket(cold, ["_key"], n_buckets))
+        return pd.concat([done[out_cols + ["_side", "_bucket"]],
+                          cold[out_cols + ["_side", "_bucket"]]])
 
-    # restore exact input dtypes (shuffle_join's tagged union degrades
-    # value columns to object; see its docstring caveat)
-    import pyarrow as pa
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        hot_keys, _ = ray.get(hot_ref)
+        df = df[[right_key] + list(right_cols)].rename(
+            columns={right_key: "_key"})
+        df = df[~canon(df["_key"]).isin(hot_keys)]
+        for c in left_cols:
+            df = df.assign(**{c: None})
+        df = df.assign(_side=np.int64(1),
+                       _bucket=canonical_bucket(df, ["_key"], n_buckets))
+        return df[out_cols + ["_side", "_bucket"]]
 
+    tagged = (left_ds.map_batches(tag_left, batch_format="pandas")
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        done = g.loc[g["_side"] == 2, out_cols]
+        lhs = g.loc[g["_side"] == 0, ["_key"] + list(left_cols)]
+        rhs = g.loc[g["_side"] == 1, ["_key"] + list(right_cols)]
+        return pd.concat([done, lhs.merge(rhs, on="_key")])
+
+    merged = (tagged.groupby("_bucket")
+              .map_groups(lambda g: per_bucket(g.drop(columns=["_bucket"])),
+                          batch_format="pandas"))
+
+    # restore exact input dtypes (the tagged union degrades value columns
+    # to object — see shuffle_join's docstring caveat)
     def arrow_types(ds, wanted):
         s = getattr(ds.schema(), "base_schema", ds.schema())
         if isinstance(s, pa.Schema):
             return {c: s.field(c).type for c in wanted}
-        # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
-        by_name = dict(zip(s.names, s.types))
+        by_name = dict(zip(s.names, s.types))       # PandasBlockSchema
         out = {}
         for c in wanted:
             t = by_name[c]
@@ -552,11 +610,12 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
 
     types = arrow_types(left_ds, [left_key] + list(left_cols))
     types.update(arrow_types(right_ds, list(right_cols)))
+    cols = [left_key] + list(left_cols) + list(right_cols)
     out_schema = pa.schema([(c, types[c]) for c in cols])
 
     def conform(df: pd.DataFrame) -> pa.Table:
+        df = df.rename(columns={"_key": left_key})
         return pa.Table.from_pandas(df[cols], schema=out_schema,
                                     preserve_index=False)
 
-    return (hot_res.map_batches(conform, batch_format="pandas")
-            .union(cold_res.map_batches(conform, batch_format="pandas")))
+    return merged.map_batches(conform, batch_format="pandas")

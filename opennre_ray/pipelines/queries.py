@@ -254,8 +254,12 @@ def lineitem_part_skew_join(sf_dir):
     from ray.data.aggregate import Sum
     from ..functions.relational import skew_join
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    # coarse blocks: the join scan is cheap vectorized work, so task
+    # granularity (not CPU) dominates at fine splits
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"],
+               rows_per_block=65_536)
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"],
+                 rows_per_block=65_536)
     joined = skew_join(li, part, "l_partkey", "p_partkey",
                        ["l_extendedprice"], ["p_brand"],
                        hot_k=16, rows_hint=_nrows(sf_dir, "lineitem"))
