@@ -291,6 +291,10 @@ def tfidf_topk(docs_ds, k: int = 3, id_col: str = "doc_id",
         out = g.groupby(id_col, sort=False).head(k)
         return out[[id_col, "token", "tf", "score"]]
 
+    # materialize the vocabulary-sized aggregate ONCE (object store,
+    # distributed) — count() then to_pandas()/join would otherwise run
+    # the corpus df pass twice; the corpus itself is never materialized
+    df_ds = df_ds.materialize()
     n_tokens = df_ds.count()
     if n_tokens <= broadcast_limit:
         dfmap = {t: int(c) for t, c in zip(
