@@ -714,3 +714,51 @@ def kmeans_fixed_point(ds_emb, k: int = 8, iters: int = 3,
         return pa.table(cols)
 
     return ds_emb.map_batches(label, batch_format="pyarrow")
+
+
+def jl_project(ds_emb, in_dim: int, out_dim: int = 16, seed: int = 31,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Johnson-Lindenstrauss random projection (dimensionality reduction).
+
+    A seeded Gaussian matrix R (in_dim × out_dim) maps each vector to
+    x·R / sqrt(out_dim) — pairwise distances are preserved within
+    (1±ε) w.h.p. (the JL lemma), which is the standard pre-step before
+    expensive pairwise work on wide embeddings. Stateless one-pass
+    ``map_batches`` matmul; R is a few KB and ships in the task closure.
+
+    Output is LONG form (id, dim, val) with ``val`` rounded at 6 so the
+    distributed result is value-identical to a SQL replay that embeds R
+    as literals and group-sums x_i·R_ij (float sum order differs only at
+    ulp scale; rounding absorbs it).
+    """
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    def project(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column(vec_col))
+        if mat.shape[0] and mat.shape[1] != in_dim:
+            raise ValueError(
+                f"expected {in_dim}-dim embeddings, got {mat.shape[1]}")
+        proj = sql_round(mat @ R, 6) if len(mat) else \
+            np.empty((0, out_dim))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, out_dim)),
+            "dim": pa.array(np.tile(np.arange(1, out_dim + 1,
+                                              dtype=np.int64), len(mat))),
+            "val": pa.array(proj.ravel(), pa.float64()),
+        })
+
+    return ds_emb.map_batches(project, batch_format="pyarrow")
+
+
+def jl_matrix_sql_literals(in_dim: int, out_dim: int = 16,
+                           seed: int = 31) -> str:
+    """The exact R/sqrt(out_dim) entries as SQL VALUES rows ``(i, j, v)``
+    (1-based dims) — repr round-trips each double bit-exactly."""
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+    rows = ", ".join(
+        f"({i + 1}, {j + 1}, {R[i, j]!r})"
+        for i in range(in_dim) for j in range(out_dim))
+    return rows

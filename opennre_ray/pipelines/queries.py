@@ -1773,6 +1773,35 @@ SQL_EMBED_KMEANS_CLUSTERS = _kmeans_sql(KMEANS_K, KMEANS_ITERS,
                                         10 ** 6, EMBED_DIM)
 
 
+JL_OUT_DIM = 16
+JL_SEED = 31
+
+
+def embed_jl_projection(sf_dir):
+    """Johnson-Lindenstrauss random projection to 16 dims — stateless
+    one-pass matmul against a seeded Gaussian matrix; long-form output
+    (vec_id, dim, val) value-matches the SQL replay (R as literals)."""
+    from ..functions.similarity import jl_project
+
+    return jl_project(_read_embeddings(sf_dir), in_dim=EMBED_DIM,
+                      out_dim=JL_OUT_DIM, seed=JL_SEED)
+
+
+def _jl_sql() -> str:
+    from ..functions.similarity import jl_matrix_sql_literals
+
+    rows = jl_matrix_sql_literals(EMBED_DIM, JL_OUT_DIM, JL_SEED)
+    return f"""
+WITH r (i, j, v) AS (VALUES {rows}),
+psub AS (
+  SELECT vec_id, i::BIGINT AS i, embedding[i]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i))
+SELECT p.vec_id, r.j::BIGINT AS dim, round(sum(p.x * r.v), 6) AS val
+FROM psub p JOIN r ON p.i = r.i
+GROUP BY p.vec_id, r.j
+"""
+
+
 SEMDEDUP_T = 0.45
 
 
@@ -2568,6 +2597,7 @@ QUERIES = {
     "graph_pagerank_customers": graph_pagerank_customers,
     "embed_kmeans_clusters": embed_kmeans_clusters,
     "embed_semantic_dedup": embed_semantic_dedup,
+    "embed_jl_projection": embed_jl_projection,
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
@@ -2659,6 +2689,7 @@ ORACLES = {
     "graph_pagerank_customers": SQL_GRAPH_PAGERANK_CUSTOMERS,
     "embed_kmeans_clusters": SQL_EMBED_KMEANS_CLUSTERS,
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
+    "embed_jl_projection": _jl_sql(),
     "docs_shingles": SQL_DOCS_SHINGLES,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "lineitem_quantiles": SQL_LINEITEM_QUANTILES,

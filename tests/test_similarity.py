@@ -292,3 +292,38 @@ def test_pq_encode_exact_reconstruction_on_centroids():
         v = books[:, j, :].reshape(1, -1)
         codes = _pq_encode(v, books)
         assert (codes == j).all()
+
+
+def test_jl_projection_preserves_distances(ray_session):
+    """JL projection: distributed output == direct numpy matmul, and
+    pairwise distances are preserved within JL-lemma-plausible bounds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import jl_project
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    rng = np.random.default_rng(2)
+    n, d, dout = 200, 64, 16
+    base = rng.standard_normal((n, d))
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in base]})
+
+    out = (jl_project(rd.from_pandas(df).repartition(5), in_dim=d,
+                      out_dim=dout, seed=31).to_pandas()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    R = np.random.default_rng(31).standard_normal((d, dout)) / np.sqrt(dout)
+    exp = sql_round(base.astype(np.float32).astype(np.float64) @ R, 6)
+    got = out["val"].to_numpy().reshape(n, dout)
+    assert np.array_equal(got, exp)
+
+    # JL property: sampled pairwise distance ratios stay near 1
+    proj = got
+    idx = rng.integers(0, n, size=(200, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    do = np.linalg.norm(base[idx[:, 0]] - base[idx[:, 1]], axis=1)
+    dp = np.linalg.norm(proj[idx[:, 0]] - proj[idx[:, 1]], axis=1)
+    ratio = dp / do
+    assert 0.4 < ratio.min() and ratio.max() < 1.8
+    assert abs(float(np.median(ratio)) - 1.0) < 0.15
