@@ -197,3 +197,36 @@ def topk_by_key(ds, key_col: str, score_col: str, id_col: str = "doc_id",
     candidates = ds.map_batches(head_k, batch_format="pandas")
     return hash_bucket_aggregate(candidates, [key_col], head_k,
                                  rows_hint=rows_hint)
+
+
+def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
+                    k: int = 100, salt: str = ""):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006, public): each row gets an exponential
+    clock E = -ln(u)/w from an md5-derived uniform u and its weight w;
+    the k smallest clocks are exactly a weight-proportional sample.
+
+    Selection ranks on the 6-decimal-rounded clock with id tie-break, so
+    the winner set is a pure function of (id, weight) — content-stable
+    under re-partitioning and replayable in SQL (same md5 bytes, same
+    formula, same rounding). Scale shape: each batch keeps only its k
+    smallest clocks (map-side partial bottom-k), and the ≤ k·n_blocks
+    candidate rows merge on the driver — the corpus never moves.
+    Weights < 1 are clamped to 1 (zero-weight rows would divide by zero;
+    a w=1 floor keeps empty docs sampleable at minimum weight).
+    """
+    def clocks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(e=pd.Series([], dtype="float64"))
+        u32 = np.array([int(hashlib.md5(
+            ("ws:" + salt + str(i)).encode()).hexdigest()[:8], 16)
+            for i in df[id_col]], dtype=np.float64)
+        u = (u32 + 1.0) / 4294967296.0            # (0, 1] — ln never -inf
+        w = np.maximum(df[weight_col].to_numpy(dtype=np.float64), 1.0)
+        from .sqlcompat import sql_round
+        df = df[[id_col, weight_col]].assign(e=sql_round(-np.log(u) / w, 6))
+        return df.sort_values(["e", id_col], kind="mergesort").head(k)
+
+    cand = ds.map_batches(clocks, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["e", id_col], kind="mergesort").head(k)
+            .reset_index(drop=True))

@@ -1178,6 +1178,30 @@ WHERE rn <= {BOTTOMK_K}
 """
 
 
+WSAMPLE_K = 100
+
+
+def docs_weighted_sample(sf_dir):
+    """Weight-proportional sample without replacement (Efraimidis-
+    Spirakis exponential clocks from md5 draws; weight = n_chars) —
+    deterministic, partition-invariant, SQL-replayable."""
+    from ..functions.packing import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "n_chars", "doc_id", k=WSAMPLE_K)
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, e FROM (
+  SELECT doc_id, n_chars,
+         round(-ln(((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 8))
+                       ::UBIGINT)::DOUBLE + 1.0) / 4294967296.0)
+               / greatest(n_chars, 1)::DOUBLE, 6) AS e
+  FROM documents)
+ORDER BY e, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
 TOPK_PER_LANG = 10
 
 
@@ -2629,6 +2653,7 @@ QUERIES = {
     "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "docs_bottomk_per_lang": docs_bottomk_per_lang,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_oov_ratio": docs_oov_ratio,
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_inverted_index": docs_inverted_index,
@@ -2706,6 +2731,7 @@ ORACLES = {
     "events_asof_view": SQL_EVENTS_ASOF_VIEW,
     "docs_lang_balanced_sample": SQL_DOCS_LANG_BALANCED_SAMPLE,
     "docs_bottomk_per_lang": SQL_DOCS_BOTTOMK_PER_LANG,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,

@@ -150,3 +150,37 @@ def test_topk_by_key_matches_bruteforce(ray_session):
                .to_pandas().sort_values("id").reset_index(drop=True))
         assert (got[["k", "id", "score"]].to_numpy()
                 == want[["k", "id", "score"]].to_numpy()).all()
+
+
+def test_weighted_sample_partition_invariant_and_proportional(ray_session):
+    """Winner set is a pure function of (id, weight): identical at any
+    block count and equal to a sequential replay; heavier rows win more."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import weighted_sample
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    n = 2000
+    rng = np.random.default_rng(9)
+    w = np.where(np.arange(n) < 100, 500, 5).astype(np.int64)  # 100 heavy
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "w": w})
+
+    got1 = weighted_sample(rd.from_pandas(df).repartition(3), "w", "doc_id",
+                           k=50)
+    got2 = weighted_sample(rd.from_pandas(df).repartition(17), "w",
+                           "doc_id", k=50)
+    pd.testing.assert_frame_equal(got1, got2)
+
+    u32 = np.array([int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:8], 16)
+                    for i in df.doc_id], dtype=np.float64)
+    e = sql_round(-np.log((u32 + 1) / 2 ** 32)
+                  / np.maximum(w.astype(np.float64), 1.0), 6)
+    exp = (df.assign(e=e).sort_values(["e", "doc_id"]).head(50)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got1, exp)
+    # heavy rows are 100x the weight of the other 1900 -> dominate the
+    # sample far beyond their 5% population share
+    assert (got1["doc_id"] < 100).sum() > 25
