@@ -2234,6 +2234,99 @@ GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}
 """
 
 
+PMI_MIN_COUNT = 3
+PMI_TOP = 20
+
+
+def docs_pmi_collocations(sf_dir):
+    """Top collocations by pointwise mutual information: one tagged
+    corpus pass emits map-side partial counts for unigrams AND adjacent
+    bigrams (a single shuffle totals both), the vocabulary-sized unigram
+    table broadcasts into the PMI scoring of the bigram rows, and a tiny
+    sort+limit finishes. Ranked on the 6-decimal-rounded PMI with pair
+    tie-break — value-identical to the SQL replay."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            uni.update(toks)
+            bi.update(" ".join(p) for p in zip(toks, toks[1:]))
+        keys = ["u:" + w for w in uni] + ["b:" + p for p in bi]
+        cnts = list(uni.values()) + list(bi.values())
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    import ray
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+              .materialize())
+
+    # unigram slice (vocabulary-sized) + the two totals reach the driver
+    # and broadcast; the bigram rows — the big side at web scale — stay
+    # distributed for scoring and the final tiny sort+limit
+    uni_pdf = (totals.filter(
+        lambda r: r["key"].startswith("u:")).to_pandas())
+    uni_cnt = dict(zip(uni_pdf["key"].str[2:], uni_pdf["cnt"]))
+    T = float(uni_pdf["cnt"].sum())
+    B = float(totals.filter(
+        lambda r: r["key"].startswith("b:")).sum("cnt"))
+    ref = ray.put((uni_cnt, T, B))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        uc, t, btot = ray.get(ref)
+        df = df[df["key"].str.startswith("b:")
+                & (df["cnt"] >= PMI_MIN_COUNT)].copy()
+        if not len(df):
+            return pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "pmi": pd.Series([], dtype="float64")})
+        df["pair"] = df["key"].str[2:]
+        a = df["pair"].str.split(" ").str[0].map(uc).astype(float)
+        b = df["pair"].str.split(" ").str[1].map(uc).astype(float)
+        cab = df["cnt"].astype(float)
+        df["pmi"] = sql_round(np.log((cab / btot) / ((a / t) * (b / t))), 6)
+        df["cnt"] = df["cnt"].astype("int64")
+        return df[["pair", "cnt", "pmi"]]
+
+    return (totals.map_batches(score, batch_format="pandas")
+            .sort(["pmi", "pair"], descending=[True, False])
+            .limit(PMI_TOP))
+
+
+SQL_DOCS_PMI_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM toks),
+ucnt AS (SELECT tok, count(*)::BIGINT AS c FROM uni GROUP BY tok),
+tt AS (SELECT count(*)::DOUBLE AS t FROM uni),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS pair
+  FROM toks WHERE length(toks) >= 2),
+bcnt AS (SELECT pair, count(*)::BIGINT AS cnt FROM pairs GROUP BY pair),
+bt AS (SELECT count(*)::DOUBLE AS b FROM pairs)
+SELECT pair, cnt,
+       round(ln((cnt::DOUBLE / (SELECT b FROM bt))
+                / ((ca.c::DOUBLE / (SELECT t FROM tt))
+                   * (cb.c::DOUBLE / (SELECT t FROM tt)))), 6) AS pmi
+FROM bcnt
+JOIN ucnt ca ON ca.tok = split(pair, ' ')[1]
+JOIN ucnt cb ON cb.tok = split(pair, ' ')[2]
+WHERE cnt >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, pair LIMIT {PMI_TOP}
+"""
+
+
 DECONTAM_K = 3
 DECONTAM_EVAL_MOD = 97
 
@@ -2606,6 +2699,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_deterministic_shuffle": docs_deterministic_shuffle,
     "docs_bpe_pairs": docs_bpe_pairs,
+    "docs_pmi_collocations": docs_pmi_collocations,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
@@ -2699,6 +2793,7 @@ ORACLES = {
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_deterministic_shuffle": SQL_DOCS_DETERMINISTIC_SHUFFLE,
     "docs_bpe_pairs": SQL_DOCS_BPE_PAIRS,
+    "docs_pmi_collocations": SQL_DOCS_PMI_COLLOCATIONS,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,

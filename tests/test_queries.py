@@ -61,3 +61,32 @@ def test_rows_only_queries_run(ray_session, sf_dir, name):
     assert len(res) >= 0
     if len(res):            # empty results may lose schema through map_groups
         assert len(res.columns) > 0
+
+
+def test_pmi_collocations_hand_oracle(ray_session, tmp_path):
+    """PMI over a tiny planted corpus: the always-adjacent pair ('new',
+    'york') outranks frequent-but-independent pairs."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    from opennre_ray.pipelines import queries as Q
+
+    docs = pa.table({
+        "doc_id": list(range(8)),
+        "text": ["new york " + "the cat sat on the mat " * 2] * 4
+                + ["the dog ran to the park new york"] * 4,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = Q.docs_pmi_collocations(str(sf)).to_pandas()
+    # 'new york' is always-adjacent (cnt 8); rarer exclusive pairs like
+    # 'dog ran' (cnt 4) legitimately score higher (classic PMI rare-word
+    # bias) — assert presence + exact count and the ranking invariant
+    ny = out[out["pair"] == "new york"]
+    assert len(ny) == 1 and ny.iloc[0]["cnt"] == 8
+    assert (out["pmi"].to_numpy()[:-1] >= out["pmi"].to_numpy()[1:]).all()
+    # independent pair 'the cat' must rank below the exclusive pairs
+    assert float(ny.iloc[0]["pmi"]) > float(
+        out[out["pair"] == "on the"]["pmi"].iloc[0])
