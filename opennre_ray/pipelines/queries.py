@@ -282,6 +282,131 @@ def lineitem_part_skew_join(sf_dir):
     return out.map_batches(fin, batch_format="pandas")
 
 
+NTILE_N = 4
+
+
+def orders_price_ntile(sf_dir):
+    """NTILE(4) quartile assignment over a global price order — the
+    distributed row_number primitive (one sort) + a stateless per-row
+    tile formula; exact SQL NTILE semantics (first N%n tiles get the
+    extra row)."""
+    from ..functions.relational import global_rank
+
+    n_rows = _nrows(sf_dir, "orders")
+    q, r = divmod(n_rows, NTILE_N)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked = global_rank(ds, ["o_totalprice", "o_orderkey"],
+                         out_col="rn")
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rn"].to_numpy(dtype=np.int64)
+        big = r * (q + 1)                    # rows living in the +1 tiles
+        t = np.where(rn <= big, (rn - 1) // max(q + 1, 1),
+                     r + (rn - 1 - big) // max(q, 1))
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"],
+                             "o_totalprice": b["o_totalprice"],
+                             "tile": (t + 1).astype("int64")})
+
+    return ranked.map_batches(tile, batch_format="pandas")
+
+
+SQL_ORDERS_PRICE_NTILE = f"""
+SELECT o_orderkey, o_totalprice,
+       ntile({NTILE_N}) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT
+         AS tile
+FROM orders
+"""
+
+
+def lineitem_price_histogram(sf_dir):
+    """Fixed-width histogram of extended price: per-batch vectorized
+    bincount partials, one tiny groupby sum — the one-pass distributed
+    histogram shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"],
+               rows_per_block=65_536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(b["l_extendedprice"].to_numpy(dtype=np.float64)
+                        / 5000.0).astype(np.int64)
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame({"bin": vc.index.astype("int64"),
+                             "cnt": vc.values.astype("int64")})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")))
+    return out.map_batches(
+        lambda b: b.assign(cnt=b["cnt"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_LINEITEM_PRICE_HISTOGRAM = """
+SELECT floor(l_extendedprice / 5000.0)::BIGINT AS bin,
+       count(*)::BIGINT AS cnt
+FROM lineitem GROUP BY bin
+"""
+
+
+def lineitem_qty_price_corr(sf_dir):
+    """Pearson correlation of quantity vs extended price via EXACT
+    integer moment sums: values quantize to cents/units once, the five
+    moments accumulate as arbitrary-precision ints (order-independent,
+    overflow-free), and the final float formula runs on identical
+    integers in both engines — bit-identical before the cosmetic round.
+    One streaming pass; partials are five numbers per batch."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"],
+               rows_per_block=65_536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy(dtype=np.float64)) \
+            .astype(np.int64)
+        y = np.rint(b["l_extendedprice"].to_numpy(dtype=np.float64)
+                    * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())],
+            "sxy": [int((x.astype(object) * y.astype(object)).sum())],
+            "syy": [int((y.astype(object) * y.astype(object)).sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def exact_sum(col):
+        # fold in Python ints: an int64 pandas sum of the syy partials
+        # wraps silently past 9.2e18
+        return sum(int(v) for v in parts[col])
+
+    n = exact_sum("n")
+    sx, sy = exact_sum("sx"), exact_sum("sy")
+    sxx, sxy, syy = exact_sum("sxx"), exact_sum("sxy"), exact_sum("syy")
+    import math
+    num = n * sxy - sx * sy
+    # each variance factor fits INT128 but their product does not at
+    # sf>=0.1 — convert the exact factors to double FIRST (the oracle
+    # does the same), then multiply
+    fa = float(n * sxx - sx * sx)
+    fb = float(n * syy - sy * sy)
+    r = float(num) / math.sqrt(fa * fb)
+    return pd.DataFrame({"n": [n], "corr": [float(sql_round(r, 6))]})
+
+
+SQL_LINEITEM_QTY_PRICE_CORR = """
+WITH q AS (
+  SELECT round(l_quantity)::HUGEINT AS x,
+         round(l_extendedprice * 100.0)::HUGEINT AS y
+  FROM lineitem),
+m AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+      FROM q)
+SELECT n::BIGINT AS n,
+       round((n*sxy - sx*sy)::DOUBLE
+             / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+         AS corr
+FROM m
+"""
+
+
 def customers_order_counts(sf_dir):
     """Left OUTER join: every customer keeps a row, zero-order customers
     included. The fact side pre-aggregates to per-customer partial counts
@@ -2761,6 +2886,9 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "lineitem_part_skew_join": lineitem_part_skew_join,
     "customers_order_counts": customers_order_counts,
+    "orders_price_ntile": orders_price_ntile,
+    "lineitem_price_histogram": lineitem_price_histogram,
+    "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "orders_above_customer_avg": orders_above_customer_avg,
     "docs_pretrain_pipeline": docs_pretrain_pipeline,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
@@ -2839,6 +2967,9 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "lineitem_part_skew_join": SQL_LINEITEM_PART_SKEW_JOIN,
     "customers_order_counts": SQL_CUSTOMERS_ORDER_COUNTS,
+    "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
+    "lineitem_price_histogram": SQL_LINEITEM_PRICE_HISTOGRAM,
+    "lineitem_qty_price_corr": SQL_LINEITEM_QTY_PRICE_CORR,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
 }

@@ -90,3 +90,36 @@ def test_pmi_collocations_hand_oracle(ray_session, tmp_path):
     # independent pair 'the cat' must rank below the exclusive pairs
     assert float(ny.iloc[0]["pmi"]) > float(
         out[out["pair"] == "on the"]["pmi"].iloc[0])
+
+
+def test_ntile_and_corr_hand_oracles(ray_session, tmp_path):
+    """NTILE tiles exactly match SQL semantics on a remainder case, and
+    the integer-moment correlation equals numpy corrcoef."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opennre_ray.pipelines import queries as Q
+
+    n = 10                                       # 10 rows, 4 tiles: 3,3,2,2
+    orders = pa.table({
+        "o_orderkey": list(range(n)),
+        "o_custkey": [0] * n,
+        "o_totalprice": [float(100 - i) for i in range(n)],
+        "o_orderdate": ["1996-01-01"] * n,
+    })
+    rng = np.random.default_rng(4)
+    qty = rng.integers(1, 50, 300).astype(float)
+    price = qty * 1000 + rng.integers(0, 5000, 300).astype(float)
+    li = pa.table({"l_quantity": qty, "l_extendedprice": price})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(orders, sf / "orders.parquet")
+    pq.write_table(li, sf / "lineitem.parquet")
+
+    tiles = (Q.orders_price_ntile(str(sf)).to_pandas()
+             .sort_values("o_totalprice").reset_index(drop=True))
+    assert tiles["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+    got = Q.lineitem_qty_price_corr(str(sf))
+    exp = np.corrcoef(qty, price)[0, 1]
+    assert abs(got["corr"].iloc[0] - exp) < 1e-6
