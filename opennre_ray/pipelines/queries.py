@@ -599,6 +599,89 @@ FROM events GROUP BY user_id, day
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir):
+    """Wide daily counts (pivot / crosstab): one column per event type.
+    Map-side partial pivot per batch (a 5-way conditional count is one
+    vectorized crosstab), then a tiny (day × 6) groupby sum."""
+    from ray.data.aggregate import Sum
+    from ..functions.relational import add_time_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    windowed = add_time_window(ds, "ts", unit="day", out_col="day")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["day"], b["event_type"])
+        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0)
+        ct.columns = [f"n_{t}" for t in EVENT_TYPES]
+        return ct.reset_index()
+
+    parts = windowed.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("day").aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        for t in EVENT_TYPES:
+            b[f"n_{t}"] = b[f"n_{t}"].astype("int64")
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY day
+"""
+
+
+def events_funnel_click_purchase(sf_dir):
+    """Funnel step detection: users whose FIRST click precedes their LAST
+    purchase. One pass of per-batch (user, min-click-ts, max-purchase-ts)
+    partials — min/max are order-independent, so the bucketed merge is
+    exact — then a stateless filter; no per-user sorting anywhere."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    from ..functions.relational import hash_bucket_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        clicks = (b[b["event_type"] == "click"]
+                  .groupby("user_id", as_index=False)
+                  .agg(first_click=("ts", "min")))
+        buys = (b[b["event_type"] == "purchase"]
+                .groupby("user_id", as_index=False)
+                .agg(last_purchase=("ts", "max")))
+        return clicks.merge(buys, on="user_id", how="outer")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id", as_index=False)
+             .agg(first_click=("first_click", "min"),
+                  last_purchase=("last_purchase", "max")))
+        m = m[m["first_click"].notna() & m["last_purchase"].notna()
+              & (m["first_click"] < m["last_purchase"])]
+        return m
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+        per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_FUNNEL = """
+SELECT user_id, first_click, last_purchase FROM (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'click') AS first_click,
+         max(ts) FILTER (event_type = 'purchase') AS last_purchase
+  FROM events GROUP BY user_id)
+WHERE first_click IS NOT NULL AND last_purchase IS NOT NULL
+  AND first_click < last_purchase
+"""
+
+
 def events_anti_join(sf_dir):
     """Users who viewed but never purchased — size-gated anti-join: the
     purchaser key set is broadcast while it fits, and spills to a bucketed
@@ -2816,6 +2899,8 @@ QUERIES = {
     "region_nation_union": region_nation_union,
     "events_type_stats": events_type_stats,
     "events_daily_window": events_daily_window,
+    "events_type_pivot": events_type_pivot,
+    "events_funnel_click_purchase": events_funnel_click_purchase,
     "events_anti_join": events_anti_join,
     "events_sessionize": events_sessionize,
     "events_running_total": events_running_total,
@@ -2913,6 +2998,8 @@ ORACLES = {
     "region_nation_union": SQL_REGION_NATION_UNION,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_daily_window": SQL_EVENTS_DAILY_WINDOW,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+    "events_funnel_click_purchase": SQL_EVENTS_FUNNEL,
     "events_anti_join": SQL_EVENTS_ANTI_JOIN,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
