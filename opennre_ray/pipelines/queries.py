@@ -38,8 +38,10 @@ def _read(sf_dir, table, columns=None, split: bool = True,
     if split:
         n = default_num_blocks(pq.ParquetFile(path).metadata.num_rows,
                                rows_per_block=rows_per_block)
-        if n > 1:
-            kwargs["override_num_blocks"] = n
+        # ALWAYS override — left to itself Ray splits even a 1,500-row
+        # table into ~64 tiny blocks, and every downstream stage then
+        # pays 64 tasks of pure fixed cost (measured: 2.6 s to read 12 KB)
+        kwargs["override_num_blocks"] = n
     return _rd().read_parquet(path, columns=columns, **kwargs)
 
 
@@ -282,6 +284,50 @@ def lineitem_part_skew_join(sf_dir):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def lineitem_rollup(sf_dir):
+    """GROUP BY ROLLUP (returnflag, linestatus): the corpus is reduced
+    ONCE to the finest level (map-side combine + tiny groupby, the only
+    pass), and the coarser levels + grand total derive from those few
+    rows on the driver — never a second scan."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"],
+               rows_per_block=65_536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False)
+                .agg(n_items=("l_quantity", "size"),
+                     sum_qty=("l_quantity", "sum")))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("sum_qty", alias_name="sum_qty"))
+            .to_pandas())
+    fine["n_items"] = fine["n_items"].astype("int64")
+
+    mid = (fine.groupby("l_returnflag", as_index=False)
+           .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum")))
+    mid["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n_items": [fine["n_items"].sum()],
+        "sum_qty": [fine["sum_qty"].sum()]})
+    out = pd.concat([fine, mid, total], ignore_index=True)
+    out["sum_qty"] = sql_round(out["sum_qty"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n_items", "sum_qty"]]
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 NTILE_N = 4
 
 
@@ -412,28 +458,36 @@ def customers_order_counts(sf_dir):
     included. The fact side pre-aggregates to per-customer partial counts
     map-side (the shuffle moves customer-cardinality count rows, never
     order rows), then one bucketed left join fills absent keys with 0."""
-    from ray.data.aggregate import Sum
-    from ..functions.relational import shuffle_join
+    from ..functions.relational import hash_bucket_aggregate
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=65_536)
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.groupby("o_custkey", as_index=False)
-                .agg(cnt=("o_custkey", "size")))
+    # ONE bucketed shuffle: customer keys and map-side-combined order
+    # counts ride the same exchange keyed on custkey; each bucket sums
+    # its count partials and left-joins in a single vectorized step
+    def tag_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["c_custkey"].astype("int64"),
+                             "cnt": np.int64(0), "side": np.int64(0)})
 
-    counts = (orders.map_batches(partial, batch_format="pandas")
-              .groupby("o_custkey").aggregate(Sum("cnt", alias_name="cnt")))
-    joined = shuffle_join(cust, counts, "c_custkey", "o_custkey",
-                          [], ["cnt"], how="left",
-                          rows_hint=_nrows(sf_dir, "customer"))
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["o_custkey"].value_counts()
+        return pd.DataFrame({"k": vc.index.astype("int64"),
+                             "cnt": vc.values.astype("int64"),
+                             "side": np.int64(1)})
 
-    def fin(b: pd.DataFrame) -> pd.DataFrame:
+    tagged = (cust.map_batches(tag_cust, batch_format="pandas")
+              .union(orders.map_batches(tag_orders, batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (g[g["side"] == 1].groupby("k")["cnt"].sum())
+        keys = g.loc[g["side"] == 0, "k"]
         return pd.DataFrame({
-            "c_custkey": b["c_custkey"].astype("int64"),
-            "n_orders": b["cnt"].fillna(0).astype("int64")})
+            "c_custkey": keys.astype("int64"),
+            "n_orders": keys.map(counts).fillna(0).astype("int64")})
 
-    return joined.map_batches(fin, batch_format="pandas")
+    return hash_bucket_aggregate(tagged, ["k"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "customer"))
 
 
 SQL_CUSTOMERS_ORDER_COUNTS = """
@@ -2971,6 +3025,7 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "lineitem_part_skew_join": lineitem_part_skew_join,
     "customers_order_counts": customers_order_counts,
+    "lineitem_rollup": lineitem_rollup,
     "orders_price_ntile": orders_price_ntile,
     "lineitem_price_histogram": lineitem_price_histogram,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -3054,6 +3109,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "lineitem_part_skew_join": SQL_LINEITEM_PART_SKEW_JOIN,
     "customers_order_counts": SQL_CUSTOMERS_ORDER_COUNTS,
+    "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
     "lineitem_price_histogram": SQL_LINEITEM_PRICE_HISTOGRAM,
     "lineitem_qty_price_corr": SQL_LINEITEM_QTY_PRICE_CORR,
