@@ -586,6 +586,85 @@ ORDER BY name
 """
 
 
+def events_users_intersect_except(sf_dir):
+    """INTERSECT/EXCEPT in one bucketed pass: per-user event-type
+    presence flags (order-independent max-combine), then a stateless
+    classification — 'both' (clicked INTERSECT purchased), 'click_only'
+    (EXCEPT), 'purchase_only'. One shuffle for all three set ops."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id")
+        return pd.DataFrame({
+            "user_id": g.size().index.astype("int64"),
+            "has_click": g["event_type"].agg(
+                lambda s: int((s == "click").any())).astype("int64"),
+            "has_purchase": g["event_type"].agg(
+                lambda s: int((s == "purchase").any())).astype("int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("user_id", as_index=False)
+             .agg(has_click=("has_click", "max"),
+                  has_purchase=("has_purchase", "max")))
+        m = m[(m["has_click"] + m["has_purchase"]) > 0]
+        m["segment"] = np.where(
+            (m["has_click"] == 1) & (m["has_purchase"] == 1), "both",
+            np.where(m["has_click"] == 1, "click_only", "purchase_only"))
+        return m[["user_id", "segment"]]
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+        per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_USERS_INTERSECT_EXCEPT = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type='click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+SELECT user_id, 'both' AS segment FROM (SELECT user_id FROM c
+                                        INTERSECT SELECT user_id FROM p)
+UNION ALL
+SELECT user_id, 'click_only' FROM (SELECT user_id FROM c
+                                   EXCEPT SELECT user_id FROM p)
+UNION ALL
+SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p
+                                      EXCEPT SELECT user_id FROM c)
+"""
+
+
+def docs_source_stats(sf_dir):
+    """Regexp field extraction + aggregate: the numeric shard index is
+    pulled out of the source tag ('src17' → 17) per batch with the
+    vectorized pandas regex engine, then a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        idx = b["source"].str.extract(r"^src(\d+)$")[0].astype("int64")
+        g = (b.assign(src_idx=idx)
+             .groupby("src_idx", as_index=False)
+             .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("src_idx").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"))
+    return out.map_batches(
+        lambda b: b.assign(n_docs=b["n_docs"].astype("int64"),
+                           sum_chars=b["sum_chars"].astype("int64")),
+        batch_format="pandas")
+
+
+SQL_DOCS_SOURCE_STATS = r"""
+SELECT regexp_extract(source, '^src(\d+)$', 1)::BIGINT AS src_idx,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY src_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events (log-shaped: distinct, windows, anti-join)
 # ---------------------------------------------------------------------------
@@ -2951,6 +3030,8 @@ QUERIES = {
     "supplier_region_join": supplier_region_join,
     "part_brand_stats": part_brand_stats,
     "region_nation_union": region_nation_union,
+    "events_users_intersect_except": events_users_intersect_except,
+    "docs_source_stats": docs_source_stats,
     "events_type_stats": events_type_stats,
     "events_daily_window": events_daily_window,
     "events_type_pivot": events_type_pivot,
@@ -3051,6 +3132,8 @@ ORACLES = {
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "region_nation_union": SQL_REGION_NATION_UNION,
+    "events_users_intersect_except": SQL_EVENTS_USERS_INTERSECT_EXCEPT,
+    "docs_source_stats": SQL_DOCS_SOURCE_STATS,
     "events_type_stats": SQL_EVENTS_TYPE_STATS,
     "events_daily_window": SQL_EVENTS_DAILY_WINDOW,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
