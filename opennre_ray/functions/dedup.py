@@ -554,6 +554,108 @@ def duplicated_spans(docs_ds, *, k: int = 8, text_col: str = "text",
     return docs_ds.map_batches(count_spans, batch_format="pyarrow")
 
 
+def _segment_hashes(text: str, w: int) -> tuple[list[str], np.ndarray]:
+    """Non-overlapping ``w``-word segments of ``text`` (last may be short)
+    plus the md5-derived 64-bit hash of each segment string (int64 view,
+    same hash family as the MinHash/decontam operators so the op stays
+    SQL-replayable)."""
+    words = text.split()
+    if not words:
+        return [], np.empty(0, dtype=np.int64)
+    segs = [" ".join(words[i: i + w]) for i in range(0, len(words), w)]
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+         for s in segs), dtype=np.uint64, count=len(segs)).view(np.int64)
+    return segs, hs
+
+
+def paragraph_dedup(docs_ds, *, w: int = 10, text_col: str = "text",
+                    key_col: str = "doc_id", rows_hint: int | None = None,
+                    broadcast_limit: int = DECONTAM_BROADCAST_LIMIT):
+    """CCNet-style duplicated-paragraph removal with document reassembly
+    (Wenzek et al. 2020, public): cut each document into non-overlapping
+    ``w``-word segments (the "paragraph" unit for this corpus — the
+    synthetic pages carry no newline structure), drop every segment whose
+    exact text occurs ≥ 2 times anywhere in the corpus (boilerplate by
+    definition — all copies go, not just the later ones), and rejoin the
+    surviving segments in document order.
+
+    Scale shape mirrors :func:`duplicated_spans` — the corpus is never
+    shuffled:
+    1. segment-frequency pass: each batch emits per-segment-hash partial
+       COUNTS (np.unique combiner), a bucketed aggregate sums them and
+       keeps only count ≥ 2 hashes inside the bucket.
+    2. the dup-hash set broadcasts (sorted int64 array under
+       ``broadcast_limit``, else a Bloom filter — Bloom false positives
+       over-remove a ~0.1% sliver, never let a duplicate through) and each
+       batch rebuilds its docs from the kept segments, vectorized isin.
+
+    Returns (key_col, clean_text, n_units, n_removed).
+    """
+    import pandas as pd
+
+    from .relational import hash_bucket_aggregate
+
+    def seg_count_partial(batch: pa.Table) -> pa.Table:
+        hs = [_segment_hashes(t, w)[1]
+              for t in batch.column(text_col).to_pylist()]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False, sort=False)["cnt"].sum()
+        return s[s["cnt"] >= 2][["h"]]
+
+    dup = hash_bucket_aggregate(
+        docs_ds.map_batches(seg_count_partial, batch_format="pyarrow"),
+        ["h"], dup_bucket, rows_hint=rows_hint)
+
+    dup_hashes: list[int] = []
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            dup_hashes.extend(b.column("h").to_pylist())
+
+    import ray
+
+    use_bloom = len(dup_hashes) > broadcast_limit
+    if use_bloom:
+        from .sketches import Bloom
+        n_bits = max(1 << 20, 16 * len(dup_hashes))
+        bloom = Bloom(n_bits)
+        bloom.add_many(list(map(str, dup_hashes)))
+        ref = ray.put((True, bloom.to_bytes(), n_bits))
+    else:
+        arr = np.array(sorted(dup_hashes), dtype=np.int64)
+        ref = ray.put((False, arr, None))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        is_bloom, payload, n_bits = ray.get(ref)
+        if is_bloom:
+            from .sketches import Bloom
+            filt = Bloom.from_bytes(payload, n_bits)
+        clean, n_units, n_removed = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            segs, hs = _segment_hashes(t, w)
+            if is_bloom:
+                drop = np.asarray(filt.contains_many(
+                    [str(int(h)) for h in hs.tolist()]), dtype=bool)
+            else:
+                drop = np.isin(hs, payload)
+            clean.append(" ".join(
+                s for s, d in zip(segs, drop) if not d))
+            n_units.append(len(segs))
+            n_removed.append(int(drop.sum()))
+        return pa.table({
+            key_col: batch.column(key_col),
+            "clean_text": pa.array(clean, pa.string()),
+            "n_units": pa.array(n_units, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64())})
+
+    return docs_ds.map_batches(rebuild, batch_format="pyarrow")
+
+
 def semantic_dedup(ds_emb, *, k: int = 8, iters: int = 3,
                    threshold: float = 0.45, id_col: str = "vec_id",
                    vec_col: str = "embedding", rows_hint: int | None = None):

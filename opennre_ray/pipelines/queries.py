@@ -2757,6 +2757,54 @@ FROM documents dd LEFT JOIN agg a USING (doc_id)
 """
 
 
+PARA_W = 10
+
+
+def docs_paragraph_dedup(sf_dir):
+    """CCNet-style duplicated-paragraph removal with reassembly: cut each
+    doc into non-overlapping 10-word segments, drop every segment whose
+    exact text occurs >= 2 times corpus-wide, rejoin survivors in order.
+    Two passes, corpus never shuffled: bucketed segment-count aggregate
+    (only dup hashes leave the buckets), then a broadcast membership
+    rebuild pass."""
+    from ..functions.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds, w=PARA_W,
+                           rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_PARAGRAPH_DEDUP = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(range((length(toks) + {PARA_W} - 1) // {PARA_W})) AS i,
+         toks
+  FROM toks WHERE length(toks) > 0),
+units AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i*{PARA_W}+1 : i*{PARA_W}+{PARA_W}], ' ') AS u
+  FROM seg),
+flagged AS (
+  SELECT doc_id, i, u, count(*) OVER (PARTITION BY u) AS df FROM units),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(u, ' ' ORDER BY i) FILTER (WHERE df < 2),
+                  '') AS clean_text,
+         count(*)::BIGINT AS n_units,
+         (count(*) FILTER (WHERE df >= 2))::BIGINT AS n_removed
+  FROM flagged GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_units, 0)::BIGINT AS n_units,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def docs_minhash_dedup(sf_dir):
     from ..functions.dedup import minhash_duplicate_groups
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3095,6 +3143,7 @@ QUERIES = {
     "docs_weighted_sample": docs_weighted_sample,
     "docs_oov_ratio": docs_oov_ratio,
     "docs_duplicated_spans": docs_duplicated_spans,
+    "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_inverted_index": docs_inverted_index,
     "docs_topk_tokens_per_lang": docs_topk_tokens_per_lang,
     "docs_above_median_tokens": docs_above_median_tokens,
@@ -3182,6 +3231,7 @@ ORACLES = {
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
+    "docs_paragraph_dedup": SQL_DOCS_PARAGRAPH_DEDUP,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_topk_tokens_per_lang": SQL_DOCS_TOPK_TOKENS_PER_LANG,
     "docs_above_median_tokens": SQL_DOCS_ABOVE_MEDIAN_TOKENS,

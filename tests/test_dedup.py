@@ -237,3 +237,34 @@ def test_semantic_dedup_matches_sequential(ray_session):
             keep.append((i, cl))
     exp = pd.DataFrame(keep, columns=["vec_id", "cluster"]).astype(np.int64)
     pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """CCNet-style paragraph removal: a 4-word segment shared verbatim by
+    two docs is cut from BOTH (all copies go); unique segments survive and
+    rejoin in document order. Bloom fallback (broadcast_limit=0) matches
+    the exact broadcast path (no false positives at this tiny scale)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import paragraph_dedup
+
+    boiler = "b1 b2 b3 b4"                       # exactly w=4 words
+    rows = [
+        {"doc_id": 0, "text": boiler + " aa bb cc dd"},
+        {"doc_id": 1, "text": boiler + " ee ff gg hh"},
+        # same words NOT segment-aligned -> not a duplicate unit
+        {"doc_id": 2, "text": "zz b1 b2 b3 b4 yy xx ww"},
+        {"doc_id": 3, "text": ""},               # empty doc: 0 units
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    got = (paragraph_dedup(ds, w=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["clean_text"].tolist() == [
+        "aa bb cc dd", "ee ff gg hh", "zz b1 b2 b3 b4 yy xx ww", ""]
+    assert got["n_units"].tolist() == [2, 2, 2, 0]
+    assert got["n_removed"].tolist() == [1, 1, 0, 0]
+
+    via_bloom = (paragraph_dedup(ds, w=4, broadcast_limit=0).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(via_bloom, got)
