@@ -619,3 +619,39 @@ def skew_join(left_ds, right_ds, left_key: str, right_key: str,
                                     preserve_index=False)
 
     return merged.map_batches(conform, batch_format="pandas")
+
+
+def per_key_mode(ds, key: str, value: str, *,
+                 n_buckets: int | None = None,
+                 rows_hint: int | None = None):
+    """Per-key statistical mode with deterministic tie-break: the value
+    with the highest count per key; equal counts resolve to the smallest
+    value (SQL replay: ``row_number() OVER (PARTITION BY key ORDER BY cnt
+    DESC, value)``). Returns (key, modal_value, cnt).
+
+    Map-side the batch collapses to (key, value, partial-count) triples —
+    the shuffle moves distinct pairs, not rows — then one bucketed
+    aggregate sums counts and takes the per-key argmax. Keys never span
+    buckets, so the argmax is exact.
+    """
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key, value], as_index=False).agg(
+            cnt=(value, "size"))
+
+    pairs = ds.map_batches(
+        lambda b: partial(b).astype({"cnt": np.int64}),
+        batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby([key, value], as_index=False)
+             .agg(cnt=("cnt", "sum")))
+        g = g.sort_values(["cnt", value], ascending=[False, True],
+                          kind="stable")
+        out = g.groupby(key, sort=False).head(1)
+        out = out.rename(columns={value: "modal_value"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[[key, "modal_value", "cnt"]]
+
+    return hash_bucket_aggregate(pairs, [key], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)

@@ -121,3 +121,65 @@ def incremental_keyed_state(ds, key: str, ts: str, value: str,
     for snap in ray.get([a.snapshot.remote() for a in actors]):
         merged.update(snap)
     return merged
+
+
+def cohort_retention(events_ds, *, user_col: str = "user_id",
+                     ts_col: str = "ts", rows_hint: int | None = None):
+    """Cohort retention matrix: cohort_day = each user's first active day,
+    day_offset = a later active day minus the cohort day, n_users = how
+    many of that cohort were active at that offset (offset 0 row = cohort
+    size). The classic product-analytics retention triangle, as two
+    bucketed aggregates:
+
+    1. map-side: each batch collapses to DISTINCT (user, epoch-day) pairs
+       (integer days — the shuffle moves 16 bytes/active-day, never raw
+       events);
+    2. user-bucketed aggregate: per user min(day) = cohort, explode that
+       user's distinct days to (cohort, offset) rows — every user
+       contributes at most #active-days rows;
+    3. (cohort, offset)-bucketed count — the output is calendar-sized
+       (days × offsets), kilobytes at any corpus scale.
+
+    Per-user state never leaves its bucket, so no driver-side maps and no
+    skew beyond a user's own activity span.
+    """
+    import pyarrow as pa
+
+    from .relational import hash_bucket_aggregate
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        days = batch.column(ts_col).cast(pa.date32()).cast(pa.int32())
+        u = batch.column(user_col).to_numpy(zero_copy_only=False)
+        d = days.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table({user_col: pa.array(uniq[:, 0], pa.int64()),
+                         "day": pa.array(uniq[:, 1], pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "day"])
+        cohort = g.groupby(user_col)["day"].transform("min")
+        return pd.DataFrame({
+            "cohort": cohort.astype(np.int64),
+            "day_offset": (g["day"] - cohort).astype(np.int64)})
+
+    pairs = hash_bucket_aggregate(
+        events_ds.map_batches(day_pairs, batch_format="pyarrow"),
+        [user_col], per_user, rows_hint=rows_hint)
+
+    def count_cell(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["cohort", "day_offset"], as_index=False)
+               .agg(n_users=("day_offset", "size")))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    cells = hash_bucket_aggregate(pairs, ["cohort", "day_offset"],
+                                  count_cell, n_buckets=8)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = np.datetime64("1970-01-01", "D")
+        days = (epoch + batch["cohort"].to_numpy(np.int64)).astype(str)
+        return pd.DataFrame({"cohort_day": days,
+                             "day_offset": batch["day_offset"],
+                             "n_users": batch["n_users"]})
+
+    return cells.map_batches(fmt, batch_format="pandas")

@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -206,7 +207,6 @@ def inverted_index(docs_ds, id_col: str = "doc_id",
     tokens into df-bucketed shards — the aggregation shape here (bucketed
     by token hash) is the same either way.
     """
-    import pandas as pd
 
     from .relational import hash_bucket_aggregate
 
@@ -255,7 +255,6 @@ def tfidf_topk(docs_ds, k: int = 3, id_col: str = "doc_id",
     ``n_docs``: pass the parquet-metadata row count when cheaply known;
     otherwise a count() pass derives it.
     """
-    import pandas as pd
     import ray
 
     from .relational import hash_bucket_aggregate
@@ -334,4 +333,119 @@ def tfidf_topk(docs_ds, k: int = 3, id_col: str = "doc_id",
         docs_ds.map_batches(tf_pairs, batch_format="pyarrow"), df_ds,
         "token", "token", [id_col, "tf"], ["df"], rows_hint=rows_hint)
     return hash_bucket_aggregate(joined, [id_col], topk_frame,
+                                 rows_hint=rows_hint)
+
+
+def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", rows_hint: int | None = None,
+                    broadcast_limit: int = 2_000_000):
+    """Per-document average log-likelihood under the corpus's own unigram
+    LM — the CCNet quality signal (Wenzek et al. 2020 score documents
+    with a KenLM n-gram LM; with no external LM available the corpus's
+    own unigram distribution is the deterministic stand-in: word-salad /
+    rare-token documents score low, head-vocabulary prose scores high).
+
+    Integer fixed-point so the distributed sum is EXACT and
+    SQL-replayable: each token's log-prob ln(count/total) is rounded once
+    to a 1e-6-grid BIGINT (``floor(x·10⁶ + ½)`` — Python ``math.log`` and
+    DuckDB ``ln`` share libm, so the grid values agree bit-for-bit), and
+    per-document sums are integer arithmetic with no float-summation-order
+    hazard. Returns (id_col, n_tokens, logprob_fp) where
+    avg-logprob ≈ logprob_fp / (1e6 · n_tokens).
+
+    Two corpus passes, same shape as ``tfidf_topk``:
+      1. unigram counts — map-side Counter partials, one bucketed
+         aggregate (the shuffle moves vocabulary-sized partials);
+      2. scoring — vocabulary under ``broadcast_limit`` ships once via
+         ``ray.put`` and pass 2 is a stateless streaming map; above it
+         the same math runs as (doc, token, tf) pairs bucket-joined onto
+         the log-prob table, then a per-doc bucketed integer sum (empty
+         docs carried through the left join as zero rows).
+    """
+    import math
+    from collections import Counter
+
+    import ray
+
+    from .relational import hash_bucket_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(_tokens(t))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    def sum_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(cnt=("cnt", "sum"))
+
+    vocab = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"], sum_per_bucket, rows_hint=rows_hint).materialize()
+
+    total = float(vocab.sum("cnt") or 0)
+
+    def fp_of(cnt: float) -> int:
+        return int(math.floor(math.log(cnt / total) * 1_000_000 + 0.5))
+
+    n_tokens_vocab = vocab.count()
+    if n_tokens_vocab <= broadcast_limit:
+        vdf = vocab.to_pandas()
+        fpmap = {t: fp_of(float(c))
+                 for t, c in zip(vdf["token"], vdf["cnt"])}
+        ref = ray.put(fpmap)
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            fpm = ray.get(ref)
+            n_toks, sums = [], []
+            for t in batch.column(text_col).to_pylist():
+                toks = _tokens(t)
+                n_toks.append(len(toks))
+                sums.append(sum(fpm[w] for w in toks))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "logprob_fp": pa.array(sums, pa.int64())})
+
+        return docs_ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # beyond-broadcast: token-bucketed join of (doc, token, tf) onto the
+    # fp table, then a doc-bucketed exact integer sum
+    fp_ds = vocab.map_batches(
+        lambda b: pd.DataFrame({
+            "token": b["token"],
+            "fp": [fp_of(float(c)) for c in b["cnt"]]}),
+        batch_format="pandas")
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            counted = Counter(_tokens(t))
+            if not counted:               # empty doc: zero marker row
+                counted = {"": 0}
+            for w, c in counted.items():
+                ids.append(i)
+                toks.append(w)
+                tfs.append(c)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    from .relational import shuffle_join
+    joined = shuffle_join(
+        docs_ds.map_batches(tf_pairs, batch_format="pyarrow"), fp_ds,
+        "token", "token", [id_col, "tf"], ["fp"], how="left",
+        rows_hint=rows_hint)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].astype(np.int64)
+        fp = g["fp"].fillna(0).astype(np.int64)
+        out = pd.DataFrame({id_col: g[id_col].astype(np.int64),
+                            "n_tokens": tf, "logprob_fp": tf * fp})
+        return (out.groupby(id_col, as_index=False)
+                .agg(n_tokens=("n_tokens", "sum"),
+                     logprob_fp=("logprob_fp", "sum")))
+
+    return hash_bucket_aggregate(joined, [id_col], per_doc,
                                  rows_hint=rows_hint)

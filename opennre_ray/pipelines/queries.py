@@ -3065,6 +3065,83 @@ def media_features(sf_dir):
     return feats.map_batches(flatten, batch_format="numpy")
 
 
+def docs_unigram_logprob(sf_dir):
+    """CCNet-style LM quality score: per-document average log-likelihood
+    under the corpus's own unigram distribution, in exact integer
+    fixed-point (each token's ln(count/total) rounded once to a 1e-6
+    grid, per-doc sums pure integer — no float-summation-order hazard).
+    Two passes: bucketed unigram-count aggregate, size-gated broadcast
+    scoring map."""
+    from ..functions.textstats import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(ds, rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_UNIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok2 GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM cnt),
+lp AS (SELECT token, CAST(floor(ln(c / t) * 1000000 + 0.5) AS BIGINT) AS fp
+       FROM cnt, tot),
+per AS (SELECT t2.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(lp.fp)::BIGINT AS logprob_fp
+        FROM tok2 t2 JOIN lp USING (token) GROUP BY t2.doc_id)
+SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.logprob_fp, 0)::BIGINT AS logprob_fp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def events_cohort_retention(sf_dir):
+    """Retention triangle: users grouped by first-active day (cohort),
+    counted at each later active-day offset. Distinct (user, day) pairs
+    collapse map-side; per-user state never leaves its hash bucket; the
+    output is calendar-sized."""
+    from ..functions.streaming import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_COHORT_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       datediff('day', c.cohort, ud.d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+def events_user_modal_type(sf_dir):
+    """Per-user statistical mode of event_type (ties -> lexicographically
+    smallest). Map-side (user, type, count) partials, one user-bucketed
+    argmax — the shuffle moves distinct pairs, never raw events."""
+    from ..functions.relational import per_key_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = per_key_mode(ds, "user_id", "event_type",
+                       rows_hint=_nrows(sf_dir, "events"))
+    return out.map_batches(
+        lambda b: b.rename(columns={"modal_value": "modal_type"}),
+        batch_format="pandas")
+
+
+SQL_EVENTS_USER_MODAL_TYPE = """
+WITH cnt AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+             FROM events GROUP BY user_id, event_type),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+      FROM cnt)
+SELECT user_id, event_type AS modal_type, cnt FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -3144,6 +3221,9 @@ QUERIES = {
     "docs_oov_ratio": docs_oov_ratio,
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_unigram_logprob": docs_unigram_logprob,
+    "events_cohort_retention": events_cohort_retention,
+    "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
     "docs_topk_tokens_per_lang": docs_topk_tokens_per_lang,
     "docs_above_median_tokens": docs_above_median_tokens,
@@ -3232,6 +3312,9 @@ ORACLES = {
     "docs_oov_ratio": SQL_DOCS_OOV_RATIO,
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
     "docs_paragraph_dedup": SQL_DOCS_PARAGRAPH_DEDUP,
+    "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
+    "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
+    "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_topk_tokens_per_lang": SQL_DOCS_TOPK_TOKENS_PER_LANG,
     "docs_above_median_tokens": SQL_DOCS_ABOVE_MEDIAN_TOKENS,

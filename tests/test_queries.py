@@ -123,3 +123,27 @@ def test_ntile_and_corr_hand_oracles(ray_session, tmp_path):
     got = Q.lineitem_qty_price_corr(str(sf))
     exp = np.corrcoef(qty, price)[0, 1]
     assert abs(got["corr"].iloc[0] - exp) < 1e-6
+
+def test_unigram_logprob_scale_path_matches_broadcast(ray_session):
+    """The beyond-broadcast path (token-bucketed join + per-doc integer
+    sum) is row-identical to the broadcast path, including an empty doc
+    carried through the left join as a zero row."""
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import unigram_logprob
+
+    rows = [
+        {"doc_id": 0, "text": "aa bb aa cc"},
+        {"doc_id": 1, "text": "bb bb dd"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "  aa  "},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    base = (unigram_logprob(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert base["n_tokens"].tolist() == [4, 3, 0, 1]
+    assert base.loc[2, "logprob_fp"] == 0
+    scale = (unigram_logprob(ds, broadcast_limit=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True)
+             .astype(base.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(scale, base)
