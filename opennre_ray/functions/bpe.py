@@ -1,0 +1,164 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016 — public).
+
+The reference tokenizes with a FIXED WordPiece vocab (`tokenization.py`);
+training-data pipelines also need to LEARN the subword vocabulary from the
+corpus. Scale shape:
+
+- pass 1 reduces the corpus to a word-frequency table — the only
+  corpus-wide aggregation (bucketed, map-side Counter partials);
+- every merge round then runs over the VOCABULARY table (distinct words),
+  not the corpus: adjacent-symbol-pair counts are map-side partials per
+  vocab block (already collapsed to distinct pairs before leaving the
+  task), the driver reduces the kilobyte pair table and broadcasts the
+  winning pair back into a vectorized rewrite pass. The vocabulary is
+  re-materialized each round so round r+1 does not recompute rounds 1..r.
+
+Determinism: the winning pair is (count DESC, left ASC, right ASC) — the
+exact tie-break the sequential oracle in tests/test_bpe.py replays.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(docs_ds, *, text_col: str = "text",
+                     rows_hint: int | None = None):
+    """Corpus word-frequency table: (word, freq). Map-side Counter
+    partials collapse each block to its distinct words; one bucketed
+    aggregate sums them — the shuffle moves vocabulary-sized frames."""
+    from .relational import hash_bucket_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(t.split())
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "freq": pa.array(list(c.values()), pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False).agg(freq=("freq", "sum"))
+
+    return hash_bucket_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], per_bucket, rows_hint=rows_hint)
+
+
+def _merge_syms(syms: list[str], left: str, right: str,
+                joined: str) -> list[str]:
+    """One BPE merge applied to one symbol sequence (standard greedy
+    left-to-right scan)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_learn(docs_ds, n_merges: int = 12, *, text_col: str = "text",
+              rows_hint: int | None = None) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (rank, left, right, cnt) — the artifact a subword tokenizer is
+    built from. Each word is seeded as its characters plus an explicit
+    ``</w>`` end-of-word symbol (word-boundary merges stay distinct from
+    word-internal ones, per the original algorithm).
+
+    Per round over the vocab table: distributed pair-count partials
+    (weighted by word frequency, collapsed per block), a driver-side
+    reduce of the kilobyte pair table, and a broadcast rewrite of the
+    symbol sequences. Corpus text is touched exactly once, in pass 1.
+    """
+    vocab = word_frequencies(docs_ds, text_col=text_col,
+                             rows_hint=rows_hint)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        syms = [list(w) + [END_OF_WORD] for w in words]
+        return pa.table({
+            "word": batch.column("word"),
+            "freq": batch.column("freq"),
+            "syms": pa.array(syms, pa.list_(pa.string()))})
+
+    state = vocab.map_batches(seed, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            freqs = batch.column("freq").to_numpy(zero_copy_only=False)
+            for f, syms in zip(freqs, batch.column("syms").to_pylist()):
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += int(f)
+            ls, rs, cs = [], [], []
+            for (a, b), n in c.items():
+                ls.append(a)
+                rs.append(b)
+                cs.append(n)
+            return pa.table({"left": pa.array(ls, pa.string()),
+                             "right": pa.array(rs, pa.string()),
+                             "cnt": pa.array(cs, pa.int64())})
+
+        pairs = (state.map_batches(pair_partial, batch_format="pyarrow")
+                 .to_pandas())
+        if pairs.empty:
+            break
+        agg = (pairs.groupby(["left", "right"], as_index=False)
+               .agg(cnt=("cnt", "sum"))
+               .sort_values(["cnt", "left", "right"],
+                            ascending=[False, True, True], kind="stable"))
+        left, right, cnt = (agg.iloc[0]["left"], agg.iloc[0]["right"],
+                            int(agg.iloc[0]["cnt"]))
+        merges.append((rank, left, right, cnt))
+        joined = left + right
+
+        def apply(batch: pa.Table, left=left, right=right,
+                  joined=joined) -> pa.Table:
+            syms = [_merge_syms(s, left, right, joined)
+                    for s in batch.column("syms").to_pylist()]
+            return pa.table({
+                "word": batch.column("word"),
+                "freq": batch.column("freq"),
+                "syms": pa.array(syms, pa.list_(pa.string()))})
+
+        state = state.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]) \
+        .astype({"rank": np.int64, "cnt": np.int64})
+
+
+def bpe_learn_sequential(texts: list[str], n_merges: int = 12) \
+        -> pd.DataFrame:
+    """Single-process oracle: identical math, no Ray — the
+    distributed-vs-sequential parity target for tests."""
+    wf = Counter()
+    for t in texts:
+        wf.update(t.split())
+    state = {w: list(w) + [END_OF_WORD] for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        c: Counter = Counter()
+        for w, syms in state.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += f
+        if not c:
+            break
+        (left, right), cnt = min(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, int(cnt)))
+        joined = left + right
+        state = {w: _merge_syms(s, left, right, joined)
+                 for w, s in state.items()}
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]) \
+        .astype({"rank": np.int64, "cnt": np.int64})

@@ -449,3 +449,60 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
 
     return hash_bucket_aggregate(joined, [id_col], per_doc,
                                  rows_hint=rows_hint)
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, Table A1 — public).
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 50, 100_000
+GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_REPETITION = 0.2
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-rules composite quality filter (Rae et al. 2021): word-count
+    bounds, mean-word-length bounds, alphabetic-word ratio, distinct-
+    stopword floor, repeated-3-gram ceiling — each signal emitted as its
+    own column plus the AND of all rules as ``passed`` (0/1 BIGINT).
+
+    Stateless vectorized map (no corpus statistics needed — every rule is
+    row-local), so the filter streams at read bandwidth and composes
+    before any shuffle-bearing stage. Ratios are rounded to the same
+    1e-6 grid the rules are evaluated on, so the SQL replay is exact.
+    Alphabetic test is ASCII ``[A-Za-z]`` on both sides (RE2 parity).
+    """
+    import re
+
+    alpha_re = re.compile(r"[A-Za-z]")
+    texts = batch.column("text").to_pylist()
+    n_toks, mean_len, alpha_ratio, n_stop, rep, passed = \
+        [], [], [], [], [], []
+    for t in texts:
+        toks = _tokens(t)
+        n = len(toks)
+        n_toks.append(n)
+        ml = float(sql_round(sum(map(len, toks)) / n, 6)) if n else 0.0
+        ar = (float(sql_round(
+            sum(1 for w in toks if alpha_re.search(w)) / n, 6))
+            if n else 0.0)
+        ns = len({w.lower() for w in toks if w.lower() in _STOPWORDS})
+        rp = float(sql_round(repetition_ratio(toks), 6))
+        mean_len.append(ml)
+        alpha_ratio.append(ar)
+        n_stop.append(ns)
+        rep.append(rp)
+        passed.append(int(
+            GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+            and GOPHER_MIN_WORD_LEN <= ml <= GOPHER_MAX_WORD_LEN
+            and ar >= GOPHER_MIN_ALPHA_RATIO
+            and ns >= GOPHER_MIN_STOPWORDS
+            and rp <= GOPHER_MAX_REPETITION))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_toks, pa.int64()),
+        "mean_token_len": pa.array(mean_len, pa.float64()),
+        "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+        "n_stop_distinct": pa.array(n_stop, pa.int64()),
+        "repetition": pa.array(rep, pa.float64()),
+        "passed": pa.array(passed, pa.int64()),
+    })

@@ -3096,6 +3096,155 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+BM25_TERMS = ["merge", "sort", "hash"]
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
+
+
+def docs_bm25_topk(sf_dir):
+    """BM25 retrieval (Robertson-Sparck Jones, public): top-10 documents
+    for a fixed 3-term query. Pass 1 reduces the corpus to scalar
+    statistics (N, avgdl, per-term df — map-side partial sums, kilobytes
+    to the driver); pass 2 scores each doc row-locally and a global
+    sort+limit picks the winners. Per-term contributions are rounded to a
+    1e-6 grid BEFORE summing (integer fixed-point), so the score is
+    independent of float-summation order and SQL-exact."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        dls, dfs = [], {t: 0 for t in terms}
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            dls.append(len(toks))
+            s = set(toks)
+            for q in terms:
+                dfs[q] += int(q in s)
+        return pa.table({
+            "n_docs": pa.array([len(dls)], pa.int64()),
+            "sum_dl": pa.array([int(sum(dls))], pa.int64()),
+            **{f"df_{q}": pa.array([dfs[q]], pa.int64()) for q in terms}})
+
+    stats = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    n = float(stats["n_docs"].sum())
+    avgdl = float(stats["sum_dl"].sum()) / n
+    idf = {q: math.log((n - float(stats[f"df_{q}"].sum()) + 0.5)
+                       / (float(stats[f"df_{q}"].sum()) + 0.5) + 1.0)
+           for q in terms}
+    k1, b = BM25_K1, BM25_B
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        id_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column("text").to_pylist()):
+            toks = t.split()
+            dl = float(len(toks))
+            fp = 0
+            for q in terms:
+                tf = float(toks.count(q))
+                if tf:
+                    contrib = idf[q] * (tf * (k1 + 1.0)
+                                        / (tf + k1 * (1.0 - b
+                                                      + b * dl / avgdl)))
+                    fp += int(math.floor(contrib * 1_000_000 + 0.5))
+            if fp:
+                ids.append(int(i))
+                fps.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score_fp": pa.array(fps, pa.int64())})
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(["score_fp", "doc_id"],
+                       descending=[True, False]).limit(BM25_TOPK)
+
+
+SQL_DOCS_BM25_TOPK = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, length(toks)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+       WHERE token IN ('merge', 'sort', 'hash') GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+sc AS (SELECT tf.doc_id,
+         sum(CAST(floor(
+           ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE)
+              / (tf + {BM25_K1}::DOUBLE
+                      * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                         + {BM25_B}::DOUBLE * dl.dl / avgdl)))
+           * 1000000 + 0.5::DOUBLE) AS BIGINT))::BIGINT AS score_fp
+       FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, score_fp FROM sc
+ORDER BY score_fp DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+BPE_MERGES = 12
+
+
+def docs_bpe_learn(sf_dir):
+    """BPE vocabulary induction (Sennrich et al. 2016): learn the first
+    12 merges from the corpus. One corpus aggregation (word frequencies),
+    then every merge round runs over the vocabulary table only. Output is
+    the merge table — deterministic, so its oracle is a golden pin
+    (pins.py), same contract as the model pipelines."""
+    from ..functions.bpe import bpe_learn
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_learn(ds, n_merges=BPE_MERGES,
+                     rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+def docs_gopher_filter(sf_dir):
+    """Gopher-rules composite quality filter (Rae et al. 2021): per-rule
+    signal columns + the AND of all five rules as ``passed``. Row-local,
+    stateless, streams at read bandwidth."""
+    from ..functions.textstats import gopher_quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_GOPHER_FILTER = r"""
+WITH t AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+base AS (
+ SELECT doc_id, length(toks)::BIGINT AS n_tokens,
+   CASE WHEN length(toks) = 0 THEN 0.0
+        ELSE round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / length(toks), 6) END AS mean_token_len,
+   CASE WHEN length(toks) = 0 THEN 0.0
+        ELSE round(length(list_filter(
+                     toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / length(toks), 6) END AS alpha_ratio,
+   length(list_distinct(list_filter(
+     list_transform(toks, x -> lower(x)),
+     x -> x IN ('the','a','an','of','and','or','in','on','to','is'))
+   ))::BIGINT AS n_stop_distinct,
+   CASE WHEN length(toks) < 3 THEN 0.0
+        ELSE round(1.0 - length(list_distinct(
+               list_transform(range(1, length(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+             / (length(toks) - 2)::DOUBLE, 6) END AS repetition
+ FROM t)
+SELECT *, (CASE WHEN n_tokens BETWEEN 50 AND 100000
+                 AND mean_token_len BETWEEN 3.0 AND 10.0
+                 AND alpha_ratio >= 0.8
+                 AND n_stop_distinct >= 2
+                 AND repetition <= 0.2
+            THEN 1 ELSE 0 END)::BIGINT AS passed
+FROM base
+"""
+
+
 def events_cohort_retention(sf_dir):
     """Retention triangle: users grouped by first-active day (cohort),
     counted at each later active-day offset. Distinct (user, day) pairs
@@ -3222,6 +3371,9 @@ QUERIES = {
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_unigram_logprob": docs_unigram_logprob,
+    "docs_gopher_filter": docs_gopher_filter,
+    "docs_bm25_topk": docs_bm25_topk,
+    "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -3313,6 +3465,8 @@ ORACLES = {
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
     "docs_paragraph_dedup": SQL_DOCS_PARAGRAPH_DEDUP,
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
+    "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
+    "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
