@@ -130,6 +130,13 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.embed_semantic_dedup(sf_dir)))
     timed("docs_tfidf_topk", lambda: consume(Q.docs_tfidf_topk(sf_dir)))
     timed("knn_pq", lambda: Q.knn_pq_query(sf_dir))
+    timed("docs_paragraph_dedup",
+          lambda: consume(Q.docs_paragraph_dedup(sf_dir)))
+    timed("docs_unigram_logprob",
+          lambda: consume(Q.docs_unigram_logprob(sf_dir)))
+    timed("docs_gopher_filter",
+          lambda: consume(Q.docs_gopher_filter(sf_dir)))
+    timed("docs_bpe_learn", lambda: Q.docs_bpe_learn(sf_dir))
     timed("lineitem_part_skew_join",
           lambda: consume(Q.lineitem_part_skew_join(sf_dir)))
 

@@ -90,6 +90,90 @@ def stratified_sample(ds, strat_col: str, key_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_sample(ds, strat_col: str, key_col: str = "doc_id",
+                       alpha: float = 0.3, salt: str = ""):
+    """Temperature-based stratum rebalancing (the multilingual-corpus
+    sampling rule of mT5/XLM-R, public): stratum g's share of the output
+    is proportional to count(g)**alpha, flattening the head without
+    discarding the tail entirely. Cannot upsample, so keep-probability is
+    normalized to 1 at the smallest stratum:
+    ``q_g = (min_count / count(g)) ** (1 - alpha)``.
+
+    The decision draw is the shared md5 family (prefix ``'temp:'``, so it
+    is independent of hash_split's and stratified_sample's draws); the cut
+    is ``floor(q_g * 2^32)`` — ``pow`` on both sides is the same libm, so
+    the SQL replay selects the identical row set. Same scale shape as
+    :func:`stratified_sample`: tiny groupby for counts, cuts broadcast,
+    stateless vectorized filter; the corpus never shuffles.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(strat_col).aggregate(
+        Count(alias_name="n")).to_pandas()
+    if not len(counts):
+        return ds
+    mn = float(counts["n"].min())
+    cuts = {g: int(math.floor(
+        math.pow(mn / float(n), 1.0 - alpha) * 4294967296.0))
+        for g, n in zip(counts[strat_col], counts["n"])}
+    ref = ray.put(cuts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(strat_col).to_pylist()
+        draws = [int(hashlib.md5(
+            ("temp:" + salt + str(k)).encode()).hexdigest()[:8], 16)
+            for k in keys]
+        mask = pa.array([d < c[g] for d, g in zip(draws, strata)])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def chunk_windows(ds, size: int = 32, stride: int = 24,
+                  key_col: str = "doc_id", text_col: str = "text"):
+    """RAG-style document chunking: overlapping token windows of
+    ``size`` tokens advancing by ``stride`` (the last window covers the
+    tail and may be short; a doc of <= ``size`` tokens is one chunk;
+    empty docs emit nothing). Stateless flat-map — each input row expands
+    row-locally, so the operator streams at read bandwidth and chunk
+    counts scale with document length, never corpus size.
+
+    Output: (key_col, chunk_id, chunk_text, n_tokens); chunk boundaries
+    replicate in SQL as list slices, so the op is value-oracle-able.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, cids, texts, lens = [], [], [], []
+        keys = batch.column(key_col).to_pylist()
+        for k, t in zip(keys, batch.column(text_col).to_pylist()):
+            toks = t.split()
+            n = len(toks)
+            if not n:
+                continue
+            n_chunks = (1 if n <= size
+                        else (n - size + stride - 1) // stride + 1)
+            for c in range(n_chunks):
+                start = c * stride
+                end = min(start + size, n)
+                ids.append(k)
+                cids.append(c)
+                texts.append(" ".join(toks[start:end]))
+                lens.append(end - start)
+        return pa.table({key_col: pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cids, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string()),
+                         "n_tokens": pa.array(lens, pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def pack_sequences(ds, budget: int = 512, part_size: int = 1000,
                    key_col: str = "doc_id", text_col: str = "text"):
     """Greedy first-fit-in-order sequence packing within key-range

@@ -506,3 +506,71 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
         "repetition": pa.array(rep, pa.float64()),
         "passed": pa.array(passed, pa.int64()),
     })
+
+
+def source_shingle_overlap(docs_ds, *, strat_col: str = "source",
+                           text_col: str = "text",
+                           rows_hint: int | None = None) -> pd.DataFrame:
+    """Pairwise content overlap between corpus strata (sources/domains):
+    Jaccard similarity of each pair's DISTINCT 3-shingle sets — the
+    corpus-analytics signal for "which crawls duplicate each other"
+    (cross-source boilerplate shows up as a high-Jaccard pair).
+
+    Scale shape: batches collapse to distinct (shingle, stratum) pairs
+    map-side; ONE bucketed aggregate groups by shingle and emits partial
+    counts — per-stratum distinct-shingle tallies (diagonal rows) and
+    per-pair co-occurrence tallies (off-diagonal rows). The partials are
+    strata²-sized per bucket, so the final reduce is a driver-side sum
+    over kilobytes. Output: (source_a, source_b, n_a, n_b, n_common,
+    jaccard) for every unordered pair, zeros included.
+    """
+    from itertools import combinations
+
+    from .relational import hash_bucket_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for src, t in zip(batch.column(strat_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = _tokens(t)
+            for i in range(len(toks) - 2):
+                seen.add((" ".join(toks[i: i + 3]), src))
+        sh, srcs = (list(c) for c in zip(*seen)) if seen else ([], [])
+        return pa.table({"s": pa.array(sh, pa.string()),
+                         strat_col: pa.array(srcs, pa.string())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["s", strat_col])
+        rows: dict[tuple[str, str], int] = {}
+        for _, grp in g.groupby("s", sort=False):
+            srcs = sorted(grp[strat_col])
+            for a in srcs:
+                rows[(a, a)] = rows.get((a, a), 0) + 1
+            for a, b in combinations(srcs, 2):
+                rows[(a, b)] = rows.get((a, b), 0) + 1
+        if not rows:
+            return pd.DataFrame({"source_a": [], "source_b": [],
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        ka, kb = zip(*rows.keys())
+        return pd.DataFrame({"source_a": list(ka), "source_b": list(kb),
+                             "cnt": np.fromiter(rows.values(), np.int64)})
+
+    partials = hash_bucket_aggregate(
+        docs_ds.map_batches(pairs, batch_format="pyarrow"),
+        ["s"], per_bucket, rows_hint=rows_hint).to_pandas()
+
+    agg = (partials.groupby(["source_a", "source_b"], as_index=False)
+           .agg(cnt=("cnt", "sum")))
+    diag = {r.source_a: int(r.cnt) for r in agg.itertuples()
+            if r.source_a == r.source_b}
+    common = {(r.source_a, r.source_b): int(r.cnt)
+              for r in agg.itertuples() if r.source_a != r.source_b}
+    out = []
+    for a, b in combinations(sorted(diag), 2):
+        na, nb = diag[a], diag[b]
+        nc = common.get((a, b), 0)
+        out.append((a, b, na, nb, nc,
+                    float(sql_round(nc / (na + nb - nc), 6))))
+    return pd.DataFrame(out, columns=["source_a", "source_b", "n_a",
+                                      "n_b", "n_common", "jaccard"]) \
+        .astype({"n_a": np.int64, "n_b": np.int64, "n_common": np.int64})

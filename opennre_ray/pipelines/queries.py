@@ -3096,6 +3096,153 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def events_props_stats(sf_dir):
+    """Semi-structured payload parsing (the WARC-metadata shape): parse
+    the JSON ``props`` column row-locally, extract the numeric field, and
+    aggregate per event type — map-side partial (count, sum) tuples, one
+    kilobyte-sized groupby. Parsing never leaves the task; only the
+    per-type partials shuffle."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sums: dict[str, tuple[int, int]] = {}
+        for et, p in zip(batch.column("event_type").to_pylist(),
+                         batch.column("props").to_pylist()):
+            k = int(json.loads(p)["k"])
+            n, s = sums.get(et, (0, 0))
+            sums[et] = (n + 1, s + k)
+        types = sorted(sums)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array([sums[t][0] for t in types], pa.int64()),
+            "sum_k": pa.array([sums[t][1] for t in types], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n"] = b["n"].astype(np.int64)
+        b["sum_k"] = b["sum_k"].astype(np.int64)
+        b["avg_k"] = sql_round(
+            b["sum_k"].to_numpy(np.float64) / b["n"].to_numpy(np.float64),
+            6)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_PROPS_STATS = r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
+             / count(*)::DOUBLE, 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+def docs_chunk_windows(sf_dir):
+    """RAG-style chunking: overlapping 32-token windows, stride 24, last
+    window covers the tail. Stateless flat-map, streams at read
+    bandwidth."""
+    from ..functions.packing import chunk_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_windows(ds, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+SQL_DOCS_CHUNK_WINDOWS = rf"""
+WITH t AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+    AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, length(toks) AS n FROM t WHERE length(toks) > 0),
+c AS (SELECT doc_id, toks, n,
+        unnest(range(CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                     ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE} + 1 END)) AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(
+         toks[chunk_id * {CHUNK_STRIDE} + 1 :
+              least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)], ' ')
+         AS chunk_text,
+       (least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)
+        - chunk_id * {CHUNK_STRIDE})::BIGINT AS n_tokens
+FROM c
+"""
+
+
+def docs_source_overlap(sf_dir):
+    """Pairwise Jaccard of distinct 3-shingle sets between sources —
+    which crawls duplicate each other. One shingle-bucketed aggregate;
+    partials are strata²-sized, the final reduce is kilobytes."""
+    from ..functions.textstats import source_shingle_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return source_shingle_overlap(
+        ds, rows_hint=64 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_SOURCE_OVERLAP = r"""
+WITH t AS (SELECT source,
+  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+    AS toks
+  FROM documents),
+sh AS (SELECT DISTINCT source,
+         unnest(list_transform(range(1, length(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       FROM t WHERE length(toks) >= 3),
+cnt AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+co AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*)::BIGINT AS n_common
+       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       GROUP BY a.source, b.source)
+SELECT ca.source AS source_a, cb.source AS source_b,
+       ca.n AS n_a, cb.n AS n_b,
+       coalesce(co.n_common, 0)::BIGINT AS n_common,
+       round(coalesce(co.n_common, 0)
+             / (ca.n + cb.n - coalesce(co.n_common, 0))::DOUBLE, 6)
+         AS jaccard
+FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+LEFT JOIN co ON co.source_a = ca.source AND co.source_b = cb.source
+"""
+
+
+TEMP_ALPHA = 0.3
+
+
+def docs_temperature_sample(sf_dir):
+    """mT5/XLM-R temperature sampling: language share flattened to
+    count**alpha, keep-probability (min/count)**(1-alpha), decided by the
+    shared md5 draw — integer-exact row set, corpus never shuffles."""
+    from ..functions.packing import temperature_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_sample(ds, "lang", "doc_id", alpha=TEMP_ALPHA)
+
+
+SQL_DOCS_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang,
+        CAST(floor(pow(m.mn / c.n, {1.0 - TEMP_ALPHA}::DOUBLE)
+                   * 4294967296::DOUBLE) AS UBIGINT) AS cut
+      FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 8))::UBIGINT
+      < r.cut
+"""
+
+
 BM25_TERMS = ["merge", "sort", "hash"]
 BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
 
@@ -3373,6 +3520,10 @@ QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_gopher_filter": docs_gopher_filter,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_temperature_sample": docs_temperature_sample,
+    "docs_source_overlap": docs_source_overlap,
+    "docs_chunk_windows": docs_chunk_windows,
+    "events_props_stats": events_props_stats,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
@@ -3467,6 +3618,10 @@ ORACLES = {
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
+    "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
+    "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
+    "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
+    "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,

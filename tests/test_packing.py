@@ -184,3 +184,52 @@ def test_weighted_sample_partition_invariant_and_proportional(ray_session):
     # heavy rows are 100x the weight of the other 1900 -> dominate the
     # sample far beyond their 5% population share
     assert (got1["doc_id"] < 100).sum() > 25
+
+
+def test_chunk_windows_boundaries(ray_session):
+    """Exact window arithmetic: n<=size is one chunk; the last window
+    covers the tail; empty docs emit nothing."""
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import chunk_windows
+
+    rows = [
+        {"doc_id": 0, "text": " ".join(f"w{i}" for i in range(10))},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": ""},
+        # n = size + 1: exactly 2 chunks, second is the 1-token tail + overlap
+        {"doc_id": 3, "text": " ".join(f"x{i}" for i in range(5))},
+    ]
+    got = (chunk_windows(rd.from_items(rows).repartition(2),
+                         size=4, stride=3).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    # doc0 (10 toks): starts 0,3,6 — the start-6 window already reaches
+    # the tail (6+4 = n), so no degenerate trailing chunk is emitted
+    d0 = got[got["doc_id"] == 0]
+    assert d0["n_tokens"].tolist() == [4, 4, 4]
+    assert d0["chunk_text"].iloc[-1] == "w6 w7 w8 w9"
+    assert got[got["doc_id"] == 1]["n_tokens"].tolist() == [3]
+    assert 2 not in set(got["doc_id"])
+    d3 = got[got["doc_id"] == 3]
+    assert d3["chunk_text"].tolist() == ["x0 x1 x2 x3", "x3 x4"]
+
+
+def test_temperature_sample_properties(ray_session):
+    """alpha=1 keeps every row (no rebalancing); alpha=0 reduces to the
+    equal-size stratified rule (same cuts as min/count); smallest stratum
+    is always fully kept."""
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import (stratified_sample,
+                                               temperature_sample)
+
+    rows = ([{"doc_id": i, "lang": "en"} for i in range(400)]
+            + [{"doc_id": 1000 + i, "lang": "de"} for i in range(20)])
+    ds = rd.from_items(rows).repartition(4)
+    all_kept = temperature_sample(ds, "lang", "doc_id", alpha=1.0)
+    assert all_kept.count() == 420
+    t = temperature_sample(ds, "lang", "doc_id", alpha=0.3).to_pandas()
+    assert (t[t["lang"] == "de"]["doc_id"].nunique()) == 20  # min stratum
+    # en keep-rate ~ (20/400)^0.7 = 0.123 -> expect far fewer than 400
+    n_en = (t["lang"] == "en").sum()
+    assert 10 <= n_en <= 120
