@@ -655,3 +655,71 @@ def per_key_mode(ds, key: str, value: str, *,
 
     return hash_bucket_aggregate(pairs, [key], per_bucket,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
+
+
+def profile_columns(ds, columns: list[str], *,
+                    rows_hint: int | None = None):
+    """Dataset profiling: per-column row count, null count and EXACT
+    distinct count in one pass over the input — the data-quality summary
+    every ingestion pipeline runs before heavier stages.
+
+    Counts are block-local integer partials (one row per column per
+    block); distincts collapse map-side to DISTINCT (column, value)
+    pairs, then one bucketed aggregate — each distinct value lands in
+    exactly one bucket, so summing per-bucket nuniques is exact. Values
+    hash by their Python string form, which is 1:1 per column type, so
+    the count is representation-independent. Nulls are excluded from the
+    distinct count (SQL ``count(DISTINCT col)`` semantics).
+
+    Returns (col_name, n, n_null, n_distinct) — integers only, so the
+    SQL comparison is exact for every column type.
+    """
+    import pyarrow as pa
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in columns:
+            col = batch.column(c)
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_null": pa.array(nulls, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("col_name")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("n_null", alias_name="n_null")))
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in columns:
+            for v in set(batch.column(c).to_pylist()):
+                if v is None:
+                    continue
+                names.append(c)
+                vals.append(str(v))
+        return pa.table({"col_name": pa.array(names, pa.string()),
+                         "v": pa.array(vals, pa.string())})
+
+    def nunique_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["col_name", "v"])
+               .groupby("col_name", as_index=False).agg(nd=("v", "size")))
+        out["nd"] = out["nd"].astype(np.int64)
+        return out
+
+    nd_partials = hash_bucket_aggregate(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["col_name", "v"], nunique_bucket, rows_hint=rows_hint)
+
+    nd = (nd_partials.groupby("col_name")
+          .aggregate(Sum("nd", alias_name="n_distinct")))
+
+    # the two aggregates are column-count-sized (kilobytes at any corpus
+    # scale) — merge driver-side rather than paying a join shuffle
+    out = counts.to_pandas().merge(nd.to_pandas(), on="col_name")
+    return out.astype({"n": np.int64, "n_null": np.int64,
+                       "n_distinct": np.int64}) \
+        .sort_values("col_name").reset_index(drop=True)

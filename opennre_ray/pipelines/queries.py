@@ -3096,6 +3096,29 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag",
+                "l_linestatus", "l_shipdate"]
+
+
+def lineitem_profile(sf_dir):
+    """Dataset profiling: per-column row/null/exact-distinct counts in
+    one pass — block-local count partials plus one bucketed
+    distinct-pair aggregate."""
+    from ..functions.relational import profile_columns
+
+    ds = _read(sf_dir, "lineitem", PROFILE_COLS)
+    return profile_columns(ds, PROFILE_COLS,
+                           rows_hint=len(PROFILE_COLS)
+                           * _nrows(sf_dir, "lineitem"))
+
+
+SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n, "
+    f"(count(*) - count({c}))::BIGINT AS n_null, "
+    f"count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
+    for c in PROFILE_COLS)
+
+
 def events_props_stats(sf_dir):
     """Semi-structured payload parsing (the WARC-metadata shape): parse
     the JSON ``props`` column row-locally, extract the numeric field, and
@@ -3524,6 +3547,7 @@ QUERIES = {
     "docs_source_overlap": docs_source_overlap,
     "docs_chunk_windows": docs_chunk_windows,
     "events_props_stats": events_props_stats,
+    "lineitem_profile": lineitem_profile,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
@@ -3622,6 +3646,7 @@ ORACLES = {
     "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
     "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
