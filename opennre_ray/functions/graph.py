@@ -517,3 +517,94 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
             n_buckets=n_parts)))
 
     return ranks
+
+
+
+def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
+                           part_col: str = "l_partkey",
+                           rows_hint: int | None = None):
+    """Distinct undirected co-purchase edges (a < b): parts appearing in
+    the same order. Per-order pair expansion runs inside the order's
+    hash bucket (an order with k parts emits k(k-1)/2 pairs — TPC-H
+    orders hold <= 7 lineitems; a pathological mega-key would need the
+    same salt/cap treatment as skew_join's hot keys), then one bucketed
+    distinct on (a, b)."""
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    from .relational import hash_bucket_aggregate
+
+    def op_pairs(batch: pa.Table) -> pa.Table:
+        seen = set(zip(batch.column(order_col).to_pylist(),
+                       batch.column(part_col).to_pylist()))
+        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
+        return pa.table({"o": pa.array(o, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    def expand_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, grp in g.drop_duplicates(["o", "p"]).groupby("o",
+                                                            sort=False):
+            for a, b in combinations(sorted(grp["p"]), 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
+                             "b": pd.Series(rows_b, dtype=np.int64)})
+
+    pairs = hash_bucket_aggregate(
+        lineitem_ds.map_batches(op_pairs, batch_format="pyarrow"),
+        ["o"], expand_bucket, rows_hint=rows_hint)
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return hash_bucket_aggregate(pairs, ["a", "b"], distinct_bucket,
+                                 rows_hint=rows_hint)
+
+
+def triangle_count(edges_ds, *, rows_hint: int | None = None):
+    """Exact global triangle count over a distinct a<b edge Dataset via
+    the standard wedge-close plan: wedges = edges ⋈ edges on the shared
+    middle vertex (a<b<c falls out of the sorted-edge orientation — each
+    triangle is generated exactly once), then a bucketed semi-join of
+    the (a, c) wedge closures against the edge set. Both joins are the
+    library's coarse-bucket shuffles; nothing lands on the driver but
+    the two scalar counts. Returns one row: (n_wedges, n_triangles).
+
+    Partitioning assumption: wedge volume is sum(deg²); a power-law hub
+    would need hub-salting before the wedge join (documented, same story
+    as skew_join).
+    """
+    import pyarrow as pa
+
+    from .relational import shuffle_join
+
+    edges = edges_ds.materialize()
+
+    def as_c(batch: pa.Table) -> pa.Table:
+        return pa.table({"a2": batch.column("a"), "c": batch.column("b")})
+
+    wedges = shuffle_join(
+        edges, edges.map_batches(as_c, batch_format="pyarrow"),
+        "b", "a2", ["a"], ["c"], rows_hint=rows_hint).materialize()
+    n_wedges = wedges.count()
+
+    def wedge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
+                      + batch["c"].astype(np.int64).astype(str))
+        return batch
+
+    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
+                      + batch["b"].astype(np.int64).astype(str))
+        return batch[["k"]]
+
+    closed = shuffle_join(
+        wedges.map_batches(wedge_key, batch_format="pandas"),
+        edges.map_batches(edge_key, batch_format="pandas"),
+        "k", "k", ["a", "c"], [], how="left_semi", rows_hint=rows_hint)
+    n_tri = closed.count()
+    return pd.DataFrame({"n_wedges": pd.Series([n_wedges], dtype=np.int64),
+                         "n_triangles": pd.Series([n_tri],
+                                                  dtype=np.int64)})

@@ -3096,6 +3096,30 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def graph_triangles_parts(sf_dir):
+    """Exact triangle count on the part co-purchase graph (parts sharing
+    an order). Edge build = per-order pair expansion in the order's hash
+    bucket + one distinct; count = wedge join on the middle vertex + a
+    bucketed semi-join closure. Output is two scalars."""
+    from ..functions.graph import build_copurchase_edges, triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n = _nrows(sf_dir, "lineitem")
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    return triangle_count(edges, rows_hint=8 * n)
+
+
+SQL_GRAPH_TRIANGLES_PARTS = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+t AS (SELECT w.a, w.b, w.c FROM w JOIN e ON e.a = w.a AND e.b = w.c)
+SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+       (SELECT count(*) FROM t)::BIGINT AS n_triangles
+"""
+
+
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag",
                 "l_linestatus", "l_shipdate"]
 
@@ -3548,6 +3572,7 @@ QUERIES = {
     "docs_chunk_windows": docs_chunk_windows,
     "events_props_stats": events_props_stats,
     "lineitem_profile": lineitem_profile,
+    "graph_triangles_parts": graph_triangles_parts,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
@@ -3647,6 +3672,7 @@ ORACLES = {
     "docs_chunk_windows": SQL_DOCS_CHUNK_WINDOWS,
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
+    "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,

@@ -180,3 +180,46 @@ def test_pagerank_matches_sequential(ray_session):
     got_map = dict(zip(got["entity"], got["rank_micro"]))
     assert got_map == _seq_pagerank(edges, iters=5)
     assert got["rank_micro"].dtype == np.int64
+
+
+def test_triangle_count_planted(ray_session):
+    """K4 has 4 wedges under sorted-edge orientation and all 4 close to
+    triangles; adding a dangling path contributes wedges but no new
+    triangles."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = triangle_count(rd.from_items(
+        [{"a": a, "b": b} for a, b in k4]).repartition(3))
+    assert got["n_wedges"].tolist() == [4]
+    assert got["n_triangles"].tolist() == [4]
+
+    path = k4 + [(4, 5), (5, 6)]        # 4-5-6 path: wedge, no closure
+    got2 = triangle_count(rd.from_items(
+        [{"a": a, "b": b} for a, b in path]).repartition(3))
+    assert got2["n_triangles"].tolist() == [4]
+    # middles: b=2 -> 2, b=3 -> 2, b=4 -> {1,2,3}x{5} = 3, b=5 -> 1
+    assert got2["n_wedges"].tolist() == [8]
+
+
+def test_copurchase_edges(ray_session):
+    """Orders explode to sorted distinct pairs; a pair shared by two
+    orders appears once."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import build_copurchase_edges
+
+    rows = [
+        {"l_orderkey": 1, "l_partkey": 30},
+        {"l_orderkey": 1, "l_partkey": 10},
+        {"l_orderkey": 1, "l_partkey": 20},
+        {"l_orderkey": 2, "l_partkey": 10},
+        {"l_orderkey": 2, "l_partkey": 30},
+        {"l_orderkey": 2, "l_partkey": 30},   # dup lineitem collapses
+    ]
+    got = (build_copurchase_edges(rd.from_items(rows).repartition(2))
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert list(map(tuple, got[["a", "b"]].to_numpy())) == [
+        (10, 20), (10, 30), (20, 30)]
