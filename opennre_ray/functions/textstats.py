@@ -459,6 +459,36 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_MAX_REPETITION = 0.2
 
 
+_ALPHA_RE = None
+
+
+def gopher_signals(text: str) -> tuple[int, float, float, int, float, int]:
+    """Per-document Gopher rule signals (n_tokens, mean_token_len,
+    alpha_ratio, n_stop_distinct, repetition, passed 0/1) — the single
+    definition shared by ``gopher_quality_batch`` and the curation
+    pipeline so the rule set cannot drift between the standalone query
+    and the composed chain."""
+    import re
+
+    global _ALPHA_RE
+    if _ALPHA_RE is None:
+        _ALPHA_RE = re.compile(r"[A-Za-z]")
+    toks = _tokens(text)
+    n = len(toks)
+    ml = float(sql_round(sum(map(len, toks)) / n, 6)) if n else 0.0
+    ar = (float(sql_round(
+        sum(1 for w in toks if _ALPHA_RE.search(w)) / n, 6))
+        if n else 0.0)
+    ns = len({w.lower() for w in toks if w.lower() in _STOPWORDS})
+    rp = float(sql_round(repetition_ratio(toks), 6))
+    ok = int(GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+             and GOPHER_MIN_WORD_LEN <= ml <= GOPHER_MAX_WORD_LEN
+             and ar >= GOPHER_MIN_ALPHA_RATIO
+             and ns >= GOPHER_MIN_STOPWORDS
+             and rp <= GOPHER_MAX_REPETITION)
+    return n, ml, ar, ns, rp, ok
+
+
 def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     """Gopher-rules composite quality filter (Rae et al. 2021): word-count
     bounds, mean-word-length bounds, alphabetic-word ratio, distinct-
@@ -471,32 +501,17 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     1e-6 grid the rules are evaluated on, so the SQL replay is exact.
     Alphabetic test is ASCII ``[A-Za-z]`` on both sides (RE2 parity).
     """
-    import re
-
-    alpha_re = re.compile(r"[A-Za-z]")
     texts = batch.column("text").to_pylist()
     n_toks, mean_len, alpha_ratio, n_stop, rep, passed = \
         [], [], [], [], [], []
     for t in texts:
-        toks = _tokens(t)
-        n = len(toks)
+        n, ml, ar, ns, rp, ok = gopher_signals(t)
         n_toks.append(n)
-        ml = float(sql_round(sum(map(len, toks)) / n, 6)) if n else 0.0
-        ar = (float(sql_round(
-            sum(1 for w in toks if alpha_re.search(w)) / n, 6))
-            if n else 0.0)
-        ns = len({w.lower() for w in toks if w.lower() in _STOPWORDS})
-        rp = float(sql_round(repetition_ratio(toks), 6))
         mean_len.append(ml)
         alpha_ratio.append(ar)
         n_stop.append(ns)
         rep.append(rp)
-        passed.append(int(
-            GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
-            and GOPHER_MIN_WORD_LEN <= ml <= GOPHER_MAX_WORD_LEN
-            and ar >= GOPHER_MIN_ALPHA_RATIO
-            and ns >= GOPHER_MIN_STOPWORDS
-            and rp <= GOPHER_MAX_REPETITION))
+        passed.append(ok)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(n_toks, pa.int64()),

@@ -2758,6 +2758,8 @@ FROM documents dd LEFT JOIN agg a USING (doc_id)
 
 
 PARA_W = 10
+TEMP_ALPHA = 0.3
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
 
 
 def docs_paragraph_dedup(sf_dir):
@@ -3096,6 +3098,112 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def docs_curation_pipeline(sf_dir):
+    """Second flagship composition — the modern web-corpus curation
+    chain, end-to-end as ONE streaming pipeline, value-oracled as one
+    unit: Gopher-rules filter (row-local, streams at read bandwidth) →
+    temperature rebalancing by language (integer md5 acceptance cuts over
+    the FILTERED counts) → CCNet paragraph dedup across the sampled
+    corpus (one bucketed segment-frequency aggregate + broadcast rebuild)
+    → RAG chunking of the cleaned text (stateless flat-map). One corpus
+    shuffle total (the segment-frequency aggregate); every stage is a
+    library operator, so the chain cannot drift from the standalone
+    queries' semantics."""
+    from ..functions.dedup import paragraph_dedup
+    from ..functions.packing import chunk_windows, temperature_sample
+    from ..functions.textstats import gopher_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def keep_passing(batch: pa.Table) -> pa.Table:
+        mask = pa.array([bool(gopher_signals(t)[5])
+                         for t in batch.column("text").to_pylist()])
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep_passing, batch_format="pyarrow")
+    sampled = temperature_sample(filtered, "lang", "doc_id",
+                                 alpha=TEMP_ALPHA)
+    cleaned = paragraph_dedup(
+        sampled, w=PARA_W,
+        rows_hint=16 * _nrows(sf_dir, "documents"))
+    return chunk_windows(cleaned, size=CHUNK_SIZE, stride=CHUNK_STRIDE,
+                         text_col="clean_text")
+
+
+SQL_DOCS_CURATION_PIPELINE = rf"""
+WITH t AS (SELECT doc_id, lang,
+  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+    AS toks
+  FROM documents),
+base AS (
+ SELECT doc_id, lang, toks, length(toks)::BIGINT AS n_tokens,
+   CASE WHEN length(toks) = 0 THEN 0.0
+        ELSE round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                   / length(toks), 6) END AS mean_token_len,
+   CASE WHEN length(toks) = 0 THEN 0.0
+        ELSE round(length(list_filter(
+                     toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                   / length(toks), 6) END AS alpha_ratio,
+   length(list_distinct(list_filter(
+     list_transform(toks, x -> lower(x)),
+     x -> x IN ('the','a','an','of','and','or','in','on','to','is'))
+   ))::BIGINT AS n_stop_distinct,
+   CASE WHEN length(toks) < 3 THEN 0.0
+        ELSE round(1.0 - length(list_distinct(
+               list_transform(range(1, length(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+             / (length(toks) - 2)::DOUBLE, 6) END AS repetition
+ FROM t),
+keep AS (SELECT doc_id, lang, toks FROM base
+         WHERE n_tokens BETWEEN 50 AND 100000
+           AND mean_token_len BETWEEN 3.0 AND 10.0
+           AND alpha_ratio >= 0.8 AND n_stop_distinct >= 2
+           AND repetition <= 0.2),
+c AS (SELECT lang, count(*)::DOUBLE AS n FROM keep GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang,
+        CAST(floor(pow(m.mn / c.n, {1.0 - TEMP_ALPHA}::DOUBLE)
+                   * 4294967296::DOUBLE) AS UBIGINT) AS cut
+      FROM c, m),
+samp AS (SELECT k.doc_id, k.toks FROM keep k JOIN r USING (lang)
+         WHERE ('0x' || substr(md5('temp:' || k.doc_id::VARCHAR), 1, 8))
+               ::UBIGINT < r.cut),
+seg AS (SELECT doc_id,
+          unnest(range((length(toks) + {PARA_W} - 1) // {PARA_W})) AS i,
+          toks
+        FROM samp WHERE length(toks) > 0),
+units AS (SELECT doc_id, i,
+            array_to_string(
+              toks[i*{PARA_W}+1 : i*{PARA_W}+{PARA_W}], ' ') AS u
+          FROM seg),
+flagged AS (SELECT doc_id, i, u,
+                   count(*) OVER (PARTITION BY u) AS df FROM units),
+agg AS (SELECT doc_id,
+          coalesce(string_agg(u, ' ' ORDER BY i) FILTER (WHERE df < 2),
+                   '') AS clean_text
+        FROM flagged GROUP BY doc_id),
+ct AS (SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(clean_text), '\s+'),
+                     x -> x <> '') AS ctoks
+       FROM agg),
+cn AS (SELECT doc_id, ctoks, length(ctoks) AS n FROM ct
+       WHERE length(ctoks) > 0),
+ch AS (SELECT doc_id, ctoks, n,
+         unnest(range(CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                      ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                           // {CHUNK_STRIDE} + 1 END)) AS chunk_id
+       FROM cn)
+SELECT doc_id, chunk_id,
+       array_to_string(
+         ctoks[chunk_id * {CHUNK_STRIDE} + 1 :
+               least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)], ' ')
+         AS chunk_text,
+       (least(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)
+        - chunk_id * {CHUNK_STRIDE})::BIGINT AS n_tokens
+FROM ch
+"""
+
+
 def graph_triangles_parts(sf_dir):
     """Exact triangle count on the part co-purchase graph (parts sharing
     an order). Edge build = per-order pair expansion in the order's hash
@@ -3193,8 +3301,6 @@ FROM events GROUP BY event_type
 """
 
 
-CHUNK_SIZE, CHUNK_STRIDE = 32, 24
-
 
 def docs_chunk_windows(sf_dir):
     """RAG-style chunking: overlapping 32-token windows, stride 24, last
@@ -3263,8 +3369,6 @@ FROM cnt ca JOIN cnt cb ON ca.source < cb.source
 LEFT JOIN co ON co.source_a = ca.source AND co.source_b = cb.source
 """
 
-
-TEMP_ALPHA = 0.3
 
 
 def docs_temperature_sample(sf_dir):
@@ -3573,6 +3677,7 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
+    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
@@ -3673,6 +3778,7 @@ ORACLES = {
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
+    "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
