@@ -137,6 +137,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_gopher_filter",
           lambda: consume(Q.docs_gopher_filter(sf_dir)))
     timed("docs_bpe_learn", lambda: Q.docs_bpe_learn(sf_dir))
+    timed("docs_curation_pipeline",
+          lambda: consume(Q.docs_curation_pipeline(sf_dir)))
     timed("lineitem_part_skew_join",
           lambda: consume(Q.lineitem_part_skew_join(sf_dir)))
 

@@ -148,6 +148,11 @@ def chunk_windows(ds, size: int = 32, stride: int = 24,
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # stride > size would skip tokens AND the chunk-count formula
+        # would emit an empty trailing chunk (found by the property
+        # test); overlapping windows require stride <= size
+        raise ValueError("stride must be <= size (overlapping windows)")
 
     def expand(batch: pa.Table) -> pa.Table:
         ids, cids, texts, lens = [], [], [], []

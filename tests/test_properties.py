@@ -71,3 +71,63 @@ def test_all_modules_import():
         except Exception as exc:       # pragma: no cover
             failed.append((mod.name, exc))
     assert not failed, failed
+
+
+WORDS = st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                 min_size=0, max_size=40)
+
+
+@given(WORDS, st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=80, deadline=None)
+def test_chunk_window_math_covers_every_token(words, size, stride):
+    """Pure window arithmetic (mirrors packing.chunk_windows): chunks
+    reconstruct the document exactly via stride-prefixes, every token is
+    covered, and no chunk except the last is shorter than min(size, n).
+    (stride > size is rejected by the operator — it would skip tokens and
+    emit empty trailing chunks, which this test originally caught.)"""
+    toks = words
+    n = len(toks)
+    if n == 0 or stride > size:
+        return
+    n_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+    chunks = []
+    for c in range(n_chunks):
+        start = c * stride
+        end = min(start + size, n)
+        chunks.append(toks[start:end])
+    # coverage: stride-prefix concatenation == original tokens
+    rebuilt = []
+    for c, ch in enumerate(chunks):
+        take = len(ch) if c == n_chunks - 1 else min(stride, len(ch))
+        rebuilt.extend(ch[:take])
+    # overlapping windows revisit tokens; the prefix rebuild must cover
+    # everything when stride <= size (the only supported regime)
+    if stride <= size:
+        assert rebuilt == toks
+    assert all(len(c) >= 1 for c in chunks)
+    assert chunks[-1][-1] == toks[-1]
+
+
+@given(st.lists(st.lists(st.text(alphabet="ab", min_size=1, max_size=2),
+                         min_size=0, max_size=12), min_size=1, max_size=6),
+       st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_paragraph_dedup_sequential_invariants(docs, w):
+    """Sequential replay of paragraph_dedup's math: surviving segments
+    are a subsequence of the original, removed count is consistent, and
+    any segment string kept appears exactly once corpus-wide."""
+    from collections import Counter
+
+    segs_per_doc = []
+    for toks in docs:
+        segs = [" ".join(toks[i: i + w]) for i in range(0, len(toks), w)]
+        segs_per_doc.append(segs)
+    freq = Counter(s for segs in segs_per_doc for s in segs)
+    for segs in segs_per_doc:
+        kept = [s for s in segs if freq[s] < 2]
+        assert len(kept) + sum(1 for s in segs if freq[s] >= 2) == len(segs)
+        for s in kept:
+            assert freq[s] == 1
+        # subsequence: kept preserves original order
+        it = iter(segs)
+        assert all(any(s == x for x in it) for s in kept)
