@@ -608,3 +608,78 @@ def triangle_count(edges_ds, *, rows_hint: int | None = None):
     return pd.DataFrame({"n_wedges": pd.Series([n_wedges], dtype=np.int64),
                          "n_triangles": pd.Series([n_tri],
                                                   dtype=np.int64)})
+
+
+def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
+                     broadcast_limit: int = 2_000_000):
+    """Distant-supervision negative sampling: for each true triple
+    (subj, pred, obj), deterministically corrupt the tail ``k`` times —
+    candidate i is ``entities[md5(salt|subj|pred|i) % n_entities]`` over
+    the SORTED distinct-object vocabulary — and drop corruptions that
+    collide with ANY true (subj, pred, obj) triple. The standard
+    closed-world negative generator for KG/RE training (Mintz et al.
+    2009 distant supervision; reference contrast:
+    /root/reference/opennre/framework/data_loader.py consumes
+    pre-labelled NA pairs — generating them at scale is the pipeline's
+    job).
+
+    Scale shape: the entity vocabulary and the true-triple key set
+    broadcast once (``ray.put``; both are entity/edge-sized statistics —
+    beyond ``broadcast_limit`` the membership test would swap to the
+    same Bloom fallback as ``decontaminate``, here a hard error to keep
+    the sandbox honest), and generation is a stateless flat-map: each
+    edge row expands to <= k rows locally, no shuffle anywhere.
+
+    Deterministic and SQL-replayable: the md5 draw is the shared hash
+    family, the modulo indexes a DuckDB ``list(DISTINCT obj ORDER BY
+    obj)`` literal identically. Returns (subj, pred, neg_obj, draw_idx).
+    """
+    import hashlib
+
+    import ray
+
+    edges_mat = edges_ds.materialize()
+    ents = sorted(set(
+        v for b in edges_mat.select_columns(["obj"])
+        .iter_batches(batch_format="pyarrow")
+        for v in b.column("obj").to_pylist()))
+    if len(ents) > broadcast_limit:
+        raise NotImplementedError(
+            "entity vocabulary exceeds the broadcast limit — swap the "
+            "membership test to the Bloom fallback (see decontaminate)")
+    true_keys = set()
+    for b in edges_mat.iter_batches(batch_format="pyarrow"):
+        true_keys.update(zip(b.column("subj").to_pylist(),
+                             b.column("pred").to_pylist(),
+                             b.column("obj").to_pylist()))
+    if len(true_keys) > broadcast_limit:
+        raise NotImplementedError(
+            "true-triple set exceeds the broadcast limit — swap to the "
+            "Bloom fallback (see decontaminate)")
+    ref = ray.put((ents, true_keys))
+    ref_key = ref.hex()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        ents_l, truth = cached(("negsamp", ref_key), lambda: ray.get(ref))
+        n_ent = len(ents_l)
+        subj, pred, neg, idx = [], [], [], []
+        for s, p in zip(batch.column("subj").to_pylist(),
+                        batch.column("pred").to_pylist()):
+            for i in range(k):
+                h = int.from_bytes(hashlib.md5(
+                    f"{salt}{s}|{p}|{i}".encode()).digest()[:8], "big")
+                cand = ents_l[h % n_ent]
+                if (s, p, cand) in truth:
+                    continue
+                subj.append(s)
+                pred.append(p)
+                neg.append(cand)
+                idx.append(i)
+        return pa.table({"subj": pa.array(subj, pa.string()),
+                         "pred": pa.array(pred, pa.string()),
+                         "neg_obj": pa.array(neg, pa.string()),
+                         "draw_idx": pa.array(idx, pa.int64())})
+
+    return edges_mat.map_batches(gen, batch_format="pyarrow")

@@ -3098,6 +3098,35 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+NEG_K = 2
+
+
+def kg_negative_samples(sf_dir):
+    """Distant-supervision negatives over the deterministic customer
+    edge table: each true (C, in_nation, N) triple gets up to 2
+    md5-drawn corrupted tails, minus collisions with true triples.
+    Stateless flat-map; entity vocab + truth set broadcast once."""
+    from ..functions.graph import negative_samples
+
+    return negative_samples(_customer_edges(sf_dir), k=NEG_K)
+
+
+SQL_KG_NEGATIVE_SAMPLES = f"""
+WITH e AS (SELECT 'C' || c_custkey AS subj, 'in_nation' AS pred,
+                  'N' || c_nationkey AS obj FROM customer),
+ents AS (SELECT list(DISTINCT obj ORDER BY obj) AS arr,
+                count(DISTINCT obj)::UBIGINT AS n FROM e),
+g AS (SELECT e.subj, e.pred, i.i,
+        arr[CAST(('0x' || substr(md5(e.subj || '|' || e.pred || '|'
+                                     || i.i::VARCHAR), 1, 16))::UBIGINT
+                 % n AS BIGINT) + 1] AS neg_obj
+      FROM e, ents, (SELECT unnest(range({NEG_K})) AS i) i)
+SELECT g.subj, g.pred, g.neg_obj, g.i::BIGINT AS draw_idx
+FROM g WHERE NOT EXISTS (SELECT 1 FROM e t WHERE t.subj = g.subj
+                         AND t.pred = g.pred AND t.obj = g.neg_obj)
+"""
+
+
 def docs_curation_pipeline(sf_dir):
     """Second flagship composition — the modern web-corpus curation
     chain, end-to-end as ONE streaming pipeline, value-oracled as one
@@ -3678,6 +3707,7 @@ QUERIES = {
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "kg_negative_samples": kg_negative_samples,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
@@ -3779,6 +3809,7 @@ ORACLES = {
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
+    "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,

@@ -223,3 +223,42 @@ def test_copurchase_edges(ray_session):
            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert list(map(tuple, got[["a", "b"]].to_numpy())) == [
         (10, 20), (10, 30), (20, 30)]
+
+
+def test_negative_samples_drop_true_collisions(ray_session):
+    """Every emitted negative differs from ALL true tails of its (subj,
+    pred); draws are deterministic md5 indexes into the sorted entity
+    vocabulary; k draws minus collisions rows per edge."""
+    import hashlib
+
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import negative_samples
+
+    edges = [
+        {"subj": "A", "pred": "r", "obj": "X"},
+        {"subj": "A", "pred": "r", "obj": "Y"},
+        {"subj": "B", "pred": "r", "obj": "X"},
+    ]
+    got = (negative_samples(rd.from_items(edges).repartition(2), k=4)
+           .to_pandas())
+    ents = ["X", "Y"]
+    truth = {(e["subj"], e["pred"], e["obj"]) for e in edges}
+    # replay sequentially
+    exp = []
+    for e in edges:
+        for i in range(4):
+            h = int.from_bytes(hashlib.md5(
+                f"{e['subj']}|{e['pred']}|{i}".encode()).digest()[:8],
+                "big")
+            cand = ents[h % 2]
+            if (e["subj"], e["pred"], cand) not in truth:
+                exp.append((e["subj"], e["pred"], cand, i))
+    got_t = sorted(map(tuple, got[["subj", "pred", "neg_obj",
+                                   "draw_idx"]].to_numpy()))
+    # A has both X and Y as true tails -> every A draw collides
+    assert not any(r[0] == "A" for r in exp)
+    # duplicate (A,r) edges each generate their own draws; dedupe replay
+    assert sorted(set(got_t)) == sorted(set(exp))
+    for s, p, n, i in got_t:
+        assert (s, p, n) not in truth
