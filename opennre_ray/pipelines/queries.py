@@ -3098,6 +3098,95 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def docs_curation_funnel(sf_dir):
+    """Observability companion to the curation pipeline: document counts
+    surviving each stage (in → Gopher pass → temperature sample → chunks
+    out). Diagnostic multi-pass by design — production runs ride the
+    job-level counters (pipelines/job.py) instead of re-executing
+    stages."""
+    from ..functions.dedup import paragraph_dedup
+    from ..functions.packing import chunk_windows, temperature_sample
+    from ..functions.textstats import gopher_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = _nrows(sf_dir, "documents")
+
+    def keep_passing(batch: pa.Table) -> pa.Table:
+        mask = pa.array([bool(gopher_signals(t)[5])
+                         for t in batch.column("text").to_pylist()])
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(keep_passing, batch_format="pyarrow")
+    n_pass = filtered.count()
+    sampled = temperature_sample(filtered, "lang", "doc_id",
+                                 alpha=TEMP_ALPHA)
+    cleaned = paragraph_dedup(sampled, w=PARA_W, rows_hint=16 * n_docs)
+    chunks = chunk_windows(cleaned, size=CHUNK_SIZE, stride=CHUNK_STRIDE,
+                           text_col="clean_text").materialize()
+    n_chunks = chunks.count()
+    n_sampled_docs = len(chunks.unique("doc_id"))
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype=np.int64),
+        "n_pass_gopher": pd.Series([n_pass], dtype=np.int64),
+        "n_chunked_docs": pd.Series([n_sampled_docs], dtype=np.int64),
+        "n_chunks": pd.Series([n_chunks], dtype=np.int64)})
+
+
+
+
+def events_value_outliers(sf_dir):
+    """Per-user z-score anomaly detection, integer-exact: values
+    cent-quantized once, then the |z| > 3 test is the pure-integer
+    inequality (x·n − S)² > 9·(n·S2 − S²) — no float variance, no
+    summation-order hazard, HUGEINT-replayable. One user-bucketed pass:
+    a user's rows co-locate, so moments and flags happen in one spot."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents_batch(b: pd.DataFrame) -> pd.DataFrame:
+        b["cents"] = sql_round(b["value"].to_numpy(np.float64) * 100.0,
+                               0).astype(np.int64)
+        return b[["event_id", "user_id", "cents"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        eids, uids, cs = [], [], []
+        for uid, grp in g.groupby("user_id", sort=False):
+            cents = [int(x) for x in grp["cents"]]
+            n, s1 = len(cents), sum(cents)
+            s2 = sum(x * x for x in cents)
+            thr = 9 * (n * s2 - s1 * s1)   # Python ints: no overflow
+            for eid, x in zip(grp["event_id"], cents):
+                d = x * n - s1
+                if d * d > thr:
+                    eids.append(int(eid))
+                    uids.append(int(uid))
+                    cs.append(x)
+        return pd.DataFrame({
+            "event_id": pd.Series(eids, dtype=np.int64),
+            "user_id": pd.Series(uids, dtype=np.int64),
+            "cents": pd.Series(cs, dtype=np.int64)})
+
+    return hash_bucket_aggregate(
+        ds.map_batches(cents_batch, batch_format="pandas"),
+        ["user_id"], per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH c AS (SELECT event_id, user_id,
+                  CAST(round(value * 100) AS HUGEINT) AS cents
+           FROM events),
+s AS (SELECT user_id, count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS s1,
+             sum(cents * cents)::HUGEINT AS s2
+      FROM c GROUP BY user_id)
+SELECT c.event_id, c.user_id, CAST(c.cents AS BIGINT) AS cents
+FROM c JOIN s USING (user_id)
+WHERE (c.cents * s.n - s.s1) * (c.cents * s.n - s.s1)
+      > 9 * (s.n * s.s2 - s.s1 * s.s1)
+"""
+
+
 NEG_K = 2
 
 
@@ -3159,7 +3248,7 @@ def docs_curation_pipeline(sf_dir):
                          text_col="clean_text")
 
 
-SQL_DOCS_CURATION_PIPELINE = rf"""
+_CURATION_CTES = rf"""
 WITH t AS (SELECT doc_id, lang,
   list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
     AS toks
@@ -3222,6 +3311,9 @@ ch AS (SELECT doc_id, ctoks, n,
                       ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
                            // {CHUNK_STRIDE} + 1 END)) AS chunk_id
        FROM cn)
+"""
+
+SQL_DOCS_CURATION_PIPELINE = _CURATION_CTES + rf"""
 SELECT doc_id, chunk_id,
        array_to_string(
          ctoks[chunk_id * {CHUNK_STRIDE} + 1 :
@@ -3231,6 +3323,16 @@ SELECT doc_id, chunk_id,
         - chunk_id * {CHUNK_STRIDE})::BIGINT AS n_tokens
 FROM ch
 """
+
+
+SQL_DOCS_CURATION_FUNNEL = _CURATION_CTES + """
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM keep)::BIGINT AS n_pass_gopher,
+       (SELECT count(DISTINCT doc_id) FROM cn)::BIGINT AS n_chunked_docs,
+       (SELECT sum(CASE WHEN n <= {cs} THEN 1
+                        ELSE (n - {cs} + {st} - 1) // {st} + 1 END)
+        FROM cn)::BIGINT AS n_chunks
+""".replace("{cs}", str(CHUNK_SIZE)).replace("{st}", str(CHUNK_STRIDE))
 
 
 def graph_triangles_parts(sf_dir):
@@ -3707,6 +3809,8 @@ QUERIES = {
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_curation_funnel": docs_curation_funnel,
+    "events_value_outliers": events_value_outliers,
     "kg_negative_samples": kg_negative_samples,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
@@ -3809,6 +3913,8 @@ ORACLES = {
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
+    "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
+    "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
