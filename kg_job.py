@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="output root directory")
     ap.add_argument("--model", default="wiki80_cnn_softmax")
     ap.add_argument("--threshold", type=float, default=None)
+    ap.add_argument("--pipeline", choices=["kg", "curation"], default="kg",
+                    help="kg: triples; curation: Gopher filter -> "
+                         "temperature sample -> paragraph dedup -> chunks")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
@@ -53,9 +56,14 @@ def main(argv=None):
                 glob.glob(os.path.join(args.input, "*.parquet")))
     else:
         shard_files = [args.input]
-    result = run_kg_job(shard_files, args.out, model_name=args.model,
-                        threshold=(args.threshold if args.threshold is not None
-                                   else SCORE_THRESHOLD))
+    if args.pipeline == "curation":
+        from opennre_ray.pipelines.job import run_curation_job
+        result = run_curation_job(shard_files, args.out)
+    else:
+        result = run_kg_job(
+            shard_files, args.out, model_name=args.model,
+            threshold=(args.threshold if args.threshold is not None
+                       else SCORE_THRESHOLD))
     print(json.dumps({"completed": len(result["completed"]),
                       "skipped": len(result["skipped"]),
                       "out": args.out}))

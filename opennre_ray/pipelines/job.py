@@ -195,3 +195,110 @@ def run_kg_job(shard_files: list[str] | dict[str, str], out_root: str, *,
         result["triples_dir"] = compact_candidates(out_root,
                                                    model_hash=model_hash)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Resumable curation job (second flagship): Gopher filter per shard,
+# global temperature-sample + paragraph-dedup + chunk finalize
+# ---------------------------------------------------------------------------
+
+CURATION_VERSION = "curation-v1"
+
+
+def shard_filtered(shard_file: str, *, counters=None):
+    """Gopher-filtered survivors for ONE input shard → Dataset
+    (doc_id, lang, text). The row-local (cheap, restartable) stage.
+    Temperature sampling, paragraph dedup and chunking are NOT applied
+    here: language counts and segment frequencies must be GLOBAL — both
+    happen once in ``compact_chunks`` (a per-shard finalize would sample
+    against shard-local language mixes and miss cross-shard boilerplate).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.textstats import gopher_signals
+
+    ds = rd.read_parquet(shard_file, columns=["doc_id", "lang", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([bool(gopher_signals(t)[5])
+                         for t in batch.column("text").to_pylist()])
+        return batch.filter(mask)
+
+    fn = keep if counters is None else _counted(keep, counters, "gopher")
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compact_chunks(out_root: str, *, alpha: float = 0.3, para_w: int = 10,
+                   chunk_size: int = 32, chunk_stride: int = 24) -> str:
+    """Global finalize: all filtered shards → temperature-rebalanced,
+    paragraph-deduped, chunked corpus at ``<out_root>/chunks/``.
+    Idempotent, atomic two-rename swap (same crash contract as
+    ``compact_candidates``); the per-shard filter pass is never repeated.
+    """
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions.dedup import paragraph_dedup
+    from ..functions.packing import chunk_windows, temperature_sample
+
+    filt_files = sorted(glob.glob(
+        os.path.join(out_root, "filtered", "shard=*", "*.parquet")))
+    final = os.path.join(out_root, "chunks")
+    for stale in glob.glob(os.path.join(out_root, "_tmp-chunks-*")) + \
+            glob.glob(os.path.join(out_root, "_old-chunks-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = os.path.join(out_root, f"_tmp-chunks-{os.getpid()}")
+    os.makedirs(tmp, exist_ok=True)
+    if filt_files:
+        ds = rd.read_parquet(filt_files)
+        sampled = temperature_sample(ds, "lang", "doc_id", alpha=alpha)
+        cleaned = paragraph_dedup(sampled, w=para_w)
+        chunks = chunk_windows(cleaned, size=chunk_size,
+                               stride=chunk_stride,
+                               text_col="clean_text")
+        chunks.write_parquet(tmp)
+    old = os.path.join(out_root, f"_old-chunks-{os.getpid()}")
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+    return final
+
+
+def run_curation_job(shard_files: list[str] | dict[str, str],
+                     out_root: str, *, alpha: float = 0.3,
+                     para_w: int = 10, chunk_size: int = 32,
+                     chunk_stride: int = 24,
+                     compact: bool = True) -> dict:
+    """Resume-aware curation job, same two-phase shape as ``run_kg_job``:
+    phase 1 writes each shard's Gopher survivors to
+    ``<out_root>/filtered/shard=<name>/`` with a manifest (restarts skip
+    completed shards); phase 2 runs the global sample→dedup→chunk
+    finalize once, idempotently. Returns {completed, skipped,
+    chunks_dir}."""
+    import ray
+
+    if isinstance(shard_files, list):
+        shard_files = {
+            os.path.splitext(os.path.basename(p))[0]: p for p in shard_files}
+    counters = _counter_actor()
+
+    def build(path):
+        return lambda: shard_filtered(path, counters=counters)
+
+    def make_manifest(name):
+        snap = ray.get(counters.snapshot.remote(reset=True))
+        return ShardManifest(
+            name, input_path=shard_files[name], model_hash="",
+            extractor_version=CURATION_VERSION, counters=snap)
+
+    result = run_sharded({n: build(p) for n, p in shard_files.items()},
+                         os.path.join(out_root, "filtered"), make_manifest)
+    if compact:
+        result["chunks_dir"] = compact_chunks(
+            out_root, alpha=alpha, para_w=para_w, chunk_size=chunk_size,
+            chunk_stride=chunk_stride)
+    return result

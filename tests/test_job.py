@@ -96,3 +96,56 @@ def test_sharded_job_matches_unsharded_pipeline(ray_session, shards,
         got_s[key + ["n_evidence", "score"]].reset_index(drop=True),
         want_s[key + ["n_evidence", "score"]].reset_index(drop=True),
         check_dtype=False, atol=1e-6)
+
+
+def test_curation_job_resume_and_parity(ray_session, shards, tmp_path):
+    """Curation job: phase-1 manifests + resume semantics, and the
+    sharded output equals the in-process docs_curation_pipeline on the
+    same corpus (sampling, segment frequencies and chunking are global,
+    so sharding must not change a single chunk)."""
+    import pandas as pd
+
+    from opennre_ray.pipelines.job import run_curation_job
+
+    out = str(tmp_path / "cur")
+    r1 = run_curation_job(shards[:2], out, compact=False)
+    assert len(r1["completed"]) == 2 and not r1["skipped"]
+    m = json.load(open(os.path.join(
+        out, "filtered", f"shard={r1['completed'][0]}", "manifest.json")))
+    assert m["extractor_version"] == "curation-v1"
+    assert m["counters"]["gopher.rows_in"] >= m["counters"]["gopher.rows_out"]
+
+    r2 = run_curation_job(shards, out)          # resumes, then finalizes
+    assert sorted(r2["skipped"]) == sorted(r1["completed"])
+    cdir = r2["chunks_dir"]
+    files = sorted(os.path.join(cdir, f) for f in os.listdir(cdir)
+                   if f.endswith(".parquet"))
+    got = (pd.concat([pq.read_table(f).to_pandas() for f in files])
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+    # parity against the in-process pipeline over the SAME shard corpus
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import paragraph_dedup
+    from opennre_ray.functions.packing import chunk_windows, temperature_sample
+    from opennre_ray.functions.textstats import gopher_signals
+    import pyarrow as pa
+
+    ds = rd.read_parquet(shards)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([bool(gopher_signals(t)[5])
+                         for t in batch.column("text").to_pylist()])
+        return batch.filter(mask)
+
+    chain = chunk_windows(
+        paragraph_dedup(
+            temperature_sample(
+                ds.select_columns(["doc_id", "lang", "text"])
+                .map_batches(keep, batch_format="pyarrow"),
+                "lang", "doc_id", alpha=0.3),
+            w=10),
+        size=32, stride=24, text_col="clean_text")
+    want = (chain.to_pandas()
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
