@@ -3187,6 +3187,28 @@ WHERE (c.cents * s.n - s.s1) * (c.cents * s.n - s.s1)
 """
 
 
+def kg_transe_stats(sf_dir):
+    """Distributed TransE over the deterministic customer edge table —
+    integer-exact loss trajectory + micro-unit embedding checksums (the
+    pin-friendly summary of a bit-deterministic training run; full
+    bit-exactness vs the sequential oracle is pytest-pinned in
+    tests/test_kge.py)."""
+    from ..functions.kge import transe_train
+
+    e_df, r_df, losses = transe_train(
+        _customer_edges(sf_dir), dim=8, epochs=4,
+        rows_hint=_nrows(sf_dir, "customer"))
+    return pd.DataFrame({
+        "n_entities": pd.Series([len(e_df)], dtype=np.int64),
+        "n_relations": pd.Series([len(r_df)], dtype=np.int64),
+        "first_loss_fp": pd.Series([losses[0]], dtype=np.int64),
+        "final_loss_fp": pd.Series([losses[-1]], dtype=np.int64),
+        "ent_checksum_fp": pd.Series([int(e_df["checksum_fp"].sum())],
+                                     dtype=np.int64),
+        "rel_checksum_fp": pd.Series([int(r_df["checksum_fp"].sum())],
+                                     dtype=np.int64)})
+
+
 NEG_K = 2
 
 
@@ -3812,6 +3834,7 @@ QUERIES = {
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
     "kg_negative_samples": kg_negative_samples,
+    "kg_transe_stats": kg_transe_stats,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
