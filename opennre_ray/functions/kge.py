@@ -230,3 +230,74 @@ def transe_train_sequential(triples: list[tuple[str, str, str]], *,
             "checksum_fp": chk.astype(np.int64)})
 
     return frame(ents_sorted, ent), frame(rels_sorted, rel), losses
+
+
+def link_prediction_eval(triples_ds, ent_df: pd.DataFrame,
+                         rel_df: pd.DataFrame, *, hits_k: int = 10):
+    """Tail link-prediction evaluation of trained embeddings (the
+    standard KGE metric suite): for every (h, r, t) triple, rank the
+    true tail among ALL entities by squared L2 distance of h + r to each
+    candidate — rank = 1 + #entities strictly closer + #equal-distance
+    entities preceding t in sorted entity order (deterministic total
+    order, no float-tie ambiguity in the aggregate). Returns one row:
+    (n_triples, mean_rank_fp, mrr_fp, hits_at_k) with the float metrics
+    in exact 1e-6 fixed-point (sum of per-triple integer contributions /
+    n — order-free, pin-friendly).
+
+    Scale shape: embeddings broadcast once (``ray.put``); each batch
+    scores its triples against the full candidate matrix vectorized
+    (B × n_entities matmul — the brute-force kNN shape; an IVF-bucketed
+    candidate set is the usual trick beyond ~10⁷ entities); only integer
+    partial sums leave the tasks.
+    """
+    import ray
+
+    names = list(ent_df["name"])
+    e_index = {n: i for i, n in enumerate(names)}
+    ent = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in ent_df["embedding"]])
+    rel_map = {n: np.asarray(v, dtype=np.float64)
+               for n, v in zip(rel_df["name"], rel_df["embedding"])}
+    ref = ray.put((ent, e_index, rel_map))
+    ref_key = ref.hex()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        ent_w, e_ix, rels = cached(("lpeval", ref_key),
+                                   lambda: ray.get(ref))
+        n_rank = 0
+        sum_rank = 0
+        sum_mrr_fp = 0
+        hits = 0
+        for s, p, o in zip(batch.column("subj").to_pylist(),
+                           batch.column("pred").to_pylist(),
+                           batch.column("obj").to_pylist()):
+            q = ent_w[e_ix[s]] + rels[p]
+            d = ((ent_w - q) ** 2).sum(axis=1)
+            ti = e_ix[o]
+            dt = d[ti]
+            rank = 1 + int((d < dt).sum()) + int((d[:ti] == dt).sum())
+            n_rank += 1
+            sum_rank += rank
+            sum_mrr_fp += int(np.floor(1_000_000.0 / rank + 0.5))
+            hits += int(rank <= hits_k)
+        return pa.table({
+            "n": pa.array([n_rank], pa.int64()),
+            "sum_rank": pa.array([sum_rank], pa.int64()),
+            "sum_mrr_fp": pa.array([sum_mrr_fp], pa.int64()),
+            "hits": pa.array([hits], pa.int64())})
+
+    parts = triples_ds.map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    return pd.DataFrame({
+        "n_triples": pd.Series([n], dtype=np.int64),
+        "mean_rank_fp": pd.Series(
+            [int(np.floor(parts["sum_rank"].sum() * 1_000_000.0
+                          / max(n, 1) + 0.5))], dtype=np.int64),
+        "mrr_fp": pd.Series(
+            [int(np.floor(float(parts["sum_mrr_fp"].sum())
+                          / max(n, 1) + 0.5))], dtype=np.int64),
+        "hits_at_k": pd.Series([int(parts["hits"].sum())],
+                               dtype=np.int64)})

@@ -3209,6 +3209,19 @@ def kg_transe_stats(sf_dir):
                                      dtype=np.int64)})
 
 
+def kg_link_prediction(sf_dir):
+    """Tail link-prediction metrics (mean rank / MRR / hits@10) of the
+    TransE embeddings trained on the customer edge table — integer
+    fixed-point metric sums, so the distributed eval is exact and
+    pin-able."""
+    from ..functions.kge import link_prediction_eval, transe_train
+
+    edges = _customer_edges(sf_dir)
+    e_df, r_df, _ = transe_train(edges, dim=8, epochs=4,
+                                 rows_hint=_nrows(sf_dir, "customer"))
+    return link_prediction_eval(edges, e_df, r_df, hits_k=10)
+
+
 NEG_K = 2
 
 
@@ -3835,6 +3848,7 @@ QUERIES = {
     "events_value_outliers": events_value_outliers,
     "kg_negative_samples": kg_negative_samples,
     "kg_transe_stats": kg_transe_stats,
+    "kg_link_prediction": kg_link_prediction,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
