@@ -3067,6 +3067,36 @@ def media_features(sf_dir):
     return feats.map_batches(flatten, batch_format="numpy")
 
 
+def media_features_stats(sf_dir):
+    """Integer-checksum companion to ``media_features`` (same actor-pool
+    decode→feature plumbing, deterministic fake codec): n_media plus
+    1e-6 fixed-point checksums of the feature columns — pin-able hard
+    signal for the multimodal path."""
+    feats = media_features(sf_dir)
+
+    def fp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        def fp(x):
+            v = np.asarray(x, dtype=np.float64)
+            return (np.sign(v)
+                    * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+        return pd.DataFrame({
+            "n_media": pd.Series([len(b)], dtype=np.int64),
+            "mean_checksum_fp": pd.Series([int(fp(b["feat_mean"]).sum())],
+                                          dtype=np.int64),
+            "norm_checksum_fp": pd.Series([int(fp(b["feat_norm"]).sum())],
+                                          dtype=np.int64)})
+
+    parts = feats.map_batches(fp_partial, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_media": pd.Series([int(parts["n_media"].sum())],
+                             dtype=np.int64),
+        "mean_checksum_fp": pd.Series(
+            [int(parts["mean_checksum_fp"].sum())], dtype=np.int64),
+        "norm_checksum_fp": pd.Series(
+            [int(parts["norm_checksum_fp"].sum())], dtype=np.int64)})
+
+
 def docs_unigram_logprob(sf_dir):
     """CCNet-style LM quality score: per-document average log-likelihood
     under the corpus's own unigram distribution, in exact integer
@@ -3849,6 +3879,7 @@ QUERIES = {
     "kg_negative_samples": kg_negative_samples,
     "kg_transe_stats": kg_transe_stats,
     "kg_link_prediction": kg_link_prediction,
+    "media_features_stats": media_features_stats,
     "docs_bpe_learn": docs_bpe_learn,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
