@@ -3097,6 +3097,101 @@ def media_features_stats(sf_dir):
             [int(parts["norm_checksum_fp"].sum())], dtype=np.int64)})
 
 
+def docs_token_entropy(sf_dir):
+    """Per-document unigram entropy (vocabulary-richness quality signal):
+    H = -Σ (c/n)·ln(c/n) over the doc's own token distribution, in 1e-6
+    fixed-point — each distinct token's term quantized once, integer
+    sums are order-free, ``ln`` is libm on both sides. Row-local,
+    streams at read bandwidth."""
+    import math
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        n_toks, fps = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            n = len(toks)
+            n_toks.append(n)
+            if not n:
+                fps.append(0)
+                continue
+            total = 0
+            for c in Counter(toks).values():
+                term = -(c / n) * math.log(c / n)
+                total += int(math.floor(term * 1_000_000 + 0.5))
+            fps.append(total)
+        return pa.table({"doc_id": ids,
+                         "n_tokens": pa.array(n_toks, pa.int64()),
+                         "entropy_fp": pa.array(fps, pa.int64())})
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+SQL_DOCS_TOKEN_ENTROPY = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+n AS (SELECT doc_id, count(*)::DOUBLE AS n FROM tok2 GROUP BY doc_id),
+c AS (SELECT doc_id, token, count(*)::DOUBLE AS c FROM tok2
+      GROUP BY doc_id, token),
+e AS (SELECT c.doc_id,
+        sum(CAST(floor(-(c / n) * ln(c / n) * 1000000 + 0.5)
+                 AS BIGINT))::BIGINT AS entropy_fp,
+        CAST(any_value(n) AS BIGINT) AS n_tokens
+      FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
+SELECT d.doc_id, coalesce(e.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(e.entropy_fp, 0)::BIGINT AS entropy_fp
+FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
+def events_type_transitions(sf_dir):
+    """First-order Markov transition counts between consecutive event
+    types per user (ordered by ts, event_id tiebreak) — the behavioral
+    bigram table. Users never span buckets, so per-bucket sort+shift is
+    exact; only 5x5 partial counts leave each bucket."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift()
+        pairs = pd.DataFrame({"from_type": prev,
+                              "to_type": g["event_type"]}).dropna()
+        out = (pairs.groupby(["from_type", "to_type"], as_index=False)
+               .agg(cnt=("to_type", "size")))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    parts = hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                                  rows_hint=_nrows(sf_dir, "events"))
+    agg = (parts.groupby(["from_type", "to_type"])
+           .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["cnt"] = b["cnt"].astype(np.int64)
+        return b
+
+    return agg.map_batches(fix, batch_format="pandas")
+
+
+SQL_EVENTS_TYPE_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS cnt
+FROM s WHERE prev IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
 def docs_unigram_logprob(sf_dir):
     """CCNet-style LM quality score: per-document average log-likelihood
     under the corpus's own unigram distribution, in exact integer
@@ -3865,6 +3960,8 @@ QUERIES = {
     "docs_duplicated_spans": docs_duplicated_spans,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_unigram_logprob": docs_unigram_logprob,
+    "docs_token_entropy": docs_token_entropy,
+    "events_type_transitions": events_type_transitions,
     "docs_gopher_filter": docs_gopher_filter,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_temperature_sample": docs_temperature_sample,
@@ -3972,6 +4069,8 @@ ORACLES = {
     "docs_duplicated_spans": SQL_DOCS_DUPLICATED_SPANS,
     "docs_paragraph_dedup": SQL_DOCS_PARAGRAPH_DEDUP,
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
+    "docs_token_entropy": SQL_DOCS_TOKEN_ENTROPY,
+    "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
