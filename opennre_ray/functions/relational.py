@@ -127,6 +127,14 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None
         n_buckets = compute_n_buckets(rows_hint)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            # Ray passes empty blocks through upstream UDFs unchanged, so
+            # an all-empty input arrives here with the SOURCE schema (or
+            # none) — emit a keyed empty frame instead of KeyError-ing
+            out = pd.DataFrame({c: pd.Series([], dtype="object")
+                                for c in key_cols})
+            out["_bucket"] = pd.Series([], dtype="int64")
+            return out
         return df.assign(_bucket=canonical_bucket(df, key_cols, n_buckets))
 
     def run(group: pd.DataFrame) -> pd.DataFrame:

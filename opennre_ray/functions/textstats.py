@@ -391,8 +391,9 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
     n_tokens_vocab = vocab.count()
     if n_tokens_vocab <= broadcast_limit:
         vdf = vocab.to_pandas()
-        fpmap = {t: fp_of(float(c))
-                 for t, c in zip(vdf["token"], vdf["cnt"])}
+        fpmap = ({} if vdf.empty else
+                 {t: fp_of(float(c))
+                  for t, c in zip(vdf["token"], vdf["cnt"])})
         ref = ray.put(fpmap)
 
         def score_batch(batch: pa.Table) -> pa.Table:

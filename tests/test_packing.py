@@ -233,3 +233,34 @@ def test_temperature_sample_properties(ray_session):
     # en keep-rate ~ (20/400)^0.7 = 0.123 -> expect far fewer than 400
     n_en = (t["lang"] == "en").sum()
     assert 10 <= n_en <= 120
+
+
+def test_new_ops_empty_input(ray_session):
+    """Empty datasets flow through the new operators without errors and
+    yield empty (or all-zero) results — no div-by-zero in the corpus
+    statistics, no schema breakage in the bucketed aggregates."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import paragraph_dedup
+    from opennre_ray.functions.packing import (chunk_windows,
+                                               temperature_sample)
+    from opennre_ray.functions.relational import per_key_mode
+    from opennre_ray.functions.streaming import cohort_retention
+    from opennre_ray.functions.textstats import unigram_logprob
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert paragraph_dedup(docs).count() == 0
+    assert unigram_logprob(docs).count() == 0
+    assert chunk_windows(docs).count() == 0
+    assert temperature_sample(docs, "lang", "doc_id").count() == 0
+
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string())}))
+    assert cohort_retention(events).count() == 0
+    assert per_key_mode(events, "user_id", "event_type").count() == 0
