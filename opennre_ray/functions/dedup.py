@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 # ---------------------------------------------------------------------------
@@ -36,7 +37,6 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
     survives with those columns attached (e.g. the text itself for a
     downstream pipeline) — the shuffle then moves the carried columns too.
     """
-    import pandas as pd
 
     from .relational import hash_bucket_aggregate
 
@@ -150,7 +150,6 @@ def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
     groupby on doc). Returns only docs that hit at least one non-singleton
     bucket.
     """
-    import pandas as pd
 
     from .relational import hash_bucket_aggregate
 
@@ -294,7 +293,6 @@ def embedding_dup_groups(ds_emb, threshold=0.98, key_col="vec_id",
     one bucket; exact cosine runs only within buckets (each a tiny dense
     matmul). Returns (vec_id, dup_group) rows for verified members.
     """
-    import pandas as pd
 
     class PlaneSig:
         def __init__(self):
@@ -492,7 +490,6 @@ def duplicated_spans(docs_ds, *, k: int = 8, text_col: str = "text",
 
     Returns (key_col, n_spans, n_dup_spans) — all int64.
     """
-    import pandas as pd
     import ray
 
     from .relational import hash_bucket_aggregate
@@ -592,7 +589,6 @@ def paragraph_dedup(docs_ds, *, w: int = 10, text_col: str = "text",
 
     Returns (key_col, clean_text, n_units, n_removed).
     """
-    import pandas as pd
 
     from .relational import hash_bucket_aggregate
 
@@ -674,7 +670,6 @@ def semantic_dedup(ds_emb, *, k: int = 8, iters: int = 3,
     replay oracle-able (cosines rounded at 6 decimals before the
     threshold compare, same in engine and oracle).
     """
-    import pandas as pd
 
     from .relational import hash_bucket_aggregate
     from .similarity import kmeans_fixed_point
@@ -699,4 +694,110 @@ def semantic_dedup(ds_emb, *, k: int = 8, iters: int = 3,
         return pd.concat(out) if out else g[[id_col, "cluster"]]
 
     return hash_bucket_aggregate(labeled, ["cluster"], per_cluster,
+                                 rows_hint=rows_hint)
+
+
+def jaccard_pair_join(docs_ds, threshold: float = 0.3, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      rows_hint: int | None = None):
+    """EXACT all-pairs Jaccard self-join above ``threshold`` via prefix
+    filtering (PPJoin family, Xiao et al. 2008 — public): two docs with
+    J(A,B) >= t must share at least one token among each doc's first
+    ``|A| - ceil(t*|A|) + 1`` tokens under a global rarity ordering, so
+    candidate generation buckets by PREFIX tokens only — the rare ones —
+    instead of all tokens (the df-ordered prefix is what kills the
+    "every pair shares 'the'" blowup of a naive token join).
+
+    Passes:
+      1. token document-frequency (bucketed aggregate) → broadcast
+         token→(df, rank) ordering (rarest first, lexicographic tie);
+      2. per doc: distinct tokens sorted by rank; emit one candidate row
+         per PREFIX token carrying the doc's full sorted token list
+         (the standard PPJoin payload trade-off — verification is local
+         to the bucket, no second join);
+      3. per token bucket: exact Jaccard on every candidate pair sharing
+         that token, keep >= t (6-dp rounded, matching the SQL replay);
+      4. one bucketed distinct on (a, b) — a pair can qualify via
+         several shared prefix tokens.
+
+    Exactness: guaranteed recall by the prefix-filter theorem; precision
+    exact by construction (every emitted pair is verified).
+    Returns (a, b, jaccard) with a < b.
+    """
+    import math
+
+    import ray
+
+    from .relational import hash_bucket_aggregate
+    from .sqlcompat import sql_round
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(set(t.split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(df=("df", "sum"))
+
+    dfs = hash_bucket_aggregate(
+        docs_ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"], df_bucket, rows_hint=rows_hint).to_pandas()
+    dfs = dfs.sort_values(["df", "token"]).reset_index(drop=True)
+    rank = {t: i for i, t in enumerate(dfs["token"])}
+    ref = ray.put(rank)
+    ref_key = ref.hex()
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        rk = cached(("ppjoin", ref_key), lambda: ray.get(ref))
+        toks_out, ids, payloads = [], [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            toks = sorted(set(t.split()), key=lambda w: rk[w])
+            n = len(toks)
+            if not n:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            payload = "\x1f".join(toks)
+            for w in toks[:p]:
+                toks_out.append(w)
+                ids.append(int(i))
+                payloads.append(payload)
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         id_col: pa.array(ids, pa.int64()),
+                         "toks": pa.array(payloads, pa.string())})
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for _, grp in g.groupby("token", sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            sets = [frozenset(s.split("\x1f")) for s in grp["toks"]]
+            m = len(ids)
+            for x in range(m):
+                for y in range(x + 1, m):
+                    inter = len(sets[x] & sets[y])
+                    jac = float(sql_round(
+                        inter / (len(sets[x]) + len(sets[y]) - inter), 6))
+                    if jac >= threshold:
+                        out_a.append(int(ids[x]))
+                        out_b.append(int(ids[y]))
+                        out_j.append(jac)
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype=np.int64),
+            "b": pd.Series(out_b, dtype=np.int64),
+            "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    pairs = hash_bucket_aggregate(
+        docs_ds.map_batches(prefix_rows, batch_format="pyarrow"),
+        ["token"], verify_bucket, rows_hint=rows_hint)
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return hash_bucket_aggregate(pairs, ["a", "b"], distinct_bucket,
                                  rows_hint=rows_hint)

@@ -3791,6 +3791,37 @@ def docs_bpe_learn(sf_dir):
                      rows_hint=16 * _nrows(sf_dir, "documents"))
 
 
+JACCARD_T = 0.5
+
+
+def docs_jaccard_pairs(sf_dir):
+    """EXACT all-pairs Jaccard >= 0.5 self-join via prefix filtering
+    (PPJoin): candidates bucket by rare prefix tokens only, verification
+    is bucket-local, guaranteed recall by the prefix-filter theorem."""
+    from ..functions.dedup import jaccard_pair_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pair_join(ds, threshold=JACCARD_T,
+                             rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_JACCARD_PAIRS = rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+      AS token FROM documents)
+  WHERE token <> ''),
+n AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id),
+i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+      FROM tok x JOIN tok y ON x.token = y.token AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id),
+j AS (SELECT i.a, i.b,
+             round(i.c / (na.n + nb.n - i.c)::DOUBLE, 6) AS jaccard
+      FROM i JOIN n na ON na.doc_id = i.a JOIN n nb ON nb.doc_id = i.b)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {JACCARD_T}
+"""
+
+
 def docs_gopher_filter(sf_dir):
     """Gopher-rules composite quality filter (Rae et al. 2021): per-rule
     signal columns + the AND of all five rules as ``passed``. Row-local,
@@ -3963,6 +3994,7 @@ QUERIES = {
     "docs_token_entropy": docs_token_entropy,
     "events_type_transitions": events_type_transitions,
     "docs_gopher_filter": docs_gopher_filter,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_temperature_sample": docs_temperature_sample,
     "docs_source_overlap": docs_source_overlap,
@@ -4072,6 +4104,7 @@ ORACLES = {
     "docs_token_entropy": SQL_DOCS_TOKEN_ENTROPY,
     "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
+    "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
     "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,

@@ -268,3 +268,42 @@ def test_paragraph_dedup_planted(ray_session):
                  .sort_values("doc_id").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(via_bloom, got)
+
+
+def test_jaccard_pair_join_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered pair join == brute-force all-pairs Jaccard at the
+    threshold — exact recall AND precision, invariant to partitioning."""
+    import itertools
+
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import jaccard_pair_join
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = int(rng.integers(5, 15))
+        rows.append({"doc_id": i, "text": " ".join(
+            rng.choice(vocab, size=k, replace=False))})
+    # planted near-identical pair
+    rows.append({"doc_id": 100, "text": "w0 w1 w2 w3 w4 w5"})
+    rows.append({"doc_id": 101, "text": "w0 w1 w2 w3 w4 w6"})
+
+    sets = {r["doc_id"]: frozenset(r["text"].split()) for r in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = float(sql_round(
+            inter / (len(sets[a]) + len(sets[b]) - inter), 6))
+        if jac >= 0.5:
+            want.add((a, b, jac))
+    assert (100, 101, float(sql_round(5 / 7, 6))) in want
+
+    for n_parts in (1, 5):
+        ds = rd.from_items(rows).repartition(n_parts)
+        got = jaccard_pair_join(ds, threshold=0.5).to_pandas()
+        got_set = {(int(a), int(b), float(j)) for a, b, j in
+                   zip(got["a"], got["b"], got["jaccard"])}
+        assert got_set == want
