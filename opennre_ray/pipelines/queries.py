@@ -3259,6 +3259,38 @@ def docs_curation_funnel(sf_dir):
 
 
 
+def events_latest_per_user(sf_dir):
+    """CDC-style compaction: each user's latest event (max ts, event_id
+    tiebreak) — the latest-wins upsert merge every incremental table
+    maintenance job runs. One user-bucketed pass; keys never span
+    buckets, so per-bucket idxmax is exact."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", sort=False).tail(1)
+        out = out.assign(day=out["ts"].dt.strftime("%Y-%m-%d"))
+        out["value"] = sql_round(out["value"].to_numpy(np.float64), 2)
+        return out[["user_id", "event_id", "day", "event_type", "value"]]
+
+    return hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_LATEST_PER_USER = """
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn
+           FROM events)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+       round(value, 2) AS value
+FROM r WHERE rn = 1
+"""
+
+
 def events_value_outliers(sf_dir):
     """Per-user z-score anomaly detection, integer-exact: values
     cent-quantized once, then the |z| > 3 test is the pure-integer
@@ -4005,6 +4037,7 @@ QUERIES = {
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
+    "events_latest_per_user": events_latest_per_user,
     "kg_negative_samples": kg_negative_samples,
     "kg_transe_stats": kg_transe_stats,
     "kg_link_prediction": kg_link_prediction,
@@ -4115,6 +4148,7 @@ ORACLES = {
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
+    "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
