@@ -3259,6 +3259,138 @@ def docs_curation_funnel(sf_dir):
 
 
 
+FREQ_PAIR_MINSUP = 3
+
+
+def lineitem_frequent_pairs(sf_dir):
+    """Market-basket frequent itemset mining (pair support counting):
+    part pairs co-purchased in >= 3 orders. Same bucketed per-order pair
+    expansion as the triangle edge build, but counting support instead
+    of collapsing to distinct — the shuffle moves (a, b, partial-count)
+    rows, never baskets."""
+    from itertools import combinations
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_pairs(batch: pa.Table) -> pa.Table:
+        seen = set(zip(batch.column("l_orderkey").to_pylist(),
+                       batch.column("l_partkey").to_pylist()))
+        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
+        return pa.table({"o": pa.array(o, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    def expand_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ra, rb = [], []
+        for _, grp in g.drop_duplicates(["o", "p"]).groupby("o",
+                                                            sort=False):
+            for a, b in combinations(sorted(grp["p"]), 2):
+                ra.append(a)
+                rb.append(b)
+        out = pd.DataFrame({"a": pd.Series(ra, dtype=np.int64),
+                            "b": pd.Series(rb, dtype=np.int64)})
+        out = out.groupby(["a", "b"], as_index=False).agg(
+            support=("b", "size"))
+        out["support"] = out["support"].astype(np.int64)
+        return out
+
+    pairs = hash_bucket_aggregate(
+        ds.map_batches(op_pairs, batch_format="pyarrow"), ["o"],
+        expand_bucket, rows_hint=_nrows(sf_dir, "lineitem"))
+
+    def sup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).agg(
+            support=("support", "sum"))
+        out["support"] = out["support"].astype(np.int64)
+        return out[out["support"] >= FREQ_PAIR_MINSUP]
+
+    return hash_bucket_aggregate(pairs, ["a", "b"], sup_bucket,
+                                 rows_hint=_nrows(sf_dir, "lineitem"))
+
+
+SQL_LINEITEM_FREQUENT_PAIRS = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS support
+FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+GROUP BY x.p, y.p HAVING count(*) >= {FREQ_PAIR_MINSUP}
+"""
+
+
+def events_rolling_active_users(sf_dir):
+    """Rolling 3-day distinct active users per day (the windowed
+    COUNT(DISTINCT) SQL window functions cannot express directly):
+    distinct (user, day) pairs collapse map-side, each membership
+    forward-explodes to the <= 3 window days it supports, one bucketed
+    distinct+count per window day, then the day list restricts to days
+    that actually occur (broadcast day set — calendars are kilobytes)."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        days = batch.column("ts").cast(pa.date32()).cast(pa.int32())
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = days.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                         "day": pa.array(uniq[:, 1], pa.int64())})
+
+    pairs = hash_bucket_aggregate(
+        ds.map_batches(day_pairs, batch_format="pyarrow"),
+        ["user_id", "day"],
+        lambda g: g.drop_duplicates(["user_id", "day"]),
+        rows_hint=_nrows(sf_dir, "events")).materialize()
+
+    import ray
+    real_days = frozenset(
+        int(d) for b in pairs.select_columns(["day"])
+        .iter_batches(batch_format="pyarrow")
+        for d in b.column("day").to_pylist())
+    dref = ray.put(real_days)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dayset = ray.get(dref)
+        us, ws = [], []
+        for u, d in zip(batch.column("user_id").to_pylist(),
+                        batch.column("day").to_pylist()):
+            for w in (d, d + 1, d + 2):
+                if w in dayset:
+                    us.append(u)
+                    ws.append(w)
+        return pa.table({"user_id": pa.array(us, pa.int64()),
+                         "wday": pa.array(ws, pa.int64())})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["wday", "user_id"])
+               .groupby("wday", as_index=False)
+               .agg(active_3d=("user_id", "size")))
+        out["active_3d"] = out["active_3d"].astype(np.int64)
+        return out
+
+    counts = hash_bucket_aggregate(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        ["wday"], count_bucket, n_buckets=8)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = np.datetime64("1970-01-01", "D")
+        return pd.DataFrame({
+            "day": (epoch + b["wday"].to_numpy(np.int64)).astype(str),
+            "active_3d": b["active_3d"]})
+
+    return counts.map_batches(fmt, batch_format="pandas")
+
+
+SQL_EVENTS_ROLLING_ACTIVE_USERS = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT ud.user_id)::BIGINT AS active_3d
+FROM days JOIN ud ON ud.d BETWEEN days.d - 2 AND days.d
+GROUP BY days.d
+"""
+
+
 def events_latest_per_user(sf_dir):
     """CDC-style compaction: each user's latest event (max ts, event_id
     tiebreak) — the latest-wins upsert merge every incremental table
@@ -4038,6 +4170,8 @@ QUERIES = {
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
     "events_latest_per_user": events_latest_per_user,
+    "lineitem_frequent_pairs": lineitem_frequent_pairs,
+    "events_rolling_active_users": events_rolling_active_users,
     "kg_negative_samples": kg_negative_samples,
     "kg_transe_stats": kg_transe_stats,
     "kg_link_prediction": kg_link_prediction,
@@ -4149,6 +4283,8 @@ ORACLES = {
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
+    "lineitem_frequent_pairs": SQL_LINEITEM_FREQUENT_PAIRS,
+    "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
