@@ -3259,6 +3259,66 @@ def docs_curation_funnel(sf_dir):
 
 
 
+def embed_label_centroids(sf_dir):
+    """Per-label embedding centroid, integer-exact: components quantized
+    once to 1e-6 micro-units, per-(label, dim) int64 sums (order-free),
+    centroid = floor-div mean back on the micro-grid. The vectorized
+    class-prototype aggregate (nearest-centroid classifiers, SemDeDup
+    seeding). Output long-form: (label, dim, centroid_fp, n)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        fp = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)) \
+            .astype(np.int64)
+        labels = b["label"].to_numpy(np.int64)
+        out = []
+        for lab in np.unique(labels):
+            rows = fp[labels == lab]
+            s = rows.sum(axis=0)
+            for d in range(fp.shape[1]):
+                out.append((int(lab), d, int(s[d]), len(rows)))
+        return pd.DataFrame(out, columns=["label", "dim", "sum_fp", "n"]) \
+            .astype({"label": np.int64, "dim": np.int64,
+                     "sum_fp": np.int64, "n": np.int64})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("sum_fp", alias_name="sum_fp"),
+                      Sum("n", alias_name="n")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["sum_fp"].astype(np.int64).to_numpy()
+        n = b["n"].astype(np.int64).to_numpy()
+        # DuckDB // truncates toward zero (Python floors) — match it
+        cent = np.sign(s) * (np.abs(s) // n)
+        b = b.assign(centroid_fp=cent.astype(np.int64),
+                     n=b["n"].astype(np.int64))
+        return b[["label", "dim", "centroid_fp", "n"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_EMBED_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS comp,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT label, dim,
+        CAST(CASE WHEN comp >= 0
+             THEN floor(comp::DOUBLE * 1000000 + 0.5)
+             ELSE -floor(-comp::DOUBLE * 1000000 + 0.5) END AS BIGINT)
+          AS fp
+      FROM e)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       (sum(fp)::BIGINT // count(*)::BIGINT)::BIGINT AS centroid_fp,
+       count(*)::BIGINT AS n
+FROM q GROUP BY label, dim
+"""
+
+
 FREQ_PAIR_MINSUP = 3
 
 
@@ -4171,6 +4231,7 @@ QUERIES = {
     "events_value_outliers": events_value_outliers,
     "events_latest_per_user": events_latest_per_user,
     "lineitem_frequent_pairs": lineitem_frequent_pairs,
+    "embed_label_centroids": embed_label_centroids,
     "events_rolling_active_users": events_rolling_active_users,
     "kg_negative_samples": kg_negative_samples,
     "kg_transe_stats": kg_transe_stats,
@@ -4284,6 +4345,7 @@ ORACLES = {
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     "events_latest_per_user": SQL_EVENTS_LATEST_PER_USER,
     "lineitem_frequent_pairs": SQL_LINEITEM_FREQUENT_PAIRS,
+    "embed_label_centroids": SQL_EMBED_LABEL_CENTROIDS,
     "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
