@@ -162,3 +162,55 @@ def bpe_learn_sequential(texts: list[str], n_merges: int = 12) \
                  for w, s in state.items()}
     return pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"]) \
         .astype({"rank": np.int64, "cnt": np.int64})
+
+
+def bpe_apply_stats(docs_ds, merges: pd.DataFrame, *,
+                    text_col: str = "text") -> pd.DataFrame:
+    """Apply a learned merge table to the corpus and report subword
+    statistics — the "tokenize with the trained vocab" step. Merges ship
+    once via ``ray.put``; each worker memoizes word → subword-count
+    (vocabulary-sized cache, same rationale as the scorer's worker
+    cache), so the corpus pass is a stateless streaming map emitting
+    integer partials. Returns one row: (n_docs, n_words, n_subwords).
+    """
+    import ray
+
+    merge_list = list(zip(merges["left"], merges["right"]))
+    ref = ray.put(merge_list)
+    ref_key = ref.hex()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        ml = cached(("bpe_merges", ref_key), lambda: ray.get(ref))
+        memo = cached(("bpe_memo", ref_key), dict)
+
+        def subwords(word: str) -> int:
+            n = memo.get(word)
+            if n is None:
+                syms = list(word) + [END_OF_WORD]
+                for left, right in ml:
+                    syms = _merge_syms(syms, left, right, left + right)
+                n = len(syms)
+                memo[word] = n
+            return n
+
+        # vectorized split/explode; the Python-level encoder runs once
+        # per UNIQUE word per batch (then memoized across batches)
+        toks = batch.column(text_col).to_pandas().str.split().explode() \
+            .dropna()
+        vc = toks.value_counts()
+        n_sub = sum(int(c) * subwords(w) for w, c in vc.items())
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_words": pa.array([int(len(toks))], pa.int64()),
+            "n_subwords": pa.array([n_sub], pa.int64())})
+
+    parts = docs_ds.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_docs": pd.Series([int(parts["n_docs"].sum())], dtype=np.int64),
+        "n_words": pd.Series([int(parts["n_words"].sum())],
+                             dtype=np.int64),
+        "n_subwords": pd.Series([int(parts["n_subwords"].sum())],
+                                dtype=np.int64)})

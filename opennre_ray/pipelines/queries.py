@@ -4046,6 +4046,19 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {JACCARD_T}
 """
 
 
+def docs_bpe_encode_stats(sf_dir):
+    """Tokenize the corpus with the LEARNED BPE merges (the applied half
+    of vocabulary induction): learn 12 merges, broadcast them, stream the
+    corpus through a memoizing subword encoder — integer partial sums, so
+    the result pins exactly. Compression ratio = n_subwords / n_words."""
+    from ..functions.bpe import bpe_apply_stats, bpe_learn
+
+    ds = _read(sf_dir, "documents", ["text"])
+    merges = bpe_learn(ds, n_merges=BPE_MERGES,
+                       rows_hint=16 * _nrows(sf_dir, "documents"))
+    return bpe_apply_stats(ds, merges)
+
+
 def docs_gopher_filter(sf_dir):
     """Gopher-rules composite quality filter (Rae et al. 2021): per-rule
     signal columns + the AND of all five rules as ``passed``. Row-local,
@@ -4238,6 +4251,7 @@ QUERIES = {
     "kg_link_prediction": kg_link_prediction,
     "media_features_stats": media_features_stats,
     "docs_bpe_learn": docs_bpe_learn,
+    "docs_bpe_encode_stats": docs_bpe_encode_stats,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
