@@ -174,6 +174,93 @@ def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
     return hash_bucket_aggregate(cand, [key_col], resolve)
 
 
+def minhash_dedup_clusters(ds, *, num_bands=16, rows_per_band=4,
+                           shingle_k=3, text_col="text", key_col="doc_id",
+                           rows_hint: int | None = None):
+    """TRANSITIVE near-dedup clustering — the production dedup shape
+    (Gopher / RefinedWeb): LSH band buckets → doc↔bucket star edges →
+    distributed connected components → one canonical keeper per cluster.
+
+    ``minhash_duplicate_groups`` is one-hop (per-bucket min): a doc chained
+    to the cluster root only through another doc's bucket keeps a local
+    root. Here the bucket graph's components give the closure. Star edges
+    (doc node → bucket node) keep the edge count LINEAR in bucket
+    membership — the O(n²) in-bucket pair list is never materialized, a
+    hot bucket (boilerplate page duplicated 10⁶ times) costs 10⁶ edges,
+    not 10¹². Every doc also gets a self-edge so singletons survive CC and
+    come back as their own cluster.
+
+    Returns (key_col, cluster, keep) for EVERY doc: cluster = min doc key
+    in the component, keep = (doc == cluster) — filter on ``keep`` to
+    deduplicate, or group on ``cluster`` to inspect near-dup families.
+    """
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+    from .relational import (compute_n_buckets, hash_bucket_aggregate,
+                             shuffle_join)
+
+    n_buckets = compute_n_buckets(rows_hint)
+    bands = ds.map_batches(
+        MinHashLSH(num_bands, rows_per_band, shingle_k, text_col, key_col),
+        batch_format="pyarrow")
+
+    # membership rows in multi-doc buckets only (singleton buckets carry
+    # no dedup signal and would inflate the edge set ~bands×)
+    def multi_memberships(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band_id", "band_hash"])[key_col] \
+            .transform("size")
+        hit = g[sizes >= 2]
+        return pd.DataFrame({
+            "subj": "D" + hit[key_col].astype(str),
+            "obj": "B" + hit["band_id"].astype(str) + ":"
+                   + hit["band_hash"],
+        })
+
+    memb = hash_bucket_aggregate(bands, ["band_id", "band_hash"],
+                                 multi_memberships, n_buckets=n_buckets)
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        d = pc.binary_join_element_wise(
+            pa.scalar("D"), pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""))
+        return pa.table({"subj": d, "obj": d})
+
+    edges = memb.union(ds.map_batches(self_edges, batch_format="pyarrow"))
+    labels = connected_components(edges)
+
+    # back to doc space: drop bucket nodes, recover the numeric key, then
+    # per-component numeric min (the string component label can be a "B"
+    # bucket node or lexicographic — "D10" < "D2" — so it is NOT the rep)
+    def to_docs(t: pa.Table) -> pa.Table:
+        ent = t.column("entity")
+        mask = pc.starts_with(ent, "D")
+        t = t.filter(mask)
+        key = pc.cast(pc.utf8_slice_codeunits(t.column("entity"), 1,
+                                              2 ** 31 - 1), pa.int64())
+        return pa.table({key_col: key, "component": t.column("component")})
+
+    docs_lbl = labels.map_batches(to_docs, batch_format="pyarrow")
+
+    def comp_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("component", as_index=False)[key_col].min() \
+            .rename(columns={key_col: "cluster"})
+
+    mins = hash_bucket_aggregate(docs_lbl, ["component"], comp_min,
+                                 n_buckets=n_buckets)
+    joined = shuffle_join(docs_lbl, mins, "component", "component",
+                          [key_col], ["cluster"], n_buckets=n_buckets)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: batch[key_col].astype("int64"),
+            "cluster": batch["cluster"].astype("int64"),
+            "keep": batch[key_col].to_numpy() ==
+                    batch["cluster"].to_numpy()})
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

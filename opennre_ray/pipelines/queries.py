@@ -2813,20 +2813,20 @@ def docs_minhash_dedup(sf_dir):
     return minhash_duplicate_groups(ds)
 
 
-def _sql_minhash_dedup() -> str:
-    """Full value oracle for MinHash+LSH dedup: the seeded affine
-    permutation params are embedded as literals, the shingle hash is the
-    md5-derived uint64 (dedup.shingle_hashes), and the uint64-wrapping
-    affine transform is replicated in HUGEINT arithmetic. Band buckets
-    group by the 4-value signature tuple — identical partitioning to the
-    engine's blake2b band digest (collision-free on realistic inputs)."""
+def _sql_minhash_ctes() -> str:
+    """Shared CTE chain replaying MinHash+LSH banding in SQL: the seeded
+    affine permutation params are embedded as literals, the shingle hash
+    is the md5-derived uint64 (dedup.shingle_hashes), and the
+    uint64-wrapping affine transform is replicated in HUGEINT arithmetic.
+    Band buckets group by the 4-value signature tuple — identical
+    partitioning to the engine's blake2b band digest (collision-free on
+    realistic inputs)."""
     from ..functions.dedup import _minhash_params
 
     a, b = _minhash_params(64)
     A = "[" + ",".join(str(int(x)) for x in a) + "]::UBIGINT[]"
     B = "[" + ",".join(str(int(x)) for x in b) + "]::UBIGINT[]"
-    return rf"""
-WITH t AS (SELECT doc_id,
+    return rf"""t AS (SELECT doc_id,
   CASE WHEN trim(text)='' THEN []::VARCHAR[]
        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
   FROM documents),
@@ -2851,7 +2851,10 @@ bands AS (
   FROM sig GROUP BY doc_id, perm // 4),
 buckets AS (
   SELECT band_id, bkey, min(doc_id) AS root, count(*) AS n
-  FROM bands GROUP BY band_id, bkey)
+  FROM bands GROUP BY band_id, bkey)"""
+
+
+SQL_DOCS_MINHASH_DEDUP = "WITH " + _sql_minhash_ctes() + """
 SELECT bd.doc_id, min(k.root)::BIGINT AS dup_group
 FROM bands bd JOIN buckets k USING (band_id, bkey)
 WHERE k.n >= 2
@@ -2859,7 +2862,34 @@ GROUP BY bd.doc_id
 """
 
 
-SQL_DOCS_MINHASH_DEDUP = _sql_minhash_dedup()
+def docs_dedup_clusters(sf_dir):
+    """TRANSITIVE near-dedup clustering (the Gopher/RefinedWeb production
+    shape): MinHash band buckets → doc↔bucket star edges → distributed
+    connected components → per-cluster canonical keeper. Unlike
+    ``docs_minhash_dedup`` (one-hop per-bucket min), chains of buckets
+    resolve to ONE cluster; every doc gets a row (singletons keep
+    themselves). Oracle replays the closure with a recursive CTE."""
+    from ..functions.dedup import minhash_dedup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_clusters(ds,
+                                  rows_hint=16 * _nrows(sf_dir,
+                                                        "documents"))
+
+
+SQL_DOCS_DEDUP_CLUSTERS = "WITH RECURSIVE " + _sql_minhash_ctes() + """,
+memb AS (
+  SELECT bd.doc_id, bd.band_id::VARCHAR || '|' || bd.bkey AS bucket
+  FROM bands bd JOIN buckets k USING (band_id, bkey) WHERE k.n >= 2),
+lbl AS (
+  SELECT doc_id, doc_id AS comp FROM documents
+  UNION
+  SELECT m2.doc_id, l.comp
+  FROM lbl l JOIN memb m1 ON m1.doc_id = l.doc_id
+             JOIN memb m2 ON m2.bucket = m1.bucket)
+SELECT doc_id, min(comp)::BIGINT AS cluster, doc_id = min(comp) AS keep
+FROM lbl GROUP BY doc_id
+"""
 
 
 def docs_simhash(sf_dir):
@@ -4252,6 +4282,7 @@ QUERIES = {
     "media_features_stats": media_features_stats,
     "docs_bpe_learn": docs_bpe_learn,
     "docs_bpe_encode_stats": docs_bpe_encode_stats,
+    "docs_dedup_clusters": docs_dedup_clusters,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4330,6 +4361,7 @@ ORACLES = {
     "docs_simhash": SQL_DOCS_SIMHASH,
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
+    "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
