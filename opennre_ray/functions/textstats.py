@@ -388,12 +388,40 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
     def fp_of(cnt: float) -> int:
         return int(math.floor(math.log(cnt / total) * 1_000_000 + 0.5))
 
-    n_tokens_vocab = vocab.count()
-    if n_tokens_vocab <= broadcast_limit:
-        vdf = vocab.to_pandas()
+    fp_ds = vocab.map_batches(
+        lambda b: pd.DataFrame({
+            "token": b["token"],
+            "fp": np.asarray([fp_of(float(c)) for c in b["cnt"]],
+                             dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    return _sum_token_fp(docs_ds, fp_ds, id_col=id_col, text_col=text_col,
+                         out_col="logprob_fp", rows_hint=rows_hint,
+                         broadcast_limit=broadcast_limit)
+
+
+def _sum_token_fp(docs_ds, fp_ds, *, id_col: str, text_col: str,
+                  out_col: str, rows_hint: int | None = None,
+                  broadcast_limit: int = 2_000_000):
+    """Per-doc integer sum of a per-token fixed-point weight table —
+    pass 2 shared by ``unigram_logprob`` and ``dsir_weights``.
+
+    ``fp_ds`` is a MATERIALIZED (token, fp int64) Dataset covering every
+    corpus token. Under ``broadcast_limit`` it ships once via ``ray.put``
+    and scoring is a stateless streaming map; above it the same math runs
+    as (doc, token, tf) pairs bucket-joined onto the fp table, then a
+    per-doc bucketed exact integer sum (empty docs carried through the
+    left join as zero rows). Returns (id_col, n_tokens, out_col).
+    """
+    from collections import Counter
+
+    import ray
+
+    from .relational import hash_bucket_aggregate, shuffle_join
+
+    if fp_ds.count() <= broadcast_limit:
+        vdf = fp_ds.to_pandas()
         fpmap = ({} if vdf.empty else
-                 {t: fp_of(float(c))
-                  for t, c in zip(vdf["token"], vdf["cnt"])})
+                 {t: int(f) for t, f in zip(vdf["token"], vdf["fp"])})
         ref = ray.put(fpmap)
 
         def score_batch(batch: pa.Table) -> pa.Table:
@@ -406,17 +434,9 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
             return pa.table({
                 id_col: batch.column(id_col),
                 "n_tokens": pa.array(n_toks, pa.int64()),
-                "logprob_fp": pa.array(sums, pa.int64())})
+                out_col: pa.array(sums, pa.int64())})
 
         return docs_ds.map_batches(score_batch, batch_format="pyarrow")
-
-    # beyond-broadcast: token-bucketed join of (doc, token, tf) onto the
-    # fp table, then a doc-bucketed exact integer sum
-    fp_ds = vocab.map_batches(
-        lambda b: pd.DataFrame({
-            "token": b["token"],
-            "fp": [fp_of(float(c)) for c in b["cnt"]]}),
-        batch_format="pandas")
 
     def tf_pairs(batch: pa.Table) -> pa.Table:
         ids, toks, tfs = [], [], []
@@ -433,7 +453,6 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
                          "token": pa.array(toks, pa.string()),
                          "tf": pa.array(tfs, pa.int64())})
 
-    from .relational import shuffle_join
     joined = shuffle_join(
         docs_ds.map_batches(tf_pairs, batch_format="pyarrow"), fp_ds,
         "token", "token", [id_col, "tf"], ["fp"], how="left",
@@ -443,13 +462,81 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
         tf = g["tf"].astype(np.int64)
         fp = g["fp"].fillna(0).astype(np.int64)
         out = pd.DataFrame({id_col: g[id_col].astype(np.int64),
-                            "n_tokens": tf, "logprob_fp": tf * fp})
+                            "n_tokens": tf, out_col: tf * fp})
         return (out.groupby(id_col, as_index=False)
-                .agg(n_tokens=("n_tokens", "sum"),
-                     logprob_fp=("logprob_fp", "sum")))
+                .agg(**{"n_tokens": ("n_tokens", "sum"),
+                        out_col: (out_col, "sum")}))
 
     return hash_bucket_aggregate(joined, [id_col], per_doc,
                                  rows_hint=rows_hint)
+
+
+def dsir_weights(docs_ds, *, is_target_col: str = "is_target",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 rows_hint: int | None = None,
+                 broadcast_limit: int = 2_000_000):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document importance
+    = Σ_tokens [ln p_target(w) − ln p_raw(w)] under add-one-smoothed
+    unigram proxies, where the target distribution is estimated from the
+    rows flagged by ``is_target_col`` and the raw distribution from the
+    whole corpus. Rank or threshold on the weight to select raw docs that
+    look like the target domain.
+
+    One TAGGED counting pass (token, cnt_all, cnt_tgt partials → one
+    bucketed aggregate — the target LM costs no extra corpus pass), then
+    the shared fixed-point scoring pass (``_sum_token_fp``). The log-ratio
+    is rounded ONCE to a 1e-6-grid BIGINT, so distributed sums are exact
+    and SQL-replayable. Returns (id_col, n_tokens, dsir_fp).
+    """
+    import math
+    from collections import Counter
+
+    from .relational import hash_bucket_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        call: Counter = Counter()
+        ctgt: Counter = Counter()
+        for t, is_t in zip(batch.column(text_col).to_pylist(),
+                           batch.column(is_target_col).to_pylist()):
+            toks = _tokens(t)
+            call.update(toks)
+            if is_t:
+                ctgt.update(toks)
+        words = list(call.keys())
+        return pa.table({
+            "token": pa.array(words, pa.string()),
+            "cnt_all": pa.array([call[w] for w in words], pa.int64()),
+            "cnt_tgt": pa.array([ctgt.get(w, 0) for w in words],
+                                pa.int64())})
+
+    def sum_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(
+            cnt_all=("cnt_all", "sum"), cnt_tgt=("cnt_tgt", "sum"))
+
+    vocab = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"], sum_per_bucket, rows_hint=rows_hint).materialize()
+
+    n_vocab = vocab.count()
+    tot_all = int(vocab.sum("cnt_all") or 0)
+    tot_tgt = int(vocab.sum("cnt_tgt") or 0)
+
+    def fp_of(c_all: int, c_tgt: int) -> int:
+        lt = math.log((c_tgt + 1) / (tot_tgt + n_vocab))
+        lr = math.log((c_all + 1) / (tot_all + n_vocab))
+        return int(math.floor((lt - lr) * 1_000_000 + 0.5))
+
+    fp_ds = vocab.map_batches(
+        lambda b: pd.DataFrame({
+            "token": b["token"],
+            "fp": np.asarray([fp_of(int(a), int(t))
+                              for a, t in zip(b["cnt_all"], b["cnt_tgt"])],
+                             dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    return _sum_token_fp(docs_ds, fp_ds, id_col=id_col, text_col=text_col,
+                         out_col="dsir_fp", rows_hint=rows_hint,
+                         broadcast_limit=broadcast_limit)
 
 
 # Gopher quality-rule thresholds (Rae et al. 2021, Table A1 — public).

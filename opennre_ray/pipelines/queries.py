@@ -4089,6 +4089,58 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+DSIR_TOPK = 100
+
+
+def docs_dsir_sample(sf_dir):
+    """DSIR data selection (Xie et al. 2023): estimate target vs raw
+    unigram LMs in ONE tagged counting pass (target = docs from three
+    seed sources), score every doc by the fixed-point log-ratio
+    importance weight, keep the top-k — rank-based importance
+    resampling, integer-exact so the oracle replays it bit-for-bit."""
+    from ..functions.textstats import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("is_target", pc.is_in(
+            batch.column("source"),
+            value_set=pa.array(list(DSIR_TARGET_SOURCES))))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    w = dsir_weights(tagged, rows_hint=16 * _nrows(sf_dir, "documents"))
+    return w.sort(["dsir_fp", "doc_id"],
+                  descending=[True, False]).limit(DSIR_TOPK)
+
+
+SQL_DOCS_DSIR_SAMPLE = rf"""
+WITH tok AS (
+  SELECT doc_id, source IN {DSIR_TARGET_SOURCES} AS is_tgt,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT doc_id, is_tgt, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, count(*)::BIGINT AS c_all,
+               count(*) FILTER (WHERE is_tgt)::BIGINT AS c_tgt
+        FROM tok2 GROUP BY token),
+tot AS (SELECT sum(c_all)::BIGINT AS ta, sum(c_tgt)::BIGINT AS tt,
+               count(*)::BIGINT AS v FROM cnt),
+w AS (SELECT token,
+             CAST(floor((ln((c_tgt + 1) / (tt + v)::DOUBLE)
+                         - ln((c_all + 1) / (ta + v)::DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS fp
+      FROM cnt, tot),
+per AS (SELECT t2.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(w.fp)::BIGINT AS dsir_fp
+        FROM tok2 t2 JOIN w USING (token) GROUP BY t2.doc_id),
+f AS (SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(per.dsir_fp, 0)::BIGINT AS dsir_fp
+      FROM documents d LEFT JOIN per USING (doc_id))
+SELECT doc_id, n_tokens, dsir_fp FROM f
+ORDER BY dsir_fp DESC, doc_id LIMIT {DSIR_TOPK}
+"""
+
+
 def docs_gopher_filter(sf_dir):
     """Gopher-rules composite quality filter (Rae et al. 2021): per-rule
     signal columns + the AND of all five rules as ``passed``. Row-local,
@@ -4283,6 +4335,7 @@ QUERIES = {
     "docs_bpe_learn": docs_bpe_learn,
     "docs_bpe_encode_stats": docs_bpe_encode_stats,
     "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_dsir_sample": docs_dsir_sample,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4362,6 +4415,7 @@ ORACLES = {
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
+    "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

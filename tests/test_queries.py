@@ -147,3 +147,46 @@ def test_unigram_logprob_scale_path_matches_broadcast(ray_session):
              .sort_values("doc_id").reset_index(drop=True)
              .astype(base.dtypes.to_dict()))
     pd.testing.assert_frame_equal(scale, base)
+
+
+def test_dsir_weights_hand_math_and_scale_path(ray_session):
+    """DSIR log-ratio weights match a hand-computed add-one-smoothed
+    oracle, target-domain docs outscore off-domain ones, and the
+    beyond-broadcast path is row-identical to the broadcast path."""
+    import math
+
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import dsir_weights
+
+    rows = [
+        {"doc_id": 0, "is_target": True, "text": "aa bb aa"},
+        {"doc_id": 1, "is_target": False, "text": "cc dd"},
+        {"doc_id": 2, "is_target": False, "text": "aa bb"},
+        {"doc_id": 3, "is_target": False, "text": ""},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    base = (dsir_weights(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    # hand oracle: vocab {aa:3,bb:2,cc:1,dd:1} (V=4, tot=7), target
+    # counts {aa:2,bb:1} (tot=3); fp(w) rounded once to the 1e-6 grid
+    cnt_all = {"aa": 3, "bb": 2, "cc": 1, "dd": 1}
+    cnt_tgt = {"aa": 2, "bb": 1, "cc": 0, "dd": 0}
+
+    def fp(w):
+        lt = math.log((cnt_tgt[w] + 1) / (3 + 4))
+        lr = math.log((cnt_all[w] + 1) / (7 + 4))
+        return math.floor((lt - lr) * 1_000_000 + 0.5)
+
+    expect = [fp("aa") * 2 + fp("bb"), fp("cc") + fp("dd"),
+              fp("aa") + fp("bb"), 0]
+    assert base["dsir_fp"].tolist() == expect
+    assert base["n_tokens"].tolist() == [3, 2, 2, 0]
+    # on-domain docs (target-vocab tokens) outscore the off-domain doc
+    assert base.loc[0, "dsir_fp"] > base.loc[1, "dsir_fp"]
+
+    scale = (dsir_weights(ds, broadcast_limit=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True)
+             .astype(base.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(scale, base)
