@@ -400,23 +400,29 @@ def unigram_logprob(docs_ds, *, id_col: str = "doc_id",
 
 
 def _sum_token_fp(docs_ds, fp_ds, *, id_col: str, text_col: str,
-                  out_col: str, rows_hint: int | None = None,
+                  out_col: str, n_col: str = "n_tokens",
+                  terms_fn=None, rows_hint: int | None = None,
                   broadcast_limit: int = 2_000_000):
-    """Per-doc integer sum of a per-token fixed-point weight table —
-    pass 2 shared by ``unigram_logprob`` and ``dsir_weights``.
+    """Per-doc integer sum of a per-term fixed-point weight table —
+    pass 2 shared by ``unigram_logprob`` / ``dsir_weights`` /
+    ``bigram_logprob``.
 
     ``fp_ds`` is a MATERIALIZED (token, fp int64) Dataset covering every
-    corpus token. Under ``broadcast_limit`` it ships once via ``ray.put``
-    and scoring is a stateless streaming map; above it the same math runs
-    as (doc, token, tf) pairs bucket-joined onto the fp table, then a
-    per-doc bucketed exact integer sum (empty docs carried through the
-    left join as zero rows). Returns (id_col, n_tokens, out_col).
+    corpus term, where a "term" is whatever ``terms_fn(text)`` yields
+    (default: whitespace tokens; bigram scoring passes space-joined
+    pairs). Under ``broadcast_limit`` it ships once via ``ray.put`` and
+    scoring is a stateless streaming map; above it the same math runs as
+    (doc, term, tf) pairs bucket-joined onto the fp table, then a per-doc
+    bucketed exact integer sum (empty docs carried through the left join
+    as zero rows). Returns (id_col, n_col, out_col).
     """
     from collections import Counter
 
     import ray
 
     from .relational import hash_bucket_aggregate, shuffle_join
+
+    terms = terms_fn or _tokens
 
     if fp_ds.count() <= broadcast_limit:
         vdf = fp_ds.to_pandas()
@@ -428,12 +434,12 @@ def _sum_token_fp(docs_ds, fp_ds, *, id_col: str, text_col: str,
             fpm = ray.get(ref)
             n_toks, sums = [], []
             for t in batch.column(text_col).to_pylist():
-                toks = _tokens(t)
+                toks = terms(t)
                 n_toks.append(len(toks))
                 sums.append(sum(fpm[w] for w in toks))
             return pa.table({
                 id_col: batch.column(id_col),
-                "n_tokens": pa.array(n_toks, pa.int64()),
+                n_col: pa.array(n_toks, pa.int64()),
                 out_col: pa.array(sums, pa.int64())})
 
         return docs_ds.map_batches(score_batch, batch_format="pyarrow")
@@ -442,7 +448,7 @@ def _sum_token_fp(docs_ds, fp_ds, *, id_col: str, text_col: str,
         ids, toks, tfs = [], [], []
         id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
         for i, t in zip(id_np, batch.column(text_col).to_pylist()):
-            counted = Counter(_tokens(t))
+            counted = Counter(terms(t))
             if not counted:               # empty doc: zero marker row
                 counted = {"": 0}
             for w, c in counted.items():
@@ -462,13 +468,92 @@ def _sum_token_fp(docs_ds, fp_ds, *, id_col: str, text_col: str,
         tf = g["tf"].astype(np.int64)
         fp = g["fp"].fillna(0).astype(np.int64)
         out = pd.DataFrame({id_col: g[id_col].astype(np.int64),
-                            "n_tokens": tf, out_col: tf * fp})
+                            n_col: tf, out_col: tf * fp})
         return (out.groupby(id_col, as_index=False)
-                .agg(**{"n_tokens": ("n_tokens", "sum"),
+                .agg(**{n_col: (n_col, "sum"),
                         out_col: (out_col, "sum")}))
 
     return hash_bucket_aggregate(joined, [id_col], per_doc,
                                  rows_hint=rows_hint)
+
+
+def _bigrams(text: str) -> list[str]:
+    """Space-joined adjacent token pairs — unambiguous keys because
+    whitespace tokenization guarantees tokens contain no spaces."""
+    toks = _tokens(text)
+    return [a + " " + b for a, b in zip(toks, toks[1:])]
+
+
+def bigram_logprob(docs_ds, *, id_col: str = "doc_id",
+                   text_col: str = "text", rows_hint: int | None = None,
+                   broadcast_limit: int = 2_000_000):
+    """Per-document conditional log-likelihood under the corpus's own
+    add-one-smoothed BIGRAM LM — one modeling step up from
+    ``unigram_logprob`` toward CCNet's KenLM scorer (Wenzek et al. 2020):
+    p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (ctx(w_{i-1}) + V) where
+    ctx(w) = Σ bigram counts with left context w and V = unigram vocab
+    size. Repetitive and word-salad text diverge much harder under the
+    conditional model than under unigram frequencies.
+
+    ONE counting pass emits unigram AND bigram partials together (tagged
+    rows, right='' marks unigrams), so the context counts and V cost no
+    extra corpus pass; the per-bigram fp then folds inside a
+    left-bucketed aggregate — same-left rows co-locate, so ctx(w) is an
+    in-bucket sum, NO join. Fixed-point 1e-6-grid BIGINT as everywhere.
+    Returns (id_col, n_bigrams, bigram_fp); docs with <2 tokens score 0.
+    """
+    import math
+    from collections import Counter
+
+    from .relational import hash_bucket_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _tokens(t)
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        lefts = list(uni.keys()) + [l for l, _ in bi.keys()]
+        rights = [""] * len(uni) + [r for _, r in bi.keys()]
+        cnts = list(uni.values()) + list(bi.values())
+        return pa.table({"left": pa.array(lefts, pa.string()),
+                         "right": pa.array(rights, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    def sum_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["left", "right"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+
+    counts = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["left", "right"], sum_per_bucket, rows_hint=rows_hint) \
+        .materialize()
+
+    import pyarrow.compute as pc
+    n_vocab = counts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("right"), "")),
+        batch_format="pyarrow").count()
+    bigrams = counts.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("right"), "")),
+        batch_format="pyarrow")
+
+    def fp_per_left(g: pd.DataFrame) -> pd.DataFrame:
+        ctx = g.groupby("left")["cnt"].transform("sum")
+        denom = (ctx + n_vocab).to_numpy()
+        num = (g["cnt"] + 1).to_numpy()
+        fp = np.asarray([
+            math.floor(math.log(int(a) / int(b)) * 1_000_000 + 0.5)
+            for a, b in zip(num, denom)], dtype=np.int64)
+        return pd.DataFrame({"token": g["left"] + " " + g["right"],
+                             "fp": fp})
+
+    fp_ds = hash_bucket_aggregate(bigrams, ["left"], fp_per_left,
+                                  rows_hint=rows_hint).materialize()
+    return _sum_token_fp(docs_ds, fp_ds, id_col=id_col, text_col=text_col,
+                         out_col="bigram_fp", n_col="n_bigrams",
+                         terms_fn=_bigrams, rows_hint=rows_hint,
+                         broadcast_limit=broadcast_limit)
 
 
 def dsir_weights(docs_ds, *, is_target_col: str = "is_target",

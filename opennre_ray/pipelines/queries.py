@@ -4089,6 +4089,44 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+def docs_bigram_logprob(sf_dir):
+    """Per-doc conditional log-likelihood under the corpus's own
+    add-one-smoothed bigram LM (the KenLM-style CCNet quality signal,
+    one modeling step up from docs_unigram_logprob): one tagged counting
+    pass emits unigram + bigram partials together, the per-bigram
+    fixed-point weight folds inside a left-bucketed aggregate (ctx counts
+    co-locate — no join), and scoring streams. Integer-exact."""
+    from ..functions.textstats import bigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_logprob(ds, rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_BIGRAM_LOGPROB = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+cnt AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY bigram),
+vv AS (SELECT count(DISTINCT token)::BIGINT AS v FROM
+        (SELECT unnest(toks) AS token FROM t)),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS l, sum(c)::BIGINT AS ctx
+        FROM cnt GROUP BY 1),
+fp AS (SELECT bigram,
+              CAST(floor(ln((c + 1) / (ctx.ctx + vv.v)::DOUBLE)
+                         * 1000000 + 0.5) AS BIGINT) AS fp
+       FROM cnt JOIN ctx ON split_part(cnt.bigram, ' ', 1) = ctx.l, vv),
+per AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(fp.fp)::BIGINT AS bigram_fp
+        FROM bg JOIN fp USING (bigram) GROUP BY bg.doc_id)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(per.bigram_fp, 0)::BIGINT AS bigram_fp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
 DSIR_TOPK = 100
 
@@ -4336,6 +4374,7 @@ QUERIES = {
     "docs_bpe_encode_stats": docs_bpe_encode_stats,
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_dsir_sample": docs_dsir_sample,
+    "docs_bigram_logprob": docs_bigram_logprob,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4416,6 +4455,7 @@ ORACLES = {
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
+    "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

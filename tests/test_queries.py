@@ -190,3 +190,37 @@ def test_dsir_weights_hand_math_and_scale_path(ray_session):
              .sort_values("doc_id").reset_index(drop=True)
              .astype(base.dtypes.to_dict()))
     pd.testing.assert_frame_equal(scale, base)
+
+
+def test_bigram_logprob_hand_math_and_scale_path(ray_session):
+    """Bigram conditional log-likelihood matches a hand oracle
+    (add-one-smoothed p(w_i|w_{i-1}), V = unigram vocab size), docs with
+    <2 tokens score 0, and the beyond-broadcast path is row-identical."""
+    import math
+
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import bigram_logprob
+
+    rows = [
+        {"doc_id": 0, "text": "aa bb aa"},
+        {"doc_id": 1, "text": "aa bb"},
+        {"doc_id": 2, "text": "cc"},
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    base = (bigram_logprob(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    # bigram counts: (aa,bb):2, (bb,aa):1; ctx(aa)=2, ctx(bb)=1; V=3
+    def fp(c, ctx):
+        return math.floor(math.log((c + 1) / (ctx + 3)) * 1_000_000 + 0.5)
+
+    expect = [fp(2, 2) + fp(1, 1), fp(2, 2), 0, 0]
+    assert base["bigram_fp"].tolist() == expect
+    assert base["n_bigrams"].tolist() == [2, 1, 0, 0]
+
+    scale = (bigram_logprob(ds, broadcast_limit=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True)
+             .astype(base.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(scale, base)
