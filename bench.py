@@ -141,6 +141,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_curation_pipeline(sf_dir)))
     timed("lineitem_part_skew_join",
           lambda: consume(Q.lineitem_part_skew_join(sf_dir)))
+    timed("docs_dedup_clusters",
+          lambda: consume(Q.docs_dedup_clusters(sf_dir)))
+    timed("docs_dsir_sample", lambda: consume(Q.docs_dsir_sample(sf_dir)))
+    timed("docs_bigram_logprob",
+          lambda: consume(Q.docs_bigram_logprob(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
