@@ -10,6 +10,8 @@ their correctness is covered by the pytest oracles instead.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4089,6 +4091,62 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+BUCKJOIN_N = 32
+
+
+def customer_orders_bucketed_join(sf_dir):
+    """Shuffle-FREE storage-bucketed join (the Hive/Iceberg bucketing
+    pattern): customer and orders land hash-bucketed by custkey
+    (``write_bucketed`` pays the exchange once at ingest), then
+    ``bucketed_join`` merges bucket-by-bucket — one task per bucket
+    index, zero runtime shuffle at ANY corpus scale. Per-segment order
+    counts + revenue prove the join end-to-end."""
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.storage import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root_c = f"/tmp/buck_customer_{tag}"
+    root_o = f"/tmp/buck_orders_{tag}"
+    shutil.rmtree(root_c, ignore_errors=True)
+    shutil.rmtree(root_o, ignore_errors=True)
+    write_bucketed(_read(sf_dir, "customer",
+                         ["c_custkey", "c_mktsegment"]),
+                   "c_custkey", root_c, n_buckets=BUCKJOIN_N)
+    write_bucketed(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+                   "o_custkey", root_o, n_buckets=BUCKJOIN_N)
+    joined = bucketed_join(root_c, root_o, "c_custkey", "o_custkey",
+                           ["c_mktsegment"], ["o_totalprice"],
+                           n_buckets=BUCKJOIN_N)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("c_mktsegment", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     revenue=("o_totalprice", "sum")))
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue", alias_name="revenue"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_CUSTOMER_ORDERS_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def docs_bigram_logprob(sf_dir):
     """Per-doc conditional log-likelihood under the corpus's own
     add-one-smoothed bigram LM (the KenLM-style CCNet quality signal,
@@ -4375,6 +4433,7 @@ QUERIES = {
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_dsir_sample": docs_dsir_sample,
     "docs_bigram_logprob": docs_bigram_logprob,
+    "customer_orders_bucketed_join": customer_orders_bucketed_join,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4456,6 +4515,7 @@ ORACLES = {
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
+    "customer_orders_bucketed_join": SQL_CUSTOMER_ORDERS_BUCKETED_JOIN,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

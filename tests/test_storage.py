@@ -1,0 +1,71 @@
+"""Bucketed-storage layout: co-partitioned writes, shuffle-free joins,
+small-file compaction."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from opennre_ray.functions.storage import (bucketed_join, compact_shards,
+                                           write_bucketed)
+
+
+def _norm(df, by):
+    return (df.sort_values(by).reset_index(drop=True)
+            .reindex(sorted(df.columns), axis=1))
+
+
+def test_bucketed_join_matches_pandas_merge(ray_session, tmp_path):
+    """Co-bucketed layouts join map-side to exactly the pandas merge,
+    including a dtype-mismatched key pair (int64 left, float64 right) —
+    the canonical hash keeps equal keys co-partitioned."""
+    left = pd.DataFrame({"k": pd.array(range(40), dtype="int64"),
+                         "a": [f"L{i}" for i in range(40)]})
+    right = pd.DataFrame({"kk": pd.array([float(i) for i in range(0, 80, 2)],
+                                         dtype="float64"),
+                          "b": [f"R{i}" for i in range(0, 80, 2)]})
+    rl = str(tmp_path / "left")
+    rr = str(tmp_path / "right")
+    write_bucketed(rd.from_pandas(left).repartition(4), "k", rl,
+                   n_buckets=8)
+    write_bucketed(rd.from_pandas(right).repartition(3), "kk", rr,
+                   n_buckets=8)
+
+    got = bucketed_join(rl, rr, "k", "kk", ["a"], ["b"],
+                        n_buckets=8).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="kk")[["k", "a", "b"]]
+    pd.testing.assert_frame_equal(
+        _norm(got[["k", "a", "b"]], ["k"]), _norm(exp, ["k"]))
+
+
+def test_bucketed_join_left_and_empty_buckets(ray_session, tmp_path):
+    """Left join carries unmatched rows; buckets unpopulated at small
+    scale read as empty frames rather than erroring."""
+    left = pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]})
+    right = pd.DataFrame({"k": [2], "b": ["hit"]})
+    rl, rr = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(rd.from_pandas(left), "k", rl, n_buckets=16)
+    write_bucketed(rd.from_pandas(right), "k", rr, n_buckets=16)
+    got = bucketed_join(rl, rr, "k", "k", ["a"], ["b"], n_buckets=16,
+                        how="left").to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["b"].fillna("-").tolist() == ["-", "hit", "-"]
+
+
+def test_compact_shards_preserves_rows(ray_session, tmp_path):
+    """Compaction re-chunks many small shards into few files with the
+    same rows."""
+    src = str(tmp_path / "shards")
+    out = str(tmp_path / "compacted")
+    df = pd.DataFrame({"v": range(1000)})
+    rd.from_pandas(df).repartition(20).write_parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) >= 10
+
+    n = compact_shards(src, out, target_rows=500)
+    assert n == 1000
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) <= 4
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["v"].tolist()) == list(range(1000))
