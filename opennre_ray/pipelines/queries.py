@@ -4091,6 +4091,69 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+BAND_EPS_CENTS = 50000  # |acctbal diff| <= 500.00
+
+
+def customer_supplier_balance_link(sf_dir):
+    """Record linkage by blocking + bounded numeric distance: block on
+    nation, link customer↔supplier records whose account balances sit
+    within 50.00 of each other. Balances quantize ONCE to integer cents
+    (floor(x·100+½) — exact on 2-decimal data), so the per-block
+    sort+sweep in ``band_join`` is pure integer comparisons and the
+    oracle replays it bit-for-bit. Never materializes the block cross
+    product."""
+    from ..functions.relational import band_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def quantize(col_in, col_out):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out[col_out] = np.floor(
+                out[col_in].to_numpy() * 100 + 0.5).astype(np.int64)
+            return out.drop(columns=[col_in])
+        return fn
+
+    cust = cust.map_batches(quantize("c_acctbal", "c_cents"),
+                            batch_format="pandas")
+    supp = supp.map_batches(quantize("s_acctbal", "s_cents"),
+                            batch_format="pandas")
+    out = band_join(cust, supp, "c_nationkey", "s_nationkey",
+                    "c_cents", "s_cents", BAND_EPS_CENTS,
+                    ["c_custkey"], ["s_suppkey"],
+                    rows_hint=_nrows(sf_dir, "customer"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:   # empty bucket blocks can arrive schema-less
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("nationkey", "c_custkey",
+                                           "s_suppkey", "bal_diff_cents")})
+        return pd.DataFrame({
+            "nationkey": df["c_nationkey"].astype("int64"),
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "s_suppkey": df["s_suppkey"].astype("int64"),
+            "bal_diff_cents": df["_diff"].astype("int64")})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_CUSTOMER_SUPPLIER_BALANCE_LINK = f"""
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cc
+           FROM customer),
+s AS (SELECT s_suppkey, s_nationkey,
+             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS sc
+      FROM supplier)
+SELECT c_nationkey::BIGINT AS nationkey, c_custkey, s_suppkey,
+       abs(cc - sc)::BIGINT AS bal_diff_cents
+FROM c JOIN s ON c_nationkey = s_nationkey
+WHERE abs(cc - sc) <= {BAND_EPS_CENTS}
+"""
+
+
 BUCKJOIN_N = 32
 
 
@@ -4434,6 +4497,7 @@ QUERIES = {
     "docs_dsir_sample": docs_dsir_sample,
     "docs_bigram_logprob": docs_bigram_logprob,
     "customer_orders_bucketed_join": customer_orders_bucketed_join,
+    "customer_supplier_balance_link": customer_supplier_balance_link,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4516,6 +4580,7 @@ ORACLES = {
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
     "customer_orders_bucketed_join": SQL_CUSTOMER_ORDERS_BUCKETED_JOIN,
+    "customer_supplier_balance_link": SQL_CUSTOMER_SUPPLIER_BALANCE_LINK,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

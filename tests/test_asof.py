@@ -85,3 +85,35 @@ def test_shuffle_join_mixed_key_dtypes(ray_session):
     assert len(got) == 10
     assert sorted(got["k"].astype(int)) == list(range(0, 20, 2))
     assert (got["rv"].to_numpy() == got["k"].to_numpy() * 100).all()
+
+
+def test_band_join_matches_brute_force(ray_session):
+    """Blocked distance-band join == the brute-force double loop,
+    inclusive at exactly eps, across several blocks and a hot block."""
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import band_join
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 120, 90
+    left = [{"blk": int(rng.randint(4)), "v": int(rng.randint(0, 60)),
+             "lid": i} for i in range(n_l)]
+    right = [{"blk": int(b % 3), "w": int(rng.randint(0, 60)),
+              "rid": 1000 + b} for b in range(n_r)]
+    eps = 3
+    got = band_join(rd.from_items(left).repartition(5),
+                    rd.from_items(right).repartition(4),
+                    "blk", "blk", "v", "w", eps, ["lid"], ["rid"],
+                    n_buckets=8).to_pandas()
+    want = {(l["lid"], r["rid"])
+            for l in left for r in right
+            if l["blk"] == r["blk"] and abs(l["v"] - r["w"]) <= eps}
+    assert set(zip(got["lid"], got["rid"])) == want
+    # diff column is the exact integer distance
+    lv = {l["lid"]: l["v"] for l in left}
+    rv = {r["rid"]: r["w"] for r in right}
+    for lid, rid, d in zip(got["lid"], got["rid"], got["_diff"]):
+        assert d == abs(lv[lid] - rv[rid])
+    # boundary: a pair at exactly eps distance is present
+    assert any(abs(lv[l] - rv[r]) == eps for l, r in want) or not want
