@@ -67,6 +67,35 @@ def lag_column(ds, key: str, ts: str, value: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def debounce(ds, key_cols, ts: str, window_s: int, *,
+             tiebreak: str | None = None, n_buckets: int | None = None,
+             rows_hint: int | None = None):
+    """Windowed event dedup ("debounce"): drop a row when its immediate
+    predecessor of the same key sits within ``window_s`` seconds — the
+    LAG formulation (each row compares to the previous row in ts order),
+    which SQL replays exactly. A steady burst therefore thins to its
+    leading edge plus any row whose gap to the previous row exceeds the
+    window. Same bucketed sort-within-partition shape as ``lag_column``:
+    keys never span buckets, so per-bucket shift is exact and no state
+    crosses partitions. Keeps all input columns.
+    """
+    from .relational import hash_bucket_aggregate
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    order = list(key_cols) + [ts] + ([tiebreak] if tiebreak else [])
+    win = np.timedelta64(window_s, "s")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        prev = g.groupby(list(key_cols))[ts].shift(1)
+        gap = g[ts] - prev
+        return g[prev.isna() | (gap > win)]
+
+    return hash_bucket_aggregate(ds, list(key_cols), per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
+
+
 class KeyedStateActor:
     """Incremental per-key state held in a Ray actor (one per bucket).
 

@@ -4091,6 +4091,76 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+def docs_incremental_dedup(sf_dir):
+    """Delta-vs-corpus dedup (incremental ingest): treat doc_id % 5 == 0
+    as today's incoming shard and the rest as the already-ingested
+    corpus; keep only incoming docs whose content hash is absent from
+    the corpus. Only 16-byte md5 keys move — the size-gated anti-join
+    broadcasts the corpus key set under its limit and falls back to the
+    bucketed shuffle (or bloom gate) above it, so the delta pass never
+    rereads corpus text."""
+    import hashlib
+
+    from ..functions.relational import anti_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "content_md5": pa.array(h, pa.string())})
+
+    hashed = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def side(want_new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            new = pa.array(ids % 5 == 0)
+            return t.filter(new if want_new else pc.invert(new))
+        return fn
+
+    incoming = hashed.map_batches(side(True), batch_format="pyarrow")
+    corpus = hashed.map_batches(side(False), batch_format="pyarrow")
+    return anti_join(incoming, corpus, "content_md5", ["doc_id"],
+                     rows_hint=_nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = """
+SELECT md5(text) AS content_md5, doc_id
+FROM documents d WHERE doc_id % 5 = 0
+AND NOT EXISTS (SELECT 1 FROM documents o
+                WHERE o.doc_id % 5 <> 0 AND md5(o.text) = md5(d.text))
+"""
+
+
+DEBOUNCE_WINDOW_S = 86400
+
+
+def events_debounce(sf_dir):
+    """Windowed event dedup (debounce): drop an event when the same
+    user's previous event of the same type is within 24 h — the LAG
+    formulation, bucketed by (user, type) with sort-within-partition, so
+    no per-event state crosses partitions."""
+    from ..functions.streaming import debounce
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    return debounce(ev, ["user_id", "event_type"], "ts",
+                    DEBOUNCE_WINDOW_S, tiebreak="event_id",
+                    rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_DEBOUNCE = f"""
+WITH g AS (SELECT event_id, user_id, event_type, ts,
+                  ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_id, user_id, event_type, ts FROM g
+WHERE gap IS NULL OR gap > INTERVAL {DEBOUNCE_WINDOW_S} SECOND
+"""
+
+
 BAND_EPS_CENTS = 50000  # |acctbal diff| <= 500.00
 
 
@@ -4498,6 +4568,8 @@ QUERIES = {
     "docs_bigram_logprob": docs_bigram_logprob,
     "customer_orders_bucketed_join": customer_orders_bucketed_join,
     "customer_supplier_balance_link": customer_supplier_balance_link,
+    "events_debounce": events_debounce,
+    "docs_incremental_dedup": docs_incremental_dedup,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4581,6 +4653,8 @@ ORACLES = {
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
     "customer_orders_bucketed_join": SQL_CUSTOMER_ORDERS_BUCKETED_JOIN,
     "customer_supplier_balance_link": SQL_CUSTOMER_SUPPLIER_BALANCE_LINK,
+    "events_debounce": SQL_EVENTS_DEBOUNCE,
+    "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
