@@ -503,3 +503,33 @@ def exact_int_quantile(ds, column: str, q_num: int = 1,
     rank = -(-total * q_num // q_den)          # ceil, pure integers
     cum = hist["c"].cumsum()
     return int(hist.loc[cum >= rank, "v"].iloc[0])
+
+
+def exact_int_quantiles(ds, column: str, n_parts: int) -> list[int]:
+    """The n_parts−1 interior exact quantiles (i/n_parts for i=1..n−1)
+    from ONE distributed histogram pass — same integer-exact definition
+    as ``exact_int_quantile`` (smallest value whose cumulative count
+    reaches ceil(n·i/n_parts)), shared so range-partition boundaries cost
+    a single pass regardless of the partition count.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].value_counts()
+        return pd.DataFrame({"v": vc.index.astype("int64"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if not len(hist) or "v" not in hist.columns:
+        raise ValueError("exact_int_quantiles on an empty dataset")
+    hist = hist.sort_values("v")
+    total = int(hist["c"].sum())
+    cum = hist["c"].cumsum()
+    out = []
+    for i in range(1, n_parts):
+        rank = (total * i + n_parts - 1) // n_parts     # ceil
+        out.append(int(hist.loc[cum >= rank, "v"].iloc[0]))
+    return out

@@ -88,6 +88,35 @@ def bucketed_join(root_l: str, root_r: str, left_key: str, right_key: str,
     return ids.map_batches(join_bucket, batch_format="pandas")
 
 
+def write_range_partitioned(ds, col: str, root: str, *, n_parts: int = 8,
+                            boundaries: list[int] | None = None):
+    """Range-partitioned layout on an integer column: rows land under
+    ``root/part=<i>/`` where part *i* holds the i-th value range — the
+    sorted-layout pattern that lets range scans prune whole partitions by
+    min/max. Boundaries default to the EXACT interior n_parts-quantiles
+    (one histogram pass, ``sketches.exact_int_quantiles``) so partitions
+    balance even under skew; pass precomputed ``boundaries`` to reproduce
+    an existing layout. part(v) = number of boundaries ≤ v. Returns the
+    boundary list (persist it next to the layout for pruning readers).
+    """
+    import numpy as np
+
+    from .sketches import exact_int_quantiles
+
+    if boundaries is None:
+        boundaries = exact_int_quantiles(ds, col, n_parts)
+    bounds = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        return df.assign(part=np.searchsorted(bounds, v,
+                                              side="right").astype("int64"))
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        root, partition_cols=["part"])
+    return list(int(b) for b in bounds)
+
+
 def compact_shards(root: str, out_root: str, *,
                    target_rows: int = 1_000_000):
     """Small-file compaction: re-chunk a directory of parquet shards into

@@ -4091,6 +4091,68 @@ def docs_bpe_encode_stats(sf_dir):
     return bpe_apply_stats(ds, merges)
 
 
+RANGE_PARTS = 8
+
+
+def orders_range_layout(sf_dir):
+    """Range-partitioned storage layout with EXACT quantile boundaries
+    (one histogram pass): orders land under part=i by totalprice cents,
+    then the layout is read back and aggregated per partition — the
+    stats (n, min, max) are exactly what a pruning reader consults, and
+    the balanced row counts prove the boundary math under skew."""
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..functions.storage import write_range_partitioned
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "cents": np.floor(df["o_totalprice"].to_numpy() * 100
+                              + 0.5).astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/range_orders_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_range_partitioned(cds, "cents", root, n_parts=RANGE_PARTS)
+
+    back = ray.data.read_parquet(root)
+    out = back.groupby("part").aggregate(
+        Count(alias_name="n_orders"),
+        Min("cents", alias_name="min_cents"),
+        Max("cents", alias_name="max_cents"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"part": "int64", "n_orders": "int64",
+                         "min_cents": "int64", "max_cents": "int64"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_ORDERS_RANGE_LAYOUT = f"""
+WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+h AS (SELECT cents AS c, count(*)::BIGINT AS cnt FROM v GROUP BY cents),
+s AS (SELECT c, sum(cnt) OVER (ORDER BY c)::BIGINT AS cum FROM h),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+b AS (SELECT i, (SELECT min(c) FROM s
+                 WHERE cum >= (n.n * i + {RANGE_PARTS} - 1)
+                              // {RANGE_PARTS}) AS boundary
+      FROM range(1, {RANGE_PARTS}) t(i), n),
+p AS (SELECT cents,
+             (SELECT count(*) FROM b WHERE boundary <= cents)::BIGINT
+             AS part FROM v)
+SELECT part, count(*)::BIGINT AS n_orders, min(cents)::BIGINT AS min_cents,
+       max(cents)::BIGINT AS max_cents
+FROM p GROUP BY part
+"""
+
+
 def docs_incremental_dedup(sf_dir):
     """Delta-vs-corpus dedup (incremental ingest): treat doc_id % 5 == 0
     as today's incoming shard and the rest as the already-ingested
@@ -4570,6 +4632,7 @@ QUERIES = {
     "customer_supplier_balance_link": customer_supplier_balance_link,
     "events_debounce": events_debounce,
     "docs_incremental_dedup": docs_incremental_dedup,
+    "orders_range_layout": orders_range_layout,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4655,6 +4718,7 @@ ORACLES = {
     "customer_supplier_balance_link": SQL_CUSTOMER_SUPPLIER_BALANCE_LINK,
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
+    "orders_range_layout": SQL_ORDERS_RANGE_LAYOUT,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

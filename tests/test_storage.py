@@ -69,3 +69,27 @@ def test_compact_shards_preserves_rows(ray_session, tmp_path):
     assert len(files) <= 4
     back = rd.read_parquet(out).to_pandas()
     assert sorted(back["v"].tolist()) == list(range(1000))
+
+
+def test_range_partitioned_boundaries_reuse(ray_session, tmp_path):
+    """Explicit boundaries reproduce a layout exactly; defaults are the
+    one-pass exact quantiles (consistent with exact_int_quantile)."""
+    from opennre_ray.functions.sketches import (exact_int_quantile,
+                                                exact_int_quantiles)
+    from opennre_ray.functions.storage import write_range_partitioned
+
+    df = pd.DataFrame({"v": list(range(100)) * 3})
+    ds = rd.from_pandas(df).repartition(5)
+    bs = exact_int_quantiles(ds, "v", 4)
+    assert bs == [exact_int_quantile(ds, "v", i, 4) for i in (1, 2, 3)]
+
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    got = write_range_partitioned(ds, "v", r1, n_parts=4)
+    assert got == bs
+    write_range_partitioned(ds, "v", r2, n_parts=4, boundaries=bs)
+    a = rd.read_parquet(r1).to_pandas()
+    b = rd.read_parquet(r2).to_pandas()
+    key = lambda d: sorted(zip(d["v"], d["part"].astype(int)))
+    assert key(a) == key(b)
+    # every row with v below the first boundary is in part 0
+    assert (a.loc[a["v"] < bs[0], "part"].astype(int) == 0).all()
