@@ -4153,6 +4153,82 @@ FROM p GROUP BY part
 """
 
 
+PRUNE_LO_CENTS = 20_000_000   # $200,000.00
+PRUNE_HI_CENTS = 30_000_000   # exclusive
+
+
+def orders_pruned_range_scan(sf_dir):
+    """Partition-pruned range scan over the range layout: only the
+    partitions whose value range overlaps [lo, hi) are READ at all — the
+    payoff of ``write_range_partitioned``. Returns the band aggregate
+    plus ``parts_scanned`` (derivable from the boundaries alone, so the
+    oracle replays the pruning arithmetic too)."""
+    import shutil
+
+    import ray
+
+    from ..functions.storage import write_range_partitioned
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "cents": np.floor(df["o_totalprice"].to_numpy() * 100
+                              + 0.5).astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/range_scan_orders_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    bounds = np.asarray(write_range_partitioned(
+        cds, "cents", root, n_parts=RANGE_PARTS), dtype=np.int64)
+
+    import glob as _glob
+
+    p_lo = int(np.searchsorted(bounds, PRUNE_LO_CENTS, side="right"))
+    p_hi = int(np.searchsorted(bounds, PRUNE_HI_CENTS - 1, side="right"))
+    files = [f for p in range(p_lo, p_hi + 1)
+             for f in sorted(_glob.glob(f"{root}/part={p}/*.parquet"))]
+    back = ray.data.read_parquet(files)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["cents"].to_numpy()
+        m = (v >= PRUNE_LO_CENTS) & (v < PRUNE_HI_CENTS)
+        return pd.DataFrame({"n_orders": [np.int64(m.sum())],
+                             "sum_cents": [np.int64(v[m].sum())]})
+
+    parts = back.map_batches(agg, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_orders": pd.Series([int(parts["n_orders"].sum())],
+                              dtype="int64"),
+        "sum_cents": pd.Series([int(parts["sum_cents"].sum())],
+                               dtype="int64"),
+        "parts_scanned": pd.Series([p_hi - p_lo + 1], dtype="int64")})
+
+
+SQL_ORDERS_PRUNED_RANGE_SCAN = f"""
+WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+h AS (SELECT cents AS c, count(*)::BIGINT AS cnt FROM v GROUP BY cents),
+s AS (SELECT c, sum(cnt) OVER (ORDER BY c)::BIGINT AS cum FROM h),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+b AS (SELECT i, (SELECT min(c) FROM s
+                 WHERE cum >= (n.n * i + {RANGE_PARTS} - 1)
+                              // {RANGE_PARTS}) AS boundary
+      FROM range(1, {RANGE_PARTS}) t(i), n)
+SELECT (SELECT count(*) FROM v
+        WHERE cents >= {PRUNE_LO_CENTS}
+          AND cents < {PRUNE_HI_CENTS})::BIGINT AS n_orders,
+       (SELECT coalesce(sum(cents), 0) FROM v
+        WHERE cents >= {PRUNE_LO_CENTS}
+          AND cents < {PRUNE_HI_CENTS})::BIGINT AS sum_cents,
+       ((SELECT count(*) FROM b WHERE boundary <= {PRUNE_HI_CENTS} - 1)
+        - (SELECT count(*) FROM b WHERE boundary <= {PRUNE_LO_CENTS})
+        + 1)::BIGINT AS parts_scanned
+"""
+
+
 def docs_incremental_dedup(sf_dir):
     """Delta-vs-corpus dedup (incremental ingest): treat doc_id % 5 == 0
     as today's incoming shard and the rest as the already-ingested
@@ -4633,6 +4709,7 @@ QUERIES = {
     "events_debounce": events_debounce,
     "docs_incremental_dedup": docs_incremental_dedup,
     "orders_range_layout": orders_range_layout,
+    "orders_pruned_range_scan": orders_pruned_range_scan,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4719,6 +4796,7 @@ ORACLES = {
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "orders_range_layout": SQL_ORDERS_RANGE_LAYOUT,
+    "orders_pruned_range_scan": SQL_ORDERS_PRUNED_RANGE_SCAN,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
