@@ -289,6 +289,56 @@ def band_join(left_ds, right_ds, block_l: str, block_r: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def interval_self_join(ds, block: str, id_col: str, start: str, end: str,
+                       n_buckets: int | None = None,
+                       rows_hint: int | None = None):
+    """Interval-overlap SELF-join within blocks: emit every pair of rows
+    in the same block whose [start, end) intervals overlap.
+
+    Requires well-formed intervals (``end > start``). With a block's rows
+    sorted by start, a later row *j* overlaps row *i* iff
+    ``start_j < end_i`` (its own end necessarily exceeds ``start_i``), so
+    ONE ``searchsorted`` per row bounds each overlap window and the emit
+    is O(n log n + output) per block — never the block square. One
+    bucketed shuffle on the block key; pairs come out normalized
+    (``id_a < id_b``) with the integer overlap length.
+    """
+    from .relational import hash_bucket_aggregate  # self, for clarity
+
+    out_cols = [block, "id_a", "id_b", "overlap"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for blk, grp in g.groupby(block, sort=False):
+            grp = grp.sort_values([start, id_col])
+            s = grp[start].to_numpy()
+            e = grp[end].to_numpy()
+            ids = grp[id_col].to_numpy()
+            n = len(s)
+            if n < 2:
+                continue
+            hi = np.searchsorted(s, e, side="left")
+            cnt = np.maximum(hi - np.arange(n) - 1, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            li = np.repeat(np.arange(n), cnt)
+            offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            ri = np.arange(tot) - np.repeat(offs, cnt) + li + 1
+            outs.append(pd.DataFrame({
+                block: np.repeat(blk, tot),
+                "id_a": np.minimum(ids[li], ids[ri]),
+                "id_b": np.maximum(ids[li], ids[ri]),
+                "overlap": (np.minimum(e[li], e[ri])
+                            - np.maximum(s[li], s[ri]))}))
+        if not outs:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_bucket_aggregate(ds, [block], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
+
+
 def broadcast_range_join(ds, bands: pd.DataFrame, value_col: str,
                          lo_col: str = "lo", hi_col: str = "hi",
                          how: str = "inner"):

@@ -4153,6 +4153,62 @@ FROM p GROUP BY part
 """
 
 
+def orders_concurrent_pairs(sf_dir):
+    """Interval-overlap self-join: pairs of orders from the SAME customer
+    whose fulfillment windows overlap (window = order date + a
+    priority-dependent duration, 17–45 days). Blocked by customer, the
+    per-block sort + one searchsorted per row bounds each overlap window
+    — O(n log n + output), never the block square. Integer epoch-day
+    arithmetic end to end, replayed exactly in SQL."""
+    from ..functions.relational import interval_self_join
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority"])
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        dur = 10 + 7 * df["o_orderpriority"].str[0].astype(np.int64)
+        return pd.DataFrame({"o_custkey": df["o_custkey"],
+                             "o_orderkey": df["o_orderkey"],
+                             "s": day, "e": day + dur.to_numpy()})
+
+    days = ds.map_batches(to_days, batch_format="pandas")
+    out = interval_self_join(days, "o_custkey", "o_orderkey", "s", "e",
+                             rows_hint=_nrows(sf_dir, "orders"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("custkey", "order_a", "order_b",
+                                           "overlap_days")})
+        return pd.DataFrame({"custkey": df["o_custkey"].astype("int64"),
+                             "order_a": df["id_a"].astype("int64"),
+                             "order_b": df["id_b"].astype("int64"),
+                             "overlap_days":
+                                 df["overlap"].astype("int64")})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_ORDERS_CONCURRENT_PAIRS = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  (epoch_us(o_orderdate) // 86400000000)::BIGINT AS s,
+                  (epoch_us(o_orderdate) // 86400000000
+                   + 10 + 7 * CAST(substr(o_orderpriority, 1, 1) AS INT)
+                  )::BIGINT AS e
+           FROM orders)
+SELECT a.o_custkey::BIGINT AS custkey,
+       least(a.o_orderkey, b.o_orderkey)::BIGINT AS order_a,
+       greatest(a.o_orderkey, b.o_orderkey)::BIGINT AS order_b,
+       (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+"""
+
+
 PRUNE_LO_CENTS = 20_000_000   # $200,000.00
 PRUNE_HI_CENTS = 30_000_000   # exclusive
 
@@ -4710,6 +4766,7 @@ QUERIES = {
     "docs_incremental_dedup": docs_incremental_dedup,
     "orders_range_layout": orders_range_layout,
     "orders_pruned_range_scan": orders_pruned_range_scan,
+    "orders_concurrent_pairs": orders_concurrent_pairs,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4797,6 +4854,7 @@ ORACLES = {
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "orders_range_layout": SQL_ORDERS_RANGE_LAYOUT,
     "orders_pruned_range_scan": SQL_ORDERS_PRUNED_RANGE_SCAN,
+    "orders_concurrent_pairs": SQL_ORDERS_CONCURRENT_PAIRS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

@@ -117,3 +117,33 @@ def test_band_join_matches_brute_force(ray_session):
         assert d == abs(lv[lid] - rv[rid])
     # boundary: a pair at exactly eps distance is present
     assert any(abs(lv[l] - rv[r]) == eps for l, r in want) or not want
+
+
+def test_interval_self_join_matches_brute_force(ray_session):
+    """Blocked interval-overlap self-join == the brute-force double loop,
+    with normalized pair ids and exact overlap lengths."""
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import interval_self_join
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(150):
+        s = int(rng.randint(0, 200))
+        rows.append({"blk": int(rng.randint(5)), "rid": i,
+                     "s": s, "e": s + int(rng.randint(1, 40))})
+    got = interval_self_join(rd.from_items(rows).repartition(6),
+                             "blk", "rid", "s", "e",
+                             n_buckets=4).to_pandas()
+    want = {}
+    for a in rows:
+        for b in rows:
+            if (a["blk"] == b["blk"] and a["rid"] < b["rid"]
+                    and a["s"] < b["e"] and b["s"] < a["e"]):
+                want[(a["rid"], b["rid"])] = (min(a["e"], b["e"])
+                                              - max(a["s"], b["s"]))
+    got_pairs = {(int(a), int(b)): int(o)
+                 for a, b, o in zip(got["id_a"], got["id_b"],
+                                    got["overlap"])}
+    assert got_pairs == want
