@@ -4153,6 +4153,66 @@ FROM p GROUP BY part
 """
 
 
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 100
+
+
+def docs_skipgram_pairs(sf_dir):
+    """Skip-gram (center, context) pair counts within a ±2 window — the
+    word2vec/SGNS training-pair generation pass (Mikolov et al. 2013).
+    Map-side Counter partials over both directions at each offset, one
+    bucketed aggregate on the pair, global top-k with deterministic
+    tiebreak. The shuffle moves per-batch distinct pairs, not tokens."""
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            for d in range(1, SKIPGRAM_WINDOW + 1):
+                c.update(zip(toks, toks[d:]))
+                c.update(zip(toks[d:], toks))
+        pairs = list(c.keys())
+        return pa.table({
+            "w1": pa.array([p[0] for p in pairs], pa.string()),
+            "w2": pa.array([p[1] for p in pairs], pa.string()),
+            "cnt": pa.array([c[p] for p in pairs], pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w1", "w2"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+
+    counts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"], per_bucket,
+        rows_hint=64 * _nrows(sf_dir, "documents"))
+    return counts.sort(["cnt", "w1", "w2"],
+                       descending=[True, False, False]) \
+        .limit(SKIPGRAM_TOPK)
+
+
+SQL_DOCS_SKIPGRAM_PAIRS = rf"""
+WITH t AS (SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+d1 AS (SELECT unnest(list_transform(range(1, length(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS pr FROM t),
+d2 AS (SELECT unnest(list_transform(range(1, length(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+2])) AS pr FROM t),
+u AS (SELECT pr FROM d1 UNION ALL SELECT pr FROM d2),
+dpairs AS (SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2
+         FROM u
+         UNION ALL
+         SELECT split_part(pr, ' ', 2), split_part(pr, ' ', 1) FROM u)
+SELECT w1, w2, count(*)::BIGINT AS cnt FROM dpairs GROUP BY w1, w2
+ORDER BY cnt DESC, w1, w2 LIMIT {SKIPGRAM_TOPK}
+"""
+
+
 def orders_concurrent_pairs(sf_dir):
     """Interval-overlap self-join: pairs of orders from the SAME customer
     whose fulfillment windows overlap (window = order date + a
@@ -4767,6 +4827,7 @@ QUERIES = {
     "orders_range_layout": orders_range_layout,
     "orders_pruned_range_scan": orders_pruned_range_scan,
     "orders_concurrent_pairs": orders_concurrent_pairs,
+    "docs_skipgram_pairs": docs_skipgram_pairs,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4855,6 +4916,7 @@ ORACLES = {
     "orders_range_layout": SQL_ORDERS_RANGE_LAYOUT,
     "orders_pruned_range_scan": SQL_ORDERS_PRUNED_RANGE_SCAN,
     "orders_concurrent_pairs": SQL_ORDERS_CONCURRENT_PAIRS,
+    "docs_skipgram_pairs": SQL_DOCS_SKIPGRAM_PAIRS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
