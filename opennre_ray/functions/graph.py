@@ -74,6 +74,61 @@ def degree_stats(triples_ds, subj_col="subj", obj_col="obj",
 KHOP_LOCAL_LIMIT = 2_000_000
 
 
+def predicate_stats(triples_ds, *, subj_col="subj", pred_col="pred",
+                    obj_col="obj", rows_hint: int | None = None):
+    """Per-predicate functionality statistics — the KG-quality signal
+    from PARIS (Suchanek et al. 2011): functionality(p) =
+    #distinct subjects / #edges (1.0 ⇔ each subject has one p-edge),
+    inverse functionality likewise over objects. Used to pick join keys
+    for entity alignment and to flag noisy extracted relations.
+
+    Scale shape: edge counts are map-side ``value_counts`` partials +
+    one tiny groupby; distinct subj/obj counts dedupe (pred, endpoint)
+    pairs through the bucketed aggregate (the shuffle moves per-batch
+    DISTINCT pairs), then a second partial count per pred. Ratios are
+    integer fixed-point (``10⁶·distinct // edges``), SQL-replayable.
+    Output rows = #predicates (tiny); computed driver-side at the end.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_bucket_aggregate
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[pred_col].value_counts()
+        return pd.DataFrame({pred_col: vc.index, "c": vc.to_numpy()})
+
+    n_edges = (triples_ds.map_batches(edge_partial, batch_format="pandas")
+               .groupby(pred_col).aggregate(Sum("c", alias_name="n_edges"))
+               .to_pandas())
+
+    def distinct_count(col: str, out: str) -> pd.DataFrame:
+        def uniq(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[pred_col, col]].drop_duplicates()
+
+        deduped = hash_bucket_aggregate(
+            triples_ds.map_batches(uniq, batch_format="pandas"),
+            [pred_col, col],
+            lambda g: g.drop_duplicates([pred_col, col]),
+            rows_hint=rows_hint)
+
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df[pred_col].value_counts()
+            return pd.DataFrame({pred_col: vc.index, "c": vc.to_numpy()})
+
+        return (deduped.map_batches(cnt, batch_format="pandas")
+                .groupby(pred_col).aggregate(Sum("c", alias_name=out))
+                .to_pandas())
+
+    out = (n_edges.merge(distinct_count(subj_col, "n_subj"), on=pred_col)
+           .merge(distinct_count(obj_col, "n_obj"), on=pred_col))
+    out = out.astype({"n_edges": "int64", "n_subj": "int64",
+                      "n_obj": "int64"})
+    out["functionality_fp"] = (10 ** 6 * out["n_subj"]) // out["n_edges"]
+    out["inv_functionality_fp"] = ((10 ** 6 * out["n_obj"])
+                                   // out["n_edges"])
+    return out.sort_values(pred_col).reset_index(drop=True)
+
+
 def k_hop_dataset(triples_ds, seeds, k: int = 2,
                   subj_col="subj", obj_col="obj",
                   rows_hint: int | None = None):

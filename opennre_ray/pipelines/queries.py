@@ -4153,6 +4153,56 @@ FROM p GROUP BY part
 """
 
 
+def graph_predicate_stats(sf_dir):
+    """Per-predicate functionality stats (PARIS, Suchanek et al. 2011)
+    over a deterministic three-relation edge table: in_nation
+    (customer→nation, many:1), located_in (supplier→nation, many:1) and
+    placed (customer→order, 1:many). Distinct-endpoint counts dedupe
+    through the bucketed aggregate; ratios are integer fixed-point."""
+    from ..functions.graph import predicate_stats
+
+    def rel(table, cols, pred, s_pre, s_col, o_pre, o_col):
+        ds = _read(sf_dir, table, cols)
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": s_pre + df[s_col].astype(str),
+                "pred": pred,
+                "obj": o_pre + df[o_col].astype(str)})
+
+        return ds.map_batches(mk, batch_format="pandas")
+
+    edges = (rel("customer", ["c_custkey", "c_nationkey"], "in_nation",
+                 "C", "c_custkey", "N", "c_nationkey")
+             .union(rel("supplier", ["s_suppkey", "s_nationkey"],
+                        "located_in", "S", "s_suppkey", "N",
+                        "s_nationkey"))
+             .union(rel("orders", ["o_orderkey", "o_custkey"], "placed",
+                        "C", "o_custkey", "O", "o_orderkey")))
+    return predicate_stats(edges,
+                           rows_hint=_nrows(sf_dir, "orders"))
+
+
+SQL_GRAPH_PREDICATE_STATS = """
+WITH e AS (
+  SELECT 'in_nation' AS pred, 'C' || c_custkey AS subj,
+         'N' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 'located_in', 'S' || s_suppkey, 'N' || s_nationkey
+  FROM supplier
+  UNION ALL
+  SELECT 'placed', 'C' || o_custkey, 'O' || o_orderkey FROM orders)
+SELECT pred, count(*)::BIGINT AS n_edges,
+       count(DISTINCT subj)::BIGINT AS n_subj,
+       count(DISTINCT obj)::BIGINT AS n_obj,
+       (1000000 * count(DISTINCT subj) // count(*))::BIGINT
+           AS functionality_fp,
+       (1000000 * count(DISTINCT obj) // count(*))::BIGINT
+           AS inv_functionality_fp
+FROM e GROUP BY pred
+"""
+
+
 SKIPGRAM_WINDOW = 2
 SKIPGRAM_TOPK = 100
 
@@ -4828,6 +4878,7 @@ QUERIES = {
     "orders_pruned_range_scan": orders_pruned_range_scan,
     "orders_concurrent_pairs": orders_concurrent_pairs,
     "docs_skipgram_pairs": docs_skipgram_pairs,
+    "graph_predicate_stats": graph_predicate_stats,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4917,6 +4968,7 @@ ORACLES = {
     "orders_pruned_range_scan": SQL_ORDERS_PRUNED_RANGE_SCAN,
     "orders_concurrent_pairs": SQL_ORDERS_CONCURRENT_PAIRS,
     "docs_skipgram_pairs": SQL_DOCS_SKIPGRAM_PAIRS,
+    "graph_predicate_stats": SQL_GRAPH_PREDICATE_STATS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
