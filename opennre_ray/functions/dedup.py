@@ -261,6 +261,76 @@ def minhash_dedup_clusters(ds, *, num_bands=16, rows_per_band=4,
     return joined.map_batches(finalize, batch_format="pandas")
 
 
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Classic two-row DP edit distance; with ``cap`` the band outside
+    |i−j| ≤ cap is skipped and the function may return any value > cap
+    early (enough for thresholded joins)."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if cap is not None and len(b) - len(a) > cap:
+        return cap + 1
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        lo = j  # row minimum for the early exit
+        for i, ca in enumerate(a, 1):
+            v = min(prev[i] + 1, cur[i - 1] + 1,
+                    prev[i - 1] + (ca != cb))
+            cur.append(v)
+            lo = min(lo, v)
+        if cap is not None and lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def edit_distance_self_join(ds, *, id_col: str, str_col: str,
+                            block_fn=None, max_dist: int = 1,
+                            rows_hint: int | None = None):
+    """Blocked string-similarity self-join (typo-tolerant record
+    linkage): emit pairs of rows whose strings are within ``max_dist``
+    edits, restricted to pairs sharing a block key (default: the string
+    minus its last character — the standard blocking tradeoff, cross-
+    block matches are out of scope by construction and documented as
+    such). One bucketed shuffle on the block key; the banded Levenshtein
+    verify runs only inside blocks, never corpus-wide. Pairs come out
+    normalized (id_a < id_b) with the exact distance.
+    """
+    from .relational import hash_bucket_aggregate
+
+    block = block_fn or (lambda s: s[:-1] if s else s)
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_blk": [block(s) for s in df[str_col]],
+            id_col: df[id_col], str_col: df[str_col]})
+
+    out_cols = ["id_a", "id_b", "dist"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("_blk", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            ss = grp[str_col].tolist()
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    d = levenshtein(ss[i], ss[j], cap=max_dist)
+                    if d <= max_dist:
+                        rows.append((ids[i], ids[j], d))
+        if not rows:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return hash_bucket_aggregate(
+        ds.map_batches(add_block, batch_format="pandas"), ["_blk"],
+        per_bucket, rows_hint=rows_hint)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -4153,6 +4153,40 @@ FROM p GROUP BY part
 """
 
 
+def customer_name_typo_pairs(sf_dir):
+    """Typo-tolerant record linkage: customer-name pairs within ONE edit,
+    blocked on the name minus its last character (the standard blocking
+    tradeoff — cross-block matches out of scope by construction). The
+    banded Levenshtein verify runs only inside blocks; the oracle uses
+    DuckDB's levenshtein() with identical blocking."""
+    from ..functions.dedup import edit_distance_self_join
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = edit_distance_self_join(ds, id_col="c_custkey",
+                                  str_col="c_name", max_dist=1,
+                                  rows_hint=_nrows(sf_dir, "customer"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("id_a", "id_b", "dist")})
+        return df.astype({"id_a": "int64", "id_b": "int64",
+                          "dist": "int64"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_CUSTOMER_NAME_TYPO_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 1, length(a.c_name) - 1)
+     = substr(b.c_name, 1, length(b.c_name) - 1)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def graph_predicate_stats(sf_dir):
     """Per-predicate functionality stats (PARIS, Suchanek et al. 2011)
     over a deterministic three-relation edge table: in_nation
@@ -4879,6 +4913,7 @@ QUERIES = {
     "orders_concurrent_pairs": orders_concurrent_pairs,
     "docs_skipgram_pairs": docs_skipgram_pairs,
     "graph_predicate_stats": graph_predicate_stats,
+    "customer_name_typo_pairs": customer_name_typo_pairs,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -4969,6 +5004,7 @@ ORACLES = {
     "orders_concurrent_pairs": SQL_ORDERS_CONCURRENT_PAIRS,
     "docs_skipgram_pairs": SQL_DOCS_SKIPGRAM_PAIRS,
     "graph_predicate_stats": SQL_GRAPH_PREDICATE_STATS,
+    "customer_name_typo_pairs": SQL_CUSTOMER_NAME_TYPO_PAIRS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,

@@ -307,3 +307,33 @@ def test_jaccard_pair_join_exact_vs_bruteforce(ray_session):
         got_set = {(int(a), int(b), float(j)) for a, b, j in
                    zip(got["a"], got["b"], got["jaccard"])}
         assert got_set == want
+
+
+def test_edit_distance_self_join_typos(ray_session):
+    """Blocked Levenshtein join finds planted single-edit typos, skips
+    distance-2 pairs, and (by design) misses cross-block matches."""
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import edit_distance_self_join
+
+    rows = [
+        {"rid": 1, "s": "anthropic"},
+        {"rid": 2, "s": "anthropiC"},   # substitution at last char
+        {"rid": 3, "s": "anthropi"},    # deletion of last char
+        {"rid": 4, "s": "anthroXic"},   # differs mid-string: other block
+        {"rid": 5, "s": "zebra"},
+        {"rid": 6, "s": "zebrA"},
+        {"rid": 7, "s": "zebXA"},       # distance 2 from zebrA? no: 1 sub -> same block as 6? block 'zebX' != 'zebr'
+    ]
+    got = edit_distance_self_join(
+        rd.from_items(rows).repartition(3), id_col="rid", str_col="s",
+        max_dist=1, rows_hint=64).to_pandas()
+    pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    # same block 'anthropi': last-char substitution pair found
+    assert (1, 2) in pairs
+    # 3 (last-char DELETION -> block 'anthrop') and 4 (mid-string edit)
+    # land in other blocks: the documented blocking tradeoff
+    assert not any(3 in p or 4 in p for p in pairs)
+    assert (5, 6) in pairs
+    assert not any(7 in p for p in pairs)
+    assert pairs == {(1, 2), (5, 6)}
