@@ -4153,6 +4153,62 @@ FROM p GROUP BY part
 """
 
 
+PROX_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_click_near_purchase(sf_dir):
+    """Temporal proximity join: every (click, purchase) pair from the
+    SAME user within one hour of each other — ``band_join`` blocked by
+    user over integer epoch-µs timestamps, so the per-user sort+sweep
+    never builds the per-user cross product (unlike the ASOF join this
+    keeps ALL pairs in the window, both directions)."""
+    from ..functions.relational import band_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def prep(kind: str, id_out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == kind]
+            return pd.DataFrame({
+                "user_id": df["user_id"],
+                id_out: df["event_id"],
+                "ts_us": df["ts"].to_numpy().astype("datetime64[us]")
+                    .astype(np.int64)})
+        return fn
+
+    clicks = ev.map_batches(prep("click", "click_id"),
+                            batch_format="pandas")
+    buys = ev.map_batches(prep("purchase", "purchase_id"),
+                          batch_format="pandas")
+    out = band_join(clicks, buys, "user_id", "user_id", "ts_us", "ts_us",
+                    PROX_WINDOW_US, ["click_id"], ["purchase_id"],
+                    rows_hint=_nrows(sf_dir, "events"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "click_id",
+                                           "purchase_id", "gap_us")})
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "click_id": df["click_id"].astype("int64"),
+                             "purchase_id":
+                                 df["purchase_id"].astype("int64"),
+                             "gap_us": df["_diff"].astype("int64")})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_CLICK_NEAR_PURCHASE = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       abs(epoch_us(c.ts) - epoch_us(p.ts))::BIGINT AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {PROX_WINDOW_US}
+"""
+
+
 def customer_name_typo_pairs(sf_dir):
     """Typo-tolerant record linkage: customer-name pairs within ONE edit,
     blocked on the name minus its last character (the standard blocking
@@ -4914,6 +4970,7 @@ QUERIES = {
     "docs_skipgram_pairs": docs_skipgram_pairs,
     "graph_predicate_stats": graph_predicate_stats,
     "customer_name_typo_pairs": customer_name_typo_pairs,
+    "events_click_near_purchase": events_click_near_purchase,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5005,6 +5062,7 @@ ORACLES = {
     "docs_skipgram_pairs": SQL_DOCS_SKIPGRAM_PAIRS,
     "graph_predicate_stats": SQL_GRAPH_PREDICATE_STATS,
     "customer_name_typo_pairs": SQL_CUSTOMER_NAME_TYPO_PAIRS,
+    "events_click_near_purchase": SQL_EVENTS_CLICK_NEAR_PURCHASE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
