@@ -132,6 +132,62 @@ def knn_brute_force(ds_emb, query_ids, query_matrix, k=10,
                                 preserve_index=False)
 
 
+def knn_graph(ds_emb, k: int = 3, *, key_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Self-kNN GRAPH construction: every vector's exact top-k cosine
+    neighbors, self excluded — the named first step of SemDeDup-style
+    semantic dedup and graph-based diversity sampling.
+
+    The normalized corpus matrix broadcasts ONCE (``ray.put``) and each
+    streaming block computes its rows' similarities against it — because
+    the broadcast side holds ALL candidate neighbors, one pass per block
+    is already exact: no partial-top-k merge, no shuffle at all. Scale
+    note: this is the broadcast-corpus path (fine while N·D floats fit
+    the object store — 100 TB corpora use the IVF/LSH variants as the
+    candidate stage and this only within cells). Cosines are rounded to
+    1e-6 BEFORE ranking so the (−cosine, neighbor_id) order matches SQL
+    ``ORDER BY`` exactly. Returns (vec_id, neighbor_id, cosine, rank).
+    """
+    import ray
+
+    tbl = pa.concat_tables(
+        [t.select([key_col, vec_col])
+         for t in ray.get(ds_emb.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    ids = tbl.column(key_col).to_numpy(zero_copy_only=False)
+    mat = _normalize(_as_matrix(tbl.column(vec_col)))
+    ref = ray.put((ids, mat))
+    ref_key = ref.hex()
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        all_ids, all_mat = cached(("knng", ref_key),
+                                  lambda: ray.get(ref))
+        q = _normalize(_as_matrix(batch.column(vec_col)))
+        qids = batch.column(key_col).to_numpy(zero_copy_only=False)
+        sims = np.round(q @ all_mat.T, 6)
+        out_q, out_n, out_c, out_r = [], [], [], []
+        for row, qid in enumerate(qids):
+            s = sims[row]
+            mask = all_ids != qid                   # exclude self
+            cand_s = s[mask]
+            cand_i = all_ids[mask]
+            # top-k by (-cosine, neighbor_id): lexsort is stable+exact
+            order = np.lexsort((cand_i, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_i[order])
+            out_c.extend(cand_s[order])
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table({
+            key_col: pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "cosine": pa.array(np.asarray(out_c, dtype=np.float64)),
+            "rank": pa.array(np.asarray(out_r, dtype=np.int64))})
+
+    return ds_emb.map_batches(topk_batch, batch_format="pyarrow")
+
+
 def cosine_pair_join(ds_emb, threshold: float = 0.9,
                      key_col: str = "vec_id", vec_col: str = "embedding"):
     """EXACT thresholded cosine self-join: all pairs (id_a < id_b) with

@@ -4153,6 +4153,35 @@ FROM p GROUP BY part
 """
 
 
+KNN_GRAPH_K = 3
+
+
+def knn_graph_query(sf_dir):
+    """Exact self-kNN graph (top-3 cosine neighbors per vector, self
+    excluded) — SemDeDup's first step. Broadcast-corpus one-pass path;
+    at 100 TB the IVF/LSH candidate stages bound the neighbor scan."""
+    from ..functions.similarity import knn_graph
+
+    emb = _read_embeddings(sf_dir)
+    out = knn_graph(emb, k=KNN_GRAPH_K).to_pandas()
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+SQL_KNN_GRAPH = f"""
+WITH s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)),
+                        6) AS cosine
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+SELECT vec_id, neighbor_id, cosine, rank FROM r
+WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 PROX_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -4971,6 +5000,7 @@ QUERIES = {
     "graph_predicate_stats": graph_predicate_stats,
     "customer_name_typo_pairs": customer_name_typo_pairs,
     "events_click_near_purchase": events_click_near_purchase,
+    "knn_graph": knn_graph_query,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5063,6 +5093,7 @@ ORACLES = {
     "graph_predicate_stats": SQL_GRAPH_PREDICATE_STATS,
     "customer_name_typo_pairs": SQL_CUSTOMER_NAME_TYPO_PAIRS,
     "events_click_near_purchase": SQL_EVENTS_CLICK_NEAR_PURCHASE,
+    "knn_graph": SQL_KNN_GRAPH,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
