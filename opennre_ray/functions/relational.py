@@ -289,6 +289,46 @@ def band_join(left_ds, right_ds, block_l: str, block_r: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def table_diff(old_ds, new_ds, key: str, content: str,
+               n_buckets: int | None = None,
+               rows_hint: int | None = None):
+    """Snapshot diff between two table versions — the dataset-versioning
+    audit: per key, ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, content differs), ``unchanged``.
+
+    Tagged union + ONE bucketed shuffle on the key; each bucket resolves
+    its keys with a vectorized pandas pivot, so the diff never joins
+    corpus-wide. ``content`` is the column compared for change detection
+    (pass a precomputed content hash for wide rows so only the 16-byte
+    digest shuffles). Assumes ``key`` is unique within each version.
+    Returns (key, status).
+    """
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"_key": df[key], "_c": df[content],
+                                 "_side": np.int64(side)})
+        return fn
+
+    tagged = (old_ds.map_batches(tag(0), batch_format="pandas")
+              .union(new_ds.map_batches(tag(1), batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["_side"] == 0].set_index("_key")["_c"]
+        new = g[g["_side"] == 1].set_index("_key")["_c"]
+        merged = pd.merge(old.rename("o"), new.rename("n"),
+                          left_index=True, right_index=True, how="outer")
+        status = np.where(
+            merged["o"].isna(), "added",
+            np.where(merged["n"].isna(), "removed",
+                     np.where(merged["o"] == merged["n"], "unchanged",
+                              "changed")))
+        return pd.DataFrame({key: merged.index.to_numpy(),
+                             "status": status})
+
+    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
+                                 n_buckets=n_buckets, rows_hint=rows_hint)
+
+
 def interval_self_join(ds, block: str, id_col: str, start: str, end: str,
                        n_buckets: int | None = None,
                        rows_hint: int | None = None):

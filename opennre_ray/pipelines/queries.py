@@ -4153,6 +4153,69 @@ FROM p GROUP BY part
 """
 
 
+def docs_version_diff(sf_dir):
+    """Snapshot diff between two corpus versions (dataset-versioning
+    audit): v2 is derived deterministically from v1 — every 11th doc
+    removed, every 13th rewritten, every 17th duplicated under a new key
+    — so all four statuses appear. Only (key, 16-byte content hash)
+    rows shuffle; table_diff resolves each bucket with one vectorized
+    outer merge."""
+    import hashlib
+
+    from ..functions.relational import table_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def md5s(texts) -> list:
+        return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+    def v1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "h": md5s(df["text"])})
+
+    def v2(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["doc_id"] % 11 != 0]
+        texts = [t + " v2" if k % 13 == 0 else t
+                 for k, t in zip(keep["doc_id"], keep["text"])]
+        base = pd.DataFrame({"doc_id": keep["doc_id"],
+                             "h": md5s(texts)})
+        dup = df[df["doc_id"] % 17 == 0]
+        added = pd.DataFrame({"doc_id": dup["doc_id"] + 1_000_000,
+                              "h": md5s(dup["text"])})
+        return pd.concat([base, added], ignore_index=True)
+
+    old = ds.map_batches(v1, batch_format="pandas")
+    new = ds.map_batches(v2, batch_format="pandas")
+    out = table_diff(old, new, "doc_id", "h",
+                     rows_hint=_nrows(sf_dir, "documents"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "status": pd.Series([], dtype="object")})
+        return df.astype({"doc_id": "int64"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_DOCS_VERSION_DIFF = """
+WITH vo AS (SELECT doc_id, md5(text) AS h FROM documents),
+vn AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                       ELSE text END) AS h
+       FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL
+       SELECT doc_id + 1000000, md5(text) FROM documents
+       WHERE doc_id % 17 = 0)
+SELECT coalesce(vo.doc_id, vn.doc_id)::BIGINT AS doc_id,
+       CASE WHEN vo.doc_id IS NULL THEN 'added'
+            WHEN vn.doc_id IS NULL THEN 'removed'
+            WHEN vo.h = vn.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM vo FULL OUTER JOIN vn ON vo.doc_id = vn.doc_id
+"""
+
+
 KNN_GRAPH_K = 3
 
 
@@ -5001,6 +5064,7 @@ QUERIES = {
     "customer_name_typo_pairs": customer_name_typo_pairs,
     "events_click_near_purchase": events_click_near_purchase,
     "knn_graph": knn_graph_query,
+    "docs_version_diff": docs_version_diff,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5094,6 +5158,7 @@ ORACLES = {
     "customer_name_typo_pairs": SQL_CUSTOMER_NAME_TYPO_PAIRS,
     "events_click_near_purchase": SQL_EVENTS_CLICK_NEAR_PURCHASE,
     "knn_graph": SQL_KNN_GRAPH,
+    "docs_version_diff": SQL_DOCS_VERSION_DIFF,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
