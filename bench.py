@@ -146,6 +146,16 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_dsir_sample", lambda: consume(Q.docs_dsir_sample(sf_dir)))
     timed("docs_bigram_logprob",
           lambda: consume(Q.docs_bigram_logprob(sf_dir)))
+    timed("docs_skipgram_pairs",
+          lambda: consume(Q.docs_skipgram_pairs(sf_dir)))
+    timed("events_debounce", lambda: consume(Q.events_debounce(sf_dir)))
+    timed("docs_incremental_dedup",
+          lambda: consume(Q.docs_incremental_dedup(sf_dir)))
+    timed("customer_orders_bucketed_join",
+          lambda: consume(Q.customer_orders_bucketed_join(sf_dir)))
+    timed("orders_concurrent_pairs",
+          lambda: consume(Q.orders_concurrent_pairs(sf_dir)))
+    timed("knn_graph", lambda: Q.knn_graph_query(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
