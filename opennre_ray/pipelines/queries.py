@@ -4153,6 +4153,111 @@ FROM p GROUP BY part
 """
 
 
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q5_local_supplier_revenue(sf_dir):
+    """TPC-H Q5 analog — the classic six-table star composition: revenue
+    from lineitems whose supplier sits in the CUSTOMER's (Asian) nation,
+    for orders in a two-year window. Shape: ONE fact⋈fact shuffle
+    (lineitem ⋈ date-filtered orders on orderkey); every dimension
+    (customer→nation, supplier→nation, region-filtered nations)
+    broadcasts and applies map-side, including the local-supplier
+    equality filter; per-nation revenue pre-aggregates in each batch
+    before the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import broadcast_join, shuffle_join
+
+    nation = _small(sf_dir, "nation",
+                    ["n_nationkey", "n_name", "n_regionkey"])
+    region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
+    nmap = nation.merge(region, left_on="n_regionkey",
+                        right_on="r_regionkey")
+    nmap = nmap[nmap["r_name"] == Q5_REGION][["n_nationkey", "n_name"]]
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_dim = (cust.merge(nmap, left_on="c_nationkey",
+                           right_on="n_nationkey")
+                [["c_custkey", "c_nationkey"]]
+                .rename(columns={"c_custkey": "o_custkey"}))
+    supp = _small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .rename(columns={"s_suppkey": "l_suppkey"})
+
+    lo = np.datetime64(Q5_DATE_LO)
+    hi = np.datetime64(Q5_DATE_HI)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].to_numpy().astype("datetime64[us]")
+        return df.loc[(ts >= lo) & (ts < hi),
+                      ["o_orderkey", "o_custkey"]]
+
+    orders_f = broadcast_join(
+        orders.map_batches(ofilt, batch_format="pandas"), cust_dim,
+        on="o_custkey")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"], rows_per_block=65536)
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_suppkey": df["l_suppkey"],
+            "revenue": df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())})
+
+    joined = shuffle_join(line.map_batches(lmap, batch_format="pandas"),
+                          orders_f, "l_orderkey", "o_orderkey",
+                          ["l_suppkey", "revenue"], ["c_nationkey"],
+                          rows_hint=_nrows(sf_dir, "lineitem"))
+
+    sref_df = supp
+
+    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_nationkey": pd.Series([], "int64"),
+                                 "revenue": pd.Series([], "float64")})
+        m = df.merge(sref_df, on="l_suppkey")
+        m = m[m["s_nationkey"].to_numpy()
+              == m["c_nationkey"].to_numpy()]
+        return (m.groupby("c_nationkey", as_index=False)
+                .agg(revenue=("revenue", "sum")))
+
+    parts = joined.map_batches(local_partial, batch_format="pandas")
+    out = parts.groupby("c_nationkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
+
+    names = dict(zip(nmap["n_nationkey"], nmap["n_name"]))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": [names[int(k)] for k in b["c_nationkey"]],
+            "revenue": sql_round(b["revenue"], 2)})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_Q5_LOCAL_SUPPLIER_REVENUE = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+"""
+
+
 def docs_version_diff(sf_dir):
     """Snapshot diff between two corpus versions (dataset-versioning
     audit): v2 is derived deterministically from v1 — every 11th doc
@@ -5065,6 +5170,7 @@ QUERIES = {
     "events_click_near_purchase": events_click_near_purchase,
     "knn_graph": knn_graph_query,
     "docs_version_diff": docs_version_diff,
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5159,6 +5265,7 @@ ORACLES = {
     "events_click_near_purchase": SQL_EVENTS_CLICK_NEAR_PURCHASE,
     "knn_graph": SQL_KNN_GRAPH,
     "docs_version_diff": SQL_DOCS_VERSION_DIFF,
+    "q5_local_supplier_revenue": SQL_Q5_LOCAL_SUPPLIER_REVENUE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
