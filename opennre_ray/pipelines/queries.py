@@ -4153,6 +4153,70 @@ FROM p GROUP BY part
 """
 
 
+WINSOR_Q = 20  # clip at the exact 1/20 and 19/20 quantiles (p5 / p95)
+
+
+def events_value_winsorized(sf_dir):
+    """Winsorized robust aggregate (outlier-clipped sums — the data-
+    cleaning companion to the z-score outlier query): event values
+    quantize once to integer cents, the EXACT p5/p95 bounds come from
+    one distributed histogram pass (``exact_int_quantiles`` definition:
+    smallest value whose cumulative count reaches ceil(n·q)), every
+    value clips to [lo, hi], and per-type (n, clipped sum) aggregates in
+    pure integers — bit-replayable in SQL via the same cum-hist
+    quantile."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketches import exact_int_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "c": np.floor(df["value"].to_numpy() * 100
+                          + 0.5).astype(np.int64)})
+
+    cds = ev.map_batches(cents, batch_format="pandas")
+    qs = exact_int_quantiles(cds, "c", WINSOR_Q)
+    lo, hi = qs[0], qs[-1]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cl = np.clip(df["c"].to_numpy(), lo, hi)
+        out = pd.DataFrame({"event_type": df["event_type"], "w": cl})
+        return (out.groupby("event_type", as_index=False)
+                .agg(n=("w", "size"), wsum_cents=("w", "sum")))
+
+    parts = cds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("wsum_cents", alias_name="wsum_cents"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"n": "int64", "wsum_cents": "int64"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_VALUE_WINSORIZED = f"""
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+h AS (SELECT c, count(*)::BIGINT AS cnt FROM v GROUP BY c),
+s AS (SELECT c, sum(cnt) OVER (ORDER BY c)::BIGINT AS cum FROM h),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+b AS (SELECT
+  (SELECT min(c) FROM s, n WHERE cum >= (n.n * 1 + {WINSOR_Q} - 1)
+                                        // {WINSOR_Q}) AS lo,
+  (SELECT min(c) FROM s, n WHERE cum >= (n.n * {WINSOR_Q - 1}
+                                         + {WINSOR_Q} - 1)
+                                        // {WINSOR_Q}) AS hi)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(least(greatest(c, b.lo), b.hi))::BIGINT AS wsum_cents
+FROM v, b GROUP BY event_type
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_DATE_LO = "1996-01-01"
 Q5_DATE_HI = "1998-01-01"
@@ -5171,6 +5235,7 @@ QUERIES = {
     "knn_graph": knn_graph_query,
     "docs_version_diff": docs_version_diff,
     "q5_local_supplier_revenue": q5_local_supplier_revenue,
+    "events_value_winsorized": events_value_winsorized,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5266,6 +5331,7 @@ ORACLES = {
     "knn_graph": SQL_KNN_GRAPH,
     "docs_version_diff": SQL_DOCS_VERSION_DIFF,
     "q5_local_supplier_revenue": SQL_Q5_LOCAL_SUPPLIER_REVENUE,
+    "events_value_winsorized": SQL_EVENTS_VALUE_WINSORIZED,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
