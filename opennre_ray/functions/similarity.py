@@ -188,6 +188,78 @@ def knn_graph(ds_emb, k: int = 3, *, key_col: str = "vec_id",
     return ds_emb.map_batches(topk_batch, batch_format="pyarrow")
 
 
+def triplet_mine(ds_emb, *, key_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label"):
+    """Hard-triplet mining for metric/retrieval training: for each
+    anchor, the most-similar SAME-label vector (positive) and the
+    most-similar DIFFERENT-label vector (hard negative) — the classic
+    batch-hard selection (Hermans et al. 2017), here corpus-global
+    rather than minibatch-local.
+
+    Same one-pass broadcast-corpus shape as ``knn_graph``: the
+    normalized matrix + labels ship once, each streaming block scans its
+    rows against them, and ties break by (−cosine, candidate id) on
+    1e-6-rounded cosines so SQL ``row_number`` replays the choice.
+    Anchors whose label has no other member are dropped (no positive
+    exists). Returns (key, pos_id, pos_cos, neg_id, neg_cos).
+    """
+    import ray
+
+    tbl = pa.concat_tables(
+        [t.select([key_col, vec_col, label_col])
+         for t in ray.get(ds_emb.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    ids = tbl.column(key_col).to_numpy(zero_copy_only=False)
+    labels = tbl.column(label_col).to_numpy(zero_copy_only=False)
+    mat = _normalize(_as_matrix(tbl.column(vec_col)))
+    ref = ray.put((ids, labels, mat))
+    ref_key = ref.hex()
+
+    def mine_batch(batch: pa.Table) -> pa.Table:
+        from ..stages.score import cached
+
+        all_ids, all_lab, all_mat = cached(("triplet", ref_key),
+                                           lambda: ray.get(ref))
+        q = _normalize(_as_matrix(batch.column(vec_col)))
+        qids = batch.column(key_col).to_numpy(zero_copy_only=False)
+        qlab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        sims = np.round(q @ all_mat.T, 6)
+
+        def best(s, mask):
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                return None
+            order = np.lexsort((all_ids[idx], -s[idx]))
+            j = idx[order[0]]
+            return all_ids[j], s[j]
+
+        rows = []
+        for r, (qid, ql) in enumerate(zip(qids, qlab)):
+            s = sims[r]
+            not_self = all_ids != qid
+            pos = best(s, not_self & (all_lab == ql))
+            neg = best(s, not_self & (all_lab != ql))
+            if pos is None or neg is None:
+                continue
+            rows.append((qid, pos[0], pos[1], neg[0], neg[1]))
+        if not rows:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "pos_id": pa.array([], pa.int64()),
+                "pos_cos": pa.array([], pa.float64()),
+                "neg_id": pa.array([], pa.int64()),
+                "neg_cos": pa.array([], pa.float64())})
+        cols = list(zip(*rows))
+        return pa.table({
+            key_col: pa.array(np.asarray(cols[0], dtype=np.int64)),
+            "pos_id": pa.array(np.asarray(cols[1], dtype=np.int64)),
+            "pos_cos": pa.array(np.asarray(cols[2], dtype=np.float64)),
+            "neg_id": pa.array(np.asarray(cols[3], dtype=np.int64)),
+            "neg_cos": pa.array(np.asarray(cols[4], dtype=np.float64))})
+
+    return ds_emb.map_batches(mine_batch, batch_format="pyarrow")
+
+
 def cosine_pair_join(ds_emb, threshold: float = 0.9,
                      key_col: str = "vec_id", vec_col: str = "embedding"):
     """EXACT thresholded cosine self-join: all pairs (id_a < id_b) with

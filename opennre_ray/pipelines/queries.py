@@ -4153,6 +4153,46 @@ FROM p GROUP BY part
 """
 
 
+def embed_triplet_mine(sf_dir):
+    """Corpus-global hard-triplet mining (batch-hard selection, Hermans
+    et al. 2017): per anchor, the most-similar same-label positive and
+    most-similar different-label hard negative, ties broken by
+    (−cosine, id) on 1e-6-rounded cosines so SQL row_number replays the
+    choice exactly."""
+    from ..functions.similarity import triplet_mine
+
+    n = _nrows(sf_dir, "embeddings")
+    emb = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=max(1, min(32, n // 256)))
+    out = triplet_mine(emb).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_EMBED_TRIPLET_MINE = """
+WITH s AS (SELECT a.vec_id, a.label AS la, b.vec_id AS bid,
+                  b.label AS lb,
+                  round(list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)),
+                        6) AS cos
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+pos AS (SELECT vec_id, bid AS pos_id, cos AS pos_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, bid) AS rn
+        FROM s WHERE la = lb),
+neg AS (SELECT vec_id, bid AS neg_id, cos AS neg_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, bid) AS rn
+        FROM s WHERE la <> lb)
+SELECT p.vec_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM (SELECT * FROM pos WHERE rn = 1) p
+JOIN (SELECT * FROM neg WHERE rn = 1) n USING (vec_id)
+"""
+
+
 WINSOR_Q = 20  # clip at the exact 1/20 and 19/20 quantiles (p5 / p95)
 
 
@@ -5236,6 +5276,7 @@ QUERIES = {
     "docs_version_diff": docs_version_diff,
     "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "events_value_winsorized": events_value_winsorized,
+    "embed_triplet_mine": embed_triplet_mine,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5332,6 +5373,7 @@ ORACLES = {
     "docs_version_diff": SQL_DOCS_VERSION_DIFF,
     "q5_local_supplier_revenue": SQL_Q5_LOCAL_SUPPLIER_REVENUE,
     "events_value_winsorized": SQL_EVENTS_VALUE_WINSORIZED,
+    "embed_triplet_mine": SQL_EMBED_TRIPLET_MINE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
