@@ -4153,6 +4153,57 @@ FROM p GROUP BY part
 """
 
 
+LATENESS_S = 604800  # 7-day allowed lateness
+
+
+def events_late_flags(sf_dir):
+    """Watermark / late-data semantics re-expressed in batch: process
+    each user's events in ARRIVAL order, keep a running watermark =
+    max event-time seen so far − allowed lateness, and flag events
+    whose event-time falls behind it. The testdata is fully ts-ordered
+    (real arrival order has zero late rows), so arrival is simulated by
+    the deterministic md5 permutation of event ids — the engine-wide
+    convention for reproducible draws. Bucketed per user, sorted in
+    partition, vectorized shifted-cummax (SURVEY §2.7)."""
+    import hashlib
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    late_us = np.int64(LATENESS_S) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_arr=[hashlib.md5(str(int(e)).encode()).hexdigest()
+                           for e in g["event_id"]])
+        g = g.sort_values(["user_id", "_arr"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        run = (pd.Series(ts).groupby(g["user_id"].to_numpy())
+               .transform(lambda s: s.cummax().shift(1)))
+        late = ts + late_us < run.to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "is_late": np.where(np.isnan(run), False,
+                                                 late)})
+
+    return hash_bucket_aggregate(ev, ["user_id"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_LATE_FLAGS = f"""
+WITH w AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                  max(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY md5(event_id::VARCHAR)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS wm
+           FROM events)
+SELECT event_id, user_id,
+       coalesce(t + {LATENESS_S}::BIGINT * 1000000 < wm, FALSE)
+           AS is_late
+FROM w
+"""
+
+
 def embed_triplet_mine(sf_dir):
     """Corpus-global hard-triplet mining (batch-hard selection, Hermans
     et al. 2017): per anchor, the most-similar same-label positive and
@@ -5277,6 +5328,7 @@ QUERIES = {
     "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "events_value_winsorized": events_value_winsorized,
     "embed_triplet_mine": embed_triplet_mine,
+    "events_late_flags": events_late_flags,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5374,6 +5426,7 @@ ORACLES = {
     "q5_local_supplier_revenue": SQL_Q5_LOCAL_SUPPLIER_REVENUE,
     "events_value_winsorized": SQL_EVENTS_VALUE_WINSORIZED,
     "embed_triplet_mine": SQL_EMBED_TRIPLET_MINE,
+    "events_late_flags": SQL_EVENTS_LATE_FLAGS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
