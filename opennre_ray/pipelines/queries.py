@@ -4153,6 +4153,37 @@ FROM p GROUP BY part
 """
 
 
+def docs_compression_stats(sf_dir):
+    """Compression-ratio quality signal (the Dolma/RefinedWeb gzip
+    heuristic: highly compressible text is repetitive boilerplate, and
+    incompressible text is noise). Per-doc zlib-level-6 compressed sizes
+    sum map-side into one integer row (n_docs, text_bytes,
+    compressed_bytes) — deterministic for a fixed zlib level, so the
+    value oracle is a golden pin (pins.py), same contract as the model
+    pipelines (SQL cannot replay DEFLATE)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = [t.encode() for t in batch.column("text").to_pylist()]
+        comp = sum(len(zlib.compress(t, 6)) for t in texts)
+        return pa.table({
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "text_bytes": pa.array([sum(len(t) for t in texts)],
+                                   pa.int64()),
+            "compressed_bytes": pa.array([comp], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_docs": pd.Series([int(parts["n_docs"].sum())], dtype="int64"),
+        "text_bytes": pd.Series([int(parts["text_bytes"].sum())],
+                                dtype="int64"),
+        "compressed_bytes":
+            pd.Series([int(parts["compressed_bytes"].sum())],
+                      dtype="int64")})
+
+
 LATENESS_S = 604800  # 7-day allowed lateness
 
 
@@ -5329,6 +5360,7 @@ QUERIES = {
     "events_value_winsorized": events_value_winsorized,
     "embed_triplet_mine": embed_triplet_mine,
     "events_late_flags": events_late_flags,
+    "docs_compression_stats": docs_compression_stats,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
