@@ -4153,6 +4153,70 @@ FROM p GROUP BY part
 """
 
 
+def events_user_trend(sf_dir):
+    """Per-user linear trend — least-squares slope of value over time —
+    in EXACT integer arithmetic: x = epoch day, y = value cents, the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) aggregate as
+    map-side integer partials, and slope_fp = trunc(10⁶·(nΣxy−ΣxΣy) /
+    (nΣx²−(Σx)²)) is computed with arbitrary-precision ints on the tiny
+    per-user aggregate (and HUGEINT in the oracle) — no float summation
+    order anywhere. Degenerate-x users drop."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        y = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"user_id": df["user_id"], "n": np.int64(1),
+                            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return (out.groupby("user_id", as_index=False)
+                .agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+                     sxy=("sxy", "sum"), sxx=("sxx", "sum")))
+
+    agg = (ev.map_batches(partial, batch_format="pandas")
+           .groupby("user_id").aggregate(
+               Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+               Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+               Sum("sxx", alias_name="sxx")))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, n, sx, sy, sxy, sxx in zip(b["user_id"], b["n"], b["sx"],
+                                          b["sy"], b["sxy"], b["sxx"]):
+            n, sx, sy, sxy, sxx = (int(n), int(sx), int(sy), int(sxy),
+                                   int(sxx))
+            den = n * sxx - sx * sx
+            if den <= 0:
+                continue
+            num = 10 ** 6 * (n * sxy - sx * sy)
+            q = abs(num) // den
+            rows.append((int(u), n, -q if num < 0 else q))
+        return pd.DataFrame(rows, columns=["user_id", "n", "slope_fp"]) \
+            .astype({"user_id": "int64", "n": "int64",
+                     "slope_fp": "int64"})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_USER_TREND = """
+WITH v AS (SELECT user_id,
+                  (epoch_us(ts) // 86400000000)::BIGINT AS x,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+a AS (SELECT user_id, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM v GROUP BY user_id)
+SELECT user_id, n,
+       CAST((1000000::HUGEINT * (n::HUGEINT * sxy - sx::HUGEINT * sy))
+            // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT)
+           AS slope_fp
+FROM a WHERE n::HUGEINT * sxx - sx::HUGEINT * sx > 0
+"""
+
+
 def docs_compression_stats(sf_dir):
     """Compression-ratio quality signal (the Dolma/RefinedWeb gzip
     heuristic: highly compressible text is repetitive boilerplate, and
@@ -5361,6 +5425,7 @@ QUERIES = {
     "embed_triplet_mine": embed_triplet_mine,
     "events_late_flags": events_late_flags,
     "docs_compression_stats": docs_compression_stats,
+    "events_user_trend": events_user_trend,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5459,6 +5524,7 @@ ORACLES = {
     "events_value_winsorized": SQL_EVENTS_VALUE_WINSORIZED,
     "embed_triplet_mine": SQL_EMBED_TRIPLET_MINE,
     "events_late_flags": SQL_EVENTS_LATE_FLAGS,
+    "events_user_trend": SQL_EVENTS_USER_TREND,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
