@@ -147,3 +147,39 @@ def test_interval_self_join_matches_brute_force(ray_session):
                  for a, b, o in zip(got["id_a"], got["id_b"],
                                     got["overlap"])}
     assert got_pairs == want
+
+
+def test_band_and_interval_joins_partition_invariant(ray_session):
+    """Band and interval joins emit identical pair sets at any block
+    count / bucket count (no partition-boundary dependence)."""
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import (band_join,
+                                                  interval_self_join)
+
+    rng = np.random.RandomState(3)
+    left = [{"blk": int(rng.randint(3)), "v": int(rng.randint(50)),
+             "lid": i} for i in range(60)]
+    right = [{"blk": int(rng.randint(3)), "w": int(rng.randint(50)),
+              "rid": 100 + i} for i in range(40)]
+    ivals = [{"blk": int(rng.randint(3)), "rid": i,
+              "s": int(rng.randint(40)), "e": 0} for i in range(50)]
+    for r in ivals:
+        r["e"] = r["s"] + int(rng.randint(1, 15))
+
+    def band(parts, nb):
+        got = band_join(rd.from_items(left).repartition(parts),
+                        rd.from_items(right).repartition(parts),
+                        "blk", "blk", "v", "w", 4, ["lid"], ["rid"],
+                        n_buckets=nb).to_pandas()
+        return sorted(zip(got["lid"], got["rid"]))
+
+    def ivj(parts, nb):
+        got = interval_self_join(rd.from_items(ivals).repartition(parts),
+                                 "blk", "rid", "s", "e",
+                                 n_buckets=nb).to_pandas()
+        return sorted(zip(got["id_a"], got["id_b"], got["overlap"]))
+
+    assert band(2, 2) == band(7, 16)
+    assert ivj(2, 2) == ivj(9, 16)
