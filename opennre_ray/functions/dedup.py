@@ -227,28 +227,46 @@ def minhash_dedup_clusters(ds, *, num_bands=16, rows_per_band=4,
         return pa.table({"subj": d, "obj": d})
 
     edges = memb.union(ds.map_batches(self_edges, batch_format="pyarrow"))
-    labels = connected_components(edges)
+    return components_keeper(edges, key_col, key_prefix="D",
+                             n_buckets=n_buckets)
 
-    # back to doc space: drop bucket nodes, recover the numeric key, then
-    # per-component numeric min (the string component label can be a "B"
-    # bucket node or lexicographic — "D10" < "D2" — so it is NOT the rep)
-    def to_docs(t: pa.Table) -> pa.Table:
+
+def components_keeper(edges_ds, key_col: str, *, key_prefix: str = "K",
+                      n_buckets: int | None = None):
+    """Shared clustering tail for entity resolution / near-dedup: run
+    distributed connected components over prefixed string edges (key
+    nodes are ``key_prefix + str(int key)``; other node prefixes — e.g.
+    LSH bucket nodes — are allowed and dropped on the way back), then
+    per-component NUMERIC min as the canonical keeper (the string
+    component label can be a non-key node or lexicographically wrong —
+    "D10" < "D2" — so it is never the rep) and a bucketed join back.
+    Include a self-edge per key so singletons survive. Returns
+    (key_col, cluster, keep) for every key.
+    """
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+    from .relational import hash_bucket_aggregate, shuffle_join
+
+    labels = connected_components(edges_ds)
+
+    def to_keys(t: pa.Table) -> pa.Table:
         ent = t.column("entity")
-        mask = pc.starts_with(ent, "D")
-        t = t.filter(mask)
-        key = pc.cast(pc.utf8_slice_codeunits(t.column("entity"), 1,
+        t = t.filter(pc.starts_with(ent, key_prefix))
+        key = pc.cast(pc.utf8_slice_codeunits(t.column("entity"),
+                                              len(key_prefix),
                                               2 ** 31 - 1), pa.int64())
         return pa.table({key_col: key, "component": t.column("component")})
 
-    docs_lbl = labels.map_batches(to_docs, batch_format="pyarrow")
+    keys_lbl = labels.map_batches(to_keys, batch_format="pyarrow")
 
     def comp_min(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("component", as_index=False)[key_col].min() \
             .rename(columns={key_col: "cluster"})
 
-    mins = hash_bucket_aggregate(docs_lbl, ["component"], comp_min,
+    mins = hash_bucket_aggregate(keys_lbl, ["component"], comp_min,
                                  n_buckets=n_buckets)
-    joined = shuffle_join(docs_lbl, mins, "component", "component",
+    joined = shuffle_join(keys_lbl, mins, "component", "component",
                           [key_col], ["cluster"], n_buckets=n_buckets)
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:

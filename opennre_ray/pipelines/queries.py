@@ -4600,6 +4600,62 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def customer_entity_resolution(sf_dir):
+    """End-to-end entity resolution — blocking → edit-distance matching
+    → transitive clustering → golden record: the typo-pair join's
+    matches become edges, distributed connected components close the
+    chains, and each cluster keeps its min key as the canonical record
+    (singletons keep themselves via self-edges). Same CC tail as the
+    near-dedup clusterer (``dedup.components_keeper``)."""
+    from ..functions.dedup import (components_keeper,
+                                   edit_distance_self_join)
+    from ..functions.relational import compute_n_buckets
+
+    n = _nrows(sf_dir, "customer")
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = edit_distance_self_join(ds, id_col="c_custkey",
+                                    str_col="c_name", max_dist=1,
+                                    rows_hint=n)
+
+    def pair_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"subj": pd.Series([], dtype=object),
+                                 "obj": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "subj": "K" + df["id_a"].astype("int64").astype(str),
+            "obj": "K" + df["id_b"].astype("int64").astype(str)})
+
+    def self_edges(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pa.scalar("K"), pc.cast(t.column("c_custkey"), pa.string()),
+            pa.scalar(""))
+        return pa.table({"subj": k, "obj": k})
+
+    edges = pairs.map_batches(pair_edges, batch_format="pandas").union(
+        ds.map_batches(self_edges, batch_format="pyarrow"))
+    return components_keeper(edges, "c_custkey", key_prefix="K",
+                             n_buckets=compute_n_buckets(n))
+
+
+SQL_CUSTOMER_ENTITY_RESOLUTION = """
+WITH RECURSIVE pr AS (
+  SELECT a.c_custkey AS x, b.c_custkey AS y
+  FROM customer a JOIN customer b
+    ON substr(a.c_name, 1, length(a.c_name) - 1)
+       = substr(b.c_name, 1, length(b.c_name) - 1)
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+e AS (SELECT x, y FROM pr UNION ALL SELECT y, x FROM pr),
+lbl AS (
+  SELECT c_custkey AS k, c_custkey AS comp FROM customer
+  UNION
+  SELECT e.y, l.comp FROM lbl l JOIN e ON e.x = l.k)
+SELECT k AS c_custkey, min(comp)::BIGINT AS cluster,
+       k = min(comp) AS keep
+FROM lbl GROUP BY k
+"""
+
+
 PROX_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -5426,6 +5482,7 @@ QUERIES = {
     "events_late_flags": events_late_flags,
     "docs_compression_stats": docs_compression_stats,
     "events_user_trend": events_user_trend,
+    "customer_entity_resolution": customer_entity_resolution,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5525,6 +5582,7 @@ ORACLES = {
     "embed_triplet_mine": SQL_EMBED_TRIPLET_MINE,
     "events_late_flags": SQL_EVENTS_LATE_FLAGS,
     "events_user_trend": SQL_EVENTS_USER_TREND,
+    "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
