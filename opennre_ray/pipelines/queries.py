@@ -4600,6 +4600,59 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_source_scorecard(sf_dir):
+    """Per-source curation scorecard — the 'which crawl feeds are worth
+    keeping' dashboard: docs, token volume, Gopher pass count and
+    within-source exact-dup count per source, in ONE (source, content
+    hash) shuffle (dup detection needs same-hash co-location; everything
+    else rides the same pass as map-side integer partials)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.textstats import gopher_signals
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sigs = [gopher_signals(t) for t in texts]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "h": pa.array([hashlib.md5(t.encode()).hexdigest()
+                           for t in texts], pa.string()),
+            "cnt": pa.array([1] * len(texts), pa.int64()),
+            "toks": pa.array([s[0] for s in sigs], pa.int64()),
+            "np": pa.array([s[5] for s in sigs], pa.int64())})
+
+    def per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby(["source", "h"], as_index=False)
+             .agg(cnt=("cnt", "sum"), toks=("toks", "sum"),
+                  np=("np", "sum")))
+        d["dup"] = np.where(d["cnt"] >= 2, d["cnt"], 0)
+        return (d.groupby("source", as_index=False)
+                .agg(n_docs=("cnt", "sum"), sum_tokens=("toks", "sum"),
+                     n_gopher_pass=("np", "sum"),
+                     n_dup_docs=("dup", "sum")))
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(per_doc, batch_format="pyarrow"),
+        ["source", "h"], per_hash,
+        rows_hint=_nrows(sf_dir, "documents"))
+    out = parts.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+        Sum("n_gopher_pass", alias_name="n_gopher_pass"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({c: "int64" for c in b.columns if c != "source"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def customer_entity_resolution(sf_dir):
     """End-to-end entity resolution — blocking → edit-distance matching
     → transitive clustering → golden record: the typo-pair join's
@@ -5277,12 +5330,12 @@ def docs_gopher_filter(sf_dir):
     return ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
 
 
-SQL_DOCS_GOPHER_FILTER = r"""
-WITH t AS (SELECT doc_id,
+_SQL_GOPHER_BASE = r"""
+WITH t AS (SELECT doc_id, source, md5(text) AS h,
   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
   FROM documents),
 base AS (
- SELECT doc_id, length(toks)::BIGINT AS n_tokens,
+ SELECT doc_id, source, h, length(toks)::BIGINT AS n_tokens,
    CASE WHEN length(toks) = 0 THEN 0.0
         ELSE round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
                    / length(toks), 6) END AS mean_token_len,
@@ -5299,14 +5352,33 @@ base AS (
                list_transform(range(1, length(toks)-1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
              / (length(toks) - 2)::DOUBLE, 6) END AS repetition
- FROM t)
-SELECT *, (CASE WHEN n_tokens BETWEEN 50 AND 100000
-                 AND mean_token_len BETWEEN 3.0 AND 10.0
-                 AND alpha_ratio >= 0.8
-                 AND n_stop_distinct >= 2
-                 AND repetition <= 0.2
-            THEN 1 ELSE 0 END)::BIGINT AS passed
-FROM base
+ FROM t),
+g AS (
+ SELECT *, (CASE WHEN n_tokens BETWEEN 50 AND 100000
+                  AND mean_token_len BETWEEN 3.0 AND 10.0
+                  AND alpha_ratio >= 0.8
+                  AND n_stop_distinct >= 2
+                  AND repetition <= 0.2
+             THEN 1 ELSE 0 END)::BIGINT AS passed
+ FROM base)"""
+
+
+SQL_DOCS_GOPHER_FILTER = _SQL_GOPHER_BASE + """
+SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, n_stop_distinct,
+       repetition, passed
+FROM g
+"""
+
+
+SQL_DOCS_SOURCE_SCORECARD = _SQL_GOPHER_BASE + """
+, d AS (SELECT source, h, count(*)::BIGINT AS cnt,
+               sum(n_tokens)::BIGINT AS toks,
+               sum(passed)::BIGINT AS np
+        FROM g GROUP BY source, h)
+SELECT source, sum(cnt)::BIGINT AS n_docs, sum(toks)::BIGINT AS sum_tokens,
+       sum(np)::BIGINT AS n_gopher_pass,
+       sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS n_dup_docs
+FROM d GROUP BY source
 """
 
 
@@ -5483,6 +5555,7 @@ QUERIES = {
     "docs_compression_stats": docs_compression_stats,
     "events_user_trend": events_user_trend,
     "customer_entity_resolution": customer_entity_resolution,
+    "docs_source_scorecard": docs_source_scorecard,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5583,6 +5656,7 @@ ORACLES = {
     "events_late_flags": SQL_EVENTS_LATE_FLAGS,
     "events_user_trend": SQL_EVENTS_USER_TREND,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
+    "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
