@@ -4600,6 +4600,88 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+LP_HOLDOUT_MOD = 5
+
+
+def embed_label_propagation(sf_dir):
+    """Semi-supervised label spreading over the kNN graph (weak
+    supervision): hold out every 5th vector's label, propagate the
+    MODAL label of its labeled top-3 cosine neighbors (ties → smallest
+    label), and score against the held-out truth. Composes ``knn_graph``
+    (broadcast-corpus exact pass) with ``per_key_mode`` (distinct-pair
+    shuffle, deterministic argmax); held-out vectors whose neighbors are
+    all held out too are dropped — mirrored in the oracle."""
+    from ..functions.relational import per_key_mode
+    from ..functions.similarity import knn_graph
+
+    n = _nrows(sf_dir, "embeddings")
+    emb = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=max(1, min(32, n // 256)))
+    edges = knn_graph(emb.drop_columns(["label"]), k=KNN_GRAPH_K)
+
+    labels_df = _small(sf_dir, "embeddings", ["vec_id", "label"])
+    lab = dict(zip(labels_df["vec_id"], labels_df["label"]))
+
+    def votes(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        keep = (v % LP_HOLDOUT_MOD == 0) & (nb % LP_HOLDOUT_MOD != 0)
+        v, nb = v[keep], nb[keep]
+        return pa.table({
+            "vec_id": pa.array(v, pa.int64()),
+            "nb_label": pa.array([int(lab[i]) for i in nb], pa.int64())})
+
+    pred = per_key_mode(edges.map_batches(votes, batch_format="pyarrow"),
+                        "vec_id", "nb_label", rows_hint=n)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "pred_label": pd.Series([], dtype="int64"),
+                "true_label": pd.Series([], dtype="int64"),
+                "correct": pd.Series([], dtype="bool")})
+        true = np.asarray([int(lab[i]) for i in b["vec_id"]],
+                          dtype=np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "pred_label": b["modal_value"].astype("int64"),
+            "true_label": true,
+            "correct": b["modal_value"].to_numpy() == true})
+
+    return pred.map_batches(fin, batch_format="pandas")
+
+
+SQL_EMBED_LABEL_PROPAGATION = f"""
+WITH s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)),
+                        6) AS cosine
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM s),
+e AS (SELECT vec_id, neighbor_id FROM r
+      WHERE rank <= {KNN_GRAPH_K}
+        AND vec_id % {LP_HOLDOUT_MOD} = 0
+        AND neighbor_id % {LP_HOLDOUT_MOD} <> 0),
+v AS (SELECT e.vec_id, emb.label::BIGINT AS nb_label, count(*) AS cnt
+      FROM e JOIN embeddings emb ON emb.vec_id = e.neighbor_id
+      GROUP BY e.vec_id, emb.label),
+m AS (SELECT vec_id, nb_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cnt DESC, nb_label) AS rn
+      FROM v)
+SELECT m.vec_id, m.nb_label AS pred_label, t.label::BIGINT AS true_label,
+       m.nb_label = t.label AS correct
+FROM m JOIN embeddings t ON t.vec_id = m.vec_id
+WHERE m.rn = 1
+"""
+
+
 def docs_source_scorecard(sf_dir):
     """Per-source curation scorecard — the 'which crawl feeds are worth
     keeping' dashboard: docs, token volume, Gopher pass count and
@@ -5556,6 +5638,7 @@ QUERIES = {
     "events_user_trend": events_user_trend,
     "customer_entity_resolution": customer_entity_resolution,
     "docs_source_scorecard": docs_source_scorecard,
+    "embed_label_propagation": embed_label_propagation,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5657,6 +5740,7 @@ ORACLES = {
     "events_user_trend": SQL_EVENTS_USER_TREND,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
+    "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
