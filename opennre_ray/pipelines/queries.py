@@ -4600,6 +4600,86 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+QUOTA_NUM, QUOTA_DEN = 6, 10   # global budget = 60% of the corpus
+
+
+def docs_source_quota(sf_dir):
+    """Water-filling sampling quotas per source (fair budget allocation
+    for source balancing): every source keeps min(count, L) docs where
+    the level L exhausts the global budget, and the remainder after
+    integer division goes one-per-source to the first sources (by name)
+    still above the level — the deterministic integer water-fill. The
+    per-source counts are a tiny aggregate (sources ≪ corpus; documented
+    driver-side step); the allocator itself is O(m log m)."""
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "documents", ["source"])
+              .groupby("source").aggregate(Count(alias_name="n_docs"))
+              .to_pandas().sort_values("source").reset_index(drop=True))
+    total = int(counts["n_docs"].sum())
+    budget = (QUOTA_NUM * total) // QUOTA_DEN
+
+    c = counts["n_docs"].astype("int64").to_numpy()
+    order = np.argsort(c, kind="stable")
+    quota = c.copy()
+    if total > budget:
+        sorted_c = c[order]
+        prefix = 0
+        m = len(c)
+        level, rem, cut = 0, 0, m
+        for j in range(m):
+            remaining = m - j
+            lvl = (budget - prefix) // remaining
+            if lvl < sorted_c[j]:
+                level = lvl
+                rem = (budget - prefix) % remaining
+                cut = j
+                break
+            prefix += sorted_c[j]
+        else:
+            level, rem, cut = int(sorted_c[-1]), 0, m
+        quota = np.minimum(c, level)
+        # remainder: +1 per source, first by name, among those above L
+        above = np.flatnonzero(c > level)          # counts sorted by name
+        quota[above[:rem]] += 1
+    out = counts.copy()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["quota"] = quota.astype("int64")
+    return out
+
+
+SQL_DOCS_SOURCE_QUOTA = f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents
+           GROUP BY source),
+tot AS (SELECT sum(n_docs)::BIGINT AS t, count(*)::BIGINT AS m FROM c),
+bud AS (SELECT ({QUOTA_NUM} * t) // {QUOTA_DEN} AS b, t, m FROM tot),
+o AS (SELECT source, n_docs,
+             row_number() OVER (ORDER BY n_docs, source) AS j,
+             sum(n_docs) OVER (ORDER BY n_docs, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prefix
+      FROM c),
+lv AS (SELECT (b - coalesce(prefix, 0)) // (m - j + 1) AS level,
+              (b - coalesce(prefix, 0)) % (m - j + 1) AS rem
+       FROM o, bud
+       WHERE (b - coalesce(prefix, 0)) // (m - j + 1) < n_docs
+       ORDER BY j LIMIT 1),
+fl AS (SELECT coalesce((SELECT level FROM lv),
+                       (SELECT max(n_docs) FROM c)) AS level,
+              coalesce((SELECT rem FROM lv), 0) AS rem),
+ranked AS (SELECT source, n_docs,
+                  row_number() OVER (ORDER BY source) AS rk
+           FROM c, fl WHERE n_docs > fl.level)
+SELECT c.source, c.n_docs,
+       (CASE WHEN (SELECT t FROM tot) <= (SELECT b FROM bud)
+             THEN c.n_docs
+             ELSE least(c.n_docs, fl.level)
+                  + (CASE WHEN r.rk IS NOT NULL AND r.rk <= fl.rem
+                          THEN 1 ELSE 0 END) END)::BIGINT AS quota
+FROM c CROSS JOIN fl LEFT JOIN ranked r ON r.source = c.source
+"""
+
+
 LP_HOLDOUT_MOD = 5
 
 
@@ -5639,6 +5719,7 @@ QUERIES = {
     "customer_entity_resolution": customer_entity_resolution,
     "docs_source_scorecard": docs_source_scorecard,
     "embed_label_propagation": embed_label_propagation,
+    "docs_source_quota": docs_source_quota,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5741,6 +5822,7 @@ ORACLES = {
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
+    "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
