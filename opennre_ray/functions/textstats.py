@@ -556,6 +556,81 @@ def bigram_logprob(docs_ds, *, id_col: str = "doc_id",
                          broadcast_limit=broadcast_limit)
 
 
+def source_divergence(docs_ds, *, group_col: str = "source",
+                      text_col: str = "text",
+                      rows_hint: int | None = None):
+    """Per-group KL divergence of the group's unigram distribution from
+    the corpus distribution — the 'which sources are linguistically
+    unusual' curation signal. KL(p_s ‖ p) = Σ_w p_s(w)·[ln p_s(w) −
+    ln p(w)]; reported as integer (group totals, Σ cnt_s·fp) where fp is
+    the 1e-6-grid-rounded log-ratio, so distributed sums are exact and
+    SQL-replayable (avg-KL ≈ kl_fp_sum / (1e6·n_tokens)).
+
+    One (group, token) counting pass; the per-token GLOBAL count folds
+    inside the token-bucketed aggregate (same-token rows co-locate — no
+    join), with group totals broadcast from a tiny per-group sum.
+    """
+    import math
+    from collections import Counter
+
+    from .relational import hash_bucket_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for w in _tokens(t):
+                c[(g, w)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64())})
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([group_col, "token"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+
+    counts = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        [group_col, "token"], sum_pairs, rows_hint=rows_hint) \
+        .materialize()
+
+    totals = (counts.map_batches(
+        lambda df: df.groupby(group_col, as_index=False)
+        .agg(t=("cnt", "sum")), batch_format="pandas").to_pandas()
+        .groupby(group_col, as_index=False).agg(t=("t", "sum")))
+    tot_s = dict(zip(totals[group_col], (int(x) for x in totals["t"])))
+    tot = sum(tot_s.values())
+
+    def kl_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cg = g.groupby("token")["cnt"].transform("sum")
+        fp = np.asarray([
+            math.floor((math.log(int(cs) / tot_s[s])
+                        - math.log(int(c) / tot)) * 1_000_000 + 0.5)
+            for s, cs, c in zip(g[group_col], g["cnt"], cg)],
+            dtype=np.int64)
+        out = pd.DataFrame({group_col: g[group_col],
+                            "kl": g["cnt"].to_numpy() * fp})
+        return out.groupby(group_col, as_index=False).agg(
+            kl_fp_sum=("kl", "sum"))
+
+    parts = hash_bucket_aggregate(counts, ["token"], kl_partial,
+                                  rows_hint=rows_hint)
+
+    from ray.data.aggregate import Sum
+    out = parts.groupby(group_col).aggregate(
+        Sum("kl_fp_sum", alias_name="kl_fp_sum"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["kl_fp_sum"] = b["kl_fp_sum"].astype("int64")
+        b["n_tokens"] = np.asarray([tot_s[s] for s in b[group_col]],
+                                   dtype=np.int64)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def dsir_weights(docs_ds, *, is_target_col: str = "is_target",
                  id_col: str = "doc_id", text_col: str = "text",
                  rows_hint: int | None = None,

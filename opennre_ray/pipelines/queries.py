@@ -4600,6 +4600,39 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_source_divergence(sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the 'linguistically unusual source' signal. Integer fixed-point
+    (Σ cnt·round6(log-ratio)); global token counts fold inside the
+    token-bucketed aggregate, no join."""
+    from ..functions.textstats import source_divergence
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_divergence(ds,
+                             rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_SOURCE_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT source, token FROM tok WHERE token <> ''),
+c AS (SELECT source, token, count(*)::BIGINT AS cnt FROM tok2
+      GROUP BY source, token),
+ts AS (SELECT source, sum(cnt)::BIGINT AS tots FROM c GROUP BY source),
+g AS (SELECT token, sum(cnt)::BIGINT AS cg FROM c GROUP BY token),
+t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
+fp AS (SELECT c.source, c.cnt,
+              CAST(floor((ln(c.cnt / ts.tots::DOUBLE)
+                          - ln(g.cg / t.tot::DOUBLE))
+                         * 1000000 + 0.5) AS BIGINT) AS f
+       FROM c JOIN ts USING (source) JOIN g USING (token), t)
+SELECT fp.source, sum(fp.cnt * fp.f)::BIGINT AS kl_fp_sum,
+       any_value(ts.tots)::BIGINT AS n_tokens
+FROM fp JOIN ts USING (source) GROUP BY fp.source
+"""
+
+
 QUOTA_NUM, QUOTA_DEN = 6, 10   # global budget = 60% of the corpus
 
 
@@ -5720,6 +5753,7 @@ QUERIES = {
     "docs_source_scorecard": docs_source_scorecard,
     "embed_label_propagation": embed_label_propagation,
     "docs_source_quota": docs_source_quota,
+    "docs_source_divergence": docs_source_divergence,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5823,6 +5857,7 @@ ORACLES = {
     "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
+    "docs_source_divergence": SQL_DOCS_SOURCE_DIVERGENCE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
