@@ -4600,6 +4600,56 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_exact_stratified_split(sf_dir):
+    """EXACT-size stratified train/val/test split (80/10/10 per
+    language): docs rank inside their stratum by the deterministic md5
+    draw and the first ⌊0.8n⌋ / next up-to-⌊0.9n⌋ / rest become
+    train/val/test — rank-based, so split sizes are exact per stratum
+    (unlike the probabilistic ``hash_split``, whose sizes are only
+    exact in expectation). Bucketed per stratum; strata never span
+    buckets."""
+    import hashlib
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_d=[hashlib.md5(str(int(k)).encode()).hexdigest()
+                         for k in g["doc_id"]])
+        g = g.sort_values(["lang", "_d", "doc_id"])
+        outs = []
+        for lang, grp in g.groupby("lang", sort=False):
+            n = len(grp)
+            r = np.arange(1, n + 1)
+            split = np.where(r <= (8 * n) // 10, "train",
+                             np.where(r <= (9 * n) // 10, "val", "test"))
+            outs.append(pd.DataFrame({"doc_id": grp["doc_id"],
+                                      "lang": lang, "split": split}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype=object),
+                                 "split": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_bucket_aggregate(ds, ["lang"], per_bucket,
+                                 rows_hint=_nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_EXACT_STRATIFIED_SPLIT = """
+WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+            WHEN rk <= (9 * n) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
 def docs_source_divergence(sf_dir):
     """Per-source KL divergence from the corpus unigram distribution —
     the 'linguistically unusual source' signal. Integer fixed-point
@@ -5754,6 +5804,7 @@ QUERIES = {
     "embed_label_propagation": embed_label_propagation,
     "docs_source_quota": docs_source_quota,
     "docs_source_divergence": docs_source_divergence,
+    "docs_exact_stratified_split": docs_exact_stratified_split,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5858,6 +5909,7 @@ ORACLES = {
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_source_divergence": SQL_DOCS_SOURCE_DIVERGENCE,
+    "docs_exact_stratified_split": SQL_DOCS_EXACT_STRATIFIED_SPLIT,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
