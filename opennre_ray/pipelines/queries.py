@@ -4600,6 +4600,49 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+PUSHDOWN_MIN_PRICE = 400_000.0
+
+
+def orders_pushdown_filter_agg(sf_dir):
+    """Predicate pushdown at the parquet scan: the row filter evaluates
+    inside the read (PyArrow dataset filter — row groups whose min/max
+    statistics exclude the band never decompress), so only qualifying
+    rows ever enter the pipeline. Per-priority counts + revenue over
+    orders above 400k prove the scan."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=pads.field("o_totalprice") >= PUSHDOWN_MIN_PRICE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_orderpriority", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     revenue=("o_totalprice", "sum")))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("o_orderpriority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue", alias_name="revenue"))
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["revenue"] = sql_round(b["revenue"], 2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_ORDERS_PUSHDOWN_FILTER_AGG = f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders WHERE o_totalprice >= {PUSHDOWN_MIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
 def docs_exact_stratified_split(sf_dir):
     """EXACT-size stratified train/val/test split (80/10/10 per
     language): docs rank inside their stratum by the deterministic md5
@@ -5805,6 +5848,7 @@ QUERIES = {
     "docs_source_quota": docs_source_quota,
     "docs_source_divergence": docs_source_divergence,
     "docs_exact_stratified_split": docs_exact_stratified_split,
+    "orders_pushdown_filter_agg": orders_pushdown_filter_agg,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5910,6 +5954,7 @@ ORACLES = {
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_source_divergence": SQL_DOCS_SOURCE_DIVERGENCE,
     "docs_exact_stratified_split": SQL_DOCS_EXACT_STRATIFIED_SPLIT,
+    "orders_pushdown_filter_agg": SQL_ORDERS_PUSHDOWN_FILTER_AGG,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
