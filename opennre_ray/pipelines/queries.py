@@ -4600,6 +4600,74 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def events_daily_resample_ffill(sf_dir):
+    """Time-series gap filling: resample each user's event stream to a
+    daily grid (their min→max day) carrying the last observed value
+    forward — the classic forward-fill ETL op. Bucketed per user; in
+    the bucket each user's calendar expands and one ``searchsorted``
+    against the (ts, event_id)-ordered events picks the as-of value per
+    day (duplicate-day winner = max (ts, event_id), mirrored by the
+    oracle's row_number). Values in integer cents."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"], "event_id": df["event_id"],
+            "t": t, "d": t // 86_400_000_000,
+            "v": np.floor(df["value"].to_numpy() * 100
+                          + 0.5).astype(np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            grp = grp.sort_values(["t", "event_id"])
+            days = grp["d"].to_numpy()
+            vals = grp["v"].to_numpy()
+            cal = np.arange(days.min(), days.max() + 1)
+            idx = np.searchsorted(days, cal, side="right") - 1
+            outs.append(pd.DataFrame({
+                "user_id": np.repeat(uid, len(cal)),
+                "day": cal, "value_cents": vals[idx],
+                "observed": np.isin(cal, days)}))
+        if not outs:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="int64"),
+                "value_cents": pd.Series([], dtype="int64"),
+                "observed": pd.Series([], dtype="bool")})
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"],
+        per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_DAILY_RESAMPLE_FFILL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  (epoch_us(ts) // 86400000000)::BIGINT AS d,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events),
+b AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM e
+      GROUP BY user_id),
+cal AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+ld AS (SELECT user_id, d AS day, v,
+              row_number() OVER (PARTITION BY user_id, d
+                                 ORDER BY t DESC, event_id DESC) AS rn
+       FROM e)
+SELECT c.user_id, c.day,
+       last_value(ld.v IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_cents,
+       ld.v IS NOT NULL AS observed
+FROM cal c LEFT JOIN (SELECT * FROM ld WHERE rn = 1) ld
+  ON ld.user_id = c.user_id AND ld.day = c.day
+"""
+
+
 PUSHDOWN_MIN_PRICE = 400_000.0
 
 
@@ -5849,6 +5917,7 @@ QUERIES = {
     "docs_source_divergence": docs_source_divergence,
     "docs_exact_stratified_split": docs_exact_stratified_split,
     "orders_pushdown_filter_agg": orders_pushdown_filter_agg,
+    "events_daily_resample_ffill": events_daily_resample_ffill,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -5955,6 +6024,7 @@ ORACLES = {
     "docs_source_divergence": SQL_DOCS_SOURCE_DIVERGENCE,
     "docs_exact_stratified_split": SQL_DOCS_EXACT_STRATIFIED_SPLIT,
     "orders_pushdown_filter_agg": SQL_ORDERS_PUSHDOWN_FILTER_AGG,
+    "events_daily_resample_ffill": SQL_EVENTS_DAILY_RESAMPLE_FFILL,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
