@@ -93,3 +93,38 @@ def test_range_partitioned_boundaries_reuse(ray_session, tmp_path):
     assert key(a) == key(b)
     # every row with v below the first boundary is in part 0
     assert (a.loc[a["v"] < bs[0], "part"].astype(int) == 0).all()
+
+
+def test_table_diff_identity_and_statuses(ray_session):
+    """diff(X, X) is all-unchanged; a constructed delta yields each
+    status exactly once."""
+    from opennre_ray.functions.relational import table_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3], "c": ["a", "b", "c"]})
+    same = table_diff(rd.from_pandas(old), rd.from_pandas(old), "k", "c",
+                      n_buckets=4).to_pandas()
+    assert set(same["status"]) == {"unchanged"} and len(same) == 3
+
+    new = pd.DataFrame({"k": [2, 3, 4], "c": ["b", "CHANGED", "d"]})
+    got = (table_diff(rd.from_pandas(old), rd.from_pandas(new), "k", "c",
+                      n_buckets=4).to_pandas()
+           .set_index("k")["status"].to_dict())
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+
+
+def test_debounce_window_semantics(ray_session):
+    """LAG-formulation debounce: a burst thins to rows whose gap to the
+    PREVIOUS row exceeds the window; first row always kept."""
+    import numpy as np
+
+    from opennre_ray.functions.streaming import debounce
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [{"k": "u", "eid": i,
+             "ts": base + np.timedelta64(off, "s")}
+            for i, off in enumerate([0, 30, 100, 130, 250])]
+    got = debounce(rd.from_items(rows), ["k"], "ts", 60,
+                   tiebreak="eid").to_pandas()
+    # gaps: 30 (drop), 70 (keep), 30 (drop), 120 (keep)
+    assert sorted(got["eid"]) == [0, 2, 4]
