@@ -117,6 +117,26 @@ def write_range_partitioned(ds, col: str, root: str, *, n_parts: int = 8,
     return list(int(b) for b in bounds)
 
 
+def export_jsonl(ds, root: str) -> str:
+    """Write a Dataset as sharded JSON-lines (one file per block) —
+    the interchange sink for downstream consumers that do not speak
+    parquet (annotation UIs, legacy tokenizers). Lossy relative to
+    parquet (no schema, no statistics, text floats) — keep parquet as
+    the canonical layout and export JSONL at the edge."""
+    ds.write_json(root)
+    return root
+
+
+def read_jsonl(root: str, **kwargs):
+    """Read sharded JSON-lines back as a Dataset (schema inferred).
+    The inverse edge-format reader for ``export_jsonl``; columnar
+    pipelines should convert to parquet after ingest (one
+    ``write_parquet`` pass) rather than re-reading JSONL repeatedly."""
+    import ray
+
+    return ray.data.read_json(root, **kwargs)
+
+
 def compact_shards(root: str, out_root: str, *,
                    target_rows: int = 1_000_000):
     """Small-file compaction: re-chunk a directory of parquet shards into

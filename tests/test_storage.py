@@ -128,3 +128,15 @@ def test_debounce_window_semantics(ray_session):
                    tiebreak="eid").to_pandas()
     # gaps: 30 (drop), 70 (keep), 30 (drop), 120 (keep)
     assert sorted(got["eid"]) == [0, 2, 4]
+
+
+def test_jsonl_round_trip(ray_session, tmp_path):
+    """export_jsonl -> read_jsonl preserves rows and values."""
+    from opennre_ray.functions.storage import export_jsonl, read_jsonl
+
+    df = pd.DataFrame({"k": range(50), "s": [f"t{i}" for i in range(50)]})
+    root = str(tmp_path / "jl")
+    export_jsonl(rd.from_pandas(df).repartition(4), root)
+    back = (read_jsonl(root).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[["k", "s"]], df)
