@@ -156,6 +156,12 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("orders_concurrent_pairs",
           lambda: consume(Q.orders_concurrent_pairs(sf_dir)))
     timed("knn_graph", lambda: Q.knn_graph_query(sf_dir))
+    timed("q5_local_supplier_revenue",
+          lambda: consume(Q.q5_local_supplier_revenue(sf_dir)))
+    timed("docs_source_scorecard",
+          lambda: consume(Q.docs_source_scorecard(sf_dir)))
+    timed("events_daily_resample_ffill",
+          lambda: consume(Q.events_daily_resample_ffill(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
