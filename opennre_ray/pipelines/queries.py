@@ -4600,6 +4600,68 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+QC_PRICE_HI = 400_000.0
+
+
+def orders_quality_checks(sf_dir):
+    """Data-quality expectations report (Deequ / Great-Expectations
+    family): uniqueness, null, range, accepted-values and referential-
+    integrity checks over orders, each a streaming aggregate (uniqueness
+    is the one bucketed shuffle — of (value, count) pairs only; the FK
+    check rides the size-gated anti-join). The range and accepted-values
+    expectations are deliberately strict so the report shows both
+    passing and failing rows."""
+    from ..functions.expectations import (check_accepted_values,
+                                          check_foreign_key,
+                                          check_in_range, check_not_null,
+                                          check_unique, run_checks)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n = _nrows(sf_dir, "orders")
+    return run_checks([
+        ("unique_orderkey", check_unique(orders, "o_orderkey",
+                                         rows_hint=n)),
+        ("not_null_custkey", check_not_null(orders, "o_custkey")),
+        ("price_in_range", check_in_range(orders, "o_totalprice",
+                                          0.0, QC_PRICE_HI)),
+        ("status_accepted", check_accepted_values(orders,
+                                                  "o_orderstatus",
+                                                  ("O", "F"))),
+        ("fk_custkey", check_foreign_key(orders, cust, "o_custkey",
+                                         "c_custkey", rows_hint=n)),
+    ])
+
+
+SQL_ORDERS_QUALITY_CHECKS = f"""
+WITH v AS (
+  SELECT 'unique_orderkey' AS chk,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'not_null_custkey',
+         count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT FROM orders
+  UNION ALL
+  SELECT 'price_in_range',
+         count(*) FILTER (WHERE o_totalprice IS NULL
+                             OR o_totalprice < 0.0
+                             OR o_totalprice > {QC_PRICE_HI})::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'status_accepted',
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F'))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'fk_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))::BIGINT)
+SELECT chk, n_violations, n_violations = 0 AS passed FROM v
+"""
+
+
 def events_daily_resample_ffill(sf_dir):
     """Time-series gap filling: resample each user's event stream to a
     daily grid (their min→max day) carrying the last observed value
@@ -5918,6 +5980,7 @@ QUERIES = {
     "docs_exact_stratified_split": docs_exact_stratified_split,
     "orders_pushdown_filter_agg": orders_pushdown_filter_agg,
     "events_daily_resample_ffill": events_daily_resample_ffill,
+    "orders_quality_checks": orders_quality_checks,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6025,6 +6088,7 @@ ORACLES = {
     "docs_exact_stratified_split": SQL_DOCS_EXACT_STRATIFIED_SPLIT,
     "orders_pushdown_filter_agg": SQL_ORDERS_PUSHDOWN_FILTER_AGG,
     "events_daily_resample_ffill": SQL_EVENTS_DAILY_RESAMPLE_FFILL,
+    "orders_quality_checks": SQL_ORDERS_QUALITY_CHECKS,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
