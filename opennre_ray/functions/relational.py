@@ -329,6 +329,45 @@ def table_diff(old_ds, new_ds, key: str, content: str,
                                  n_buckets=n_buckets, rows_hint=rows_hint)
 
 
+def apply_changes(base_ds, changes_ds, key: str, content: str,
+                  op_col: str = "op", n_buckets: int | None = None,
+                  rows_hint: int | None = None):
+    """CDC MERGE (the lakehouse upsert-apply): fold a change stream of
+    (op ∈ {'upsert', 'delete'}, key, content) rows onto a base snapshot
+    to produce the next snapshot — any change beats the base row for its
+    key, deletes remove, upserts insert-or-replace.
+
+    Tagged union + ONE bucketed shuffle on the key; each bucket resolves
+    vectorized (base rows whose key appears in the changes drop; upsert
+    rows pass through). Requires at most one change per key per batch
+    application (compact the stream with ``per-key latest-wins`` first
+    if it carries history). Returns (key, content) of the new snapshot.
+    """
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_key": df[key], "_c": df[content],
+                             "_op": "base"})
+
+    def tag_change(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_key": df[key], "_c": df[content],
+                             "_op": df[op_col]})
+
+    tagged = (base_ds.map_batches(tag_base, batch_format="pandas")
+              .union(changes_ds.map_batches(tag_change,
+                                            batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        changed = set(g.loc[g["_op"] != "base", "_key"])
+        base = g[(g["_op"] == "base")
+                 & ~g["_key"].isin(changed)][["_key", "_c"]]
+        ups = g[g["_op"] == "upsert"][["_key", "_c"]]
+        out = pd.concat([base, ups], ignore_index=True)
+        return out.rename(columns={"_key": key, "_c": content})
+
+    return hash_bucket_aggregate(tagged, ["_key"], per_bucket,
+                                 n_buckets=n_buckets,
+                                 rows_hint=rows_hint)
+
+
 def interval_self_join(ds, block: str, id_col: str, start: str, end: str,
                        n_buckets: int | None = None,
                        rows_hint: int | None = None):

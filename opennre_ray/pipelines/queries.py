@@ -4600,6 +4600,64 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_cdc_apply(sf_dir):
+    """CDC MERGE: fold a deterministic change stream (every 11th doc
+    deleted, every 13th upserted with rewritten content, every 17th
+    inserted under a new key — the same derivation the snapshot-diff
+    query audits) onto the corpus and emit the NEXT snapshot's
+    (doc_id, content hash). One bucketed shuffle of (key, 16-byte hash)
+    rows; any change beats its base row."""
+    import hashlib
+
+    from ..functions.relational import apply_changes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def md5s(texts) -> list:
+        return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "h": md5s(df["text"])})
+
+    def changes(df: pd.DataFrame) -> pd.DataFrame:
+        dels = df[df["doc_id"] % 11 == 0]
+        outs = [pd.DataFrame({"doc_id": dels["doc_id"],
+                              "h": "", "op": "delete"})]
+        ups = df[(df["doc_id"] % 13 == 0) & (df["doc_id"] % 11 != 0)]
+        outs.append(pd.DataFrame({
+            "doc_id": ups["doc_id"],
+            "h": md5s(t + " v2" for t in ups["text"]), "op": "upsert"}))
+        ins = df[df["doc_id"] % 17 == 0]
+        outs.append(pd.DataFrame({
+            "doc_id": ins["doc_id"] + 1_000_000,
+            "h": md5s(ins["text"]), "op": "upsert"}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = apply_changes(ds.map_batches(base, batch_format="pandas"),
+                        ds.map_batches(changes, batch_format="pandas"),
+                        "doc_id", "h",
+                        rows_hint=_nrows(sf_dir, "documents"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype=object)})
+        return df.astype({"doc_id": "int64"})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_DOCS_CDC_APPLY = """
+SELECT doc_id,
+       md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+           AS h
+FROM documents WHERE doc_id % 11 <> 0
+UNION ALL
+SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 17 = 0
+"""
+
+
 QC_PRICE_HI = 400_000.0
 
 
@@ -5981,6 +6039,7 @@ QUERIES = {
     "orders_pushdown_filter_agg": orders_pushdown_filter_agg,
     "events_daily_resample_ffill": events_daily_resample_ffill,
     "orders_quality_checks": orders_quality_checks,
+    "docs_cdc_apply": docs_cdc_apply,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6089,6 +6148,7 @@ ORACLES = {
     "orders_pushdown_filter_agg": SQL_ORDERS_PUSHDOWN_FILTER_AGG,
     "events_daily_resample_ffill": SQL_EVENTS_DAILY_RESAMPLE_FFILL,
     "orders_quality_checks": SQL_ORDERS_QUALITY_CHECKS,
+    "docs_cdc_apply": SQL_DOCS_CDC_APPLY,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
