@@ -4600,6 +4600,40 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_source_concentration(sf_dir):
+    """Corpus-diversity concentration metrics: the Herfindahl–Hirschman
+    index (Σ share²) and top-1 share over source sizes, integer
+    fixed-point (1e6 grid, truncating division) so the single-row result
+    replays exactly. A feed-concentration alarm for curation: HHI → 1e6
+    means one source dominates the corpus."""
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "documents", ["source"])
+              .groupby("source").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    c = counts["n"].astype("int64").to_numpy()
+    t = int(c.sum())
+    hhi_fp = int((10 ** 6 * int((c.astype(object) ** 2).sum())) // (t * t))
+    top1_fp = int((10 ** 6 * int(c.max())) // t)
+    return pd.DataFrame({
+        "n_sources": pd.Series([len(c)], dtype="int64"),
+        "hhi_fp": pd.Series([hhi_fp], dtype="int64"),
+        "top1_share_fp": pd.Series([top1_fp], dtype="int64")})
+
+
+SQL_DOCS_SOURCE_CONCENTRATION = """
+WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+           GROUP BY source),
+t AS (SELECT sum(n)::BIGINT AS t FROM c)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_sources,
+       CAST((1000000::HUGEINT * (SELECT sum(n::HUGEINT * n) FROM c))
+            // ((SELECT t FROM t)::HUGEINT * (SELECT t FROM t))
+            AS BIGINT) AS hhi_fp,
+       CAST((1000000::HUGEINT * (SELECT max(n) FROM c))
+            // (SELECT t FROM t) AS BIGINT) AS top1_share_fp
+"""
+
+
 def docs_cdc_apply(sf_dir):
     """CDC MERGE: fold a deterministic change stream (every 11th doc
     deleted, every 13th upserted with rewritten content, every 17th
@@ -6040,6 +6074,7 @@ QUERIES = {
     "events_daily_resample_ffill": events_daily_resample_ffill,
     "orders_quality_checks": orders_quality_checks,
     "docs_cdc_apply": docs_cdc_apply,
+    "docs_source_concentration": docs_source_concentration,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6149,6 +6184,7 @@ ORACLES = {
     "events_daily_resample_ffill": SQL_EVENTS_DAILY_RESAMPLE_FFILL,
     "orders_quality_checks": SQL_ORDERS_QUALITY_CHECKS,
     "docs_cdc_apply": SQL_DOCS_CDC_APPLY,
+    "docs_source_concentration": SQL_DOCS_SOURCE_CONCENTRATION,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
