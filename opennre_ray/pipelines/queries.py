@@ -4600,6 +4600,68 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+PROX_WINDOW_US = 3_600_000_000  # 1 hour
+CONVERSION_WINDOW_US = 72 * 3_600_000_000  # 72 h attribution window
+
+
+def events_timed_conversion(sf_dir):
+    """Timed conversion funnel: users whose FIRST purchase lands within
+    one hour after their FIRST click — order-independent min partials
+    per user (no per-user sort), then a vectorized time-window test.
+    Unlike the proximity join this anchors on the first touch, the
+    attribution-window semantics ad pipelines use."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(["click", "purchase"])
+        df = df[keep]
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "event_type": df["event_type"], "t": t})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            clicks = grp.loc[grp["event_type"] == "click", "t"]
+            if clicks.empty:
+                continue
+            fc = int(clicks.min())
+            buys = grp.loc[(grp["event_type"] == "purchase")
+                           & (grp["t"] >= fc), "t"]
+            if buys.empty:
+                continue
+            fp = int(buys.min())
+            if fp - fc <= CONVERSION_WINDOW_US:
+                rows.append((int(uid), fc, fp, fp - fc))
+        return pd.DataFrame(rows, columns=["user_id", "first_click_us",
+                                           "first_purchase_us",
+                                           "gap_us"]) \
+            .astype("int64") if rows else pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("user_id", "first_click_us", "first_purchase_us",
+                       "gap_us")})
+
+    return hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"],
+        per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_TIMED_CONVERSION = f"""
+WITH c AS (SELECT user_id, min(epoch_us(ts)) AS fc FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS fp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.fc
+      GROUP BY e.user_id)
+SELECT c.user_id, c.fc AS first_click_us, p.fp AS first_purchase_us,
+       (p.fp - c.fc)::BIGINT AS gap_us
+FROM c JOIN p USING (user_id)
+WHERE p.fp - c.fc <= {CONVERSION_WINDOW_US}
+"""
+
+
 def docs_source_concentration(sf_dir):
     """Corpus-diversity concentration metrics: the Herfindahl–Hirschman
     index (Σ share²) and top-1 share over source sizes, integer
@@ -5217,9 +5279,6 @@ SELECT k AS c_custkey, min(comp)::BIGINT AS cluster,
        k = min(comp) AS keep
 FROM lbl GROUP BY k
 """
-
-
-PROX_WINDOW_US = 3_600_000_000  # 1 hour
 
 
 def events_click_near_purchase(sf_dir):
@@ -6075,6 +6134,7 @@ QUERIES = {
     "orders_quality_checks": orders_quality_checks,
     "docs_cdc_apply": docs_cdc_apply,
     "docs_source_concentration": docs_source_concentration,
+    "events_timed_conversion": events_timed_conversion,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6185,6 +6245,7 @@ ORACLES = {
     "orders_quality_checks": SQL_ORDERS_QUALITY_CHECKS,
     "docs_cdc_apply": SQL_DOCS_CDC_APPLY,
     "docs_source_concentration": SQL_DOCS_SOURCE_CONCENTRATION,
+    "events_timed_conversion": SQL_EVENTS_TIMED_CONVERSION,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
