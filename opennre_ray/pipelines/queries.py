@@ -330,6 +330,57 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def lineitem_cube(sf_dir):
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets
+    from the SAME single finest-level corpus pass as the rollup — the
+    extra (linestatus-only) level is one more driver-side fold over the
+    few finest rows, never a rescan."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"],
+               rows_per_block=65_536)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False)
+                .agg(n_items=("l_quantity", "size"),
+                     sum_qty=("l_quantity", "sum")))
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("sum_qty", alias_name="sum_qty"))
+            .to_pandas())
+    fine["n_items"] = fine["n_items"].astype("int64")
+
+    def lvl(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = (fine.groupby(keys, as_index=False)
+                 .agg(n_items=("n_items", "sum"),
+                      sum_qty=("sum_qty", "sum")))
+        else:
+            g = pd.DataFrame({"n_items": [fine["n_items"].sum()],
+                              "sum_qty": [fine["sum_qty"].sum()]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in keys:
+                g[c] = None
+        return g
+
+    out = pd.concat([fine, lvl(["l_returnflag"]), lvl(["l_linestatus"]),
+                     lvl([])], ignore_index=True)
+    out["sum_qty"] = sql_round(out["sum_qty"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n_items", "sum_qty"]]
+
+
+SQL_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 NTILE_N = 4
 
 
@@ -6135,6 +6186,7 @@ QUERIES = {
     "docs_cdc_apply": docs_cdc_apply,
     "docs_source_concentration": docs_source_concentration,
     "events_timed_conversion": events_timed_conversion,
+    "lineitem_cube": lineitem_cube,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6246,6 +6298,7 @@ ORACLES = {
     "docs_cdc_apply": SQL_DOCS_CDC_APPLY,
     "docs_source_concentration": SQL_DOCS_SOURCE_CONCENTRATION,
     "events_timed_conversion": SQL_EVENTS_TIMED_CONVERSION,
+    "lineitem_cube": SQL_LINEITEM_CUBE,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
