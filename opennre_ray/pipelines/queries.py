@@ -4651,6 +4651,74 @@ WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+def docs_ngram_novelty(sf_dir):
+    """Novelty of an incoming shard: the share of its distinct 3-gram
+    shingles unseen anywhere in the already-ingested corpus (doc_id%5
+    split, same delta convention as the incremental dedup) — the 'is
+    today's crawl new text or recycled boilerplate' signal. Distinct
+    shingles dedupe through one bucketed pass per side; the unseen set
+    rides the size-gated anti-join. One integer row."""
+    from ..functions.relational import anti_join, hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(want_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            grams = set()
+            for k, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                if (k % 5 == 0) != want_new:
+                    continue
+                toks = t.split()
+                if len(toks) < 3:
+                    if toks:
+                        grams.add(" ".join(toks))
+                    continue
+                grams.update(" ".join(toks[i:i + 3])
+                             for i in range(len(toks) - 2))
+            return pa.table({"g": pa.array(sorted(grams), pa.string())})
+        return fn
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("g")
+
+    rows_hint = 64 * _nrows(sf_dir, "documents")
+    new_g = hash_bucket_aggregate(
+        ds.map_batches(shingles(True), batch_format="pyarrow"), ["g"],
+        uniq, rows_hint=rows_hint)
+    old_g = hash_bucket_aggregate(
+        ds.map_batches(shingles(False), batch_format="pyarrow"), ["g"],
+        uniq, rows_hint=rows_hint)
+    n_new = new_g.count()
+    n_unseen = anti_join(new_g, old_g, "g", [],
+                         rows_hint=rows_hint).count()
+    return pd.DataFrame({
+        "n_delta_grams": pd.Series([int(n_new)], dtype="int64"),
+        "n_unseen_grams": pd.Series([int(n_unseen)], dtype="int64")})
+
+
+SQL_DOCS_NGRAM_NOVELTY = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(toks) < 3 THEN
+           CASE WHEN length(toks) = 0 THEN []::VARCHAR[]
+                ELSE [array_to_string(toks, ' ')] END
+    ELSE list_transform(range(1, length(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+  FROM t),
+newg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+oldg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 <> 0)
+SELECT (SELECT count(*) FROM newg)::BIGINT AS n_delta_grams,
+       (SELECT count(*) FROM (SELECT g FROM newg EXCEPT
+                              SELECT g FROM oldg))::BIGINT
+           AS n_unseen_grams
+"""
+
+
 PROX_WINDOW_US = 3_600_000_000  # 1 hour
 CONVERSION_WINDOW_US = 72 * 3_600_000_000  # 72 h attribution window
 
@@ -6187,6 +6255,7 @@ QUERIES = {
     "docs_source_concentration": docs_source_concentration,
     "events_timed_conversion": events_timed_conversion,
     "lineitem_cube": lineitem_cube,
+    "docs_ngram_novelty": docs_ngram_novelty,
     "events_cohort_retention": events_cohort_retention,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
@@ -6299,6 +6368,7 @@ ORACLES = {
     "docs_source_concentration": SQL_DOCS_SOURCE_CONCENTRATION,
     "events_timed_conversion": SQL_EVENTS_TIMED_CONVERSION,
     "lineitem_cube": SQL_LINEITEM_CUBE,
+    "docs_ngram_novelty": SQL_DOCS_NGRAM_NOVELTY,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
     "embed_cosine_pairs": SQL_EMBED_COSINE_PAIRS,
     "embed_cosine_pairs_lsh": SQL_EMBED_COSINE_PAIRS_LSH,
