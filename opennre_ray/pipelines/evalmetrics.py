@@ -103,7 +103,12 @@ def bag_eval(pred_rows, facts: set, rel2id: dict, threshold=0.5) -> dict:
         pred = np.stack([v["pred"] for v in by_pair.values()])
         pos = slice(1, n_rel)   # labels 1..N-1 (exclude NA at 0)
         out.update(_prf(label[:, pos], pred[:, pos]))
-    return out
+    # 1e-12 grid on the reported floats: last-ulp noise (BLAS kernel /
+    # summation variation across runs) was observed flipping auc's final
+    # digit against the golden pin; 12 decimals keeps every meaningful
+    # digit of a [0,1] metric while absorbing ~1e-16 jitter
+    return {k: (round(v, 12) if isinstance(v, float) else v)
+            for k, v in out.items()}
 
 
 def _prf(label: np.ndarray, pred: np.ndarray) -> dict:
