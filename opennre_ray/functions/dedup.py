@@ -196,9 +196,7 @@ def minhash_dedup_clusters(ds, *, num_bands=16, rows_per_band=4,
     """
     import pyarrow.compute as pc
 
-    from .graph import connected_components
-    from .relational import (compute_n_buckets, hash_bucket_aggregate,
-                             shuffle_join)
+    from .relational import compute_n_buckets, hash_bucket_aggregate
 
     n_buckets = compute_n_buckets(rows_hint)
     bands = ds.map_batches(
@@ -280,9 +278,11 @@ def components_keeper(edges_ds, key_col: str, *, key_prefix: str = "K",
 
 
 def levenshtein(a: str, b: str, cap: int | None = None) -> int:
-    """Classic two-row DP edit distance; with ``cap`` the band outside
-    |i−j| ≤ cap is skipped and the function may return any value > cap
-    early (enough for thresholded joins)."""
+    """Classic two-row DP edit distance; with ``cap`` the function
+    early-exits (returning ``cap + 1``) as soon as a full DP row's
+    minimum exceeds ``cap`` — rows are still computed in full, but the
+    result is exact for all distances ≤ cap (enough for thresholded
+    joins)."""
     if a == b:
         return 0
     if len(a) > len(b):

@@ -162,6 +162,13 @@ def knn_graph(ds_emb, k: int = 3, *, key_col: str = "vec_id",
     def topk_batch(batch: pa.Table) -> pa.Table:
         from ..stages.score import cached
 
+        key_type = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], key_type),
+                "neighbor_id": pa.array([], key_type),
+                "cosine": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64())})
         all_ids, all_mat = cached(("knng", ref_key),
                                   lambda: ray.get(ref))
         q = _normalize(_as_matrix(batch.column(vec_col)))
@@ -180,8 +187,8 @@ def knn_graph(ds_emb, k: int = 3, *, key_col: str = "vec_id",
             out_c.extend(cand_s[order])
             out_r.extend(range(1, len(order) + 1))
         return pa.table({
-            key_col: pa.array(out_q),
-            "neighbor_id": pa.array(out_n),
+            key_col: pa.array(out_q, key_type),
+            "neighbor_id": pa.array(out_n, key_type),
             "cosine": pa.array(np.asarray(out_c, dtype=np.float64)),
             "rank": pa.array(np.asarray(out_r, dtype=np.int64))})
 

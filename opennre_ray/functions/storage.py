@@ -85,7 +85,11 @@ def bucketed_join(root_l: str, root_r: str, left_key: str, right_key: str,
 
     ids = ray.data.from_pandas(
         pd.DataFrame({"bucket": range(n_buckets)})).repartition(n_buckets)
-    return ids.map_batches(join_bucket, batch_format="pandas")
+    # batch_size=None: keep each one-row bucket block its own task (the
+    # default 1024 would bundle every bucket into one task, serializing
+    # the bucket reads this layout exists to parallelize)
+    return ids.map_batches(join_bucket, batch_format="pandas",
+                           batch_size=None)
 
 
 def write_range_partitioned(ds, col: str, root: str, *, n_parts: int = 8,

@@ -4725,8 +4725,9 @@ CONVERSION_WINDOW_US = 72 * 3_600_000_000  # 72 h attribution window
 
 def events_timed_conversion(sf_dir):
     """Timed conversion funnel: users whose FIRST purchase lands within
-    one hour after their FIRST click — order-independent min partials
-    per user (no per-user sort), then a vectorized time-window test.
+    the 72-hour attribution window after their FIRST click —
+    order-independent min partials per user (no per-user sort), then a
+    vectorized time-window test.
     Unlike the proximity join this anchors on the first touch, the
     attribution-window semantics ad pipelines use."""
     from ..functions.relational import hash_bucket_aggregate
