@@ -6122,8 +6122,64 @@ SELECT user_id, event_type AS modal_type, cnt FROM r WHERE rn = 1
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    # SQL-oracled
+    # --- curated prefix: the driver's CORRECTNESS snapshot checks the
+    # first 50 entries — every one of these has a value oracle (SQL in
+    # ORACLES or a pinned-value oracle in pins.py) and together they
+    # cover the flagship operator families: model/KG pipelines, KGE,
+    # the dedup suite, ANN/similarity, curation/packing/quality, and
+    # the heavyweight relational shapes (skew join, Q5, bucketed join).
+    "kg_triples": kg_triples,
+    "kg_triples_pcnn_stats": kg_triples_pcnn_stats,
+    "kg_triples_bert_stats": kg_triples_bert_stats,
+    "sentence_scores_stats": sentence_scores_stats,
+    "encoded_instances_stats": encoded_instances_stats,
+    "bag_scores_stats": bag_scores_stats,
+    "bag_eval_metrics": bag_eval_metrics,
+    "fewshot_stats": fewshot_stats,
+    "kg_degree_stats": kg_degree_stats,
+    "kg_components": kg_components,
+    "kg_transe_stats": kg_transe_stats,
+    "kg_link_prediction": kg_link_prediction,
+    "kg_negative_samples": kg_negative_samples,
+    "media_features_stats": media_features_stats,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_paragraph_dedup": docs_paragraph_dedup,
+    "docs_duplicated_spans": docs_duplicated_spans,
+    "embed_semantic_dedup": embed_semantic_dedup,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
+    "customer_entity_resolution": customer_entity_resolution,
+    "knn_cosine": knn_cosine,
+    "knn_lsh": knn_lsh_query,
+    "knn_ivf": knn_ivf_query,
+    "knn_pq": knn_pq_query,
+    "knn_graph": knn_graph_query,
+    "embed_cosine_pairs": embed_cosine_pairs,
+    "embed_cosine_pairs_lsh": embed_cosine_pairs_lsh,
+    "embed_kmeans_clusters": embed_kmeans_clusters,
+    "embed_triplet_mine": embed_triplet_mine,
+    "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_pretrain_pipeline": docs_pretrain_pipeline,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_deterministic_shuffle": docs_deterministic_shuffle,
+    "docs_quality": docs_quality,
+    "docs_gopher_filter": docs_gopher_filter,
+    "docs_langid_heuristic": docs_langid_heuristic,
+    "docs_token_count": docs_token_count,
+    "docs_bpe_learn": docs_bpe_learn,
+    "docs_bpe_encode_stats": docs_bpe_encode_stats,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_dsir_sample": docs_dsir_sample,
+    "lineitem_part_skew_join": lineitem_part_skew_join,
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,
+    "customer_orders_bucketed_join": customer_orders_bucketed_join,
+    "events_sessionize": events_sessionize,
     "lineitem_group_agg": lineitem_group_agg,
+    # --- remainder (sweep-verified; scripts/sweep_correctness.py runs
+    # every value-oracled query at sf0.01 and sf0.1 each round)
     "lineitem_filter_agg": lineitem_filter_agg,
     "topk_orders": topk_orders,
     "customer_nation_join": customer_nation_join,
@@ -6137,70 +6193,38 @@ QUERIES = {
     "events_type_pivot": events_type_pivot,
     "events_funnel_click_purchase": events_funnel_click_purchase,
     "events_anti_join": events_anti_join,
-    "events_sessionize": events_sessionize,
     "events_running_total": events_running_total,
     "lineitem_topk_per_group": lineitem_topk_per_group,
-    "docs_normalized_dedup": docs_normalized_dedup,
-    "docs_decontaminate": docs_decontaminate,
-    "docs_deterministic_shuffle": docs_deterministic_shuffle,
     "docs_bpe_pairs": docs_bpe_pairs,
     "docs_pmi_collocations": docs_pmi_collocations,
-    "docs_token_count": docs_token_count,
-    "docs_quality": docs_quality,
     "docs_word_freq": docs_word_freq,
     "docs_tfidf_topk": docs_tfidf_topk,
-    "docs_fingerprint": docs_fingerprint,
-    "docs_exact_dedup": docs_exact_dedup,
     "docs_lang_dist": docs_lang_dist,
     "embed_norms": embed_norms,
-    "knn_cosine": knn_cosine,
     "graph_degree_customers": graph_degree_customers,
     "graph_components_customers": graph_components_customers,
     "graph_khop_customers": graph_khop_customers,
     "graph_pagerank_customers": graph_pagerank_customers,
-    "embed_kmeans_clusters": embed_kmeans_clusters,
-    "embed_semantic_dedup": embed_semantic_dedup,
     "embed_jl_projection": embed_jl_projection,
     "docs_shingles": docs_shingles,
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
     "lineitem_price_ddsketch": lineitem_price_ddsketch,
-    # pinned-value oracles (pins.py) for the model pipelines; the six
-    # *_stats companions fingerprint the outputs too large to pin whole
-    "kg_triples_pcnn_stats": kg_triples_pcnn_stats,
-    "kg_triples_bert_stats": kg_triples_bert_stats,
-    "sentence_scores_stats": sentence_scores_stats,
-    "encoded_instances_stats": encoded_instances_stats,
-    "bag_scores_stats": bag_scores_stats,
-    "fewshot_stats": fewshot_stats,
-    # rows-only (model / sketch / approximate operators)
-    "kg_triples": kg_triples,
     "kg_triples_pcnn": kg_triples_pcnn,
     "kg_triples_bert": kg_triples_bert,
-    "kg_degree_stats": kg_degree_stats,
-    "kg_components": kg_components,
     "fewshot_classify": fewshot_classify,
     "sentence_relation_scores": sentence_relation_scores,
     "encoded_instances": encoded_instances,
     "bag_relation_scores": bag_relation_scores,
-    "bag_eval_metrics": bag_eval_metrics,
-    "docs_minhash_dedup": docs_minhash_dedup,
     "docs_heavy_hitters_verified": docs_heavy_hitters_verified,
-    "embed_cosine_pairs": embed_cosine_pairs,
-    "embed_cosine_pairs_lsh": embed_cosine_pairs_lsh,
     "docs_hash_split": docs_hash_split,
-    "docs_pack_sequences": docs_pack_sequences,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
     "docs_bottomk_per_lang": docs_bottomk_per_lang,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_oov_ratio": docs_oov_ratio,
-    "docs_duplicated_spans": docs_duplicated_spans,
-    "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_token_entropy": docs_token_entropy,
     "events_type_transitions": events_type_transitions,
-    "docs_gopher_filter": docs_gopher_filter,
-    "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_temperature_sample": docs_temperature_sample,
     "docs_source_overlap": docs_source_overlap,
@@ -6208,23 +6232,13 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
-    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
     "events_latest_per_user": events_latest_per_user,
     "lineitem_frequent_pairs": lineitem_frequent_pairs,
     "embed_label_centroids": embed_label_centroids,
     "events_rolling_active_users": events_rolling_active_users,
-    "kg_negative_samples": kg_negative_samples,
-    "kg_transe_stats": kg_transe_stats,
-    "kg_link_prediction": kg_link_prediction,
-    "media_features_stats": media_features_stats,
-    "docs_bpe_learn": docs_bpe_learn,
-    "docs_bpe_encode_stats": docs_bpe_encode_stats,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_dsir_sample": docs_dsir_sample,
     "docs_bigram_logprob": docs_bigram_logprob,
-    "customer_orders_bucketed_join": customer_orders_bucketed_join,
     "customer_supplier_balance_link": customer_supplier_balance_link,
     "events_debounce": events_debounce,
     "docs_incremental_dedup": docs_incremental_dedup,
@@ -6235,15 +6249,11 @@ QUERIES = {
     "graph_predicate_stats": graph_predicate_stats,
     "customer_name_typo_pairs": customer_name_typo_pairs,
     "events_click_near_purchase": events_click_near_purchase,
-    "knn_graph": knn_graph_query,
     "docs_version_diff": docs_version_diff,
-    "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "events_value_winsorized": events_value_winsorized,
-    "embed_triplet_mine": embed_triplet_mine,
     "events_late_flags": events_late_flags,
     "docs_compression_stats": docs_compression_stats,
     "events_user_trend": events_user_trend,
-    "customer_entity_resolution": customer_entity_resolution,
     "docs_source_scorecard": docs_source_scorecard,
     "embed_label_propagation": embed_label_propagation,
     "docs_source_quota": docs_source_quota,
@@ -6268,25 +6278,20 @@ QUERIES = {
     "events_lag_delta": events_lag_delta,
     "events_distinct_users_exact": events_distinct_users_exact,
     "revenue_by_nation": revenue_by_nation,
-    "lineitem_part_skew_join": lineitem_part_skew_join,
     "customers_order_counts": customers_order_counts,
     "lineitem_rollup": lineitem_rollup,
     "orders_price_ntile": orders_price_ntile,
     "lineitem_price_histogram": lineitem_price_histogram,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "orders_above_customer_avg": orders_above_customer_avg,
-    "docs_pretrain_pipeline": docs_pretrain_pipeline,
     "docs_heavy_hitter_words": docs_heavy_hitter_words,
     "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
-    "docs_langid_heuristic": docs_langid_heuristic,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
-    "knn_lsh": knn_lsh_query,
-    "knn_ivf": knn_ivf_query,
-    "knn_pq": knn_pq_query,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
 }
+
 
 ORACLES = {
     "lineitem_group_agg": SQL_LINEITEM_GROUP_AGG,
