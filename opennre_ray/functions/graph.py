@@ -666,7 +666,8 @@ def triangle_count(edges_ds, *, rows_hint: int | None = None):
 
 
 def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
-                     broadcast_limit: int = 2_000_000):
+                     broadcast_limit: int = 2_000_000,
+                     rows_hint: int | None = None):
     """Distant-supervision negative sampling: for each true triple
     (subj, pred, obj), deterministically corrupt the tail ``k`` times —
     candidate i is ``entities[md5(salt|subj|pred|i) % n_entities]`` over
@@ -678,12 +679,19 @@ def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
     pre-labelled NA pairs — generating them at scale is the pipeline's
     job).
 
-    Scale shape: the entity vocabulary and the true-triple key set
-    broadcast once (``ray.put``; both are entity/edge-sized statistics —
-    beyond ``broadcast_limit`` the membership test would swap to the
-    same Bloom fallback as ``decontaminate``, here a hard error to keep
-    the sandbox honest), and generation is a stateless flat-map: each
-    edge row expands to <= k rows locally, no shuffle anywhere.
+    Scale shape: the vocabulary is a DISTRIBUTED distinct (map-side
+    unique partials + one bucketed pass) on both paths — raw edge rows
+    never reach the driver. While vocabulary and triple counts fit
+    ``broadcast_limit``, the sorted vocabulary and exact truth set
+    broadcast once (``ray.put``) and generation is a stateless flat-map
+    with zero shuffle. Beyond the limit the SAME draws run fully
+    distributed and stay EXACT: ``global_rank`` numbers the sorted
+    vocabulary, each edge expands to k (subj, pred, rank) draws, one
+    bucketed ``shuffle_join`` resolves rank → entity, and the
+    truth-collision drop is the Bloom-prefiltered exact ``anti_join``
+    (the decontaminate-style filter gates the shuffle; a residual exact
+    pass resolves Bloom false positives, so both paths emit identical
+    rows).
 
     Deterministic and SQL-replayable: the md5 draw is the shared hash
     family, the modulo indexes a DuckDB ``list(DISTINCT obj ORDER BY
@@ -691,50 +699,110 @@ def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
     """
     import hashlib
 
+    import pyarrow.compute as pc
+
     import ray
 
+    from .relational import (anti_join, global_rank, hash_bucket_aggregate,
+                             shuffle_join)
+
     edges_mat = edges_ds.materialize()
-    ents = sorted(set(
-        v for b in edges_mat.select_columns(["obj"])
-        .iter_batches(batch_format="pyarrow")
-        for v in b.column("obj").to_pylist()))
-    if len(ents) > broadcast_limit:
-        raise NotImplementedError(
-            "entity vocabulary exceeds the broadcast limit — swap the "
-            "membership test to the Bloom fallback (see decontaminate)")
-    true_keys = set()
-    for b in edges_mat.iter_batches(batch_format="pyarrow"):
-        true_keys.update(zip(b.column("subj").to_pylist(),
-                             b.column("pred").to_pylist(),
-                             b.column("obj").to_pylist()))
-    if len(true_keys) > broadcast_limit:
-        raise NotImplementedError(
-            "true-triple set exceeds the broadcast limit — swap to the "
-            "Bloom fallback (see decontaminate)")
-    ref = ray.put((ents, true_keys))
-    ref_key = ref.hex()
 
-    def gen(batch: pa.Table) -> pa.Table:
-        from ..stages.score import cached
+    def obj_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"obj": pc.unique(b.column("obj"))})
 
-        ents_l, truth = cached(("negsamp", ref_key), lambda: ray.get(ref))
-        n_ent = len(ents_l)
-        subj, pred, neg, idx = [], [], [], []
+    vocab = hash_bucket_aggregate(
+        edges_mat.map_batches(obj_partial, batch_format="pyarrow"),
+        ["obj"], lambda g: g.drop_duplicates(["obj"]),
+        rows_hint=rows_hint).materialize()
+    n_ent = vocab.count()
+    n_true = edges_mat.count()
+
+    def md5_idx(s: str, p: str, i: int) -> int:
+        h = int.from_bytes(hashlib.md5(
+            f"{salt}{s}|{p}|{i}".encode()).digest()[:8], "big")
+        return h % n_ent
+
+    if n_ent <= broadcast_limit and n_true <= broadcast_limit:
+        # broadcast path: sorted vocab + exact truth set ship once,
+        # generation is a zero-shuffle flat-map
+        ents = sorted(v for b in vocab.iter_batches(batch_format="pyarrow")
+                      for v in b.column("obj").to_pylist())
+        true_keys = set()
+        for b in edges_mat.iter_batches(batch_format="pyarrow"):
+            true_keys.update(zip(b.column("subj").to_pylist(),
+                                 b.column("pred").to_pylist(),
+                                 b.column("obj").to_pylist()))
+        ref = ray.put((ents, true_keys))
+        ref_key = ref.hex()
+
+        def gen(batch: pa.Table) -> pa.Table:
+            from ..stages.score import cached
+
+            ents_l, truth = cached(("negsamp", ref_key),
+                                   lambda: ray.get(ref))
+            subj, pred, neg, idx = [], [], [], []
+            for s, p in zip(batch.column("subj").to_pylist(),
+                            batch.column("pred").to_pylist()):
+                for i in range(k):
+                    cand = ents_l[md5_idx(s, p, i)]
+                    if (s, p, cand) in truth:
+                        continue
+                    subj.append(s)
+                    pred.append(p)
+                    neg.append(cand)
+                    idx.append(i)
+            return pa.table({"subj": pa.array(subj, pa.string()),
+                             "pred": pa.array(pred, pa.string()),
+                             "neg_obj": pa.array(neg, pa.string()),
+                             "draw_idx": pa.array(idx, pa.int64())})
+
+        return edges_mat.map_batches(gen, batch_format="pyarrow")
+
+    # distributed path: rank the vocabulary, join draws to it, and drop
+    # truth collisions with the exact Bloom-gated anti-join — no
+    # entity/triple set ever materializes on the driver
+    ranked = global_rank(vocab, ["obj"], out_col="_vrank")
+
+    def draws(batch: pa.Table) -> pa.Table:
+        subj, pred, di, rk = [], [], [], []
         for s, p in zip(batch.column("subj").to_pylist(),
                         batch.column("pred").to_pylist()):
             for i in range(k):
-                h = int.from_bytes(hashlib.md5(
-                    f"{salt}{s}|{p}|{i}".encode()).digest()[:8], "big")
-                cand = ents_l[h % n_ent]
-                if (s, p, cand) in truth:
-                    continue
                 subj.append(s)
                 pred.append(p)
-                neg.append(cand)
-                idx.append(i)
+                di.append(i)
+                rk.append(md5_idx(s, p, i) + 1)   # global_rank is 1-based
         return pa.table({"subj": pa.array(subj, pa.string()),
                          "pred": pa.array(pred, pa.string()),
-                         "neg_obj": pa.array(neg, pa.string()),
-                         "draw_idx": pa.array(idx, pa.int64())})
+                         "draw_idx": pa.array(di, pa.int64()),
+                         "_vrank": pa.array(rk, pa.int64())})
 
-    return edges_mat.map_batches(gen, batch_format="pyarrow")
+    cand = shuffle_join(
+        edges_mat.map_batches(draws, batch_format="pyarrow"),
+        ranked, "_vrank", "_vrank", ["subj", "pred", "draw_idx"], ["obj"],
+        rows_hint=rows_hint)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("subj"), pa.string()),
+            pc.cast(batch.column("pred"), pa.string()),
+            pc.cast(batch.column("obj"), pa.string()), "\x1f")
+        return batch.append_column("_key", key)
+
+    truth_keys = edges_mat.map_batches(
+        lambda b: add_key(b).select(["_key"]), batch_format="pyarrow")
+    kept = anti_join(
+        cand.map_batches(add_key, batch_format="pyarrow"), truth_keys,
+        "_key", ["subj", "pred", "obj", "draw_idx"],
+        broadcast_limit=broadcast_limit, rows_hint=rows_hint)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # the tagged-union join may widen draw_idx to float — cast back
+        return pa.table({
+            "subj": pc.cast(batch.column("subj"), pa.string()),
+            "pred": pc.cast(batch.column("pred"), pa.string()),
+            "neg_obj": pc.cast(batch.column("obj"), pa.string()),
+            "draw_idx": pc.cast(batch.column("draw_idx"), pa.int64())})
+
+    return kept.map_batches(finalize, batch_format="pyarrow")

@@ -262,3 +262,30 @@ def test_negative_samples_drop_true_collisions(ray_session):
     assert sorted(set(got_t)) == sorted(set(exp))
     for s, p, n, i in got_t:
         assert (s, p, n) not in truth
+
+
+def test_negative_samples_distributed_path_matches_broadcast(ray_session):
+    """Forcing broadcast_limit below the vocabulary size swaps to the
+    fully distributed path (global_rank vocab join + Bloom-gated exact
+    anti-join); its output must be row-identical to the broadcast path."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import negative_samples
+
+    triples = sorted({(f"S{i % 7}", f"r{i % 2}", f"O{i % 11}")
+                      for i in range(60)})
+    rows = [{"subj": s, "pred": p, "obj": o} for s, p, o in triples]
+    cols = ["subj", "pred", "neg_obj", "draw_idx"]
+
+    broad = (negative_samples(rd.from_items(rows).repartition(3), k=3)
+             .to_pandas())
+    dist = (negative_samples(rd.from_items(rows).repartition(3), k=3,
+                             broadcast_limit=1).to_pandas())
+
+    assert sorted(dist.columns) == sorted(cols)
+    assert dist["draw_idx"].dtype == "int64"
+    assert sorted(map(tuple, broad[cols].to_numpy())) \
+        == sorted(map(tuple, dist[cols].to_numpy()))
+    truth = set(triples)
+    for s, p, n, _ in dist[cols].to_numpy():
+        assert (s, p, n) not in truth
