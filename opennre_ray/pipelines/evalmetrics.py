@@ -111,6 +111,174 @@ def bag_eval(pred_rows, facts: set, rel2id: dict, threshold=0.5) -> dict:
             for k, v in out.items()}
 
 
+def bag_eval_distributed(scores_ds, rel2id: dict,
+                         threshold: float = 0.5,
+                         rows_hint: int | None = None) -> dict:
+    """``bag_eval`` without collecting prediction rows to the driver —
+    the corpus-scale O1-O5 pass (bag count ≈ distinct entity pairs is
+    unbounded on a web corpus, so the eval stream must stay distributed).
+
+    Facts are the argmax relation per entity pair (ties break on
+    relation asc — scores are distinct floats in practice, so this
+    matches the driver path's first-max). Three distributed pieces:
+
+    1. one bucketed pass per (h_id, t_id) marks each row's hit flag
+       (row IS its pair's fact) — the shuffle the scores already paid;
+    2. per-relation 0.5-threshold label/pred/tp counts reduce map-side
+       (n_rel rows reach the driver) for the micro/macro block;
+    3. one global ``Dataset.sort`` by (-score, h_id, t_id, relation),
+       then each sorted block computes its exact PR-curve slice from its
+       (rank, hit) prefix offsets alone — the carried-block-prefix
+       pattern of ``streaming.running_totals`` — and only per-block
+       scalars (trapezoid area slice, first-max F1 candidate, precision
+       sum, P@k candidates) reach the driver.
+
+    Per-element prec/rec/F1 values are bit-identical to ``bag_eval``;
+    only the order the trapezoid/mean sums accumulate differs, which the
+    shared 1e-12 rounding grid absorbs (see ``bag_eval``).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    # ---- 1. hit-marking bucketed pass -------------------------------
+    def mark_bucket(g):
+        g = g.sort_values(["h_id", "t_id", "score", "relation"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        first = ~g.duplicated(["h_id", "t_id"], keep="first")
+        g = g.assign(hit=first.to_numpy().astype(np.int64))
+        return g[["h_id", "t_id", "relation", "score", "hit"]]
+
+    marked = hash_bucket_aggregate(
+        scores_ds.select_columns(["h_id", "t_id", "relation", "score"]),
+        ["h_id", "t_id"], mark_bucket, rows_hint=rows_hint).materialize()
+
+    # ---- 2. per-relation threshold partials (map-side reduce) -------
+    def rel_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        pred = (df["score"] >= threshold).to_numpy()
+        hit = df["hit"].to_numpy().astype(bool)
+        out = pd.DataFrame({"relation": df["relation"],
+                            "label_c": hit.astype(np.int64),
+                            "pred_c": pred.astype(np.int64),
+                            "tp_c": (hit & pred).astype(np.int64)})
+        agg = out.groupby("relation", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    rel_rows = (marked.map_batches(rel_partials, batch_format="pyarrow")
+                .to_pandas().groupby("relation", as_index=False).sum())
+    n_rel = len(rel2id)
+    label_v = np.zeros(n_rel, np.int64)
+    pred_v = np.zeros(n_rel, np.int64)
+    tp_v = np.zeros(n_rel, np.int64)
+    for _, r in rel_rows.iterrows():
+        rid = rel2id[r["relation"]]
+        label_v[rid] = r["label_c"]
+        pred_v[rid] = r["pred_c"]
+        tp_v[rid] = r["tp_c"]
+    total_facts = int(label_v.sum())
+
+    # ---- 3. global sort + per-block PR-curve slices ------------------
+    sorted_ds = marked.sort(["score", "h_id", "t_id", "relation"],
+                            descending=[True, False, False, False]
+                            ).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def counts(t: pa.Table):
+        return (t.num_rows,
+                int(np.asarray(t.column("hit").to_numpy(
+                    zero_copy_only=False)).sum()))
+
+    @ray.remote
+    def block_slice(t: pa.Table, rank_off: int, hit_off: int,
+                    total: int, ks: tuple):
+        n = t.num_rows
+        if n == 0:
+            return {"trapz": 0.0, "prec_sum": 0.0, "f1": None,
+                    "pk": {}}
+        hits = np.asarray(t.column("hit").to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        cum = hit_off + hits.cumsum()
+        ranks = np.arange(rank_off + 1, rank_off + 1 + n, dtype=np.int64)
+        prec = cum / ranks
+        rec = cum / max(total, 1)
+        # np.trapz segment sum: dx * (y_i + y_{i-1}) / 2 per consecutive
+        # pair, including the boundary segment back to the previous
+        # block's last point (absent only for the global first point)
+        if rank_off > 0:
+            prev_prec = hit_off / rank_off
+            prev_rec = hit_off / max(total, 1)
+            x = np.concatenate([[prev_rec], rec])
+            y = np.concatenate([[prev_prec], prec])
+        else:
+            x, y = rec, prec
+        trapz = float((np.diff(x) * (y[1:] + y[:-1]) / 2.0).sum())
+        f1 = 2 * prec * rec / (prec + rec + 1e-20)
+        bi = int(f1.argmax())
+        f1_cand = (float(f1[bi]), rank_off + bi,
+                   float(t.column("score")[bi].as_py()))
+        pk = {k: float(prec[k - 1 - rank_off]) for k in ks
+              if rank_off < k <= rank_off + n}
+        return {"trapz": trapz, "prec_sum": float(prec.sum()),
+                "f1": f1_cand, "pk": pk}
+
+    per_block = ray.get([counts.remote(r) for r in refs])
+    ns = [c[0] for c in per_block]
+    hs = [c[1] for c in per_block]
+    rank_offs = np.concatenate([[0], np.cumsum(ns[:-1])]) if ns else []
+    hit_offs = np.concatenate([[0], np.cumsum(hs[:-1])]) if hs else []
+    ks = (100, 200, 300)
+    slices = ray.get([
+        block_slice.remote(r, int(ro), int(ho), total_facts, ks)
+        for r, ro, ho in zip(refs, rank_offs, hit_offs)])
+
+    n_rows = int(sum(ns))
+    auc = float(sum(s["trapz"] for s in slices))
+    mean_prec = (float(sum(s["prec_sum"] for s in slices)) / n_rows
+                 if n_rows else 0.0)
+    f1_cands = [s["f1"] for s in slices if s["f1"] is not None]
+    if f1_cands:
+        best_f1, best_idx, best_score = max(
+            f1_cands, key=lambda c: (c[0], -c[1]))
+    else:
+        best_f1, best_score = 0.0, 0.0
+    out = {
+        "auc": auc if n_rows else 0.0,
+        "max_micro_f1": best_f1,
+        "best_threshold": best_score,
+        "mean_prec": mean_prec,
+    }
+    pk_all: dict = {}
+    for s in slices:
+        pk_all.update(s["pk"])
+    for k in ks:
+        out[f"p@{k}"] = pk_all.get(k) if n_rows >= k else None
+
+    # micro/macro at threshold over relation columns 1..n_rel-1 (the
+    # same NA-column exclusion as bag_eval)
+    lv, pv, tv = label_v[1:], pred_v[1:], tp_v[1:]
+    tp = int(tv.sum())
+    micro_p = tp / pv.sum() if pv.sum() else 0.0
+    micro_r = tp / lv.sum() if lv.sum() else 0.0
+    micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                if micro_p + micro_r else 0.0)
+    ps = np.where(pv > 0, tv / np.maximum(pv, 1), 0.0)
+    rs = np.where(lv > 0, tv / np.maximum(lv, 1), 0.0)
+    fs = np.where(ps + rs > 0, 2 * ps * rs / np.maximum(ps + rs, 1e-300),
+                  0.0)
+    out.update({
+        "micro_p_05": float(micro_p), "micro_r_05": float(micro_r),
+        "micro_f1_05": float(micro_f1), "macro_p": float(np.mean(ps)),
+        "macro_r": float(np.mean(rs)), "macro_f1": float(np.mean(fs))})
+    return {k: (round(v, 12) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
 def _prf(label: np.ndarray, pred: np.ndarray) -> dict:
     """micro + macro P/R/F1 over a binary label/pred matrix."""
     tp = (label & pred).sum()

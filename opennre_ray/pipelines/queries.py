@@ -2456,21 +2456,17 @@ def bag_relation_scores(sf_dir):
 
 
 def bag_eval_metrics(sf_dir):
-    """O1-O5 metric pass over the bag scores (single-row result)."""
-    from .evalmetrics import bag_eval
+    """O1-O5 metric pass over the bag scores (single-row result).
+
+    Runs fully distributed (``bag_eval_distributed``): the bag×relation
+    prediction rows never collect to the driver — facts (argmax relation
+    per entity pair) mark in the bucketed pass the scores already paid,
+    and the PR curve computes as per-block slices of one global score
+    sort stitched with carried prefix offsets."""
+    from .evalmetrics import bag_eval_distributed
     from ..fixtures import default_rel2id
 
-    scores = bag_relation_scores(sf_dir).to_pandas()
-    rows = scores.rename(columns={"relation": "relation"}).to_dict("records")
-    # synthetic fact set: top-scoring relation per entity pair
-    facts = set()
-    for (h, t), g in scores.groupby(["h_id", "t_id"]):
-        best = g.loc[g["score"].idxmax()]
-        facts.add((h, t, best["relation"]))
-    m = bag_eval(
-        [{"h_id": r["h_id"], "t_id": r["t_id"], "relation": r["relation"],
-          "score": r["score"]} for r in rows],
-        facts, default_rel2id())
+    m = bag_eval_distributed(bag_relation_scores(sf_dir), default_rel2id())
     scalars = {k: [v] for k, v in m.items() if not isinstance(m[k], np.ndarray)}
     return pd.DataFrame(scalars)
 

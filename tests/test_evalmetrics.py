@@ -62,3 +62,36 @@ def test_triple_prf():
     gold = [("a", "r", "b"), ("e", "r", "f")]
     r = triple_prf(pred, gold)
     assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
+
+
+def test_bag_eval_distributed_matches_sequential(ray_session):
+    """The distributed per-block PR pass (carried prefix offsets) must
+    reproduce bag_eval exactly on a multi-block synthetic score set,
+    where facts are the per-pair argmax relation on both sides."""
+    import ray.data as rd
+
+    from opennre_ray.pipelines.evalmetrics import bag_eval_distributed
+
+    rng = np.random.default_rng(7)
+    rels = ["NA", "r1", "r2", "r3"]
+    rel2id = {r: i for i, r in enumerate(rels)}
+    rows = []
+    for pair in range(120):
+        for rel in rels[1:]:
+            rows.append({"h_id": f"H{pair}", "t_id": f"T{pair}",
+                         "relation": rel,
+                         "score": float(rng.uniform(0, 1))})
+    facts = set()
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    for (h, t), g in df.groupby(["h_id", "t_id"]):
+        best = g.loc[g["score"].idxmax()]
+        facts.add((h, t, best["relation"]))
+    seq = bag_eval(rows, facts, rel2id)
+    dist = bag_eval_distributed(rd.from_items(rows).repartition(7), rel2id)
+    assert set(seq) == set(dist)
+    for k in seq:
+        if seq[k] is None:
+            assert dist[k] is None
+        else:
+            assert dist[k] == seq[k], (k, seq[k], dist[k])
