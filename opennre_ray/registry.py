@@ -208,3 +208,188 @@ def get_model(name: str, rel2id=None, word2id=None) -> NREModel:
     model.model_hash = _weights_hash(
         {"enc": enc.w, "fc_w": fc_w, "fc_b": fc_b})
     return model
+
+
+# ---------------------------------------------------------------------------
+# Weight import/export: run REAL checkpoints through the numpy forward.
+#
+# The sandbox has no torch and no network, so get_model() draws seeded
+# weights — but the architectures match the reference exactly
+# (``opennre/encoder/cnn_encoder.py``, ``pcnn_encoder.py``,
+# ``model/softmax_nn.py``), so a user holding the reference's actual
+# wiki80 checkpoint can export it once
+# (``np.savez(path, **{k: t.cpu().numpy() for k, t in sd.items()})``)
+# and load_model() runs it here, closing the golden-score gap
+# (reference ``tests/test_inference.py:8-11``) outside the sandbox.
+# ---------------------------------------------------------------------------
+
+#: torch-convention state-dict keys → internal names. Array layouts
+#: already agree: Conv1d (H, C, K), Embedding (V, D), Linear (out, in).
+_TORCH_KEY_MAP = {
+    "sentence_encoder.word_embedding.weight": "word_emb",
+    "sentence_encoder.pos1_embedding.weight": "pos1_emb",
+    "sentence_encoder.pos2_embedding.weight": "pos2_emb",
+    "sentence_encoder.conv.weight": "conv_w",
+    "sentence_encoder.conv.bias": "conv_b",
+    "sentence_encoder.lstm.weight_ih_l0": "lstm_w_ih",
+    "sentence_encoder.lstm.weight_hh_l0": "lstm_w_hh",
+    "sentence_encoder.rnn.weight_ih_l0": "rnn_w_ih",
+    "sentence_encoder.rnn.weight_hh_l0": "rnn_w_hh",
+    "fc.weight": "fc_w",
+    "fc.bias": "fc_b",
+}
+#: torch RNN/LSTM carry two bias vectors per gate set; the fused cell
+#: adds them, so both keys accumulate into the single internal bias
+_TORCH_BIAS_SUM = {
+    "sentence_encoder.lstm.bias_ih_l0": "lstm_b",
+    "sentence_encoder.lstm.bias_hh_l0": "lstm_b",
+    "sentence_encoder.rnn.bias_ih_l0": "rnn_b",
+    "sentence_encoder.rnn.bias_hh_l0": "rnn_b",
+}
+#: fixed (non-trained) buffers the numpy forward derives itself
+_TORCH_IGNORED = frozenset({"sentence_encoder.mask_embedding.weight"})
+
+_HEAD_KEYS = ("fc_w", "fc_b", "diag")
+
+
+def _flatten_tree(obj, prefix: str = "") -> dict:
+    out: dict = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            out.update(_flatten_tree(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(obj)
+    return out
+
+
+def _nested_set(root: dict, parts: list[str], value) -> None:
+    node = root
+    for i, p in enumerate(parts[:-1]):
+        nxt = [] if parts[i + 1].isdigit() else {}
+        if p.isdigit():
+            idx = int(p)
+            while len(node) <= idx:
+                node.append(None)
+            if node[idx] is None:
+                node[idx] = nxt
+            node = node[idx]
+        else:
+            node = node.setdefault(p, nxt)
+    last = parts[-1]
+    if last.isdigit():
+        idx = int(last)
+        while len(node) <= idx:
+            node.append(None)
+        node[idx] = value
+    else:
+        node[last] = value
+
+
+def export_state_dict(model: NREModel, path: str) -> None:
+    """Write the model's weights as a flat ``.npz`` state dict — keys
+    ``encoder.<name>`` (``encoder.layers.<i>.<name>`` for transformer
+    blocks) plus ``fc_w`` / ``fc_b`` / optional ``diag``. The same
+    format ``load_model`` ingests, so models round-trip bit-exactly."""
+    flat = _flatten_tree({"encoder": model.encoder.w})
+    flat["fc_w"] = model.head.fc_w
+    flat["fc_b"] = model.head.fc_b
+    if model.diag is not None:
+        flat["diag"] = model.diag
+    np.savez(path, **flat)
+
+
+def load_model(name: str, path: str, rel2id=None, word2id=None,
+               n_heads: int = 4) -> NREModel:
+    """Build ``name``'s architecture with weights IMPORTED from an
+    ``.npz`` state dict instead of the seeded registry draw.
+
+    Accepts either this module's export format (``export_state_dict``)
+    or a reference torch state dict saved array-per-key
+    (``_TORCH_KEY_MAP`` translates names; RNN/LSTM bias pairs sum; the
+    fixed PCNN mask-embedding buffer is ignored). Hyperparameters
+    (hidden size, max length, layer count) are inferred from array
+    shapes; ``rel2id`` / ``word2id`` must match the checkpoint's output
+    and vocabulary dimensions — mismatches raise ``ValueError`` with
+    both shapes. ``model_hash`` content-addresses the LOADED weights, so
+    lineage columns distinguish real-checkpoint from seeded runs.
+    """
+    rel2id = rel2id or fixtures.default_rel2id()
+    raw = np.load(path)
+    flat: dict = {}
+    bias_acc: dict = {}
+    for k in raw.files:
+        if k in _TORCH_IGNORED:
+            continue
+        v = np.asarray(raw[k], dtype=np.float32)
+        if k in _TORCH_BIAS_SUM:
+            tgt = _TORCH_BIAS_SUM[k]
+            bias_acc[tgt] = bias_acc.get(tgt, 0) + v
+            continue
+        k = _TORCH_KEY_MAP.get(k, k)
+        if k not in _HEAD_KEYS and not k.startswith("encoder."):
+            k = f"encoder.{k}"
+        flat[k] = v
+    for tgt, v in bias_acc.items():
+        flat[f"encoder.{tgt}"] = v.astype(np.float32)
+
+    enc_w: dict = {}
+    for k, v in flat.items():
+        if k.startswith("encoder."):
+            _nested_set(enc_w, k.split(".")[1:], v)
+
+    if "fc_w" not in flat:
+        raise ValueError(f"state dict at {path} has no fc weights "
+                         f"(keys: {sorted(raw.files)[:8]}...)")
+    fc_w, fc_b = flat["fc_w"], flat.get(
+        "fc_b", np.zeros(flat["fc_w"].shape[0], np.float32))
+    if fc_w.shape[0] != len(rel2id):
+        raise ValueError(f"fc_w has {fc_w.shape[0]} relations but rel2id "
+                         f"has {len(rel2id)}")
+
+    if "bert" in name:
+        vocab = word2id or fixtures.bert_vocab()
+        entity_repr = "ent_w" in enc_w
+        enc = BertSentenceEncoder(
+            vocab, enc_w, max_length=enc_w["pos_emb"].shape[0],
+            hidden_size=enc_w["word_emb"].shape[1],
+            n_layers=len(enc_w["layers"]), n_heads=n_heads,
+            entity_repr=entity_repr)
+    else:
+        word2id = word2id or fixtures.default_word2id()
+        max_length = enc_w["pos1_emb"].shape[0] // 2
+        if "lstm_w_hh" in enc_w:
+            enc = LstmSentenceEncoder(word2id, enc_w, max_length=max_length,
+                                      hidden_size=enc_w["lstm_w_hh"].shape[1])
+        elif "rnn_w_hh" in enc_w:
+            enc = RnnSentenceEncoder(word2id, enc_w, max_length=max_length,
+                                     hidden_size=enc_w["rnn_w_hh"].shape[1])
+        else:
+            cls = PcnnSentenceEncoder if "pcnn" in name \
+                else CnnSentenceEncoder
+            enc = cls(word2id, enc_w, max_length=max_length,
+                      hidden_size=enc_w["conv_w"].shape[0])
+        n_vocab = enc_w["word_emb"].shape[0]
+        if len(enc.token2id) != n_vocab:
+            raise ValueError(
+                f"word_emb has {n_vocab} rows but the vocabulary resolves "
+                f"to {len(enc.token2id)} tokens (incl. [UNK]/[PAD]) — pass "
+                f"the checkpoint's own word2id")
+    if fc_w.shape[1] != enc.hidden_size:
+        raise ValueError(f"fc_w expects {fc_w.shape[1]}-d representations "
+                         f"but the encoder produces {enc.hidden_size}-d")
+
+    head_cls = SigmoidHead if "sigmoid" in name else SoftmaxHead
+    head = head_cls(fc_w, fc_b, rel2id)
+    aggregator = next((a for a in ("att", "avg", "one")
+                       if name.endswith("_" + a)), None)
+    diag = None
+    if aggregator == "att":
+        diag = flat.get("diag", np.ones(enc.hidden_size, dtype=np.float32))
+
+    model = NREModel(name, enc, head, aggregator=aggregator, diag=diag)
+    model.model_hash = _weights_hash(
+        {"enc": enc.w, "fc_w": fc_w, "fc_b": fc_b})
+    return model
