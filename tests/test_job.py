@@ -149,3 +149,70 @@ def test_curation_job_resume_and_parity(ray_session, shards, tmp_path):
     want = (chain.to_pandas()
             .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_chaos_midwrite_crash_then_resume(ray_session, shards, tmp_path,
+                                          monkeypatch):
+    """Kill a shard task mid-write, restart, and prove exactly-once
+    semantics: the crashed shard leaves no manifest (its partial _tmp
+    output is invisible to resume and to compaction), the restart
+    re-runs ONLY that shard, and the final triples + per-shard manifest
+    counters are identical to a never-crashed run — no double counts."""
+    import pandas as pd
+
+    import opennre_ray.pipelines.job as job_mod
+
+    # --- clean reference run -----------------------------------------
+    clean = str(tmp_path / "clean")
+    run_kg_job(shards[:2], clean)
+
+    def read_triples(out):
+        tdir = os.path.join(out, "triples")
+        files = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+        return (pd.concat([pq.read_table(os.path.join(tdir, f)).to_pandas()
+                           for f in files])
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True)) if files else pd.DataFrame()
+
+    def read_counters(out):
+        cdir = os.path.join(out, "candidates")
+        return {n: json.load(open(os.path.join(cdir, n, "manifest.json")))
+                ["counters"] for n in sorted(os.listdir(cdir))
+                if n.startswith("shard=")}
+
+    # --- crashed run: poison the SECOND shard while the sentinel exists
+    out = str(tmp_path / "chaos")
+    sentinel = str(tmp_path / "crash-now")
+    open(sentinel, "w").close()
+    target = shards[1]
+    orig = job_mod.shard_candidates
+
+    def poisoned(shard_file, **kw):
+        ds = orig(shard_file, **kw)
+        if shard_file == target:
+            def boom(b):
+                if os.path.exists(sentinel):
+                    raise RuntimeError("injected mid-write crash")
+                return b
+            ds = ds.map_batches(boom, batch_format="pyarrow")
+        return ds
+
+    monkeypatch.setattr(job_mod, "shard_candidates", poisoned)
+    with pytest.raises(Exception, match="injected mid-write crash"):
+        run_kg_job(shards[:2], out)
+
+    name0 = os.path.splitext(os.path.basename(shards[0]))[0]
+    name1 = os.path.splitext(os.path.basename(target))[0]
+    cdir = os.path.join(out, "candidates")
+    assert os.path.exists(os.path.join(cdir, f"shard={name0}",
+                                       "manifest.json"))
+    assert not os.path.exists(os.path.join(cdir, f"shard={name1}"))
+
+    # --- restart (crash condition cleared): only the dead shard re-runs
+    os.remove(sentinel)
+    res = run_kg_job(shards[:2], out)
+    assert res["skipped"] == [name0]
+    assert res["completed"] == [name1]
+
+    pd.testing.assert_frame_equal(read_triples(out), read_triples(clean))
+    assert read_counters(out) == read_counters(clean)
