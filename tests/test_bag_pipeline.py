@@ -79,3 +79,87 @@ def test_bag_resample_deterministic():
     out2 = scorer(g.copy())
     pd.testing.assert_frame_equal(out1, out2)
     assert (out1["bag_size"] == 3).all()
+
+
+def test_member_salts_bound_group_sizes():
+    """Content salting splits an oversize bag into ceil(n/threshold)
+    groups with balanced sizes — no single shuffle group holds more than
+    ~threshold rows."""
+    from opennre_ray.pipelines.bag import _member_salts
+
+    n, thr = 30_000, 512
+    g = pd.DataFrame({
+        "text": [f"alpha {i % 977} beta {i}" for i in range(n)],
+        "h_start": np.zeros(n, np.int64),
+        "t_start": np.full(n, 11, np.int64)})
+    n_salt = int(np.ceil(n / thr))
+    salts = _member_salts(g, np.full(n, n_salt, np.int64))
+    sizes = np.bincount(salts, minlength=n_salt)
+    assert salts.min() >= 0 and salts.max() < n_salt
+    assert sizes.max() <= 2 * thr
+    # deterministic under row order (content-derived)
+    perm = np.random.default_rng(0).permutation(n)
+    again = _member_salts(g.iloc[perm], np.full(n, n_salt, np.int64))
+    assert np.array_equal(again, salts[perm])
+
+
+def test_oversize_bag_salted_path_matches_direct(ray_session):
+    """A monster entity pair routes through the salted two-stage
+    aggregate; its scores match the unsplit path and the COLD bags keep
+    the exact single-stage float path (bit-identical)."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(30_000):
+        rows.append({"text": f"alpha{i % 977} works with beta node {i}",
+                     "h_id": "HOT", "t_id": "PAIR",
+                     "h_start": 0, "h_end": 6, "t_start": 17, "t_end": 21})
+    for j in range(4):
+        for i in range(3):
+            rows.append({"text": f"data stream window batch {j} {i}",
+                         "h_id": f"C{j}", "t_id": f"D{j}",
+                         "h_start": 0, "h_end": 4, "t_start": 5,
+                         "t_end": 11})
+    df = pd.DataFrame(rows)
+    key = ["h_id", "t_id", "relation"]
+    salted = (bag_scores(rd.from_pandas(df).repartition(8),
+                         oversize_threshold=512)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    direct = (bag_scores(rd.from_pandas(df).repartition(8),
+                         oversize_threshold=None)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(salted) == len(direct)
+    assert (salted["bag_size"].to_numpy()
+            == direct["bag_size"].to_numpy()).all()
+    assert (salted[salted.h_id == "HOT"]["bag_size"] == 30_000).all()
+    np.testing.assert_allclose(salted["score"].to_numpy(),
+                               direct["score"].to_numpy(),
+                               rtol=1e-4, atol=1e-5)
+    cold_s = salted[salted.h_id != "HOT"]["score"].to_numpy()
+    cold_d = direct[direct.h_id != "HOT"]["score"].to_numpy()
+    assert (cold_s == cold_d).all()
+
+
+@pytest.mark.parametrize("model_name", ["nyt10_pcnn_att", "nyt10_pcnn_avg",
+                                        "nyt10_pcnn_one"])
+def test_salted_merge_all_aggregators(ray_session, model_name):
+    """att (log-sum-exp rescale), avg (weighted mean) and one (max) all
+    merge partials back to the unsplit score."""
+    import ray.data as rd
+
+    rows = [{"text": f"gamma {i % 53} delta stream {i}",
+             "h_id": "H", "t_id": "T",
+             "h_start": 0, "h_end": 5, "t_start": 9, "t_end": 14}
+            for i in range(3_000)]
+    df = pd.DataFrame(rows)
+    key = ["relation"]
+    salted = (bag_scores(rd.from_pandas(df).repartition(4), model_name,
+                         oversize_threshold=256)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    direct = (bag_scores(rd.from_pandas(df).repartition(4), model_name,
+                         oversize_threshold=None)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    np.testing.assert_allclose(salted["score"].to_numpy(),
+                               direct["score"].to_numpy(),
+                               rtol=1e-4, atol=1e-5)
+    assert (salted["bag_size"] == 3_000).all()
