@@ -367,11 +367,15 @@ def bag_scores(instances_ds, model_name="nyt10_pcnn_att", bag_size=0,
         return (b.groupby(["h_id", "t_id"], as_index=False).size()
                 .rename(columns={"size": "cnt"}))
 
+    # the count stream is map-side-collapsed to distinct-pair partials —
+    # a coarse 8-bucket exchange beats the default fan-out (per-block
+    # fixed sort cost dominates tiny shuffles; see BASELINE.md)
     counts = hash_bucket_aggregate(
-        inst.map_batches(count_partial, batch_format="pandas"),
+        inst.select_columns(["h_id", "t_id"])    # don't ship text bytes
+        .map_batches(count_partial, batch_format="pandas"),
         ["h_id", "t_id"],
         lambda g: g.groupby(["h_id", "t_id"], as_index=False)["cnt"].sum(),
-        n_buckets=n_buckets)
+        n_buckets=8)
     hot_df = counts.map_batches(
         lambda b: b[b["cnt"] > oversize_threshold],
         batch_format="pandas").to_pandas()
@@ -416,6 +420,7 @@ def bag_scores(instances_ds, model_name="nyt10_pcnn_att", bag_size=0,
     partials = hash_bucket_aggregate(
         inst.map_batches(split_hot, batch_format="pandas"),
         ["h_id", "t_id", "_salt"], partial_bucket, n_buckets=n_buckets)
+    # partials are hot-pair × salt rows (tiny); coarse merge exchange
     hot_scores = hash_bucket_aggregate(partials, ["h_id", "t_id"],
-                                       merge_bucket, n_buckets=n_buckets)
+                                       merge_bucket, n_buckets=8)
     return cold_scores.union(hot_scores)
