@@ -6206,12 +6206,6 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "lineitem_quantiles": lineitem_quantiles,
     "lineitem_price_ddsketch": lineitem_price_ddsketch,
-    "kg_triples_pcnn": kg_triples_pcnn,
-    "kg_triples_bert": kg_triples_bert,
-    "fewshot_classify": fewshot_classify,
-    "sentence_relation_scores": sentence_relation_scores,
-    "encoded_instances": encoded_instances,
-    "bag_relation_scores": bag_relation_scores,
     "docs_heavy_hitters_verified": docs_heavy_hitters_verified,
     "docs_hash_split": docs_hash_split,
     "docs_lang_balanced_sample": docs_lang_balanced_sample,
@@ -6280,13 +6274,23 @@ QUERIES = {
     "lineitem_price_histogram": lineitem_price_histogram,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "orders_above_customer_avg": orders_above_customer_avg,
-    "docs_heavy_hitter_words": docs_heavy_hitter_words,
-    "events_approx_distinct_users": events_approx_distinct_users,
     "docs_simhash": docs_simhash,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    # --- rows-only by design (model/sketch/approximate outputs too
+    # large or non-SQL-replayable to value-pin; each has a pinned
+    # *_stats companion or a pytest oracle)
+    "kg_triples_pcnn": kg_triples_pcnn,
+    "kg_triples_bert": kg_triples_bert,
+    "fewshot_classify": fewshot_classify,
+    "sentence_relation_scores": sentence_relation_scores,
+    "encoded_instances": encoded_instances,
+    "bag_relation_scores": bag_relation_scores,
+    "docs_heavy_hitter_words": docs_heavy_hitter_words,
+    "events_approx_distinct_users": events_approx_distinct_users,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
 }
+
 
 
 ORACLES = {
