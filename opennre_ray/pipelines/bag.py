@@ -376,9 +376,16 @@ def bag_scores(instances_ds, model_name="nyt10_pcnn_att", bag_size=0,
         ["h_id", "t_id"],
         lambda g: g.groupby(["h_id", "t_id"], as_index=False)["cnt"].sum(),
         n_buckets=8)
-    hot_df = counts.map_batches(
-        lambda b: b[b["cnt"] > oversize_threshold],
-        batch_format="pandas").to_pandas()
+    def only_hot(b: pd.DataFrame) -> pd.DataFrame:
+        # groupby aggregates emit schema-less empty blocks — pass a typed
+        # empty frame through instead of KeyError-ing on them
+        if "cnt" not in b.columns:
+            return pd.DataFrame({"h_id": pd.Series([], dtype=object),
+                                 "t_id": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return b[b["cnt"] > oversize_threshold]
+
+    hot_df = counts.map_batches(only_hot, batch_format="pandas").to_pandas()
     if not len(hot_df):
         return direct(inst)
 
