@@ -160,6 +160,10 @@ def bag_eval_distributed(scores_ds, rel2id: dict,
     def rel_partials(b: pa.Table) -> pa.Table:
         import pandas as pd
         df = b.to_pandas()
+        if "score" not in df.columns:        # schema-less empty block
+            df = pd.DataFrame({"relation": pd.Series([], dtype=object),
+                               "score": pd.Series([], dtype="float64"),
+                               "hit": pd.Series([], dtype="int64")})
         pred = (df["score"] >= threshold).to_numpy()
         hit = df["hit"].to_numpy().astype(bool)
         out = pd.DataFrame({"relation": df["relation"],
