@@ -164,8 +164,10 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
     output key column keeps ``left_key``'s name.
 
     ``how``: 'inner', 'left' (outer — unmatched left rows keep nulls in
-    ``right_cols``), 'left_semi' or 'left_anti' (semi/anti emit left rows
-    whose key is / is not present on the right; right_cols ignored).
+    ``right_cols``), 'full' (outer both ways — unmatched rows from either
+    side survive with nulls in the other side's columns; the key column is
+    always populated), 'left_semi' or 'left_anti' (semi/anti emit left
+    rows whose key is / is not present on the right; right_cols ignored).
 
     Caveat: the tagged union stores each side's absent columns as nulls, so
     non-string value columns may round-trip through pandas as nullable /
@@ -173,7 +175,7 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
     """
     import pandas as pd
 
-    if how not in ("inner", "left", "left_semi", "left_anti"):
+    if how not in ("inner", "left", "full", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
@@ -205,7 +207,8 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str,
             out = lhs[mask if how == "left_semi" else ~mask]
         else:
             rhs = g.loc[g["_side"] == 1, ["_key"] + list(right_cols)]
-            out = lhs.merge(rhs, on="_key", how=how)
+            out = lhs.merge(rhs, on="_key",
+                            how="outer" if how == "full" else how)
         return out.rename(columns={"_key": left_key})
 
     return hash_bucket_aggregate(tagged, ["_key"], per_bucket,

@@ -550,6 +550,71 @@ GROUP BY c_custkey
 """
 
 
+_PERIOD_SPLIT = "1998-01-01"
+
+
+def orders_period_full_join(sf_dir):
+    """FULL OUTER shuffle join: per-customer order counts in the early
+    period (orderdate < 1998) vs the late period (>= 1998). Customers
+    active in only one period appear on only one side, so BOTH outer
+    directions are exercised (8 left-only / 20 right-only at sf0.01).
+
+    Each side map-side-combines order rows to per-customer count partials
+    before its bucketed sum (the exchanges move customer-cardinality
+    rows, never order rows), then ``shuffle_join(how='full')`` stitches
+    the periods; absent counts coalesce to 0 for a stable int64 schema.
+    Covers the one join direction the engine's hash join lacked
+    (inner/left/semi/anti landed in earlier rounds)."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   rows_per_block=65_536)
+    split = pd.Timestamp(_PERIOD_SPLIT)
+    n_cust = _nrows(sf_dir, "customer")
+
+    def side_counts(early: bool, out_col: str):
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["o_orderdate"] < split) if early \
+                else (b["o_orderdate"] >= split)
+            vc = b.loc[m, "o_custkey"].value_counts()
+            return pd.DataFrame({"o_custkey": vc.index.astype("int64"),
+                                 out_col: vc.values.astype("int64")})
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("o_custkey", as_index=False)[out_col]
+                    .sum().astype("int64"))
+
+        return hash_bucket_aggregate(
+            orders.map_batches(tag, batch_format="pandas"),
+            ["o_custkey"], per_bucket, rows_hint=n_cust)
+
+    joined = shuffle_join(side_counts(True, "n_early"),
+                          side_counts(False, "n_late"),
+                          "o_custkey", "o_custkey",
+                          ["n_early"], ["n_late"],
+                          how="full", rows_hint=n_cust)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "n_early": b["n_early"].fillna(0).astype("int64"),
+            "n_late": b["n_late"].fillna(0).astype("int64")})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_ORDERS_PERIOD_FULL_JOIN = f"""
+WITH a AS (SELECT o_custkey, count(*)::BIGINT AS n_early FROM orders
+           WHERE o_orderdate < TIMESTAMP '{_PERIOD_SPLIT}' GROUP BY 1),
+     b AS (SELECT o_custkey, count(*)::BIGINT AS n_late FROM orders
+           WHERE o_orderdate >= TIMESTAMP '{_PERIOD_SPLIT}' GROUP BY 1)
+SELECT coalesce(a.o_custkey, b.o_custkey)::BIGINT AS o_custkey,
+       coalesce(n_early, 0)::BIGINT AS n_early,
+       coalesce(n_late, 0)::BIGINT AS n_late
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
 SQL_LINEITEM_PART_SKEW_JOIN = """
 SELECT p_brand, count(*)::BIGINT AS n_items,
        round(sum(l_extendedprice), 2) AS revenue
@@ -6177,6 +6242,7 @@ QUERIES = {
     # --- remainder (sweep-verified; scripts/sweep_correctness.py runs
     # every value-oracled query at sf0.01 and sf0.1 each round)
     "lineitem_filter_agg": lineitem_filter_agg,
+    "orders_period_full_join": orders_period_full_join,
     "topk_orders": topk_orders,
     "customer_nation_join": customer_nation_join,
     "supplier_region_join": supplier_region_join,
@@ -6419,6 +6485,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "lineitem_part_skew_join": SQL_LINEITEM_PART_SKEW_JOIN,
     "customers_order_counts": SQL_CUSTOMERS_ORDER_COUNTS,
+    "orders_period_full_join": SQL_ORDERS_PERIOD_FULL_JOIN,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
     "lineitem_price_histogram": SQL_LINEITEM_PRICE_HISTOGRAM,

@@ -301,3 +301,30 @@ def test_shuffle_join_left_outer(ray_session):
                      how="left")[["k", "lv", "rv"]]
     pd.testing.assert_frame_equal(out.astype({"rv": float}), exp,
                                   check_dtype=False)
+
+
+def test_shuffle_join_full_outer(ray_session):
+    """how='full' keeps unmatched rows from BOTH sides; the key column is
+    populated for every row, and each side's value columns are null on the
+    other side's exclusive keys."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import shuffle_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 2], "lv": ["a", "b", "c", "b2"]})
+    right = pd.DataFrame({"rk": [2, 5, 6], "rv": [20.0, 50.0, 60.0]})
+    out = shuffle_join(rd.from_pandas(left).repartition(3),
+                       rd.from_pandas(right).repartition(2),
+                       "k", "rk", ["lv"], ["rv"],
+                       how="full", n_buckets=4).to_pandas()
+    exp = (left.merge(right, left_on="k", right_on="rk", how="outer")
+           .assign(k=lambda d: d["k"].fillna(d["rk"]))[["k", "lv", "rv"]])
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True).astype({"k": float}),
+        exp.sort_values(key).reset_index(drop=True).astype({"k": float}),
+        check_dtype=False)
+    assert out["k"].notna().all()
+    # both outer directions actually fired
+    assert out.loc[out["k"] == 3, "rv"].isna().all()
+    assert out.loc[out["k"] == 5, "lv"].isna().all()
