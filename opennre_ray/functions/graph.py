@@ -16,6 +16,8 @@ Everything here is expressed Ray-Data-first:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -663,6 +665,97 @@ def triangle_count(edges_ds, *, rows_hint: int | None = None):
     return pd.DataFrame({"n_wedges": pd.Series([n_wedges], dtype=np.int64),
                          "n_triangles": pd.Series([n_tri],
                                                   dtype=np.int64)})
+
+
+#: fixed-point scale for Adamic-Adar middle-vertex weights (1/ln(deg))
+AA_SCALE = 1_000_000
+
+
+def adamic_adar(edges_ds, k: int = 50, *, rows_hint: int | None = None):
+    """Adamic-Adar link prediction over a distinct a<b edge Dataset:
+    score(u, w) = sum over common neighbors b of 1/ln(deg(b)), ranked for
+    NON-adjacent pairs only (KG-completion companion to the TransE path —
+    the classic structural baseline, Adamic & Adar 2003).
+
+    Plan: symmetrize edges to (middle, neighbor) adjacency and bucket by
+    the middle vertex — the bucket holds each middle's FULL neighbor set,
+    so its degree, its fixed-point weight floor(AA_SCALE/ln(deg) + 0.5),
+    and all C(deg, 2) neighbor-pair emissions happen in one co-located
+    pass (degree-1 middles generate no wedge and are skipped; ln(1)=0
+    never divides). One more bucketed aggregate sums integer weights per
+    candidate pair (exact — no float-order drift), an anti-join drops
+    pairs that are already edges, and a global sort takes the top k with
+    a deterministic (score desc, a, b) tiebreak.
+
+    Partitioning assumption: emission volume is sum(deg²), the same
+    wedge-join bound as ``triangle_count`` — a power-law hub needs
+    hub-salting (split the hub's neighbor list, merge partial pair
+    weights) before this pass; documented, not needed at TPC-H shapes.
+    """
+    from itertools import combinations
+
+    import pyarrow as pa
+
+    from .relational import hash_bucket_aggregate, shuffle_join
+
+    edges = edges_ds.materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("a"), batch.column("b")
+        return pa.concat_tables([pa.table({"v": a, "n": b}),
+                                 pa.table({"v": b, "n": a})])
+
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+
+    def expand_middle(g: pd.DataFrame) -> pd.DataFrame:
+        us, ws, wts = [], [], []
+        for _, grp in g.groupby("v", sort=False):
+            nbrs = sorted(grp["n"])
+            d = len(nbrs)
+            if d < 2:
+                continue
+            wt = int(math.floor(AA_SCALE / math.log(d) + 0.5))
+            for u, w in combinations(nbrs, 2):
+                us.append(u)
+                ws.append(w)
+                wts.append(wt)
+        return pd.DataFrame({"a": pd.Series(us, dtype=np.int64),
+                             "b": pd.Series(ws, dtype=np.int64),
+                             "wt": pd.Series(wts, dtype=np.int64)})
+
+    wedges = hash_bucket_aggregate(adj, ["v"], expand_middle,
+                                   rows_hint=rows_hint)
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], sort=False)["wt"]
+               .agg(aa_fp="sum", common_neighbors="count").reset_index())
+        return out.astype({"aa_fp": np.int64,
+                           "common_neighbors": np.int64})
+
+    scored = hash_bucket_aggregate(wedges, ["a", "b"], sum_pairs,
+                                   rows_hint=rows_hint)
+
+    def pair_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
+                      + batch["b"].astype(np.int64).astype(str))
+        return batch
+
+    cand = shuffle_join(
+        scored.map_batches(pair_key, batch_format="pandas"),
+        edges.map_batches(pair_key, batch_format="pandas")
+             .map_batches(lambda b: b[["k"]], batch_format="pandas"),
+        "k", "k", ["a", "b", "aa_fp", "common_neighbors"], [],
+        how="left_anti", rows_hint=rows_hint)
+
+    cols = ["a", "b", "aa_fp", "common_neighbors"]
+    # the anti-join's tagged union can upcast int columns through the
+    # null-padded right side; pin the output schema back to int64
+    return (cand.map_batches(
+                lambda b: b[cols].astype(np.int64),
+                batch_format="pandas")
+            .sort(["aa_fp", "a", "b"], descending=[True, False, False])
+            .limit(k))
 
 
 def negative_samples(edges_ds, k: int = 2, *, salt: str = "",

@@ -3887,6 +3887,44 @@ SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
 """
 
 
+AA_TOPK = 50
+
+
+def graph_link_prediction_parts(sf_dir):
+    """Adamic-Adar link prediction on the part co-purchase graph: top-k
+    NON-adjacent part pairs ranked by sum of 1/ln(deg) over common
+    neighbors (fixed-point integer sums — exact under any reduction
+    order). The structural KG-completion baseline next to the TransE
+    embedding path."""
+    from ..functions.graph import adamic_adar, build_copurchase_edges
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n = _nrows(sf_dir, "lineitem")
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    return adamic_adar(edges, k=AA_TOPK, rows_hint=8 * n)
+
+
+SQL_GRAPH_LINK_PREDICTION_PARTS = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM adj GROUP BY v),
+w AS (SELECT v, CAST(floor(1000000.0 / ln(d) + 0.5) AS BIGINT) AS wt
+      FROM deg WHERE d >= 2),
+wed AS (SELECT x.n AS a, y.n AS b, w.wt
+        FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+        JOIN w ON w.v = x.v),
+agg AS (SELECT a, b, sum(wt)::BIGINT AS aa_fp,
+               count(*)::BIGINT AS common_neighbors
+        FROM wed GROUP BY a, b),
+cand AS (SELECT * FROM agg WHERE NOT EXISTS
+         (SELECT 1 FROM e WHERE e.a = agg.a AND e.b = agg.b))
+SELECT a, b, aa_fp, common_neighbors FROM cand
+ORDER BY aa_fp DESC, a, b LIMIT {AA_TOPK}
+"""
+
+
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_returnflag",
                 "l_linestatus", "l_shipdate"]
 
@@ -6288,6 +6326,7 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
+    "graph_link_prediction_parts": graph_link_prediction_parts,
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
     "events_latest_per_user": events_latest_per_user,
@@ -6465,6 +6504,7 @@ ORACLES = {
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
+    "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,

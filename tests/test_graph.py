@@ -204,6 +204,31 @@ def test_triangle_count_planted(ray_session):
     assert got2["n_wedges"].tolist() == [8]
 
 
+def test_adamic_adar_hand_computed(ray_session):
+    """5-vertex graph, every score hand-derived: w(v) = round(1e6/ln d).
+    deg-2 middles weigh 1442695, the deg-3 middle weighs 910239; only
+    non-adjacent pairs rank, ordered (score desc, a, b)."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import adamic_adar
+
+    # N(1)={2,5} N(2)={1,3} N(3)={2,4,5} N(4)={3} N(5)={1,3}
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (3, 5)]
+    got = adamic_adar(rd.from_items(
+        [{"a": a, "b": b} for a, b in edges]).repartition(3),
+        k=10).to_pandas()
+    want = pd.DataFrame({
+        "a": [1, 2, 2, 4],
+        "b": [3, 5, 4, 5],
+        # (1,3): middles {2,5} both deg 2 -> 2*1442695
+        # (2,5): middles {1,3} -> 1442695 + 910239
+        # (2,4), (4,5): middle {3} -> 910239
+        "aa_fp": [2885390, 2352934, 910239, 910239],
+        "common_neighbors": [2, 2, 1, 1],
+    }).astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
 def test_copurchase_edges(ray_session):
     """Orders explode to sorted distinct pairs; a pair shared by two
     orders appears once."""
