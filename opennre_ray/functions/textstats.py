@@ -771,6 +771,62 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# PII scrub patterns (CCNet/Dolma-style pre-training hygiene pass).
+# RE2-safe subset only — character classes + bounded quantifiers, no
+# backrefs or lookarounds — so the Python `re` replay and the DuckDB
+# `regexp_replace(..., 'g')` oracle match byte-for-byte (both engines
+# agree on greedy char-class extents; see test_pii_scrub_duckdb_parity).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9][0-9()\-. ]{6,}[0-9]"),
+)
+
+_PII_COMPILED = None
+
+
+def pii_scrub(text: str) -> tuple[str, list[int]]:
+    """Scrub PII spans in category order (email, ipv4, phone), replacing
+    each match with ``<CATEGORY>``. Returns (clean_text, per-category
+    match counts). Order matters: earlier categories consume their spans
+    before later patterns see the text — the SQL oracle chains its
+    ``regexp_replace`` calls in the same order."""
+    import re
+
+    global _PII_COMPILED
+    if _PII_COMPILED is None:
+        _PII_COMPILED = [(name, re.compile(pat)) for name, pat in
+                         PII_PATTERNS]
+    counts = []
+    for name, rx in _PII_COMPILED:
+        text, n = rx.subn(f"<{name.upper()}>", text)
+        counts.append(n)
+    return text, counts
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, clean_md5, n_email, n_ipv4, n_phone, n_pii — row-local
+    scrub, streams at read bandwidth (the scrubbed text is carried as an
+    md5 so corpus-scale outputs stay narrow; compose ``pii_scrub``
+    directly in a pipeline stage to keep the text itself)."""
+    out_counts = [[] for _ in PII_PATTERNS]
+    md5s = []
+    for t in batch.column("text").to_pylist():
+        clean, counts = pii_scrub(t)
+        md5s.append(hashlib.md5(clean.encode()).hexdigest())
+        for acc, n in zip(out_counts, counts):
+            acc.append(n)
+    cols = {"doc_id": batch.column("doc_id"),
+            "clean_md5": pa.array(md5s, pa.string())}
+    total = None
+    for (name, _), acc in zip(PII_PATTERNS, out_counts):
+        arr = np.asarray(acc, dtype=np.int64)
+        cols[f"n_{name}"] = pa.array(arr)
+        total = arr if total is None else total + arr
+    cols["n_pii"] = pa.array(total)
+    return pa.table(cols)
+
+
 def source_shingle_overlap(docs_ds, *, strat_col: str = "source",
                            text_col: str = "text",
                            rows_hint: int | None = None) -> pd.DataFrame:

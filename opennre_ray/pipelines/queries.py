@@ -6108,6 +6108,43 @@ ORDER BY dsir_fp DESC, doc_id LIMIT {DSIR_TOPK}
 """
 
 
+def docs_pii_scrub(sf_dir):
+    """PII scrub (CCNet/Dolma-style hygiene pass): email/IPv4/phone spans
+    replaced by <CATEGORY> markers, per-category match counts + the md5
+    of the scrubbed text per doc. Row-local compiled-regex pass, streams
+    at read bandwidth. The synthetic corpus carries no PII, so the oracle
+    here pins the identity path (counts 0, md5 == md5(text)); regex
+    parity on match-BEARING strings is pinned by
+    test_pii_scrub_duckdb_parity against DuckDB's RE2."""
+    from ..functions.textstats import pii_scrub_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(pii_scrub_batch, batch_format="pyarrow")
+
+
+def _sql_pii_scrub() -> str:
+    from ..functions.textstats import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents)"
+    prev = "s0"
+    count_cols = []
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        cur = f"s{i + 1}"
+        carried = ", ".join(count_cols) + (", " if count_cols else "")
+        sql += (f",\n{cur} AS (SELECT doc_id, {carried}"
+                f"regexp_replace(t{i}, '{pat}', '<{name.upper()}>', 'g')"
+                f" AS t{i + 1},\n"
+                f"  length(regexp_extract_all(t{i}, '{pat}'))::BIGINT"
+                f" AS n_{name} FROM {prev})")
+        count_cols.append(f"n_{name}")
+        prev = cur
+    total = " + ".join(count_cols)
+    sql += (f"\nSELECT doc_id, md5(t{len(PII_PATTERNS)}) AS clean_md5, "
+            f"{', '.join(count_cols)}, ({total})::BIGINT AS n_pii "
+            f"FROM {prev}")
+    return sql
+
+
 def docs_gopher_filter(sf_dir):
     """Gopher-rules composite quality filter (Rae et al. 2021): per-rule
     signal columns + the AND of all five rules as ``passed``. Row-local,
@@ -6266,6 +6303,7 @@ QUERIES = {
     "docs_deterministic_shuffle": docs_deterministic_shuffle,
     "docs_quality": docs_quality,
     "docs_gopher_filter": docs_gopher_filter,
+    "docs_pii_scrub": docs_pii_scrub,
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_token_count": docs_token_count,
     "docs_bpe_learn": docs_bpe_learn,
@@ -6496,6 +6534,7 @@ ORACLES = {
     "docs_token_entropy": SQL_DOCS_TOKEN_ENTROPY,
     "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
+    "docs_pii_scrub": _sql_pii_scrub(),
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,

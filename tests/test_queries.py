@@ -63,6 +63,38 @@ def test_rows_only_queries_run(ray_session, sf_dir, name):
         assert len(res.columns) > 0
 
 
+def test_pii_scrub_duckdb_parity(ray_session):
+    """Python `re` and DuckDB's RE2 agree byte-for-byte on scrub output
+    and per-category counts for match-BEARING strings — the corpus-level
+    query only exercises the identity path (the synthetic docs carry no
+    PII), so the regex-dialect parity is pinned here."""
+    import hashlib
+
+    from opennre_ray.functions.textstats import PII_PATTERNS, pii_scrub
+    from opennre_ray.pipelines.queries import _sql_pii_scrub
+
+    samples = [
+        "contact bob.smith+spam@example.co.uk or eve@sub.domain.io now",
+        "server at 192.168.0.1 and 10.0.0.255, not 1234.5.6.7 ok",
+        "call +1 (415) 555-0199 today",
+        "mixed: a@b.io 8.8.8.8 +44 20 7946 0958 end",
+        "no pii here at all",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(samples), dtype=np.int64),
+                       "text": samples})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(_sql_pii_scrub()).df().set_index("doc_id")
+    con.close()
+    assert want["n_pii"].sum() > 0          # the samples actually match
+    for i, s in enumerate(samples):
+        clean, counts = pii_scrub(s)
+        row = want.loc[i]
+        assert hashlib.md5(clean.encode()).hexdigest() == row["clean_md5"], s
+        for (name, _), n in zip(PII_PATTERNS, counts):
+            assert n == row[f"n_{name}"], (s, name)
+
+
 def test_pmi_collocations_hand_oracle(ray_session, tmp_path):
     """PMI over a tiny planted corpus: the always-adjacent pair ('new',
     'york') outranks frequent-but-independent pairs."""
