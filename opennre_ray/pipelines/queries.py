@@ -6056,6 +6056,65 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+PPLX_TIERS = 3
+#: sort key for bigram-less docs — sinks below every real avg logprob
+PPLX_EMPTY_NEG = 1e18
+
+
+def docs_perplexity_tiers(sf_dir):
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per-doc
+    bigram-LM log-likelihood normalized per bigram, NTILE(3) over the
+    global quality order — tier 1 = head (most in-distribution), tier 3
+    = tail. One counting shuffle (inside ``bigram_logprob``) + one
+    global sort; the tier assignment itself is a stateless per-block
+    formula over ``global_rank`` offsets, exact SQL NTILE semantics."""
+    from ..functions.relational import global_rank
+    from ..functions.textstats import bigram_logprob
+
+    n_docs = _nrows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = bigram_logprob(ds, rows_hint=16 * n_docs)
+
+    def neg_avg(b: pd.DataFrame) -> pd.DataFrame:
+        nb = b["n_bigrams"].to_numpy(dtype=np.float64)
+        fp = b["bigram_fp"].to_numpy(dtype=np.float64)
+        out = b.copy()
+        # IEEE double division on both sides; DuckDB replays the same CASE
+        out["neg_avg"] = np.where(nb > 0, -(fp / np.maximum(nb, 1.0)),
+                                  PPLX_EMPTY_NEG)
+        return out
+
+    ranked = global_rank(
+        scored.map_batches(neg_avg, batch_format="pandas"),
+        ["neg_avg", "doc_id"], out_col="rn")
+    q, r = divmod(n_docs, PPLX_TIERS)
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rn"].to_numpy(dtype=np.int64)
+        big = r * (q + 1)
+        t = np.where(rn <= big, (rn - 1) // max(q + 1, 1),
+                     r + (rn - 1 - big) // max(q, 1))
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "n_bigrams": b["n_bigrams"].astype("int64"),
+                             "bigram_fp": b["bigram_fp"].astype("int64"),
+                             "tier": (t + 1).astype("int64")})
+
+    return ranked.map_batches(tile, batch_format="pandas")
+
+
+def _sql_perplexity_tiers() -> str:
+    # wraps the bigram-logprob oracle so the LM definition cannot drift
+    return f"""
+WITH base AS ({SQL_DOCS_BIGRAM_LOGPROB})
+SELECT doc_id, n_bigrams, bigram_fp,
+       ntile({PPLX_TIERS}) OVER (ORDER BY
+         CASE WHEN n_bigrams = 0 THEN {PPLX_EMPTY_NEG:.0e}
+              ELSE -(bigram_fp::DOUBLE / n_bigrams) END,
+         doc_id)::BIGINT AS tier
+FROM base
+"""
+
+
 DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
 DSIR_TOPK = 100
 
@@ -6304,6 +6363,7 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_gopher_filter": docs_gopher_filter,
     "docs_pii_scrub": docs_pii_scrub,
+    "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_token_count": docs_token_count,
     "docs_bpe_learn": docs_bpe_learn,
@@ -6535,6 +6595,7 @@ ORACLES = {
     "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_pii_scrub": _sql_pii_scrub(),
+    "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
