@@ -162,6 +162,13 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_source_scorecard(sf_dir)))
     timed("events_daily_resample_ffill",
           lambda: consume(Q.events_daily_resample_ffill(sf_dir)))
+    timed("orders_period_full_join",
+          lambda: consume(Q.orders_period_full_join(sf_dir)))
+    timed("graph_link_prediction_parts",
+          lambda: consume(Q.graph_link_prediction_parts(sf_dir)))
+    timed("docs_pii_scrub", lambda: consume(Q.docs_pii_scrub(sf_dir)))
+    timed("docs_perplexity_tiers",
+          lambda: consume(Q.docs_perplexity_tiers(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -579,13 +579,16 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
 
 def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
                            part_col: str = "l_partkey",
-                           rows_hint: int | None = None):
+                           rows_hint: int | None = None,
+                           distinct: bool = True):
     """Distinct undirected co-purchase edges (a < b): parts appearing in
     the same order. Per-order pair expansion runs inside the order's
     hash bucket (an order with k parts emits k(k-1)/2 pairs — TPC-H
     orders hold <= 7 lineitems; a pathological mega-key would need the
     same salt/cap treatment as skew_join's hot keys), then one bucketed
-    distinct on (a, b)."""
+    distinct on (a, b). ``distinct=False`` skips that second shuffle and
+    returns the raw pair stream (one row per sharing order) for
+    consumers that dedupe in their own keyed pass (``adamic_adar``)."""
     from itertools import combinations
 
     import pyarrow as pa
@@ -612,6 +615,8 @@ def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
     pairs = hash_bucket_aggregate(
         lineitem_ds.map_batches(op_pairs, batch_format="pyarrow"),
         ["o"], expand_bucket, rows_hint=rows_hint)
+    if not distinct:
+        return pairs
 
     def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"])
@@ -672,7 +677,10 @@ AA_SCALE = 1_000_000
 
 
 def adamic_adar(edges_ds, k: int = 50, *, rows_hint: int | None = None):
-    """Adamic-Adar link prediction over a distinct a<b edge Dataset:
+    """Adamic-Adar link prediction over an a<b pair Dataset (parallel
+    duplicate pairs are ALLOWED and collapse in-bucket — degrees count
+    DISTINCT neighbors — so callers can skip a whole distinct shuffle
+    upstream; see ``build_copurchase_edges(distinct=False)``):
     score(u, w) = sum over common neighbors b of 1/ln(deg(b)), ranked for
     NON-adjacent pairs only (KG-completion companion to the TransE path —
     the classic structural baseline, Adamic & Adar 2003).
@@ -688,15 +696,17 @@ def adamic_adar(edges_ds, k: int = 50, *, rows_hint: int | None = None):
     a deterministic (score desc, a, b) tiebreak.
 
     Partitioning assumption: emission volume is sum(deg²), the same
-    wedge-join bound as ``triangle_count`` — a power-law hub needs
-    hub-salting (split the hub's neighbor list, merge partial pair
-    weights) before this pass; documented, not needed at TPC-H shapes.
+    wedge-join bound as ``triangle_count`` — pair emissions are
+    numpy-vectorized (cached triu index templates) and map-side combined
+    per middle bucket before the pair exchange, but the bound itself is
+    quadratic in degree: dense graphs need a deterministic vertex sample
+    or a degree cap UPSTREAM (see ``graph_link_prediction_parts``), and
+    a power-law hub needs hub-salting (split the hub's neighbor list,
+    merge partial pair weights) before this pass.
     """
-    from itertools import combinations
-
     import pyarrow as pa
 
-    from .relational import hash_bucket_aggregate, shuffle_join
+    from .relational import hash_bucket_aggregate
 
     edges = edges_ds.materialize()
 
@@ -707,53 +717,71 @@ def adamic_adar(edges_ds, k: int = 50, *, rows_hint: int | None = None):
 
     adj = edges.map_batches(symmetrize, batch_format="pyarrow")
 
+    triu_cache: dict = {}
+
     def expand_middle(g: pd.DataFrame) -> pd.DataFrame:
-        us, ws, wts = [], [], []
+        frames = []
         for _, grp in g.groupby("v", sort=False):
-            nbrs = sorted(grp["n"])
-            d = len(nbrs)
+            # unique = sorted + dedup: degree counts DISTINCT neighbors
+            nb = np.unique(grp["n"].to_numpy(dtype=np.int64))
+            d = nb.size
             if d < 2:
                 continue
-            wt = int(math.floor(AA_SCALE / math.log(d) + 0.5))
-            for u, w in combinations(nbrs, 2):
-                us.append(u)
-                ws.append(w)
-                wts.append(wt)
-        return pd.DataFrame({"a": pd.Series(us, dtype=np.int64),
-                             "b": pd.Series(ws, dtype=np.int64),
-                             "wt": pd.Series(wts, dtype=np.int64)})
+            wt = np.int64(math.floor(AA_SCALE / math.log(d) + 0.5))
+            if d not in triu_cache:
+                triu_cache[d] = np.triu_indices(d, 1)
+            iu, ju = triu_cache[d]
+            frames.append(pd.DataFrame({"a": nb[iu], "b": nb[ju],
+                                        "wt": wt, "cn": np.int64(1)}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("a", "b", "wt", "cn")})
+        # map-side combine: pairs sharing two middles in this bucket merge
+        # before the pair exchange
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["a", "b"], as_index=False, sort=False)
+                .agg(wt=("wt", "sum"), cn=("cn", "sum")))
 
     wedges = hash_bucket_aggregate(adj, ["v"], expand_middle,
                                    rows_hint=rows_hint)
 
-    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby(["a", "b"], sort=False)["wt"]
-               .agg(aa_fp="sum", common_neighbors="count").reset_index())
+    # the pair aggregation and the adjacent-pair drop share the (a, b)
+    # key, so they fuse into ONE bucketed pass: edge rows ride the same
+    # exchange as zero-weight markers and kill their pair in-bucket
+    def mark_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64),
+                             "wt": np.int64(0), "cn": np.int64(0),
+                             "is_edge": np.int64(1)})
+
+    def with_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["is_edge"] = np.int64(0)
+        return batch
+
+    tagged = (wedges.map_batches(with_flag, batch_format="pandas")
+              .union(edges.map_batches(mark_edges, batch_format="pandas")))
+
+    def sum_and_drop(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], sort=False)
+               .agg(aa_fp=("wt", "sum"), common_neighbors=("cn", "sum"),
+                    is_edge=("is_edge", "max"))
+               .reset_index())
+        out = out[out["is_edge"] == 0].drop(columns="is_edge")
         return out.astype({"aa_fp": np.int64,
                            "common_neighbors": np.int64})
 
-    scored = hash_bucket_aggregate(wedges, ["a", "b"], sum_pairs,
+    scored = hash_bucket_aggregate(tagged, ["a", "b"], sum_and_drop,
                                    rows_hint=rows_hint)
 
-    def pair_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
-                      + batch["b"].astype(np.int64).astype(str))
-        return batch
+    # the global top-k is a subset of the union of per-block top-ks, so
+    # prune before the sort barrier: the exchange moves k rows per block
+    # instead of every scored pair
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["aa_fp", "a", "b"],
+                             ascending=[False, True, True]).head(k)
 
-    cand = shuffle_join(
-        scored.map_batches(pair_key, batch_format="pandas"),
-        edges.map_batches(pair_key, batch_format="pandas")
-             .map_batches(lambda b: b[["k"]], batch_format="pandas"),
-        "k", "k", ["a", "b", "aa_fp", "common_neighbors"], [],
-        how="left_anti", rows_hint=rows_hint)
-
-    cols = ["a", "b", "aa_fp", "common_neighbors"]
-    # the anti-join's tagged union can upcast int columns through the
-    # null-padded right side; pin the output schema back to int64
-    return (cand.map_batches(
-                lambda b: b[cols].astype(np.int64),
-                batch_format="pandas")
+    return (scored.map_batches(local_topk, batch_format="pandas")
             .sort(["aa_fp", "a", "b"], descending=[True, False, False])
             .limit(k))
 
