@@ -169,6 +169,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_pii_scrub", lambda: consume(Q.docs_pii_scrub(sf_dir)))
     timed("docs_perplexity_tiers",
           lambda: consume(Q.docs_perplexity_tiers(sf_dir)))
+    timed("docs_hybrid_rrf", lambda: consume(Q.docs_hybrid_rrf(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -4111,14 +4111,15 @@ BM25_TERMS = ["merge", "sort", "hash"]
 BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
 
 
-def docs_bm25_topk(sf_dir):
-    """BM25 retrieval (Robertson-Sparck Jones, public): top-10 documents
-    for a fixed 3-term query. Pass 1 reduces the corpus to scalar
+def _bm25_scores(sf_dir):
+    """Per-doc BM25 fixed-point scores for the fixed BM25_TERMS query
+    (docs with zero score omitted). Pass 1 reduces the corpus to scalar
     statistics (N, avgdl, per-term df — map-side partial sums, kilobytes
-    to the driver); pass 2 scores each doc row-locally and a global
-    sort+limit picks the winners. Per-term contributions are rounded to a
-    1e-6 grid BEFORE summing (integer fixed-point), so the score is
-    independent of float-summation order and SQL-exact."""
+    to the driver); pass 2 scores each doc row-locally. Per-term
+    contributions are rounded to a 1e-6 grid BEFORE summing (integer
+    fixed-point), so the score is independent of float-summation order
+    and SQL-exact. Shared by ``docs_bm25_topk`` and the hybrid RRF
+    fusion so the scoring definition cannot drift."""
     import math
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -4165,9 +4166,14 @@ def docs_bm25_topk(sf_dir):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "score_fp": pa.array(fps, pa.int64())})
 
-    scored = ds.map_batches(score_batch, batch_format="pyarrow")
-    return scored.sort(["score_fp", "doc_id"],
-                       descending=[True, False]).limit(BM25_TOPK)
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+def docs_bm25_topk(sf_dir):
+    """BM25 retrieval: top-10 documents for the fixed 3-term query (see
+    ``_bm25_scores`` for the two-pass scoring shape)."""
+    return _bm25_scores(sf_dir).sort(
+        ["score_fp", "doc_id"], descending=[True, False]).limit(BM25_TOPK)
 
 
 SQL_DOCS_BM25_TOPK = rf"""
@@ -4194,6 +4200,133 @@ sc AS (SELECT tf.doc_id,
        GROUP BY tf.doc_id)
 SELECT doc_id, score_fp FROM sc
 ORDER BY score_fp DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+RRF_K = 60
+HYBRID_TOPK = 10
+HYBRID_QUERY_ID = KNN_QUERY_IDS[0]
+
+
+def docs_hybrid_rrf(sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the sparse BM25 ranking and the dense cosine ranking (one
+    fixed query vector) fuse as sum of floor(1e9 / (60 + rank)) —
+    integer RRF terms, exact under any order. List membership differs
+    (BM25 ranks only matching docs; the dense side ranks every embedded
+    doc), so the fusion is the engine's FULL OUTER ``shuffle_join``:
+    docs on one list only keep that list's term, absent ranks report 0.
+    Each ranking is one ``global_rank`` sort; the fusion is one bucketed
+    exchange + a top-k with per-block pruning."""
+    from ..functions.relational import global_rank, shuffle_join
+
+    # sparse side: BM25 fixed-point scores -> dense 1-based rank
+    sparse = _bm25_scores(sf_dir)
+
+    def neg_sparse(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "neg_fp": -b["score_fp"].to_numpy(np.int64)})
+
+    r_sparse = global_rank(
+        sparse.map_batches(neg_sparse, batch_format="pandas"),
+        ["neg_fp", "doc_id"], out_col="r_bm25")
+
+    # dense side: cosine to the fixed query vector on the SAME normalize
+    # + sql_round(…, 6) path the knn queries pin against DuckDB's
+    # list_cosine_similarity, -> dense 1-based rank
+    from ..functions.similarity import _as_matrix, _normalize
+    from ..functions.sqlcompat import sql_round
+
+    _, qmat = _query_vectors(sf_dir)
+    qv = qmat[list(KNN_QUERY_IDS).index(HYBRID_QUERY_ID)]
+    qn = _normalize(qv.reshape(1, -1))[0]
+
+    def cos_batch(batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column("embedding")))
+        cos = sql_round(m @ qn, 6)
+        return pa.table({
+            "doc_id": batch.column("vec_id"),
+            "neg_cos": pa.array(-cos, pa.float64())})
+
+    emb = _read_embeddings(sf_dir)
+    r_dense = global_rank(emb.map_batches(cos_batch, batch_format="pyarrow"),
+                          ["neg_cos", "doc_id"], out_col="r_cos")
+
+    fused = shuffle_join(
+        r_sparse.map_batches(lambda b: b[["doc_id", "r_bm25"]],
+                             batch_format="pandas"),
+        r_dense.map_batches(lambda b: b[["doc_id", "r_cos"]],
+                            batch_format="pandas"),
+        "doc_id", "doc_id", ["r_bm25"], ["r_cos"],
+        how="full", rows_hint=_nrows(sf_dir, "documents"))
+
+    def rrf(b: pd.DataFrame) -> pd.DataFrame:
+        rb = b["r_bm25"].to_numpy(dtype=np.float64)
+        rc = b["r_cos"].to_numpy(dtype=np.float64)
+        term = np.zeros(len(b), dtype=np.int64)
+        for r in (rb, rc):
+            present = ~np.isnan(r)
+            term[present] += (10 ** 9
+                              // (RRF_K + r[present].astype(np.int64)))
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "r_bm25": np.nan_to_num(rb, nan=0.0).astype(np.int64),
+            "r_cos": np.nan_to_num(rc, nan=0.0).astype(np.int64),
+            "rrf_fp": term})
+        return out.sort_values(["rrf_fp", "doc_id"],
+                               ascending=[False, True]).head(HYBRID_TOPK)
+
+    return (fused.map_batches(rrf, batch_format="pandas")
+            .sort(["rrf_fp", "doc_id"], descending=[True, False])
+            .limit(HYBRID_TOPK))
+
+
+SQL_DOCS_HYBRID_RRF = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, length(toks)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+       WHERE token IN ('merge', 'sort', 'hash') GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+sc AS (SELECT tf.doc_id,
+         sum(CAST(floor(
+           ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE)
+              / (tf + {BM25_K1}::DOUBLE
+                      * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                         + {BM25_B}::DOUBLE * dl.dl / avgdl)))
+           * 1000000 + 0.5::DOUBLE) AS BIGINT))::BIGINT AS score_fp
+       FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+       GROUP BY tf.doc_id),
+sr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score_fp DESC, doc_id) AS r_bm25
+       FROM sc),
+q AS (SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_ID}),
+cs AS (SELECT e.vec_id AS doc_id,
+              round(list_cosine_similarity(
+                  list_transform(q.qe, x -> x::DOUBLE),
+                  list_transform(e.embedding, x -> x::DOUBLE)), 6) AS cos
+       FROM embeddings e, q),
+dr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+       FROM cs),
+f AS (SELECT coalesce(sr.doc_id, dr.doc_id)::BIGINT AS doc_id,
+             coalesce(r_bm25, 0)::BIGINT AS r_bm25,
+             coalesce(r_cos, 0)::BIGINT AS r_cos,
+             (CASE WHEN r_bm25 IS NULL THEN 0
+                   ELSE 1000000000 // ({RRF_K} + r_bm25) END
+              + CASE WHEN r_cos IS NULL THEN 0
+                     ELSE 1000000000 // ({RRF_K} + r_cos) END)::BIGINT
+               AS rrf_fp
+      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+SELECT doc_id, r_bm25, r_cos, rrf_fp FROM f
+ORDER BY rrf_fp DESC, doc_id LIMIT {HYBRID_TOPK}
 """
 
 
@@ -6380,6 +6513,7 @@ QUERIES = {
     "docs_gopher_filter": docs_gopher_filter,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_perplexity_tiers": docs_perplexity_tiers,
+    "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_token_count": docs_token_count,
     "docs_bpe_learn": docs_bpe_learn,
@@ -6612,6 +6746,7 @@ ORACLES = {
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_pii_scrub": _sql_pii_scrub(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
+    "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
