@@ -170,6 +170,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_perplexity_tiers",
           lambda: consume(Q.docs_perplexity_tiers(sf_dir)))
     timed("docs_hybrid_rrf", lambda: consume(Q.docs_hybrid_rrf(sf_dir)))
+    timed("docs_c4_filter", lambda: consume(Q.docs_c4_filter(sf_dir)))
+    timed("docs_url_dedup", lambda: consume(Q.docs_url_dedup(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

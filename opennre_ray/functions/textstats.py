@@ -827,6 +827,72 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+# C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..."): keep only lines that read like prose sentences,
+# then gate the document on what survives. The rules below are the
+# RE2/ASCII-safe subset so the Python pass and the DuckDB list_filter
+# oracle agree byte-for-byte (see test_c4_filter_duckdb_parity):
+# strip = ' \t\r' only, word split = runs of [^ \t], lower() on ASCII.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_PUNCT = frozenset({".", "!", "?", '"', "'"})
+C4_LINE_BLOCK = "javascript"          # boilerplate "enable javascript" lines
+C4_DOC_BLOCK_LOWER = "lorem ipsum"    # placeholder text ⇒ drop the page
+C4_DOC_BLOCK_RAW = "{"                # leaked source code ⇒ drop the page
+
+_C4_WORD_RE = None
+
+
+def c4_line_filter(text: str) -> tuple[str, int, int, int]:
+    """One document through the C4 line rules.
+
+    Returns (kept_text, n_lines, n_kept, passed): a line survives iff it
+    ends in terminal punctuation, has ≥ C4_MIN_WORDS_PER_LINE words, and
+    does not mention javascript; the doc passes iff ≥ C4_MIN_KEPT_LINES
+    lines survive and the page has neither "lorem ipsum" nor a curly
+    brace. Row-local — streams at read bandwidth."""
+    import re
+
+    global _C4_WORD_RE
+    if _C4_WORD_RE is None:
+        _C4_WORD_RE = re.compile(r"[^ \t]+")
+    kept = []
+    lines = text.split("\n")
+    for ln in lines:
+        t = ln.strip(" \t\r")
+        if not t or t[-1] not in C4_TERMINAL_PUNCT:
+            continue
+        if len(_C4_WORD_RE.findall(t)) < C4_MIN_WORDS_PER_LINE:
+            continue
+        if C4_LINE_BLOCK in t.lower():
+            continue
+        kept.append(t)
+    passed = int(len(kept) >= C4_MIN_KEPT_LINES
+                 and C4_DOC_BLOCK_LOWER not in text.lower()
+                 and C4_DOC_BLOCK_RAW not in text)
+    return "\n".join(kept), len(lines), len(kept), passed
+
+
+def c4_filter_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_lines, n_kept, kept_md5, passed — the kept text is carried
+    as an md5 so corpus-scale outputs stay narrow; compose
+    ``c4_line_filter`` directly in a pipeline stage to keep the text."""
+    n_lines, n_kept, md5s, passed = [], [], [], []
+    for t in batch.column("text").to_pylist():
+        clean, nl, nk, p = c4_line_filter(t)
+        n_lines.append(nl)
+        n_kept.append(nk)
+        md5s.append(hashlib.md5(clean.encode()).hexdigest())
+        passed.append(p)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "kept_md5": pa.array(md5s, pa.string()),
+        "passed": pa.array(passed, pa.int64()),
+    })
+
+
 def source_shingle_overlap(docs_ds, *, strat_col: str = "source",
                            text_col: str = "text",
                            rows_hint: int | None = None) -> pd.DataFrame:

@@ -6461,6 +6461,138 @@ SELECT user_id, event_type AS modal_type, cnt FROM r WHERE rn = 1
 """
 
 
+def docs_c4_filter(sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020): per-line terminal-
+    punctuation / min-words / javascript rules, doc-level lorem-ipsum and
+    curly-brace gates. Row-local, streams at read bandwidth. The synthetic
+    corpus is single-line prose without terminal punctuation, so the
+    oracle here pins the reject path end-to-end (n_kept 0, passed 0,
+    kept_md5 = md5('')); rule behavior on multi-line match-BEARING pages
+    is pinned by test_c4_filter_duckdb_parity against the same SQL."""
+    from ..functions.textstats import c4_filter_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
+def _sql_c4_filter() -> str:
+    from ..functions.textstats import (C4_MIN_KEPT_LINES,
+                                       C4_MIN_WORDS_PER_LINE)
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, chr(10)),
+                   x -> trim(x, ' ' || chr(9) || chr(13))) AS ts
+  FROM documents),
+f AS (
+  SELECT doc_id, text, len(ts)::BIGINT AS n_lines,
+    list_filter(ts, t -> t <> ''
+      AND substr(t, length(t), 1) IN ('.', '!', '?', '"', '''')
+      AND len(regexp_extract_all(t, '[^ ' || chr(9) || ']+'))
+            >= {C4_MIN_WORDS_PER_LINE}
+      AND NOT contains(lower(t), 'javascript')) AS kept
+  FROM base)
+SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5,
+  (CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES}
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{') THEN 1 ELSE 0 END)::BIGINT AS passed
+FROM f
+"""
+
+
+def docs_url_dedup(sf_dir):
+    """Crawl-level URL dedup: canonicalize cosmetically-variant URLs
+    (case, fragments, utm_* params, trailing slash) and keep the earliest
+    crawl per canonical page. Raw URLs are synthesized deterministically
+    from doc_id (every 10th row re-crawls its predecessor under a
+    different variant) so the messify → normalize → dedup chain is
+    value-checked end to end; see functions/urls.py."""
+    from ..functions.urls import url_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return url_dedup(ds, rows_hint=_nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_URL_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+    doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS base_id,
+    doc_id % 5 AS m
+  FROM documents),
+messy AS (
+  SELECT doc_id, CASE m
+    WHEN 0 THEN 'https://docs.test/page/' || base_id
+    WHEN 1 THEN 'HTTPS://DOCS.TEST/page/' || base_id
+    WHEN 2 THEN 'https://docs.test/page/' || base_id
+                || '?utm_source=feed&utm_campaign=c' || (doc_id % 7)
+    WHEN 3 THEN 'https://docs.test/page/' || base_id || '#sec-' || (doc_id % 3)
+    ELSE 'https://docs.test/page/' || base_id || '/'
+  END AS url FROM raw),
+n1 AS (SELECT doc_id,
+   lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*')) ||
+   substr(url, length(regexp_extract(url, '^[A-Za-z]+://[^/?#]*')) + 1) AS u
+  FROM messy),
+n2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM n1),
+n3 AS (SELECT doc_id,
+   regexp_replace(u, '[?&]utm_[a-z]+=[A-Za-z0-9_-]*', '', 'g') AS u FROM n2),
+n4 AS (SELECT doc_id,
+   regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]$', '') AS u FROM n3),
+n5 AS (SELECT doc_id,
+   regexp_replace(u, '^([A-Za-z]+://[^/]+/.*[^/])/$', '\1') AS norm_url FROM n4)
+SELECT norm_url, min(doc_id)::BIGINT AS keeper_doc_id,
+       count(*)::BIGINT AS n_crawls
+FROM n5 GROUP BY norm_url
+"""
+
+
+def docs_domain_mixture(sf_dir):
+    """Domain-mixture reweighting (DoReMi-lite): per-source doc/token
+    counts, the source's token share, and the uniform-target resampling
+    weight (1/n_sources ÷ token_share) a mixture sampler would apply.
+    Map-side per-block partials → one tiny groupby; output is
+    domain-sized, never corpus-sized."""
+    from ..functions.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_count_batch(
+            batch.select(["doc_id", "text"])).column("n_tokens")
+        t = pa.table({"source": batch.column("source"), "n_tokens": toks})
+        g = t.group_by("source").aggregate([("n_tokens", "sum"),
+                                            ("n_tokens", "count")])
+        return g.rename_columns(["source", "sum_toks", "n_docs"])
+
+    # blocks × n_sources partial rows — driver-sized; finalize locally.
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = df.groupby("source", sort=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("sum_toks", "sum")
+    ).reset_index()
+    total = float(g["n_tokens"].sum())
+    share = g["n_tokens"].to_numpy(np.float64) / total
+    g["token_share"] = sql_round(share, 12)
+    g["weight"] = sql_round((1.0 / len(g)) / share, 12)
+    return g.astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+
+SQL_DOCS_DOMAIN_MIXTURE = r"""
+WITH per AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents),
+g AS (SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+      FROM per GROUP BY source),
+t AS (SELECT sum(n_tokens)::DOUBLE AS total, count(*)::DOUBLE AS n_src FROM g)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / t.total, 12) AS token_share,
+  round((1.0 / t.n_src) / (n_tokens / t.total), 12) AS weight
+FROM g, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -6512,6 +6644,9 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_gopher_filter": docs_gopher_filter,
     "docs_pii_scrub": docs_pii_scrub,
+    "docs_c4_filter": docs_c4_filter,
+    "docs_url_dedup": docs_url_dedup,
+    "docs_domain_mixture": docs_domain_mixture,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -6745,6 +6880,9 @@ ORACLES = {
     "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_pii_scrub": _sql_pii_scrub(),
+    "docs_c4_filter": _sql_c4_filter(),
+    "docs_url_dedup": SQL_DOCS_URL_DEDUP,
+    "docs_domain_mixture": SQL_DOCS_DOMAIN_MIXTURE,
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

@@ -95,6 +95,77 @@ def test_pii_scrub_duckdb_parity(ray_session):
             assert n == row[f"n_{name}"], (s, name)
 
 
+def test_c4_filter_duckdb_parity(ray_session):
+    """Python C4 line rules and the DuckDB list_filter oracle agree
+    byte-for-byte on multi-line match-BEARING pages — the corpus-level
+    query only exercises the reject path (single-line docs without
+    terminal punctuation)."""
+    import hashlib
+
+    from opennre_ray.functions.textstats import c4_line_filter
+    from opennre_ray.pipelines.queries import _sql_c4_filter
+
+    samples = [
+        "Good line with five words here.\nshort.\nno punct line at all\n"
+        "Another good line of text right here!\n"
+        "This third fine sentence also makes the cut.\ntrailing",
+        "lorem ipsum dolor sit amet would be a fine line.\n"
+        "Second decent line with many words inside it.\n"
+        "Third decent line with many words inside it.\n"
+        "Fourth decent line with many words inside it.",
+        "var x = { a: 1 };\nA perfectly fine long sentence right here.\n"
+        "Another perfectly fine long sentence right here.\n"
+        "Third perfectly fine long sentence right here.",
+        "Enable JavaScript to view this page properly.\n"
+        "A good long line of plain text one.\n"
+        "A good long line of plain text two.\n"
+        "A good long line of plain text three.",
+        "  \t Padded line with enough words to pass easily. \t\n"
+        "Second padded line with enough words to pass.\n"
+        "Third padded line with enough words to pass.",
+        'He said "stop right there, friend!"\nEnds with a quote."',
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(samples), dtype=np.int64),
+                       "text": samples})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(_sql_c4_filter()).df().set_index("doc_id")
+    con.close()
+    assert want["passed"].sum() > 0 and (want["passed"] == 0).any()
+    for i, s in enumerate(samples):
+        clean, n_lines, n_kept, passed = c4_line_filter(s)
+        row = want.loc[i]
+        assert n_lines == row["n_lines"], s
+        assert n_kept == row["n_kept"], s
+        assert passed == row["passed"], s
+        assert hashlib.md5(clean.encode()).hexdigest() == row["kept_md5"], s
+
+
+def test_url_normalize_properties():
+    """normalize_url collapses every cosmetic variant of the same page to
+    one canonical string, and is idempotent."""
+    from opennre_ray.functions.urls import messy_url, normalize_url
+
+    variants = [
+        "https://docs.test/page/7",
+        "HTTPS://DOCS.TEST/page/7",
+        "https://docs.test/page/7?utm_source=feed&utm_campaign=c3",
+        "https://docs.test/page/7#sec-1",
+        "https://docs.test/page/7/",
+    ]
+    canon = {normalize_url(u) for u in variants}
+    assert canon == {"https://docs.test/page/7"}
+    for u in variants:
+        assert normalize_url(normalize_url(u)) == normalize_url(u)
+    # non-utm query params survive; root trailing slash survives
+    assert normalize_url("https://a.b/x?q=1&utm_medium=m") == \
+        "https://a.b/x?q=1"
+    assert normalize_url("https://a.b/") == "https://a.b/"
+    # the synthetic messifier: every 10th row re-crawls its predecessor
+    assert normalize_url(messy_url(19)) == normalize_url(messy_url(18))
+    assert normalize_url(messy_url(18)) != normalize_url(messy_url(17))
+
+
 def test_pmi_collocations_hand_oracle(ray_session, tmp_path):
     """PMI over a tiny planted corpus: the always-adjacent pair ('new',
     'york') outranks frequent-but-independent pairs."""
