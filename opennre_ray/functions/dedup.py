@@ -976,3 +976,61 @@ def jaccard_pair_join(docs_ds, threshold: float = 0.3, *,
 
     return hash_bucket_aggregate(pairs, ["a", "b"], distinct_bucket,
                                  rows_hint=rows_hint)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4   # words per gram
+WINNOW_W = 5   # grams per window -> guarantee threshold t = W + K - 1 = 8
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> tuple[int, np.ndarray]:
+    """Winnowing: the distinct window-minima of positional k-gram hashes.
+
+    MOSS's fingerprint selection — any shared run of >= w + k - 1 words
+    between two documents is GUARANTEED to share a selected fingerprint,
+    while storing only ~2/(w+1) of the gram hashes. Gram hash = first 8
+    md5 bytes (same convention as :func:`shingle_hashes`) so the whole
+    scheme replays in SQL. Short docs (< k words) hash the whole text as
+    one gram, mirroring shingle_hashes; <= w grams collapse to a single
+    window. Returns (n_grams, sorted distinct uint64 fingerprints).
+    """
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i: i + k])
+                 for i in range(len(words) - k + 1)]
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+         for g in grams), dtype=np.uint64, count=len(grams))
+    if len(h) <= w:
+        fps = h.min(keepdims=True)
+    else:
+        fps = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return len(grams), np.unique(fps)
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_grams, n_fps, fp_checksum — per-doc winnowing summary.
+
+    fp_checksum = sum of the distinct fingerprints mod 2**64 (numpy
+    uint64 wraparound == HUGEINT % 2**64 in the SQL oracle), so the
+    SELECTED SET is value-checked, not just its size. Row-local; the
+    fingerprint lists themselves feed winnow_matches when materialized.
+    """
+    n_grams, n_fps, checks = [], [], []
+    for t in batch.column("text").to_pylist():
+        ng, fps = winnow_fingerprints(t)
+        n_grams.append(ng)
+        n_fps.append(len(fps))
+        checks.append(fps.sum(dtype=np.uint64))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_fps": pa.array(n_fps, pa.int64()),
+        "fp_checksum": pa.array(np.array(checks, dtype=np.uint64)),
+    })

@@ -6593,6 +6593,57 @@ FROM g, t
 """
 
 
+def docs_winnowing(sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    scheme): per-doc distinct window-minima of positional k-gram hashes.
+    Any shared run of >= w+k-1 words between two docs is guaranteed to
+    share a fingerprint while only ~2/(w+1) of gram hashes are kept.
+    Row-local, streams at read bandwidth; fp_checksum (sum of the
+    selected set mod 2**64) value-checks the SELECTION, not just its
+    size. See functions/dedup.py::winnow_fingerprints."""
+    from ..functions.dedup import winnow_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+def _sql_winnowing() -> str:
+    from ..functions.dedup import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS nw, toks,
+         unnest(range(CASE WHEN len(toks) < {k}
+                      THEN 1 ELSE len(toks) - {k} + 1 END)) AS pos
+  FROM t),
+h AS (
+  SELECT doc_id, pos,
+    CASE WHEN nw < {k} THEN 1 ELSE nw - {k} + 1 END AS ng,
+    ('0x' || substr(md5(CASE WHEN nw < {k}
+         THEN coalesce(array_to_string(toks, ' '), '')
+         ELSE array_to_string(toks[pos + 1: pos + {k}], ' ')
+       END), 1, 16))::UBIGINT AS gh
+  FROM g),
+wins AS (
+  SELECT doc_id, ng, pos,
+    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM h),
+sel AS (
+  SELECT DISTINCT doc_id, ng, fp FROM wins
+  WHERE pos <= greatest(ng - {w}, 0))
+SELECT doc_id, max(ng)::BIGINT AS n_grams, count(*)::BIGINT AS n_fps,
+  (sum(fp::HUGEINT) % 18446744073709551616)::UBIGINT AS fp_checksum
+FROM sel GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -6647,6 +6698,7 @@ QUERIES = {
     "docs_c4_filter": docs_c4_filter,
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_mixture": docs_domain_mixture,
+    "docs_winnowing": docs_winnowing,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -6883,6 +6935,7 @@ ORACLES = {
     "docs_c4_filter": _sql_c4_filter(),
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_domain_mixture": SQL_DOCS_DOMAIN_MIXTURE,
+    "docs_winnowing": _sql_winnowing(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

@@ -327,3 +327,34 @@ def test_bigram_logprob_hand_math_and_scale_path(ray_session):
              .sort_values("doc_id").reset_index(drop=True)
              .astype(base.dtypes.to_dict()))
     pd.testing.assert_frame_equal(scale, base)
+
+
+def test_winnowing_guarantee_and_edges():
+    """Winnowing's core guarantee: two documents sharing a run of at
+    least w+k-1 words share at least one selected fingerprint; plus the
+    short-doc edge cases mirror shingle_hashes conventions."""
+    import numpy as np
+
+    from opennre_ray.functions.dedup import (WINNOW_K, WINNOW_W,
+                                             winnow_fingerprints)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = " ".join(vocab[i % 7] for i in range(WINNOW_W + WINNOW_K - 1))
+    for trial in range(20):
+        pre = " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        post = " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        a = f"{pre} {shared} {post}".strip()
+        b = f"{post} {shared} {pre}".strip()
+        _, fa = winnow_fingerprints(a)
+        _, fb = winnow_fingerprints(b)
+        assert len(np.intersect1d(fa, fb)) >= 1, trial
+    # short docs: whole text is the single gram; empty text hashes ''
+    ng, fps = winnow_fingerprints("one two")
+    assert ng == 1 and len(fps) == 1
+    ng0, fps0 = winnow_fingerprints("")
+    assert ng0 == 1 and len(fps0) == 1
+    # density: the selected set is a small fraction of positional grams
+    long = " ".join(rng.choice(vocab, size=2000))
+    ng_l, fps_l = winnow_fingerprints(long)
+    assert 0 < len(fps_l) < ng_l / 2
