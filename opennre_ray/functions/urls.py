@@ -97,3 +97,76 @@ def url_dedup(docs_ds, *, rows_hint: int | None = None):
 
     return hash_bucket_aggregate(norm, ["norm_url"], per_bucket,
                                  rows_hint=rows_hint)
+
+
+# ---------------------------------------------------------------------------
+# Domain extraction + blocklist filtering (UT1-style)
+# ---------------------------------------------------------------------------
+
+# Synthesis constants for the crawl-host corpus (SQL-replayable): hosts
+# cycle 3 subdomain prefixes x 37 sites x 11 TLDs, two of them
+# multi-label so registered-domain extraction is actually exercised.
+CRAWL_TLDS = ("com", "org", "net", "io", "co.uk", "edu",
+              "gov", "info", "biz", "co.jp", "dev")
+CRAWL_SUBS = ("", "www.", "cdn.")
+BLOCKED_SITES = (5, 17, 29)
+MULTI_SUFFIXES = frozenset({"co.uk", "co.jp"})  # public-suffix-lite
+
+_HOST_RE = re.compile(r"^[A-Za-z]+://([^/?#]+)")
+
+
+def crawl_url(doc_id: int) -> str:
+    """Deterministic crawl URL with a varied host (SQL-replayable)."""
+    return (f"https://{CRAWL_SUBS[doc_id % 3]}site{doc_id % 37}"
+            f".{CRAWL_TLDS[doc_id % 11]}/p/{doc_id}")
+
+
+def registered_domain(host: str) -> str:
+    """Registrable domain of a host: last two labels, or last three when
+    the final two form a multi-label public suffix (co.uk, co.jp). A
+    production build swaps MULTI_SUFFIXES for the full public-suffix
+    list; the logic (longest-matching-suffix + one label) is the same."""
+    labels = host.split(".")
+    if len(labels) >= 3 and ".".join(labels[-2:]) in MULTI_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def blocked_domains() -> frozenset[str]:
+    """The blocklist: every TLD variant of the blocked site ids. Tiny by
+    construction — at scale this is the ray.put-broadcast small side
+    (UT1's adult list is ~4M entries, ~100 MB: still broadcast-sized)."""
+    return frozenset(f"site{i}.{t}" for i in BLOCKED_SITES
+                     for t in CRAWL_TLDS)
+
+
+def domain_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (domain, tld, blocked) doc-count partials. The full
+    chain runs on the URL STRING — synthesize, parse the host, extract
+    the registered domain, test blocklist membership — so the oracle
+    checks parsing, not just the arithmetic that generated the URL."""
+    block = blocked_domains()
+    doms, tlds, flags = [], [], []
+    for d in batch.column("doc_id").to_pylist():
+        host = _HOST_RE.match(crawl_url(d)).group(1)
+        dom = registered_domain(host)
+        doms.append(dom)
+        tlds.append(dom.split(".", 1)[1])
+        flags.append(int(dom in block))
+    t = pa.table({"domain": pa.array(doms, pa.string()),
+                  "tld": pa.array(tlds, pa.string()),
+                  "blocked": pa.array(flags, pa.int64())})
+    g = t.group_by(["domain", "tld", "blocked"]).aggregate([([], "count_all")])
+    return g.rename_columns(["domain", "tld", "blocked", "n_docs"])
+
+
+def domain_blocklist_stats(docs_ds) -> pd.DataFrame:
+    """Blocklist report: docs per registered domain with its blocked
+    flag. Partials are domain-cardinality per block (bounded by distinct
+    hosts, not rows) -> one driver-sized finalize; the corpus itself
+    never shuffles. Returns (domain, tld, blocked, n_docs)."""
+    df = docs_ds.map_batches(domain_stats_batch,
+                             batch_format="pyarrow").to_pandas()
+    out = df.groupby(["domain", "tld", "blocked"], sort=False,
+                     as_index=False)["n_docs"].sum()
+    return out.astype({"blocked": np.int64, "n_docs": np.int64})

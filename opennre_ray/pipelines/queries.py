@@ -6593,6 +6593,45 @@ FROM g, t
 """
 
 
+def docs_domain_blocklist(sf_dir):
+    """UT1-style domain blocklist report: parse the crawl URL's host,
+    extract the registrable domain (public-suffix-lite: co.uk/co.jp),
+    test broadcast-blocklist membership, count docs per domain. The
+    whole chain runs on the URL string — synthesis, host parse, suffix
+    logic and membership are all value-checked; partials are
+    domain-cardinality per block, the corpus never shuffles."""
+    from ..functions.urls import domain_blocklist_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return domain_blocklist_stats(ds)
+
+
+def _sql_domain_blocklist() -> str:
+    from ..functions.urls import CRAWL_SUBS, CRAWL_TLDS, blocked_domains
+
+    subs = ", ".join(f"'{s}'" for s in CRAWL_SUBS)
+    tlds = ", ".join(f"'{t}'" for t in CRAWL_TLDS)
+    block = ", ".join(f"'{b}'" for b in sorted(blocked_domains()))
+    return rf"""
+WITH u AS (
+  SELECT doc_id,
+    'https://' || [{subs}][doc_id % 3 + 1] || 'site' || (doc_id % 37)
+      || '.' || [{tlds}][doc_id % 11 + 1] || '/p/' || doc_id AS url
+  FROM documents),
+h AS (SELECT doc_id,
+        regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS host FROM u),
+d AS (SELECT doc_id,
+    CASE WHEN regexp_matches(host, '\.co\.(uk|jp)$')
+         THEN regexp_extract(host, '([^.]+\.co\.[^.]+)$', 1)
+         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM h)
+SELECT domain, substr(domain, position('.' IN domain) + 1) AS tld,
+  (CASE WHEN domain IN ({block}) THEN 1 ELSE 0 END)::BIGINT AS blocked,
+  count(*)::BIGINT AS n_docs
+FROM d GROUP BY 1, 2, 3
+"""
+
+
 def docs_winnowing(sf_dir):
     """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
     scheme): per-doc distinct window-minima of positional k-gram hashes.
@@ -6699,6 +6738,7 @@ QUERIES = {
     "docs_url_dedup": docs_url_dedup,
     "docs_domain_mixture": docs_domain_mixture,
     "docs_winnowing": docs_winnowing,
+    "docs_domain_blocklist": docs_domain_blocklist,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -6936,6 +6976,7 @@ ORACLES = {
     "docs_url_dedup": SQL_DOCS_URL_DEDUP,
     "docs_domain_mixture": SQL_DOCS_DOMAIN_MIXTURE,
     "docs_winnowing": _sql_winnowing(),
+    "docs_domain_blocklist": _sql_domain_blocklist(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

@@ -358,3 +358,19 @@ def test_winnowing_guarantee_and_edges():
     long = " ".join(rng.choice(vocab, size=2000))
     ng_l, fps_l = winnow_fingerprints(long)
     assert 0 < len(fps_l) < ng_l / 2
+
+
+def test_registered_domain_suffix_logic():
+    """Public-suffix-lite extraction: multi-label suffixes keep three
+    labels, plain TLDs keep two, regardless of subdomain depth."""
+    from opennre_ray.functions.urls import blocked_domains, registered_domain
+
+    assert registered_domain("site4.co.uk") == "site4.co.uk"
+    assert registered_domain("www.site4.co.uk") == "site4.co.uk"
+    assert registered_domain("a.b.site4.co.jp") == "site4.co.jp"
+    assert registered_domain("site4.com") == "site4.com"
+    assert registered_domain("cdn.www.site4.com") == "site4.com"
+    # blocklist covers every TLD variant of each blocked site
+    b = blocked_domains()
+    assert "site5.co.uk" in b and "site17.dev" in b and len(b) == 33
+    assert "site4.com" not in b
