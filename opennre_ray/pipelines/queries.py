@@ -6593,6 +6593,73 @@ FROM g, t
 """
 
 
+def docs_filter_funnel(sf_dir):
+    """FineWeb-style curation funnel in ONE streaming pass: every filter
+    flag (Gopher rules, language-ID confidence, PII-free, C4 line rules)
+    is computed per document in the same map_batches, each block emits
+    one row of partial sums, and the driver folds block-count rows.
+    Contrast docs_curation_funnel, which re-executes stages to count
+    them — this is the shape a 100 TB run uses (flags cost one read).
+    Output: independent pass counts plus the cumulative funnel in the
+    order gopher → lang → pii → c4."""
+    from ..functions.textstats import (_LANG_MARKERS, _tokens,
+                                       c4_line_filter, gopher_signals,
+                                       pii_scrub)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        gp = lk = pc_ = cp = fl = fp = fc = 0
+        n = batch.num_rows
+        for t in batch.column("text").to_pylist():
+            g = gopher_signals(t)[5]
+            toks = [w.lower() for w in _tokens(t)]
+            nt = max(1, len(toks))
+            k = int(any(sum(1 for w in toks if w in m) / nt > 0
+                        for m in _LANG_MARKERS.values()))
+            p = int(sum(pii_scrub(t)[1]) == 0)
+            c = c4_line_filter(t)[3]
+            gp += g
+            lk += k
+            pc_ += p
+            cp += c
+            fl += g * k
+            fp += g * k * p
+            fc += g * k * p * c
+        return pa.table({
+            "n_total": pa.array([n], pa.int64()),
+            "n_pass_gopher": pa.array([gp], pa.int64()),
+            "n_pass_lang": pa.array([lk], pa.int64()),
+            "n_pass_pii": pa.array([pc_], pa.int64()),
+            "n_pass_c4": pa.array([cp], pa.int64()),
+            "n_funnel_lang": pa.array([fl], pa.int64()),
+            "n_funnel_pii": pa.array([fp], pa.int64()),
+            "n_funnel_c4": pa.array([fc], pa.int64()),
+        })
+
+    df = ds.map_batches(flags_partial, batch_format="pyarrow").to_pandas()
+    return df.sum().to_frame().T.astype(np.int64)
+
+
+def _sql_filter_funnel() -> str:
+    return f"""
+SELECT count(*)::BIGINT AS n_total,
+  sum(g.passed)::BIGINT AS n_pass_gopher,
+  sum(l.known)::BIGINT AS n_pass_lang,
+  sum(p.clean)::BIGINT AS n_pass_pii,
+  sum(c.passed)::BIGINT AS n_pass_c4,
+  sum(g.passed * l.known)::BIGINT AS n_funnel_lang,
+  sum(g.passed * l.known * p.clean)::BIGINT AS n_funnel_pii,
+  sum(g.passed * l.known * p.clean * c.passed)::BIGINT AS n_funnel_c4
+FROM ({SQL_DOCS_GOPHER_FILTER}) g
+JOIN (SELECT doc_id, (CASE WHEN pred_lang <> 'und' THEN 1 ELSE 0 END)
+        AS known FROM ({SQL_DOCS_LANGID})) l USING (doc_id)
+JOIN (SELECT doc_id, (CASE WHEN n_pii = 0 THEN 1 ELSE 0 END)
+        AS clean FROM ({_sql_pii_scrub()})) p USING (doc_id)
+JOIN ({_sql_c4_filter()}) c USING (doc_id)
+"""
+
+
 def docs_domain_blocklist(sf_dir):
     """UT1-style domain blocklist report: parse the crawl URL's host,
     extract the registrable domain (public-suffix-lite: co.uk/co.jp),
@@ -6739,6 +6806,7 @@ QUERIES = {
     "docs_domain_mixture": docs_domain_mixture,
     "docs_winnowing": docs_winnowing,
     "docs_domain_blocklist": docs_domain_blocklist,
+    "docs_filter_funnel": docs_filter_funnel,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -6977,6 +7045,7 @@ ORACLES = {
     "docs_domain_mixture": SQL_DOCS_DOMAIN_MIXTURE,
     "docs_winnowing": _sql_winnowing(),
     "docs_domain_blocklist": _sql_domain_blocklist(),
+    "docs_filter_funnel": _sql_filter_funnel(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

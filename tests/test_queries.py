@@ -374,3 +374,61 @@ def test_registered_domain_suffix_logic():
     b = blocked_domains()
     assert "site5.co.uk" in b and "site17.dev" in b and len(b) == 33
     assert "site4.com" not in b
+
+
+def test_filter_funnel_planted_parity():
+    """The funnel SQL and the scalar flag functions agree on planted docs
+    that exercise every flag both ways (the corpus itself makes pii/c4
+    degenerate: no PII, no terminal-punctuation lines)."""
+    from opennre_ray.functions.textstats import (_LANG_MARKERS, _tokens,
+                                                 c4_line_filter,
+                                                 gopher_signals, pii_scrub)
+    from opennre_ray.pipelines.queries import _sql_filter_funnel
+
+    rng = np.random.default_rng(3)
+    fillers = [f"word{i}xy" for i in range(200)]
+    prose = " ".join(
+        ("the" if i % 11 == 0 else "of" if i % 13 == 0
+         else str(rng.choice(fillers))) for i in range(120))
+    samples = [
+        prose + "\n" + "This sentence is long enough to pass the rules.\n"
+        "Another sentence that is long enough to pass.\n"
+        "A third sentence that is long enough to pass.",        # all pass
+        prose + " contact me at bob@example.com please",         # pii hit
+        "zz qq xx " * 40,                                        # lang und
+        "tiny",                                                  # gopher fail
+        prose,                                                   # c4 fail
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(samples), dtype=np.int64),
+                       "source": ["s0"] * len(samples),
+                       "text": samples})
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = con.sql(_sql_filter_funnel()).df().iloc[0]
+    con.close()
+
+    want = {k: 0 for k in got.index}
+    want["n_total"] = len(samples)
+    for t in samples:
+        g = gopher_signals(t)[5]
+        toks = [w.lower() for w in _tokens(t)]
+        nt = max(1, len(toks))
+        k = int(any(sum(1 for w in toks if w in m) / nt > 0
+                    for m in _LANG_MARKERS.values()))
+        p = int(sum(pii_scrub(t)[1]) == 0)
+        c = c4_line_filter(t)[3]
+        want["n_pass_gopher"] += g
+        want["n_pass_lang"] += k
+        want["n_pass_pii"] += p
+        want["n_pass_c4"] += c
+        want["n_funnel_lang"] += g * k
+        want["n_funnel_pii"] += g * k * p
+        want["n_funnel_c4"] += g * k * p * c
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # every flag must vary across the planted set
+    assert 0 < want["n_pass_gopher"] < len(samples)
+    assert 0 < want["n_pass_lang"] < len(samples)
+    assert 0 < want["n_pass_pii"] < len(samples)
+    assert 0 < want["n_pass_c4"] < len(samples)
+    assert want["n_funnel_c4"] >= 1
