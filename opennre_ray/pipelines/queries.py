@@ -6593,6 +6593,57 @@ FROM g, t
 """
 
 
+LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def docs_length_quantiles(sf_dir):
+    """EXACT distributed quantiles of the doc-length distribution via
+    value-histogram partials: each block reduces to (n_tokens, count)
+    rows — cardinality bounded by DISTINCT lengths, not docs — one tiny
+    merge, then rank selection replaying DuckDB's quantile_disc rank
+    max(ceil(q*n)-1, 0). The histogram trick is exact whenever the value
+    domain is bounded (lengths, scores on a grid); unbounded doubles
+    would need a KLL/t-digest sketch instead (functions/sketches.py holds
+    the sketch family)."""
+    import math
+
+    from ..functions.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nt = token_count_batch(batch).column("n_tokens").cast(pa.int64())
+        g = pa.table({"n_tokens": nt}).group_by("n_tokens") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["n_tokens", "cnt"])
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    h = df.groupby("n_tokens", sort=True)["cnt"].sum()
+    n = int(h.sum())
+    cum = h.cumsum().to_numpy()
+    vals = h.index.to_numpy()
+    picks = [int(vals[np.searchsorted(
+        cum, max(math.ceil(q * n) - 1, 0) + 1, side="left")])
+        for q in LENGTH_QUANTILES]
+    return pd.DataFrame({
+        "q": np.asarray(LENGTH_QUANTILES, dtype=np.float64),
+        "n_tokens_q": np.asarray(picks, dtype=np.int64)})
+
+
+def _sql_length_quantiles() -> str:
+    qs = list(LENGTH_QUANTILES)
+    return rf"""
+WITH per AS (
+  SELECT (CASE WHEN trim(text) = '' THEN 0
+          ELSE length(regexp_split_to_array(trim(text), '\s+'))
+          END)::BIGINT AS nt
+  FROM documents)
+SELECT unnest({qs}) AS q,
+       unnest(quantile_disc(nt, {qs}))::BIGINT AS n_tokens_q
+FROM per
+"""
+
+
 def docs_filter_funnel(sf_dir):
     """FineWeb-style curation funnel in ONE streaming pass: every filter
     flag (Gopher rules, language-ID confidence, PII-free, C4 line rules)
@@ -6807,6 +6858,7 @@ QUERIES = {
     "docs_winnowing": docs_winnowing,
     "docs_domain_blocklist": docs_domain_blocklist,
     "docs_filter_funnel": docs_filter_funnel,
+    "docs_length_quantiles": docs_length_quantiles,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7046,6 +7098,7 @@ ORACLES = {
     "docs_winnowing": _sql_winnowing(),
     "docs_domain_blocklist": _sql_domain_blocklist(),
     "docs_filter_funnel": _sql_filter_funnel(),
+    "docs_length_quantiles": _sql_length_quantiles(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

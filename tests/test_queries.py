@@ -432,3 +432,27 @@ def test_filter_funnel_planted_parity():
     assert 0 < want["n_pass_pii"] < len(samples)
     assert 0 < want["n_pass_c4"] < len(samples)
     assert want["n_funnel_c4"] >= 1
+
+
+def test_length_quantile_rank_formula():
+    """The histogram rank selection replays DuckDB quantile_disc exactly
+    across random multisets and sizes (including heavy ties)."""
+    import math
+
+    from opennre_ray.pipelines.queries import LENGTH_QUANTILES
+
+    rng = np.random.default_rng(11)
+    con = duckdb.connect()
+    for n in (1, 2, 3, 7, 50, 333):
+        vals = rng.integers(0, 12, size=n)
+        want = con.sql(
+            f"SELECT quantile_disc(x, {list(LENGTH_QUANTILES)}) "
+            f"FROM unnest({vals.tolist()}) t(x)").fetchone()[0]
+        h = pd.Series(vals).value_counts().sort_index()
+        cum = h.cumsum().to_numpy()
+        uniq = h.index.to_numpy()
+        got = [int(uniq[np.searchsorted(
+            cum, max(math.ceil(q * n) - 1, 0) + 1, side="left")])
+            for q in LENGTH_QUANTILES]
+        assert got == list(want), (n, got, want)
+    con.close()
