@@ -6593,6 +6593,83 @@ FROM g, t
 """
 
 
+OUTLIER_TOPK = 5
+
+
+def embed_centroid_outliers(sf_dir):
+    """Per-label embedding outliers: top-k vectors FARTHEST from their
+    label centroid, integer-exact — components quantized to 1e-6
+    micro-units, centroid from embed_label_centroids (trunc-div, matches
+    DuckDB //), distance = int64 squared euclidean in micro-units^2 so
+    there is no float summation order to disagree about. Centroids are
+    driver-sized (labels x dims) and broadcast once via ray.put; each
+    block keeps only its local top-k per label, the driver folds
+    blocks x labels x k partial rows. Mislabeled/corrupted-vector triage
+    (the SemDeDup prune complement: farthest-first instead of
+    nearest-dup)."""
+    import ray as _ray
+
+    cent = embed_label_centroids(sf_dir).to_pandas()
+    cents = {int(lab): grp.sort_values("dim")["centroid_fp"]
+             .to_numpy(np.int64)
+             for lab, grp in cent.groupby("label")}
+    cent_ref = _ray.put(cents)
+    k = OUTLIER_TOPK
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = _ray.get(cent_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b["embedding"]])
+        fp = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)) \
+            .astype(np.int64)
+        labels = b["label"].to_numpy(np.int64)
+        vid = b["vec_id"].to_numpy(np.int64)
+        out = []
+        for lab in np.unique(labels):
+            idx = np.flatnonzero(labels == lab)
+            diff = fp[idx] - c[int(lab)][None, :]
+            d2 = (diff * diff).sum(axis=1)
+            top = idx[np.lexsort((vid[idx], -d2))[:k]]
+            for i in top:
+                d = fp[i] - c[int(lab)]
+                out.append((int(lab), int(vid[i]), int((d * d).sum())))
+        return pd.DataFrame(out, columns=["label", "vec_id", "d2_fp"]) \
+            .astype(np.int64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    df = df.sort_values(["label", "d2_fp", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("label").cumcount() + 1
+    out = df[df["rank"] <= k].reset_index(drop=True)
+    return out[["label", "rank", "vec_id", "d2_fp"]].astype(np.int64)
+
+
+SQL_EMBED_CENTROID_OUTLIERS = """
+WITH e AS (SELECT vec_id, label, unnest(embedding) AS comp,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+q AS (SELECT vec_id, label, dim,
+        CAST(CASE WHEN comp >= 0
+             THEN floor(comp::DOUBLE * 1000000 + 0.5)
+             ELSE -floor(-comp::DOUBLE * 1000000 + 0.5) END AS BIGINT)
+          AS fp
+      FROM e),
+c AS (SELECT label, dim,
+        (sum(fp)::BIGINT // count(*)::BIGINT)::BIGINT AS cfp
+      FROM q GROUP BY label, dim),
+d AS (SELECT q.vec_id, q.label,
+        sum((q.fp - c.cfp) * (q.fp - c.cfp))::BIGINT AS d2_fp
+      FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+      GROUP BY q.vec_id, q.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY label
+        ORDER BY d2_fp DESC, vec_id) AS rank FROM d)
+SELECT label::BIGINT AS label, rank::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, d2_fp
+FROM r WHERE rank <= 5
+"""
+
+
 LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -6859,6 +6936,7 @@ QUERIES = {
     "docs_domain_blocklist": docs_domain_blocklist,
     "docs_filter_funnel": docs_filter_funnel,
     "docs_length_quantiles": docs_length_quantiles,
+    "embed_centroid_outliers": embed_centroid_outliers,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7099,6 +7177,7 @@ ORACLES = {
     "docs_domain_blocklist": _sql_domain_blocklist(),
     "docs_filter_funnel": _sql_filter_funnel(),
     "docs_length_quantiles": _sql_length_quantiles(),
+    "embed_centroid_outliers": SQL_EMBED_CENTROID_OUTLIERS,
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
