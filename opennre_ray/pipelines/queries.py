@@ -6593,6 +6593,76 @@ FROM g, t
 """
 
 
+ZIPF_RANKS = 100
+
+
+def docs_zipf_alpha(sf_dir):
+    """Zipf power-law fit of the corpus word-frequency distribution:
+    OLS slope of ln(freq) on ln(rank) over the exact top-N tokens,
+    alpha = -slope. Counts ride the word_freq map-combined groupby; the
+    post-groupby blocks hold DISJOINT tokens, so each block's local
+    top-N merged on the driver is the exact global top-N (blocks x N
+    rows, never the vocabulary). The regression is order-free: ln values
+    quantized to a 1e-6 grid (absorbs the 1-ulp libm skew between numpy
+    and DuckDB), all sums exact integers, one float division at the end.
+    Output: (n_ranks, zipf_alpha, ln_intercept)."""
+    topn = ZIPF_RANKS
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cnt", "token"],
+                             ascending=[False, True]).head(topn)
+
+    parts = docs_word_freq(sf_dir).map_batches(
+        local_top, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["cnt", "token"],
+                            ascending=[False, True]).head(topn)
+    n = len(top)
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    cnt = top["cnt"].to_numpy(np.float64)
+    lr = np.floor(np.log(rank) * 1e6 + 0.5).astype(np.int64)
+    lf = np.floor(np.log(cnt) * 1e6 + 0.5).astype(np.int64)
+    sx, sy = int(lr.sum()), int(lf.sum())
+    sxy = int((lr * lf).sum())
+    sxx = int((lr * lr).sum())
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e6
+    return pd.DataFrame({
+        "n_ranks": pd.Series([n], dtype=np.int64),
+        "zipf_alpha": [float(sql_round(-slope, 6))],
+        "ln_intercept": [float(sql_round(intercept, 6))]})
+
+
+def _sql_zipf_alpha() -> str:
+    return rf"""
+WITH wf AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents)
+  WHERE token <> '' GROUP BY token),
+top AS (
+  SELECT cnt, token,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM wf QUALIFY rank <= {ZIPF_RANKS}),
+q AS (
+  SELECT CAST(floor(ln(rank::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lr,
+         CAST(floor(ln(cnt::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lf
+  FROM top),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(lr::HUGEINT) AS sx,
+         sum(lf::HUGEINT) AS sy, sum(lr::HUGEINT * lf::HUGEINT) AS sxy,
+         sum(lr::HUGEINT * lr::HUGEINT) AS sxx
+  FROM q),
+f AS (
+  SELECT n, sx, sy,
+         (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope
+  FROM s)
+SELECT n::BIGINT AS n_ranks, round(-slope, 6) AS zipf_alpha,
+       round((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE / 1000000.0, 6)
+         AS ln_intercept
+FROM f
+"""
+
+
 OUTLIER_TOPK = 5
 
 
@@ -6937,6 +7007,7 @@ QUERIES = {
     "docs_filter_funnel": docs_filter_funnel,
     "docs_length_quantiles": docs_length_quantiles,
     "embed_centroid_outliers": embed_centroid_outliers,
+    "docs_zipf_alpha": docs_zipf_alpha,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7178,6 +7249,7 @@ ORACLES = {
     "docs_filter_funnel": _sql_filter_funnel(),
     "docs_length_quantiles": _sql_length_quantiles(),
     "embed_centroid_outliers": SQL_EMBED_CENTROID_OUTLIERS,
+    "docs_zipf_alpha": _sql_zipf_alpha(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

@@ -456,3 +456,26 @@ def test_length_quantile_rank_formula():
             for q in LENGTH_QUANTILES]
         assert got == list(want), (n, got, want)
     con.close()
+
+
+def test_zipf_alpha_planted_slope(ray_session, tmp_path):
+    """A corpus planted with freq(rank) ∝ rank^-1 fits alpha ≈ 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opennre_ray.pipelines import queries as Q
+
+    words = []
+    for r in range(1, 61):
+        words += [f"tok{r:03d}"] * max(1, round(6000 / r))
+    rng = np.random.default_rng(5)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::40]) for i in range(40)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": list(range(40)), "text": docs}),
+                   sf / "documents.parquet")
+    out = Q.docs_zipf_alpha(str(sf))
+    alpha = float(out["zipf_alpha"].iloc[0])
+    assert 0.9 < alpha < 1.1, alpha
+    assert int(out["n_ranks"].iloc[0]) == 60
