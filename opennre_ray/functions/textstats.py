@@ -959,3 +959,57 @@ def source_shingle_overlap(docs_ds, *, strat_col: str = "source",
     return pd.DataFrame(out, columns=["source_a", "source_b", "n_a",
                                       "n_b", "n_common", "jaccard"]) \
         .astype({"n_a": np.int64, "n_b": np.int64, "n_common": np.int64})
+
+
+# Encoding-damage detection (ftfy-style triage, detection only): classic
+# UTF-8-read-as-Latin-1 artifact sequences, the replacement character,
+# and stray C0 control bytes. Detection is the curation-side operation
+# (drop or route to a repair pass); repair itself is out of scope. All
+# three patterns are literal-alternation / character-class RE2-safe so
+# the DuckDB regexp_extract_all oracle counts identically. Markers are
+# spelled with \\u escapes (several contain C1 controls / NBSP).
+MOJIBAKE_MARKERS = (
+    "\u00c3\u00a9",                            # e-acute read as Latin-1
+    "\u00c3\u00a8", "\u00c3\u00a4",          # e-grave, a-umlaut
+    "\u00c3\u00b6", "\u00c3\u00bc",          # o-umlaut, u-umlaut
+    "\u00c3\u00b1",                            # n-tilde
+    "\u00e2\u20ac\u2122",                     # right single quote mangled
+    "\u00e2\u20ac\u0153",                     # left double quote mangled
+    "\u00e2\u20ac\u009d",                     # right double quote mangled
+    "\u00c2\u00a0",                            # NBSP double-encoded
+)
+MOJIBAKE_CONTROL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_MOJIBAKE_RES = None
+
+
+def mojibake_signals(text: str) -> tuple[int, int, int, int]:
+    """(n_mojibake, n_replacement, n_control, clean) for one document."""
+    import re
+
+    global _MOJIBAKE_RES
+    if _MOJIBAKE_RES is None:
+        _MOJIBAKE_RES = (
+            re.compile("|".join(re.escape(m) for m in MOJIBAKE_MARKERS)),
+            re.compile("\ufffd"),
+            re.compile(MOJIBAKE_CONTROL_CLASS),
+        )
+    mj = len(_MOJIBAKE_RES[0].findall(text))
+    rp = len(_MOJIBAKE_RES[1].findall(text))
+    ct = len(_MOJIBAKE_RES[2].findall(text))
+    return mj, rp, ct, int(mj == 0 and rp == 0 and ct == 0)
+
+
+def mojibake_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_mojibake, n_replacement, n_control, clean: row-local,
+    streams at read bandwidth."""
+    cols = {"n_mojibake": [], "n_replacement": [], "n_control": [],
+            "clean": []}
+    for t in batch.column("text").to_pylist():
+        mj, rp, ct, ok = mojibake_signals(t)
+        cols["n_mojibake"].append(mj)
+        cols["n_replacement"].append(rp)
+        cols["n_control"].append(ct)
+        cols["clean"].append(ok)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     **{k: pa.array(v, pa.int64())
+                        for k, v in cols.items()}})

@@ -6593,6 +6593,39 @@ FROM g, t
 """
 
 
+def docs_mojibake(sf_dir):
+    """Encoding-damage census (ftfy-style triage, detection only):
+    UTF-8-read-as-Latin-1 artifact sequences, replacement characters,
+    stray C0 controls, and a per-doc clean flag. Row-local, streams at
+    read bandwidth. The corpus is clean by construction, so the oracle
+    pins the identity path; artifact-BEARING strings are pinned by
+    test_mojibake_duckdb_parity against the same SQL."""
+    from ..functions.textstats import mojibake_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(mojibake_batch, batch_format="pyarrow")
+
+
+def _sql_mojibake() -> str:
+    from ..functions.textstats import (MOJIBAKE_CONTROL_CLASS,
+                                       MOJIBAKE_MARKERS)
+
+    alt = "|".join(MOJIBAKE_MARKERS)
+    repl = chr(0xFFFD)
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{alt}'))::BIGINT AS n_mojibake,
+  len(regexp_extract_all(text, '{repl}'))::BIGINT AS n_replacement,
+  len(regexp_extract_all(text, '{MOJIBAKE_CONTROL_CLASS}'))::BIGINT
+    AS n_control,
+  (CASE WHEN len(regexp_extract_all(text, '{alt}')) = 0
+         AND len(regexp_extract_all(text, '{repl}')) = 0
+         AND len(regexp_extract_all(text, '{MOJIBAKE_CONTROL_CLASS}')) = 0
+        THEN 1 ELSE 0 END)::BIGINT AS clean
+FROM documents
+"""
+
+
 ZIPF_RANKS = 100
 
 
@@ -7008,6 +7041,7 @@ QUERIES = {
     "docs_length_quantiles": docs_length_quantiles,
     "embed_centroid_outliers": embed_centroid_outliers,
     "docs_zipf_alpha": docs_zipf_alpha,
+    "docs_mojibake": docs_mojibake,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7250,6 +7284,7 @@ ORACLES = {
     "docs_length_quantiles": _sql_length_quantiles(),
     "embed_centroid_outliers": SQL_EMBED_CENTROID_OUTLIERS,
     "docs_zipf_alpha": _sql_zipf_alpha(),
+    "docs_mojibake": _sql_mojibake(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,

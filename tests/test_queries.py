@@ -479,3 +479,35 @@ def test_zipf_alpha_planted_slope(ray_session, tmp_path):
     alpha = float(out["zipf_alpha"].iloc[0])
     assert 0.9 < alpha < 1.1, alpha
     assert int(out["n_ranks"].iloc[0]) == 60
+
+
+def test_mojibake_duckdb_parity(ray_session):
+    """Python re and DuckDB RE2 count encoding artifacts identically on
+    artifact-BEARING strings (the corpus itself is clean, so the
+    corpus-level query only pins the identity path)."""
+    from opennre_ray.functions.textstats import mojibake_signals
+    from opennre_ray.pipelines.queries import _sql_mojibake
+
+    samples = [
+        "perfectly clean prose with nothing odd",
+        "caf\u00c3\u00a9 menu twice: caf\u00c3\u00a9",
+        "quote \u00e2\u20ac\u2122 and \u00e2\u20ac\u0153both"
+        "\u00e2\u20ac\u009d kinds",
+        "lost byte \ufffd here and \ufffd there",
+        "bell\x07 and null-adjacent\x1f controls\x0b",
+        "nbsp\u00c2\u00a0damage",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(samples), dtype=np.int64),
+                       "text": samples})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(_sql_mojibake()).df().set_index("doc_id")
+    con.close()
+    assert want["n_mojibake"].sum() > 0
+    assert want["n_replacement"].sum() > 0
+    assert want["n_control"].sum() > 0
+    for i, s in enumerate(samples):
+        mj, rp, ct, ok = mojibake_signals(s)
+        row = want.loc[i]
+        assert (mj, rp, ct, ok) == (row["n_mojibake"], row["n_replacement"],
+                                    row["n_control"], row["clean"]), s
