@@ -940,3 +940,27 @@ def profile_columns(ds, columns: list[str], *,
     return out.astype({"n": np.int64, "n_null": np.int64,
                        "n_distinct": np.int64}) \
         .sort_values("col_name").reset_index(drop=True)
+
+
+def fd_check(ds, determinant: str, dependent: str, *,
+             rows_hint: int | None = None):
+    """Functional-dependency audit: does ``determinant -> dependent``
+    hold? Returns a one-row pandas DataFrame (n_keys, n_violating) —
+    keys with more than one distinct dependent value violate the FD.
+
+    Scale shape: one coarse hash-bucket shuffle on the determinant (keys
+    co-located, so per-key nunique is exact inside a bucket), each
+    bucket reduces to a SINGLE partial row, and the driver folds
+    bucket-count rows. Neither the key set nor the violating keys are
+    ever materialized; pair with ``per_key_mode`` when the violating
+    values themselves are wanted."""
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby(determinant, sort=False)[dependent].nunique()
+        return pd.DataFrame({"n_keys": [len(nd)],
+                             "n_violating": [int((nd > 1).sum())]})
+
+    parts = hash_bucket_aggregate(ds, [determinant], per_bucket,
+                                  rows_hint=rows_hint).to_pandas()
+    return parts.sum().to_frame().T.astype("int64")

@@ -6593,6 +6593,51 @@ FROM g, t
 """
 
 
+FD_CANDIDATES = (
+    ("events", "user_id", "event_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_custkey"),      # holds: key is unique
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def fd_audit(sf_dir):
+    """Functional-dependency audit across candidate (determinant ->
+    dependent) pairs: per-key distinct-dependent counts via one coarse
+    hash-bucket shuffle per candidate, each bucket reducing to a single
+    partial row (the key set never materializes). Classic data-quality
+    profiling: confirms which FDs hold (unique keys) and quantifies the
+    violation rate of the rest. See functions/relational.py::fd_check."""
+    from ..functions.relational import fd_check
+
+    rows = []
+    for tbl, det, dep in FD_CANDIDATES:
+        ds = _read(sf_dir, tbl, [det, dep])
+        r = fd_check(ds, det, dep, rows_hint=_nrows(sf_dir, tbl)).iloc[0]
+        nk, nv = int(r["n_keys"]), int(r["n_violating"])
+        rows.append((tbl, det, dep, nk, nv,
+                     float(sql_round(nv / nk, 6))))
+    out = pd.DataFrame(rows, columns=["tbl", "determinant", "dependent",
+                                      "n_keys", "n_violating",
+                                      "violation_rate"])
+    return out.astype({"n_keys": np.int64, "n_violating": np.int64})
+
+
+def _sql_fd_audit() -> str:
+    parts = []
+    for tbl, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}' AS tbl, '{det}' AS determinant, '{dep}' AS dependent,
+  count(*)::BIGINT AS n_keys,
+  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS violation_rate
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {tbl}
+      GROUP BY {det})""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def docs_mojibake(sf_dir):
     """Encoding-damage census (ftfy-style triage, detection only):
     UTF-8-read-as-Latin-1 artifact sequences, replacement characters,
@@ -7042,6 +7087,7 @@ QUERIES = {
     "embed_centroid_outliers": embed_centroid_outliers,
     "docs_zipf_alpha": docs_zipf_alpha,
     "docs_mojibake": docs_mojibake,
+    "fd_audit": fd_audit,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7285,6 +7331,7 @@ ORACLES = {
     "embed_centroid_outliers": SQL_EMBED_CENTROID_OUTLIERS,
     "docs_zipf_alpha": _sql_zipf_alpha(),
     "docs_mojibake": _sql_mojibake(),
+    "fd_audit": _sql_fd_audit(),
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
