@@ -6593,6 +6593,79 @@ FROM g, t
 """
 
 
+def events_snapshot_diff(sf_dir):
+    """CDC-style snapshot diff: classify every key of two table versions
+    as added / deleted / changed / unchanged in ONE keyed shuffle. v2 is
+    synthesized deterministically from events (id%17==3 deleted,
+    id%13==4 value+1.5, id%19==6 re-inserted under id+10M at half
+    value) so the whole diff is value-checked. Scale shape: tag source,
+    union, hash-bucket on the key (versions of a key co-locate), each
+    bucket reduces to one 4-count partial row — the diff never
+    materializes, matched keys never leave their bucket."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    v1 = _read(sf_dir, "events", ["event_id", "value"])
+
+    def tag_v1(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(src=np.int64(0))
+
+    def make_v2(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        val = b["value"].to_numpy(np.float64)
+        keep = eid % 17 != 3
+        upd = pd.DataFrame({
+            "event_id": eid[keep],
+            "value": np.where(eid[keep] % 13 == 4, val[keep] + 1.5,
+                              val[keep])})
+        ins_m = eid % 19 == 6
+        ins = pd.DataFrame({"event_id": eid[ins_m] + 10_000_000,
+                            "value": val[ins_m] * 0.5})
+        return pd.concat([upd, ins]).assign(src=np.int64(1))
+
+    both = v1.map_batches(tag_v1, batch_format="pandas").union(
+        v1.map_batches(make_v2, batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["src"] == 0]
+        b = g[g["src"] == 1]
+        m = a.merge(b, on="event_id", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        hit = m["_merge"] == "both"
+        changed = int((hit & (m["value_a"] != m["value_b"])).sum())
+        return pd.DataFrame({
+            "n_added": [int((m["_merge"] == "right_only").sum())],
+            "n_deleted": [int((m["_merge"] == "left_only").sum())],
+            "n_changed": [changed],
+            "n_unchanged": [int(hit.sum()) - changed]})
+
+    parts = hash_bucket_aggregate(both, ["event_id"], per_bucket,
+                                  rows_hint=2 * _nrows(sf_dir, "events"))
+    return parts.to_pandas().sum().to_frame().T.astype(np.int64)
+
+
+SQL_EVENTS_SNAPSHOT_DIFF = """
+WITH v2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 4 THEN value + 1.5 ELSE value END
+           AS value
+  FROM events WHERE event_id % 17 <> 3
+  UNION ALL
+  SELECT event_id + 10000000, value * 0.5 FROM events
+  WHERE event_id % 19 = 6),
+j AS (SELECT e.event_id AS k1, v2.event_id AS k2,
+             e.value AS va, v2.value AS vb
+      FROM events e FULL OUTER JOIN v2 ON e.event_id = v2.event_id)
+SELECT
+  sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+  sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+  sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND va <> vb
+      THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+  sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL AND va = vb
+      THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+FROM j
+"""
+
+
 FD_CANDIDATES = (
     ("events", "user_id", "event_type"),
     ("orders", "o_custkey", "o_orderpriority"),
@@ -7088,6 +7161,7 @@ QUERIES = {
     "docs_zipf_alpha": docs_zipf_alpha,
     "docs_mojibake": docs_mojibake,
     "fd_audit": fd_audit,
+    "events_snapshot_diff": events_snapshot_diff,
     "docs_perplexity_tiers": docs_perplexity_tiers,
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
@@ -7332,6 +7406,7 @@ ORACLES = {
     "docs_zipf_alpha": _sql_zipf_alpha(),
     "docs_mojibake": _sql_mojibake(),
     "fd_audit": _sql_fd_audit(),
+    "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
