@@ -172,6 +172,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_hybrid_rrf", lambda: consume(Q.docs_hybrid_rrf(sf_dir)))
     timed("docs_c4_filter", lambda: consume(Q.docs_c4_filter(sf_dir)))
     timed("docs_url_dedup", lambda: consume(Q.docs_url_dedup(sf_dir)))
+    timed("docs_winnowing", lambda: consume(Q.docs_winnowing(sf_dir)))
+    timed("docs_filter_funnel",
+          lambda: consume(Q.docs_filter_funnel(sf_dir)))
+    timed("events_snapshot_diff",
+          lambda: consume(Q.events_snapshot_diff(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
