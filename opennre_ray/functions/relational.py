@@ -964,3 +964,54 @@ def fd_check(ds, determinant: str, dependent: str, *,
     parts = hash_bucket_aggregate(ds, [determinant], per_bucket,
                                   rows_hint=rows_hint).to_pandas()
     return parts.sum().to_frame().T.astype("int64")
+
+
+def _skyline2d_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maxima (Pareto frontier, maximize both).
+
+    A point is dominated iff some other point is >= on both axes and
+    strictly greater on at least one. Vectorized O(n log n): sort by x
+    descending, reduce each x-group to its max y, and keep a group iff
+    its max y strictly exceeds the running max over all larger-x groups;
+    within a kept group exactly the rows attaining the group max survive
+    (duplicate (x, y) points all survive — neither dominates the other).
+    """
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    starts = np.flatnonzero(np.r_[True, xs[1:] != xs[:-1]])
+    gmax = ys[starts]                       # y sorted desc inside a group
+    prev = np.r_[np.int64(np.iinfo(np.int64).min),
+                 np.maximum.accumulate(gmax)[:-1]]
+    kept_group = gmax > prev
+    gid = np.cumsum(np.r_[True, xs[1:] != xs[:-1]]) - 1
+    kept_sorted = kept_group[gid] & (ys == gmax[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = kept_sorted
+    return mask
+
+
+def skyline_2d(ds, x_col: str, y_col: str):
+    """Distributed 2-D skyline (Pareto frontier, maximize both columns).
+
+    Scale shape: the frontier operator is MERGEABLE — the global skyline
+    is a subset of the union of per-block skylines — so each block first
+    reduces to its local frontier (expected O(log block_rows) points for
+    independent axes), and only those survivors move. The survivors are
+    frontier-sized, so the final pass coalesces them into one block and
+    re-applies the same mask; no all-pairs comparison ever runs and the
+    shuffle volume is O(frontier), not O(rows). Both columns must be
+    integer-valued (quantize floats to cents/micros first) so the
+    dominance comparison is exact in every engine.
+    """
+    def frontier(t: pa.Table) -> pa.Table:
+        m = _skyline2d_mask(t.column(x_col).to_numpy(zero_copy_only=False),
+                            t.column(y_col).to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(m))
+
+    partials = ds.map_batches(frontier, batch_format="pyarrow")
+    # survivors are frontier-sized: one coalesced block, one final mask
+    return partials.repartition(1).map_batches(frontier,
+                                               batch_format="pyarrow")

@@ -7099,6 +7099,55 @@ FROM sel GROUP BY doc_id
 """
 
 
+def orders_skyline(sf_dir):
+    """2-D skyline (Pareto frontier) of orders, maximizing both price
+    and recency: an order survives iff no other order is >= on both
+    axes and strictly better on one. The frontier operator is
+    MERGEABLE (global skyline ⊆ union of per-block skylines), so each
+    block reduces to its local frontier first and only frontier-sized
+    survivors move — never an all-pairs comparison, shuffle volume
+    O(frontier) regardless of corpus size. Both axes quantize to exact
+    integers (cents / epoch-µs) so dominance is bit-identical across
+    engines. See functions/relational.py::skyline_2d."""
+    from ..functions.relational import skyline_2d
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        price = sql_round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "price_cents": pa.array(price, pa.int64()),
+            "date_us": t.column("o_orderdate").cast(pa.int64()),
+        })
+
+    sky = skyline_2d(ds.map_batches(quantize, batch_format="pyarrow"),
+                     "price_cents", "date_us")
+    return sky.sort("o_orderkey")
+
+
+SQL_ORDERS_SKYLINE = """
+WITH pts AS (
+  SELECT o_orderkey,
+         ROUND(o_totalprice * 100, 0)::BIGINT AS price_cents,
+         epoch_us(o_orderdate)::BIGINT AS date_us
+  FROM orders),
+g AS (SELECT price_cents, max(date_us) AS gmax FROM pts GROUP BY 1),
+k AS (SELECT price_cents, gmax,
+        coalesce(max(gmax) OVER (ORDER BY price_cents DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          -9223372036854775807) AS prev
+      FROM g)
+SELECT p.o_orderkey, p.price_cents, p.date_us
+FROM pts p JOIN k USING (price_cents)
+WHERE p.date_us = k.gmax AND k.gmax > k.prev
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7279,6 +7328,7 @@ QUERIES = {
     "orders_above_customer_avg": orders_above_customer_avg,
     "docs_simhash": docs_simhash,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
+    "orders_skyline": orders_skyline,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7300,6 +7350,7 @@ ORACLES = {
     "lineitem_group_agg": SQL_LINEITEM_GROUP_AGG,
     "lineitem_filter_agg": SQL_LINEITEM_FILTER_AGG,
     "topk_orders": SQL_TOPK_ORDERS,
+    "orders_skyline": SQL_ORDERS_SKYLINE,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,

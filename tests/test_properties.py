@@ -131,3 +131,20 @@ def test_paragraph_dedup_sequential_invariants(docs, w):
         # subsequence: kept preserves original order
         it = iter(segs)
         assert all(any(s == x for x in it) for s in kept)
+
+
+@given(st.lists(st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+                min_size=0, max_size=60))
+@settings(max_examples=80, deadline=None)
+def test_skyline2d_mask_matches_bruteforce(pts):
+    from opennre_ray.functions.relational import _skyline2d_mask
+
+    x = np.array([p[0] for p in pts], dtype=np.int64)
+    y = np.array([p[1] for p in pts], dtype=np.int64)
+    got = _skyline2d_mask(x, y)
+    want = np.array([
+        not any((x[j] >= x[i] and y[j] >= y[i]
+                 and (x[j] > x[i] or y[j] > y[i]))
+                for j in range(len(pts)))
+        for i in range(len(pts))], dtype=bool)
+    assert got.tolist() == want.tolist()
