@@ -7148,6 +7148,88 @@ WHERE p.date_us = k.gmax AND k.gmax > k.prev
 """
 
 
+_BENFORD_P = None
+
+
+def _benford_p() -> "np.ndarray":
+    """Benford probabilities log10(1 + 1/d), d=1..9, quantized to 12
+    decimals so both engines use the IDENTICAL constants (DuckDB's
+    log10 can sit 1 ulp off numpy's; the quantized values are embedded
+    as SQL literals instead of recomputed)."""
+    global _BENFORD_P
+    if _BENFORD_P is None:
+        from ..functions.sqlcompat import sql_round
+        d = np.arange(1, 10, dtype=np.float64)
+        _BENFORD_P = sql_round(np.log10(1.0 + 1.0 / d), 12)
+    return _BENFORD_P
+
+
+def lineitem_benford(sf_dir):
+    """Benford's-law audit of l_extendedprice: distribution of the first
+    significant digit vs the log10(1+1/d) expectation, plus the
+    chi-square statistic. Fraud/synthetic-data screens run exactly this
+    shape over monetary columns. Scale: each block reduces to a 9-row
+    digit-count partial (first digit extracted by exact integer
+    division on the cents quantization — no float log in the hot path),
+    so the shuffle volume is 9 × blocks regardless of corpus size; the
+    chi-square is computed once on the driver-side 9-row merge. Floats
+    (freq, chi2) round to 12 decimals per the pinned-float rule."""
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"],
+               rows_per_block=32768)
+
+    def digit_partial(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        c = sql_round(p * 100.0, 0).astype(np.int64)
+        c = c[c > 0]
+        while True:
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        counts = np.bincount(c, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    df = (ds.map_batches(digit_partial, batch_format="pyarrow")
+            .to_pandas().groupby("digit", as_index=False)["n"].sum())
+    n = np.zeros(9, dtype=np.int64)
+    n[df["digit"].to_numpy() - 1] = df["n"].to_numpy()
+    total = int(n.sum())
+    pq_ = _benford_p()
+    exp = total * pq_
+    chi2 = float(sql_round(np.sum((n - exp) ** 2 / exp), 12))
+    return pd.DataFrame({
+        "digit": np.arange(1, 10, dtype=np.int64),
+        "n": n,
+        "freq": sql_round(n / total, 12),
+        "benford_p": pq_,
+        "chi2": np.full(9, chi2),
+    })
+
+
+def _sql_benford() -> str:
+    pq_ = _benford_p()
+    pvals = ", ".join(f"(%d, %.12f)" % (d + 1, pq_[d]) for d in range(9))
+    return f"""
+WITH c AS (
+  SELECT ROUND(l_extendedprice * 100, 0)::BIGINT AS cents
+  FROM lineitem WHERE ROUND(l_extendedprice * 100, 0) > 0),
+d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit FROM c),
+cnt AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+p(digit, benford_p) AS (VALUES {pvals}),
+m AS (
+  SELECT p.digit, coalesce(cnt.n, 0)::BIGINT AS n, p.benford_p
+  FROM p LEFT JOIN cnt USING (digit)),
+t AS (SELECT sum(n)::BIGINT AS total FROM m)
+SELECT digit, n, ROUND(n / total, 12) AS freq, benford_p,
+  ROUND(sum((n - total * benford_p) * (n - total * benford_p)
+            / (total * benford_p)) OVER (), 12) AS chi2
+FROM m, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7329,6 +7411,7 @@ QUERIES = {
     "docs_simhash": docs_simhash,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "orders_skyline": orders_skyline,
+    "lineitem_benford": lineitem_benford,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7351,6 +7434,7 @@ ORACLES = {
     "lineitem_filter_agg": SQL_LINEITEM_FILTER_AGG,
     "topk_orders": SQL_TOPK_ORDERS,
     "orders_skyline": SQL_ORDERS_SKYLINE,
+    "lineitem_benford": _sql_benford(),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
