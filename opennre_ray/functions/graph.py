@@ -927,3 +927,106 @@ def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
             "draw_idx": pc.cast(batch.column("draw_idx"), pa.int64())})
 
     return kept.map_batches(finalize, batch_format="pyarrow")
+
+
+def k_core(edges_ds, k: int, *, max_iters: int = 64,
+           rows_hint: int | None = None):
+    """k-core decomposition by iterative peeling: repeatedly delete every
+    vertex of degree < k until none remains; the survivors form the
+    (unique, order-independent) maximal subgraph with min degree >= k.
+
+    Input: distinct undirected ``(a, b)`` edges. Output: one row per
+    core vertex, ``(v, core_deg)``.
+
+    Scale shape — each round costs two linear passes, never all-pairs:
+    (1) one bucketed degree aggregate over the exploded endpoints
+    (``hash_bucket_aggregate``), (2) victim vertices (deg < k) removed
+    from the edge list via the size-gated ``anti_join`` on each endpoint
+    — after the first round the victim set is typically tiny, so the
+    broadcast/Bloom path applies; an adversarial round falls back to the
+    bucketed shuffle automatically. Block counts are compacted per round
+    (same measured 6x-blocks-per-round story as connected_components).
+    Round count is the peeling depth (O(degeneracy) in the worst case);
+    bounded by ``max_iters`` — raises if not converged so the capped SQL
+    oracle can unroll the SAME bound and stay exact.
+    """
+    from .relational import (ANTI_JOIN_BROADCAST_LIMIT, anti_join,
+                             compute_n_buckets)
+
+    n_parts = max(2, compute_n_buckets(rows_hint))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([
+            t.column("a").combine_chunks().cast(pa.int64()),
+            t.column("b").combine_chunks().cast(pa.int64())])
+        return pa.table({"v": v})
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False).size()
+        return out.rename(columns={"size": "core_deg"})
+
+    def conform(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "core_deg": pa.array([], pa.int64())})
+        return pa.table({"v": pc.cast(t.column("v"), pa.int64()),
+                         "core_deg": pc.cast(t.column("core_deg"),
+                                             pa.int64())})
+
+    edges = compact(edges_ds)
+    for _ in range(max_iters):
+        deg = hash_bucket_aggregate(
+            edges.map_batches(endpoints, batch_format="pyarrow"),
+            ["v"], deg_bucket, rows_hint=rows_hint)
+        deg = compact(deg.map_batches(conform, batch_format="pyarrow"))
+        bad = compact(deg.map_batches(
+            lambda t: t.filter(pa.compute.less(t.column("core_deg"), k)),
+            batch_format="pyarrow"))
+        n_bad = bad.count()
+        if n_bad == 0:
+            if deg.count() == 0:    # peeled to nothing: typed empty core
+                import ray as _ray
+                return _ray.data.from_arrow(pa.table({
+                    "v": pa.array([], pa.int64()),
+                    "core_deg": pa.array([], pa.int64())}))
+            return deg
+        if n_bad <= ANTI_JOIN_BROADCAST_LIMIT:
+            # the victim set is ALREADY distinct (one row per vertex from
+            # the degree aggregate): broadcast it once and drop edges on
+            # BOTH endpoints in a single fused pass — the two generic
+            # anti_joins would each pay a redundant dedup shuffle
+            import ray as _ray
+            import pyarrow.compute as pc
+            ref = _ray.put(bad.to_pandas()["v"].to_numpy(np.int64))
+
+            def drop_bad(t: pa.Table, _ref=ref) -> pa.Table:
+                vs = pa.array(_ray.get(_ref))
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t.column("a"), value_set=vs)),
+                    pc.invert(pc.is_in(t.column("b"), value_set=vs)))
+                return t.filter(keep)
+
+            edges = edges.map_batches(drop_bad, batch_format="pyarrow")
+        else:
+            edges = anti_join(
+                edges, bad.select_columns(["v"]).rename_columns(
+                    {"v": "a"}), "a", ["b"], rows_hint=rows_hint)
+            edges = anti_join(
+                edges, bad.select_columns(["v"]).rename_columns(
+                    {"v": "b"}), "b", ["a"], rows_hint=rows_hint)
+        edges = compact(edges.map_batches(
+            lambda t: (pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+                       if t.num_rows == 0 or "a" not in t.column_names
+                       else pa.table({
+                           "a": t.column("a").cast(pa.int64()),
+                           "b": t.column("b").cast(pa.int64())})),
+            batch_format="pyarrow"))
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")

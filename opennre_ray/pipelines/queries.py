@@ -7230,6 +7230,78 @@ FROM m, t
 """
 
 
+KCORE_K = 14
+#: same deterministic partkey-mod vertex sample as the Adamic-Adar query
+#: (the full co-purchase graph is dense enough that small k-cores are
+#: trivially the whole graph); k=14 peels 3-6 rounds at sf0.01/sf0.1 and
+#: empties the core at sf0.001, exercising both fixpoints.
+KCORE_VERTEX_MOD = 5
+
+
+def graph_kcore_parts(sf_dir):
+    """k-core decomposition (iterative peeling) of the sampled part
+    co-purchase graph: vertices of the maximal subgraph with min degree
+    >= KCORE_K, with their in-core degree. Each peel round is one
+    bucketed degree aggregate + a size-gated anti-join of the victim
+    set — linear passes, never all-pairs; see
+    functions/graph.py::k_core. The oracle replays the peel as a
+    round-capped recursive CTE with the SAME bound (both sides raise /
+    stop at 64 rounds, reached by neither — measured max 6)."""
+    from ..functions.graph import build_copurchase_edges, k_core
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % KCORE_VERTEX_MOD == 0))
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    n = _nrows(sf_dir, "lineitem") // KCORE_VERTEX_MOD
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    core = k_core(edges, KCORE_K, rows_hint=4 * n)
+    if core.count() == 0:
+        # Ray's to_pandas drops columns from all-empty blocks; hand the
+        # driver a TYPED empty frame so the schema compare still holds
+        return pd.DataFrame({"v": pd.Series(dtype="int64"),
+                             "core_deg": pd.Series(dtype="int64")})
+    return core
+
+
+def _sql_kcore() -> str:
+    k, mod = KCORE_K, KCORE_VERTEX_MOD
+    return f"""
+WITH RECURSIVE
+lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE l_partkey % {mod} = 0),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+alive(r, a, b) AS (
+  SELECT 0, a, b FROM e
+  UNION ALL
+  SELECT r + 1, a, b FROM alive
+  WHERE r < 64
+    AND a NOT IN (SELECT v FROM (
+          SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM alive UNION ALL SELECT b FROM alive)
+          GROUP BY v) WHERE c < {k})
+    AND b NOT IN (SELECT v FROM (
+          SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM alive UNION ALL SELECT b FROM alive)
+          GROUP BY v) WHERE c < {k})
+    AND EXISTS (SELECT 1 FROM (
+          SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM alive UNION ALL SELECT b FROM alive)
+          GROUP BY v) WHERE c < {k})
+),
+last AS (SELECT a, b FROM alive WHERE r = (SELECT max(r) FROM alive)),
+deg AS (SELECT v, count(*)::BIGINT AS core_deg FROM (
+          SELECT a AS v FROM last UNION ALL SELECT b FROM last)
+        GROUP BY v)
+SELECT v, core_deg FROM deg
+WHERE NOT EXISTS (SELECT 1 FROM deg d2 WHERE d2.core_deg < {k})
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7412,6 +7484,7 @@ QUERIES = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "orders_skyline": orders_skyline,
     "lineitem_benford": lineitem_benford,
+    "graph_kcore_parts": graph_kcore_parts,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7435,6 +7508,7 @@ ORACLES = {
     "topk_orders": SQL_TOPK_ORDERS,
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "lineitem_benford": _sql_benford(),
+    "graph_kcore_parts": _sql_kcore(),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,

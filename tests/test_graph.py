@@ -314,3 +314,49 @@ def test_negative_samples_distributed_path_matches_broadcast(ray_session):
     truth = set(triples)
     for s, p, n, _ in dist[cols].to_numpy():
         assert (s, p, n) not in truth
+
+
+def _peel(edges, k):
+    """Sequential reference peeler."""
+    from collections import defaultdict
+    E = set(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        bad = {v for v, c in deg.items() if c < k}
+        if not bad:
+            return sorted(deg.items())
+        E = {(a, b) for a, b in E if a not in bad and b not in bad}
+
+
+def test_k_core_matches_sequential_peeler(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import k_core
+
+    # deterministic pseudo-random sparse graph + a planted dense clique
+    rng = np.random.RandomState(7)
+    edges = {(int(a), int(b)) if a < b else (int(b), int(a))
+             for a, b in rng.randint(0, 60, size=(160, 2)) if a != b}
+    edges |= {(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)}
+    df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+
+    for k in (2, 3, 5, 7):
+        got = k_core(rd.from_pandas(df).repartition(4), k).to_pandas()
+        want = _peel(edges, k)
+        assert sorted(zip(got["v"], got["core_deg"])) == want, k
+
+
+def test_k_core_empty_core_is_typed_empty(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import k_core
+
+    # path graph: 2-core is empty
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]})
+    core = k_core(rd.from_pandas(df), 2)
+    assert core.count() == 0
+    assert sorted(core.schema().names) == ["core_deg", "v"]
