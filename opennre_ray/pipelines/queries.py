@@ -7302,6 +7302,83 @@ WHERE NOT EXISTS (SELECT 1 FROM deg d2 WHERE d2.core_deg < {k})
 """
 
 
+def events_time_weighted_avg(sf_dir):
+    """Time-weighted average of `value` per user: the step-function
+    integral sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first) — the
+    metric a billing/IoT pipeline computes over irregular samples, where
+    the plain mean over-weights bursts. One (user_id) hash-bucket
+    shuffle; inside a bucket the integral is vectorized (grouped shift
+    for the lead timestamp). All arithmetic is exact fixed-point:
+    cents x µs products sum as Python ints (they overflow int64; the
+    oracle replays them in HUGEINT) and the average is an integer
+    floor-division to micro-units — no float ever forms, so the hash
+    oracle is exact. Users with one event (zero duration) are skipped.
+    Requires non-negative values (events.value is): Python // floors
+    while DuckDB // truncates, so a negative integral would diverge."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n = _nrows(sf_dir, "events")
+
+    def quantize(t: pa.Table) -> pa.Table:
+        cents = sql_round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "t": t.column("ts").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"])
+        nxt = g.groupby("user_id", sort=False)["t"].shift(-1)
+        dt = (nxt - g["t"]).fillna(0).astype("int64")
+        contrib = g["cents"].astype(object) * dt.astype(object)
+        agg = (g.assign(contrib=contrib)
+                .groupby("user_id", sort=False)
+                .agg(n_events=("t", "size"), t_min=("t", "min"),
+                     t_max=("t", "max"), integral=("contrib", "sum"))
+                .reset_index())
+        agg = agg[agg["n_events"] >= 2]
+        dur = (agg["t_max"] - agg["t_min"]).astype("int64")
+        twa = [(10 ** 6 * i) // (d * 100)
+               for i, d in zip(agg["integral"], dur)]
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "n_events": agg["n_events"].astype("int64"),
+            "duration_us": dur,
+            "twa_micro": pd.Series(twa, dtype="int64",
+                                   index=agg.index),
+        })
+
+    return hash_bucket_aggregate(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        ["user_id"], per_bucket, rows_hint=n)
+
+
+SQL_EVENTS_TIME_WEIGHTED_AVG = """
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts)::BIGINT AS t,
+         ROUND(value * 100, 0)::BIGINT AS cents,
+         lead(epoch_us(ts)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         (max(t) - min(t))::BIGINT AS duration_us,
+         sum(CASE WHEN t_next IS NULL THEN 0::HUGEINT
+                  ELSE cents::HUGEINT * (t_next - t) END) AS integral
+  FROM x GROUP BY user_id HAVING count(*) >= 2)
+SELECT user_id, n_events, duration_us,
+  ((1000000::HUGEINT * integral)
+     // (duration_us::HUGEINT * 100))::BIGINT AS twa_micro
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7485,6 +7562,7 @@ QUERIES = {
     "orders_skyline": orders_skyline,
     "lineitem_benford": lineitem_benford,
     "graph_kcore_parts": graph_kcore_parts,
+    "events_time_weighted_avg": events_time_weighted_avg,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7509,6 +7587,7 @@ ORACLES = {
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "lineitem_benford": _sql_benford(),
     "graph_kcore_parts": _sql_kcore(),
+    "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
