@@ -7379,6 +7379,112 @@ FROM g
 """
 
 
+def lineitem_association_rules(sf_dir):
+    """Market-basket association rules over the frequent part pairs:
+    both rule directions a→b / b→a with confidence
+    supp(ab)/supp(a) and lift supp(ab)·N/(supp(a)·supp(b)), reported as
+    exact micro-unit integers (floor division over Python-int/HUGEINT
+    products — no float forms, hash-oracle exact; all counts are
+    non-negative so // semantics agree across engines).
+
+    Scale shape: pair supports ride the lineitem_frequent_pairs plan
+    (per-order expansion inside the order's hash bucket, minsup-filtered
+    so the rule set stays small); single-item supports are one bucketed
+    distinct-(order, part) count; the item-support table is
+    catalog-sized and BROADCAST onto the rule stream (ray.put once, a
+    dict lookup per batch) instead of two shuffle joins."""
+    import ray as _ray
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_rows = _nrows(sf_dir, "lineitem")
+
+    def op_pairs(batch: pa.Table) -> pa.Table:
+        seen = set(zip(batch.column("l_orderkey").to_pylist(),
+                       batch.column("l_partkey").to_pylist()))
+        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
+        return pa.table({"o": pa.array(o, pa.int64()),
+                         "p": pa.array(p, pa.int64())})
+
+    op = hash_bucket_aggregate(
+        ds.map_batches(op_pairs, batch_format="pyarrow"), ["o", "p"],
+        lambda g: g.drop_duplicates(["o", "p"]), rows_hint=n_rows)
+
+    # item supports + distinct basket count: parts-sized partials only
+    def supp_partial(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["p"].value_counts()
+        return pd.DataFrame({"p": vc.index.to_numpy(np.int64),
+                             "supp": vc.to_numpy(np.int64),
+                             "n_orders": np.int64(g["o"].nunique())})
+
+    # op blocks hold disjoint (o, p) buckets keyed on BOTH columns, so
+    # per-block part counts are partial; one driver-side merge of
+    # parts-sized frames finishes it (same shape as docs_word_freq)
+    sup = (op.map_batches(supp_partial, batch_format="pandas")
+             .to_pandas())
+    item_supp = sup.groupby("p")["supp"].sum()
+    # o is NOT a bucket key alone: a basket can span blocks — recount
+    # distinct orders exactly with one tiny keyed pass
+    n_orders = int(hash_bucket_aggregate(
+        op.select_columns(["o"]), ["o"],
+        lambda g: g.drop_duplicates("o"), rows_hint=n_rows).count())
+    supp_ref = _ray.put(item_supp.to_dict())
+
+    pairs = lineitem_frequent_pairs(sf_dir)
+
+    def rules(b: pd.DataFrame, _ref=supp_ref, _n=n_orders) -> pd.DataFrame:
+        from ..stages.score import cached
+
+        supp = cached(("assoc_supp", _ref.hex()), lambda: _ray.get(_ref))
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        s = b["support"].astype(object).to_numpy()
+        sa = np.array([supp[x] for x in a], dtype=object)
+        sb = np.array([supp[x] for x in bb], dtype=object)
+        ante = np.concatenate([a, bb])
+        cons = np.concatenate([bb, a])
+        sp = np.concatenate([s, s])
+        s_ante = np.concatenate([sa, sb])
+        s_cons = np.concatenate([sb, sa])
+        conf = (10 ** 6 * sp) // s_ante
+        lift = (10 ** 6 * sp * _n) // (s_ante * s_cons)
+        return pd.DataFrame({
+            "antecedent": ante.astype(np.int64),
+            "consequent": cons.astype(np.int64),
+            "support_pair": sp.astype(np.int64),
+            "support_ante": s_ante.astype(np.int64),
+            "support_cons": s_cons.astype(np.int64),
+            "n_orders": np.full(len(sp), _n, dtype=np.int64),
+            "conf_micro": conf.astype(np.int64),
+            "lift_micro": lift.astype(np.int64),
+        })
+
+    return pairs.map_batches(rules, batch_format="pandas")
+
+
+SQL_LINEITEM_ASSOCIATION_RULES = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM lp),
+item AS (SELECT p, count(*)::BIGINT AS supp FROM lp GROUP BY p),
+pairs AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS s
+          FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+          GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MINSUP}),
+rules AS (
+  SELECT a AS antecedent, b AS consequent, s FROM pairs
+  UNION ALL
+  SELECT b, a, s FROM pairs)
+SELECT r.antecedent, r.consequent, r.s AS support_pair,
+  ia.supp AS support_ante, ic.supp AS support_cons, n.n_orders,
+  ((1000000::HUGEINT * r.s) // ia.supp)::BIGINT AS conf_micro,
+  ((1000000::HUGEINT * r.s * n.n_orders)
+     // (ia.supp::HUGEINT * ic.supp))::BIGINT AS lift_micro
+FROM rules r
+JOIN item ia ON ia.p = r.antecedent
+JOIN item ic ON ic.p = r.consequent, n
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7563,6 +7669,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "graph_kcore_parts": graph_kcore_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
+    "lineitem_association_rules": lineitem_association_rules,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7588,6 +7695,7 @@ ORACLES = {
     "lineitem_benford": _sql_benford(),
     "graph_kcore_parts": _sql_kcore(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
+    "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
