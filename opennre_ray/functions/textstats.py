@@ -1013,3 +1013,48 @@ def mojibake_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch.column("doc_id"),
                      **{k: pa.array(v, pa.int64())
                         for k, v in cols.items()}})
+
+
+_SENT_RE = None
+_VOWEL_RE = None
+
+
+def flesch_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_words, n_sents, n_syllables, flesch — Flesch reading
+    ease with the standard corpus heuristics: sentences = runs of
+    [.!?] (min 1), syllables = vowel-group count per word (min 1,
+    [aeiouy]+ on the lowercased token). Row-local, streams at read
+    bandwidth; the score's float arithmetic is spelled identically in
+    the SQL oracle (literals parse exactly at this precision) and
+    rounded to 12 decimals per the pinned-float rule. Empty docs are
+    dropped (the score is undefined at zero words)."""
+    import re
+
+    global _SENT_RE, _VOWEL_RE
+    if _SENT_RE is None:
+        _SENT_RE = re.compile(r"[.!?]+")
+        _VOWEL_RE = re.compile(r"[aeiouy]+")
+
+    ids, nw, ns, nsy = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        toks = _tokens(text)
+        if not toks:
+            continue
+        ids.append(doc_id)
+        nw.append(len(toks))
+        ns.append(max(len(_SENT_RE.findall(text)), 1))
+        nsy.append(sum(max(len(_VOWEL_RE.findall(w.lower())), 1)
+                       for w in toks))
+    w = np.array(nw, dtype=np.int64)
+    s = np.array(ns, dtype=np.int64)
+    sy = np.array(nsy, dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flesch = sql_round(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 12)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_words": pa.array(w, pa.int64()),
+        "n_sents": pa.array(s, pa.int64()),
+        "n_syllables": pa.array(sy, pa.int64()),
+        "flesch": pa.array(flesch, pa.float64()),
+    })

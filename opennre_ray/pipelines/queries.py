@@ -7485,6 +7485,40 @@ JOIN item ic ON ic.p = r.consequent, n
 """
 
 
+def docs_readability(sf_dir):
+    """Flesch reading-ease per document (the classic curation
+    readability gate): 206.835 - 1.015·(words/sentences) -
+    84.6·(syllables/words) over whitespace tokens, [.!?]-run sentences
+    and vowel-group syllables. Row-local vectorized scan — see
+    functions/textstats.py::flesch_batch."""
+    from ..functions.textstats import flesch_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(flesch_batch, batch_format="pyarrow")
+
+
+SQL_DOCS_READABILITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id,
+    length(toks)::BIGINT AS n_words,
+    greatest(length(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+      AS n_sents,
+    list_aggregate(list_transform(toks,
+        x -> greatest(length(regexp_extract_all(lower(x), '[aeiouy]+')),
+                      1)), 'sum')::BIGINT AS n_syllables
+  FROM t WHERE length(toks) > 0)
+SELECT doc_id, n_words, n_sents, n_syllables,
+  round(206.835 - 1.015 * (n_words / n_sents)
+        - 84.6 * (n_syllables / n_words), 12) AS flesch
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7670,6 +7704,7 @@ QUERIES = {
     "graph_kcore_parts": graph_kcore_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
+    "docs_readability": docs_readability,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7696,6 +7731,7 @@ ORACLES = {
     "graph_kcore_parts": _sql_kcore(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
+    "docs_readability": SQL_DOCS_READABILITY,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
