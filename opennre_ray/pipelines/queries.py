@@ -7519,6 +7519,72 @@ FROM w
 """
 
 
+def events_ewma(sf_dir):
+    """Per-user exponentially weighted moving average (alpha = 1/2) of
+    `value` in integer cents with half-floor rounding at every step:
+    e_n = (e_{n-1} + cents_n) // 2 — the INTEGER recurrence makes the
+    smoother bit-deterministic (a float EWMA's pow-decay sums can never
+    hash-match across engines; the oracle replays this one exactly as a
+    recursive CTE). One (user_id) hash-bucket shuffle; the recurrence is
+    inherently sequential per user, so inside a bucket it's a linear
+    scan in event order — O(events per user), the same bound any
+    streaming smoother has. Output: one row per user with the final
+    smoothed value."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        cents = sql_round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "t": t.column("ts").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"])
+        users, ns, ewmas = [], [], []
+        for uid, grp in g.groupby("user_id", sort=False):
+            e = None
+            for m in grp["cents"]:
+                e = m if e is None else (e + int(m)) // 2
+            users.append(uid)
+            ns.append(len(grp))
+            ewmas.append(e)
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype="int64"),
+            "n_events": pd.Series(ns, dtype="int64"),
+            "ewma_cents": pd.Series(ewmas, dtype="int64"),
+        })
+
+    return hash_bucket_aggregate(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        ["user_id"], per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE x AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk,
+         ROUND(value * 100, 0)::BIGINT AS cents
+  FROM events),
+r AS (
+  SELECT user_id, rk, cents AS e FROM x WHERE rk = 1
+  UNION ALL
+  SELECT x.user_id, x.rk, (r.e + x.cents) // 2
+  FROM r JOIN x ON x.user_id = r.user_id AND x.rk = r.rk + 1)
+SELECT user_id, max(rk)::BIGINT AS n_events,
+       arg_max(e, rk)::BIGINT AS ewma_cents
+FROM r GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7705,6 +7771,7 @@ QUERIES = {
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
     "docs_readability": docs_readability,
+    "events_ewma": events_ewma,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7732,6 +7799,7 @@ ORACLES = {
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
     "docs_readability": SQL_DOCS_READABILITY,
+    "events_ewma": SQL_EVENTS_EWMA,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
