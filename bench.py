@@ -177,6 +177,18 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_filter_funnel(sf_dir)))
     timed("events_snapshot_diff",
           lambda: consume(Q.events_snapshot_diff(sf_dir)))
+    timed("orders_skyline", lambda: consume(Q.orders_skyline(sf_dir)))
+    timed("graph_kcore_parts",
+          lambda: consume(Q.graph_kcore_parts(sf_dir)))
+    timed("lineitem_benford",
+          lambda: consume(Q.lineitem_benford(sf_dir)))
+    timed("lineitem_association_rules",
+          lambda: consume(Q.lineitem_association_rules(sf_dir)))
+    timed("events_time_weighted_avg",
+          lambda: consume(Q.events_time_weighted_avg(sf_dir)))
+    timed("events_ewma", lambda: consume(Q.events_ewma(sf_dir)))
+    timed("docs_readability",
+          lambda: consume(Q.docs_readability(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -7585,6 +7585,93 @@ FROM r GROUP BY user_id
 """
 
 
+RAKE_STOPWORDS = ("the", "a", "an", "of", "and", "or", "in", "on", "to",
+                  "is")
+RAKE_MIN_FREQ = 5
+
+
+def docs_rake_scores(sf_dir):
+    """RAKE keyword scoring (Rose et al. 2010) over the corpus: candidate
+    phrases are maximal stopword-delimited runs of whitespace tokens;
+    each word occurrence contributes freq += 1 and deg += phrase length,
+    and score = deg/freq (reported as an exact floor-divided micro-unit
+    integer). Words seen >= RAKE_MIN_FREQ times are kept. Scale shape:
+    phrase segmentation and the (freq, deg) partials are computed
+    row-locally per batch (a Counter per block — vocabulary-sized, not
+    corpus-sized), then ONE word-keyed bucketed sum finishes it; the
+    oracle replays the segmentation as a gaps-and-islands window."""
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.textstats import _tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    stops = frozenset(RAKE_STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            run: list[str] = []
+            for w in [t.lower() for t in _tokens(text)] + ["the"]:
+                if w in stops:
+                    for x in run:
+                        freq[x] += 1
+                        deg[x] += len(run)
+                    run = []
+                else:
+                    run.append(w)
+        words = sorted(freq)
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "freq": pa.array([freq[w] for w in words], pa.int64()),
+            "deg": pa.array([deg[w] for w in words], pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", as_index=False).agg(
+            freq=("freq", "sum"), deg=("deg", "sum"))
+        out = out[out["freq"] >= RAKE_MIN_FREQ]
+        out["freq"] = out["freq"].astype(np.int64)
+        out["deg"] = out["deg"].astype(np.int64)
+        out["score_micro"] = ((10 ** 6 * out["deg"])
+                              // out["freq"]).astype(np.int64)
+        return out
+
+    return hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], per_bucket, rows_hint=_nrows(sf_dir, "documents") * 64)
+
+
+def _sql_rake() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+u AS (
+  SELECT doc_id, lower(unnest(toks)) AS w,
+         unnest(range(length(toks))) AS pos
+  FROM t),
+m AS (
+  SELECT doc_id, w, pos, w IN ({stops}) AS is_stop,
+         count(CASE WHEN w IN ({stops}) THEN 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM u),
+p AS (
+  SELECT doc_id, w,
+         count(*) OVER (PARTITION BY doc_id, grp) AS L
+  FROM m WHERE NOT is_stop),
+agg AS (SELECT w, count(*)::BIGINT AS freq, sum(L)::BIGINT AS deg
+        FROM p GROUP BY w)
+SELECT w AS word, freq, deg,
+  ((1000000::HUGEINT * deg) // freq)::BIGINT AS score_micro
+FROM agg WHERE freq >= {RAKE_MIN_FREQ}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7772,6 +7859,7 @@ QUERIES = {
     "lineitem_association_rules": lineitem_association_rules,
     "docs_readability": docs_readability,
     "events_ewma": events_ewma,
+    "docs_rake_scores": docs_rake_scores,
     # --- rows-only by design (model/sketch/approximate outputs too
     # large or non-SQL-replayable to value-pin; each has a pinned
     # *_stats companion or a pytest oracle)
@@ -7800,6 +7888,7 @@ ORACLES = {
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
     "docs_readability": SQL_DOCS_READABILITY,
     "events_ewma": SQL_EVENTS_EWMA,
+    "docs_rake_scores": _sql_rake(),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
