@@ -189,6 +189,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("events_ewma", lambda: consume(Q.events_ewma(sf_dir)))
     timed("docs_readability",
           lambda: consume(Q.docs_readability(sf_dir)))
+    timed("docs_rake_scores",
+          lambda: consume(Q.docs_rake_scores(sf_dir)))
+    timed("docs_link_graph",
+          lambda: consume(Q.docs_link_graph(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

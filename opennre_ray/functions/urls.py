@@ -170,3 +170,66 @@ def domain_blocklist_stats(docs_ds) -> pd.DataFrame:
     out = df.groupby(["domain", "tld", "blocked"], sort=False,
                      as_index=False)["n_docs"].sum()
     return out.astype({"blocked": np.int64, "n_docs": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Hyperlink-graph extraction (engine addition; the reference has no
+# crawl-side tooling). A Common-Crawl page carries outlinks in its HTML;
+# the KG-adjacent question "which sources link to which" is a two-stage
+# pipeline: regex href extraction over the html bytes (row-local, streams
+# at read bandwidth) -> one shuffle join edge.dst -> documents to resolve
+# the target's source -> a source x source edge-count aggregate. The
+# sandbox corpus has no html-with-links column, so the outlink targets are
+# synthesized deterministically from doc_id (md5 draws, SQL-replayable);
+# the engine still renders real markup and extracts with a real regex, so
+# the plumbing under test is the one a raw crawl would use.
+# ---------------------------------------------------------------------------
+
+_HREF_RE = re.compile(rb'href="https://docs\.test/doc/(\d+)"')
+
+_LINKED_PAGE = (
+    b"<html><head><title>doc %d</title></head><body>"
+    b"<nav>home | about</nav><p>body</p>%s"
+    b"<footer>&copy; corpus</footer></body></html>"
+)
+
+
+def _link_u64(s: str) -> int:
+    # first 8 md5 digest bytes big-endian == ('0x'||substr(md5(s),1,16))::UBIGINT
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def n_outlinks(doc_id: int) -> int:
+    """1-3 outlinks per page, a deterministic md5 draw."""
+    return 1 + _link_u64(f"nlinks:{doc_id}") % 3
+
+
+def outlink_target(doc_id: int, j: int, n_docs: int) -> int:
+    """The j-th outlink's target doc index (md5 draw mod corpus size)."""
+    return _link_u64(f"link:{doc_id}:{j}") % n_docs
+
+
+def render_linked_html(doc_id: int, n_docs: int) -> bytes:
+    """Deterministic page markup with <a> outlink anchors."""
+    anchors = b"".join(
+        b'<a href="https://docs.test/doc/%d">ref</a>'
+        % outlink_target(doc_id, j, n_docs)
+        for j in range(n_outlinks(doc_id)))
+    return _LINKED_PAGE % (doc_id, anchors)
+
+
+def extract_links_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+    """(doc_id, source) -> one edge row per extracted href:
+    (src_source, dst_doc). Renders the linked page and pulls targets
+    back out with the compiled href regex — the extraction is the real
+    operation; the render is the sandbox's stand-in for the crawl."""
+    srcs, dsts = [], []
+    for d, s in zip(batch.column("doc_id").to_pylist(),
+                    batch.column("source").to_pylist()):
+        html = render_linked_html(d, n_docs)
+        for m in _HREF_RE.finditer(html):
+            srcs.append(s)
+            dsts.append(int(m.group(1)))
+    return pa.table({"src_source": pa.array(srcs, pa.string()),
+                     "dst_doc": pa.array(dsts, pa.int64())})

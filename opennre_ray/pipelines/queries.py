@@ -7672,6 +7672,63 @@ FROM agg WHERE freq >= {RAKE_MIN_FREQ}
 """
 
 
+def docs_link_graph(sf_dir):
+    """Hyperlink source-graph over the crawl: render each page's
+    deterministic outlink markup, regex-extract the hrefs (the real
+    crawl-side operation — see ``functions/urls.py``), resolve every
+    target document's source with ONE doc_id-keyed shuffle join, then
+    count (src_source, dst_source) edges. Scale shape: extraction is
+    row-local and streams at read bandwidth; the edge→documents join is
+    a single bucketed shuffle on doc_id (the corpus is the big side, so
+    no broadcast); the final aggregate is map-side partialed first —
+    source×source cardinality is tiny, so only partials move."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+    from ..functions.urls import extract_links_batch
+
+    n_docs = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    edges = docs.map_batches(
+        lambda b: extract_links_batch(b, n_docs), batch_format="pyarrow")
+    targets = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda df: df.rename(columns={"source": "dst_source"}),
+        batch_format="pandas")
+    joined = shuffle_join(edges, targets, "dst_doc", "doc_id",
+                          ["src_source"], ["dst_source"],
+                          rows_hint=n_docs * 3)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src_source", "dst_source"], sort=False,
+                         as_index=False).size()
+        return out.rename(columns={"size": "n_links"})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src_source", "dst_source"],
+                        as_index=False)["n_links"].sum()
+        out["n_links"] = out["n_links"].astype(np.int64)
+        return out
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return hash_bucket_aggregate(partials, ["src_source", "dst_source"],
+                                 per_bucket, rows_hint=512)
+
+
+_SQL_LINK_GRAPH = """
+WITH n AS (SELECT count(*)::UBIGINT AS n_docs FROM documents),
+e AS (
+  SELECT d.source AS src_source,
+         (('0x' || substr(md5('link:' || d.doc_id::VARCHAR || ':'
+                              || t.j::VARCHAR), 1, 16))::UBIGINT
+          % n.n_docs)::BIGINT AS dst_doc
+  FROM documents d, n, range(3) t(j)
+  WHERE t.j < 1 + (('0x' || substr(md5('nlinks:' || d.doc_id::VARCHAR),
+                                   1, 16))::UBIGINT % 3)::BIGINT
+)
+SELECT e.src_source, d2.source AS dst_source, count(*)::BIGINT AS n_links
+FROM e JOIN documents d2 ON d2.doc_id = e.dst_doc
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7873,6 +7930,7 @@ QUERIES = {
     "events_approx_distinct_users": events_approx_distinct_users,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
+    "docs_link_graph": docs_link_graph,
 }
 
 
@@ -7889,6 +7947,7 @@ ORACLES = {
     "docs_readability": SQL_DOCS_READABILITY,
     "events_ewma": SQL_EVENTS_EWMA,
     "docs_rake_scores": _sql_rake(),
+    "docs_link_graph": _SQL_LINK_GRAPH,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,

@@ -511,3 +511,26 @@ def test_mojibake_duckdb_parity(ray_session):
         row = want.loc[i]
         assert (mj, rp, ct, ok) == (row["n_mojibake"], row["n_replacement"],
                                     row["n_control"], row["clean"]), s
+
+
+def test_link_graph_render_extract_roundtrip():
+    """The href regex recovers EXACTLY the deterministic outlink targets
+    from the rendered markup — the extraction path is real (regex over
+    html bytes), not a replay of the generator."""
+    import pyarrow as pa
+
+    from opennre_ray.functions.urls import (
+        extract_links_batch, n_outlinks, outlink_target, render_linked_html)
+
+    n_docs = 97
+    for doc_id in (0, 1, 42, 96):
+        html = render_linked_html(doc_id, n_docs)
+        assert html.startswith(b"<html>") and b"<footer>" in html
+        k = n_outlinks(doc_id)
+        assert 1 <= k <= 3
+        batch = pa.table({"doc_id": pa.array([doc_id], pa.int64()),
+                          "source": pa.array(["s"], pa.string())})
+        edges = extract_links_batch(batch, n_docs)
+        assert edges.column("dst_doc").to_pylist() == [
+            outlink_target(doc_id, j, n_docs) for j in range(k)]
+        assert edges.column("src_source").to_pylist() == ["s"] * k
