@@ -221,15 +221,17 @@ def render_linked_html(doc_id: int, n_docs: int) -> bytes:
 
 def extract_links_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     """(doc_id, source) -> one edge row per extracted href:
-    (src_source, dst_doc). Renders the linked page and pulls targets
-    back out with the compiled href regex — the extraction is the real
-    operation; the render is the sandbox's stand-in for the crawl."""
-    srcs, dsts = [], []
+    (src_doc, src_source, dst_doc). Renders the linked page and pulls
+    targets back out with the compiled href regex — the extraction is the
+    real operation; the render is the sandbox's stand-in for the crawl."""
+    sdocs, srcs, dsts = [], [], []
     for d, s in zip(batch.column("doc_id").to_pylist(),
                     batch.column("source").to_pylist()):
         html = render_linked_html(d, n_docs)
         for m in _HREF_RE.finditer(html):
+            sdocs.append(d)
             srcs.append(s)
             dsts.append(int(m.group(1)))
-    return pa.table({"src_source": pa.array(srcs, pa.string()),
+    return pa.table({"src_doc": pa.array(sdocs, pa.int64()),
+                     "src_source": pa.array(srcs, pa.string()),
                      "dst_doc": pa.array(dsts, pa.int64())})

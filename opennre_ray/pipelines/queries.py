@@ -7683,12 +7683,8 @@ def docs_link_graph(sf_dir):
     no broadcast); the final aggregate is map-side partialed first —
     source×source cardinality is tiny, so only partials move."""
     from ..functions.relational import hash_bucket_aggregate, shuffle_join
-    from ..functions.urls import extract_links_batch
 
-    n_docs = _nrows(sf_dir, "documents")
-    docs = _read(sf_dir, "documents", ["doc_id", "source"])
-    edges = docs.map_batches(
-        lambda b: extract_links_batch(b, n_docs), batch_format="pyarrow")
+    edges, n_docs = _link_edges(sf_dir)
     targets = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         lambda df: df.rename(columns={"source": "dst_source"}),
         batch_format="pandas")
@@ -7712,19 +7708,169 @@ def docs_link_graph(sf_dir):
                                  per_bucket, rows_hint=512)
 
 
-_SQL_LINK_GRAPH = """
+#: md5-replayed outlink edge table shared by every link-graph oracle:
+#: (src_doc, src_source, dst_doc), one row per extracted href.
+_SQL_LINK_EDGES = """
 WITH n AS (SELECT count(*)::UBIGINT AS n_docs FROM documents),
 e AS (
-  SELECT d.source AS src_source,
+  SELECT d.doc_id AS src_doc, d.source AS src_source,
          (('0x' || substr(md5('link:' || d.doc_id::VARCHAR || ':'
                               || t.j::VARCHAR), 1, 16))::UBIGINT
           % n.n_docs)::BIGINT AS dst_doc
   FROM documents d, n, range(3) t(j)
   WHERE t.j < 1 + (('0x' || substr(md5('nlinks:' || d.doc_id::VARCHAR),
                                    1, 16))::UBIGINT % 3)::BIGINT
-)
+)"""
+
+_SQL_LINK_GRAPH = _SQL_LINK_EDGES + """
 SELECT e.src_source, d2.source AS dst_source, count(*)::BIGINT AS n_links
 FROM e JOIN documents d2 ON d2.doc_id = e.dst_doc
+GROUP BY 1, 2
+"""
+
+
+def _link_edges(sf_dir):
+    """Shared extraction stage for the link-graph analytics queries:
+    (src_doc, src_source, dst_doc) edges, one row per extracted href."""
+    from ..functions.urls import extract_links_batch
+
+    n_docs = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return docs.map_batches(
+        lambda b: extract_links_batch(b, n_docs),
+        batch_format="pyarrow"), n_docs
+
+
+def docs_link_pagerank(sf_dir):
+    """PageRank over the doc-level hyperlink graph — THE canonical
+    web-graph computation. Reuses the integer fixed-point power iteration
+    (functions.graph.pagerank): int64 micro-unit arithmetic makes the
+    distributed result bit-identical to the chained-CTE SQL replay. Every
+    page has >=1 outlink, so the node set is exactly the corpus and edge
+    multiplicity (a page linking the same target twice) is preserved on
+    both sides."""
+    from ..functions.graph import pagerank
+
+    edges, n_docs = _link_edges(sf_dir)
+
+    def as_pair(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t.column("src_doc").cast(pa.string()),
+            "obj": t.column("dst_doc").cast(pa.string())})
+
+    return pagerank(edges.map_batches(as_pair, batch_format="pyarrow"),
+                    iters=PAGERANK_ITERS, rows_hint=n_docs * 2)
+
+
+def _link_pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
+    """Chained-CTE replay of the integer power iteration over the
+    md5-replayed link edges (same round structure as _pagerank_sql)."""
+    parts = [_SQL_LINK_EDGES + f""",
+pe AS (SELECT src_doc::VARCHAR AS src, dst_doc::VARCHAR AS dst FROM e),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM pe GROUP BY src),
+nodes AS (SELECT DISTINCT src AS v FROM pe UNION SELECT dst FROM pe),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT v, ({scale} // (SELECT n FROM nn))::BIGINT AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (SELECT nodes.v,
+         (({scale} * {den - num}) // ({den} * (SELECT n FROM nn)))::BIGINT
+         + COALESCE(s.inc, 0) AS r
+         FROM nodes LEFT JOIN (
+           SELECT pe.dst AS v,
+                  sum((p.r * {num}) // ({den} * deg.outdeg))::BIGINT AS inc
+           FROM pe JOIN r{i - 1} p ON pe.src = p.v
+                  JOIN deg ON pe.src = deg.src
+           GROUP BY pe.dst) s ON nodes.v = s.v)""")
+    parts.append(f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
+    return "".join(parts)
+
+
+LINK_BFS_SEED_STRIDE = 1000
+LINK_BFS_HOPS = 3
+
+
+def docs_link_bfs(sf_dir):
+    """Crawl-frontier BFS: first-reach hop (<= 3) of every page from a
+    sparse seed list (every 1000th doc), the scheduling question a
+    prioritized recrawl asks. Runs the fully distributed frontier
+    (functions.graph.k_hop_dataset — per hop one semi-join, one bucketed
+    distinct, one anti-join; nothing driver-sized but the seed list)."""
+    from ..functions.graph import k_hop_dataset
+
+    edges, n_docs = _link_edges(sf_dir)
+
+    def as_pair(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t.column("src_doc").cast(pa.string()),
+            "obj": t.column("dst_doc").cast(pa.string())})
+
+    seeds = [str(i) for i in range(0, n_docs, LINK_BFS_SEED_STRIDE)]
+    return k_hop_dataset(edges.map_batches(as_pair, batch_format="pyarrow"),
+                         seeds, k=LINK_BFS_HOPS, rows_hint=n_docs * 2)
+
+
+def _link_bfs_sql(hops: int, stride: int) -> str:
+    """Unrolled frontier replay: hop h's CTE is the distinct targets of
+    hop h-1 minus everything already reached."""
+    parts = [_SQL_LINK_EDGES + f""",
+h0 AS (SELECT doc_id AS v FROM documents WHERE doc_id % {stride} = 0),
+s0 AS (SELECT v FROM h0)"""]
+    for h in range(1, hops + 1):
+        parts.append(f""",
+h{h} AS (SELECT DISTINCT e.dst_doc AS v FROM e
+        JOIN h{h - 1} ON e.src_doc = h{h - 1}.v
+        WHERE e.dst_doc NOT IN (SELECT v FROM s{h - 1})),
+s{h} AS (SELECT v FROM s{h - 1} UNION ALL SELECT v FROM h{h})""")
+    selects = " UNION ALL ".join(
+        f"SELECT v::VARCHAR AS entity, {h}::BIGINT AS hop FROM h{h}"
+        for h in range(hops + 1))
+    parts.append("\n" + selects)
+    return "".join(parts)
+
+
+def docs_link_cocitation(sf_dir):
+    """Source-level co-citation: for every source pair (a < b), how many
+    distinct pages both link to — the classic 'related sources' signal.
+    Scale shape: distinct (dst_doc, src_source) is one bucketed pass;
+    pair expansion happens per dst bucket where in-degree per page is
+    tiny (<= |sources| rows), so no all-pairs blowup; the final pair
+    count aggregate is source^2-sized."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    edges, n_docs = _link_edges(sf_dir)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["dst_doc", "src_source"]].drop_duplicates()
+        m = d.merge(d, on="dst_doc")
+        m = m[m["src_source_x"] < m["src_source_y"]]
+        out = m.groupby(["src_source_x", "src_source_y"],
+                        as_index=False).size()
+        out = out.rename(columns={"src_source_x": "source_a",
+                                  "src_source_y": "source_b",
+                                  "size": "n_codocs"})
+        out["n_codocs"] = out["n_codocs"].astype(np.int64)
+        return out
+
+    pairs = hash_bucket_aggregate(edges, ["dst_doc"], per_bucket,
+                                  rows_hint=n_docs * 2)
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source_a", "source_b"],
+                        as_index=False)["n_codocs"].sum()
+        out["n_codocs"] = out["n_codocs"].astype(np.int64)
+        return out
+
+    return hash_bucket_aggregate(pairs, ["source_a", "source_b"],
+                                 final_bucket, rows_hint=512)
+
+
+_SQL_LINK_COCITATION = _SQL_LINK_EDGES + """,
+d AS (SELECT DISTINCT dst_doc, src_source FROM e)
+SELECT a.src_source AS source_a, b.src_source AS source_b,
+       count(*)::BIGINT AS n_codocs
+FROM d a JOIN d b ON a.dst_doc = b.dst_doc
+                 AND a.src_source < b.src_source
 GROUP BY 1, 2
 """
 
@@ -7931,6 +8077,9 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
     "docs_link_graph": docs_link_graph,
+    "docs_link_pagerank": docs_link_pagerank,
+    "docs_link_bfs": docs_link_bfs,
+    "docs_link_cocitation": docs_link_cocitation,
 }
 
 
@@ -7948,6 +8097,10 @@ ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "docs_rake_scores": _sql_rake(),
     "docs_link_graph": _SQL_LINK_GRAPH,
+    "docs_link_pagerank": _link_pagerank_sql(PAGERANK_ITERS, 10 ** 12,
+                                             85, 100),
+    "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
+    "docs_link_cocitation": _SQL_LINK_COCITATION,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
