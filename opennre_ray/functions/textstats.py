@@ -1058,3 +1058,66 @@ def flesch_batch(batch: pa.Table) -> pa.Table:
         "n_syllables": pa.array(sy, pa.int64()),
         "flesch": pa.array(flesch, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fasttext/CCNet-style model filter).
+# Real curation pipelines score every page with a linear model over hashed
+# bag-of-words features (fasttext quality classifiers in CCNet / GPT-3 /
+# RedPajama); the compute shape is hash -> weight lookup -> sum, which is
+# exactly what this stage runs. The sandbox has no trained weights, so the
+# weight vector is an md5-seeded integer draw (SQL-replayable) — swap in a
+# learned vector and nothing else changes.
+# ---------------------------------------------------------------------------
+
+QCLF_DIM = 4096          # hashed feature buckets
+QCLF_WSPAN = 2001        # weights drawn in [-1000, 1000]
+
+_QCLF_WEIGHTS: "np.ndarray | None" = None
+_QCLF_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _qclf_weights() -> "np.ndarray":
+    """Seeded per-worker weight vector: w[i] = md5u64('qw:i') % 2001 - 1000
+    (built once per worker; a learned fasttext vector would ship via
+    ray.put instead — same lookup, different provenance)."""
+    global _QCLF_WEIGHTS
+    if _QCLF_WEIGHTS is None:
+        _QCLF_WEIGHTS = np.array(
+            [int.from_bytes(hashlib.md5(f"qw:{i}".encode()).digest()[:8],
+                            "big") % QCLF_WSPAN - (QCLF_WSPAN // 2)
+             for i in range(QCLF_DIM)], dtype=np.int64)
+    return _QCLF_WEIGHTS
+
+
+def _qclf_bucket(tok: str) -> int:
+    b = _QCLF_BUCKET_CACHE.get(tok)
+    if b is None:
+        b = int.from_bytes(hashlib.md5(("qh:" + tok).encode("utf-8"))
+                           .digest()[:8], "big") % QCLF_DIM
+        if len(_QCLF_BUCKET_CACHE) < 1_000_000:   # Zipf head stays cached
+            _QCLF_BUCKET_CACHE[tok] = b
+    return b
+
+
+def quality_classifier_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens, score, keep — integer score = sum of hashed
+    token weights (keep = score >= 0). Row-local; the token->bucket map
+    is memoized per worker so the md5 cost follows the vocabulary, not
+    the token stream."""
+    w = _qclf_weights()
+    ids, nt, sc = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        toks = [t.lower() for t in _tokens(text)]
+        ids.append(doc_id)
+        nt.append(len(toks))
+        sc.append(int(w[[_qclf_bucket(t) for t in toks]].sum()) if toks
+                  else 0)
+    score = np.array(sc, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "score": pa.array(score, pa.int64()),
+        "keep": pa.array((score >= 0).astype(np.int64), pa.int64()),
+    })

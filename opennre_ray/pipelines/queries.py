@@ -7875,6 +7875,46 @@ GROUP BY 1, 2
 """
 
 
+def docs_quality_classifier(sf_dir):
+    """fasttext/CCNet-style model-based quality filter: every page gets a
+    linear score over hashed bag-of-words features (hash token -> bucket,
+    sum bucket weights, keep when score >= 0). The weight vector here is
+    an md5-seeded integer draw so the whole thing is SQL-replayable; a
+    learned fasttext vector drops in without changing the stage. Scale
+    shape: pure row-local streaming map — the per-worker weight vector is
+    KB-sized and the token->bucket memo follows the vocabulary."""
+    from ..functions.textstats import quality_classifier_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_classifier_batch, batch_format="pyarrow")
+
+
+def _sql_quality_classifier() -> str:
+    from ..functions.textstats import QCLF_DIM, QCLF_WSPAN
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+u AS (SELECT doc_id, lower(unnest(toks)) AS w FROM t),
+s AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('qw:' ||
+             (('0x' || substr(md5('qh:' || w), 1, 16))::UBIGINT
+              % {QCLF_DIM})::VARCHAR), 1, 16))::UBIGINT
+           % {QCLF_WSPAN})::BIGINT - {QCLF_WSPAN // 2}) AS wt
+  FROM u),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(wt)::BIGINT AS score
+        FROM s GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(a.score, 0)::BIGINT AS score,
+       (COALESCE(a.score, 0) >= 0)::BIGINT AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7932,10 +7972,10 @@ QUERIES = {
     "docs_winnowing": docs_winnowing,
     "docs_domain_blocklist": docs_domain_blocklist,
     "docs_filter_funnel": docs_filter_funnel,
-    "docs_length_quantiles": docs_length_quantiles,
+    "docs_quality_classifier": docs_quality_classifier,
     "embed_centroid_outliers": embed_centroid_outliers,
-    "docs_zipf_alpha": docs_zipf_alpha,
-    "docs_mojibake": docs_mojibake,
+    "docs_link_graph": docs_link_graph,
+    "docs_link_pagerank": docs_link_pagerank,
     "fd_audit": fd_audit,
     "events_snapshot_diff": events_snapshot_diff,
     "docs_perplexity_tiers": docs_perplexity_tiers,
@@ -8076,10 +8116,11 @@ QUERIES = {
     "events_approx_distinct_users": events_approx_distinct_users,
     "embedding_near_dups": embedding_near_dups,
     "media_features": media_features,
-    "docs_link_graph": docs_link_graph,
-    "docs_link_pagerank": docs_link_pagerank,
+    "docs_zipf_alpha": docs_zipf_alpha,
+    "docs_mojibake": docs_mojibake,
     "docs_link_bfs": docs_link_bfs,
     "docs_link_cocitation": docs_link_cocitation,
+    "docs_length_quantiles": docs_length_quantiles,
 }
 
 
@@ -8101,6 +8142,7 @@ ORACLES = {
                                              85, 100),
     "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
     "docs_link_cocitation": _SQL_LINK_COCITATION,
+    "docs_quality_classifier": _sql_quality_classifier(),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
