@@ -10,6 +10,7 @@ pass is too expensive.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .sqlcompat import sql_round
@@ -897,3 +898,77 @@ def jl_matrix_sql_literals(in_dim: int, out_dim: int = 16,
         f"({i + 1}, {j + 1}, {R[i, j]!r})"
         for i in range(in_dim) for j in range(out_dim))
     return rows
+
+
+def scalar_quantize_stats(ds_emb, scale: int = KM_SCALE,
+                          vec_col: str = "embedding",
+                          levels: int = 255) -> pd.DataFrame:
+    """int8-style scalar quantization audit: per-dimension global range,
+    uniform quantization to ``levels`` steps, and exact reconstruction
+    error — the compression/recall trade a vector index makes before
+    choosing SQ vs PQ.
+
+    Everything is integer after the one ``floor(x * scale)`` quantize
+    (identical IEEE ops to the SQL ``floor(x * 1e6)``), so the distributed
+    result is bit-identical to the DuckDB replay. Two streaming passes,
+    nothing row-sized on the driver:
+
+    - pass 1: per-block per-dim (min, max) partials — D rows per block,
+      folded to the global per-dim range on the driver (D-sized, ~KB);
+    - pass 2: quantize q = ((v - mn) * levels) // span, reconstruct
+      r = mn + (q * span) // levels, emit per-dim (sum|err|, max|err|, n)
+      partials — again D rows per block, folded on the driver.
+
+    All intermediates are >= 0 so int64 floor division matches DuckDB
+    ``//`` exactly; (v - mn) * levels stays far below 2^63 for unit-ish
+    embeddings at scale 1e6.
+    """
+    def quantize(col) -> np.ndarray:
+        return np.floor(_as_matrix(col, np.float64) * scale).astype(np.int64)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = quantize(batch.column(vec_col))
+        if not v.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        dims = np.arange(1, v.shape[1] + 1, dtype=np.int64)
+        return pa.table({"dim": dims, "mn": v.min(axis=0),
+                         "mx": v.max(axis=0)})
+
+    mm = (ds_emb.map_batches(mm_partial, batch_format="pyarrow")
+          .to_pandas().groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+          .sort_index())
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    span = mx - mn
+    safe = np.where(span == 0, 1, span)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        v = quantize(batch.column(vec_col))
+        if not v.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "sum_abs_err": pa.array([], pa.int64()),
+                             "max_abs_err": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        q = np.where(span == 0, 0, ((v - mn) * levels) // safe)
+        recon = mn + (q * span) // levels
+        err = np.abs(v - recon)
+        dims = np.arange(1, v.shape[1] + 1, dtype=np.int64)
+        n = np.full(v.shape[1], v.shape[0], dtype=np.int64)
+        return pa.table({"dim": dims, "sum_abs_err": err.sum(axis=0),
+                         "max_abs_err": err.max(axis=0), "n_vecs": n})
+
+    parts = (ds_emb.map_batches(err_partial, batch_format="pyarrow")
+             .to_pandas().groupby("dim")
+             .agg(sum_abs_err=("sum_abs_err", "sum"),
+                  max_abs_err=("max_abs_err", "max"),
+                  n_vecs=("n_vecs", "sum")).sort_index())
+    out = pd.DataFrame({
+        "dim": mm.index.to_numpy(),
+        "v_min": mn, "v_max": mx,
+        "sum_abs_err": parts["sum_abs_err"].to_numpy(),
+        "max_abs_err": parts["max_abs_err"].to_numpy(),
+        "n_vecs": parts["n_vecs"].to_numpy(),
+    })
+    return out.astype({c: np.int64 for c in out.columns})

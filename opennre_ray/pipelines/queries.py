@@ -7915,6 +7915,43 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+SQ_LEVELS = 255
+
+
+def embed_scalar_quantize(sf_dir):
+    """Scalar-quantization (int8) audit over the embedding corpus:
+    per-dim global range, uniform 255-level quantize, exact integer
+    reconstruction error — the SQ-vs-PQ compression/recall question a
+    vector index answers before building. Bit-identical to the SQL
+    replay (see functions.similarity.scalar_quantize_stats)."""
+    from ..functions.similarity import scalar_quantize_stats
+
+    return scalar_quantize_stats(_read_embeddings(sf_dir),
+                                 levels=SQ_LEVELS)
+
+
+def _sql_scalar_quantize(scale: int, dim: int, levels: int) -> str:
+    return f"""
+WITH pts AS (
+  SELECT vec_id, i::BIGINT AS dim,
+         floor(embedding[i]::DOUBLE * {scale})::BIGINT AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i)),
+mm AS (SELECT dim, min(v)::BIGINT AS mn, max(v)::BIGINT AS mx
+       FROM pts GROUP BY dim),
+r AS (
+  SELECT p.dim, mm.mn, mm.mx,
+         abs(p.v - (mm.mn +
+             ((CASE WHEN mm.mx = mm.mn THEN 0
+                    ELSE ((p.v - mm.mn) * {levels}) // (mm.mx - mm.mn)
+               END) * (mm.mx - mm.mn)) // {levels})) AS err
+  FROM pts p JOIN mm USING (dim))
+SELECT dim, mn AS v_min, mx AS v_max,
+       sum(err)::BIGINT AS sum_abs_err, max(err)::BIGINT AS max_abs_err,
+       count(*)::BIGINT AS n_vecs
+FROM r GROUP BY dim, mn, mx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -8121,6 +8158,7 @@ QUERIES = {
     "docs_link_bfs": docs_link_bfs,
     "docs_link_cocitation": docs_link_cocitation,
     "docs_length_quantiles": docs_length_quantiles,
+    "embed_scalar_quantize": embed_scalar_quantize,
 }
 
 
@@ -8143,6 +8181,8 @@ ORACLES = {
     "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
     "docs_link_cocitation": _SQL_LINK_COCITATION,
     "docs_quality_classifier": _sql_quality_classifier(),
+    "embed_scalar_quantize": _sql_scalar_quantize(10 ** 6, EMBED_DIM,
+                                                  SQ_LEVELS),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
