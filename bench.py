@@ -199,6 +199,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_link_bfs(sf_dir)))
     timed("docs_quality_classifier",
           lambda: consume(Q.docs_quality_classifier(sf_dir)))
+    timed("docs_quality_dedup",
+          lambda: consume(Q.docs_quality_dedup(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -7889,29 +7889,37 @@ def docs_quality_classifier(sf_dir):
     return ds.map_batches(quality_classifier_batch, batch_format="pyarrow")
 
 
-def _sql_quality_classifier() -> str:
+def _sql_qclf_ctes() -> str:
+    """CTE chunk (no WITH) ending in qsc(doc_id, n_tokens, score) — the
+    hashed-linear classifier replay, shared by the classifier query and
+    the quality-aware dedup composition."""
     from ..functions.textstats import QCLF_DIM, QCLF_WSPAN
-    return rf"""
-WITH t AS (
+    return rf"""qt AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
   FROM documents),
-u AS (SELECT doc_id, lower(unnest(toks)) AS w FROM t),
-s AS (
+qu AS (SELECT doc_id, lower(unnest(toks)) AS w FROM qt),
+qs AS (
   SELECT doc_id,
          ((('0x' || substr(md5('qw:' ||
              (('0x' || substr(md5('qh:' || w), 1, 16))::UBIGINT
               % {QCLF_DIM})::VARCHAR), 1, 16))::UBIGINT
            % {QCLF_WSPAN})::BIGINT - {QCLF_WSPAN // 2}) AS wt
-  FROM u),
-agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-               sum(wt)::BIGINT AS score
-        FROM s GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
-       COALESCE(a.score, 0)::BIGINT AS score,
-       (COALESCE(a.score, 0) >= 0)::BIGINT AS keep
-FROM documents d LEFT JOIN agg a USING (doc_id)
+  FROM qu),
+qagg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                sum(wt)::BIGINT AS score
+         FROM qs GROUP BY doc_id),
+qsc AS (SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+               COALESCE(a.score, 0)::BIGINT AS score
+        FROM documents d LEFT JOIN qagg a USING (doc_id))"""
+
+
+def _sql_quality_classifier() -> str:
+    return f"""
+WITH {_sql_qclf_ctes()}
+SELECT doc_id, n_tokens, score, (score >= 0)::BIGINT AS keep
+FROM qsc
 """
 
 
@@ -7952,6 +7960,65 @@ FROM r GROUP BY dim, mn, mx
 """
 
 
+def docs_quality_dedup(sf_dir):
+    """Quality-aware near-dedup — the production composition: MinHash+LSH
+    transitive clusters, but the keeper per cluster is the HIGHEST-QUALITY
+    member (hashed-linear classifier score, ties -> smallest doc_id), not
+    the arbitrary min-id. Real pipelines keep the best duplicate, not the
+    first. Scale shape: the cluster and score passes stream independently;
+    one doc_id shuffle join lines them up; the keeper argmax is one
+    cluster-keyed bucketed pass (per-bucket rows bounded by cluster
+    membership, the same bound the CC stage already carries)."""
+    from ..functions.dedup import minhash_dedup_clusters
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+    from ..functions.textstats import quality_classifier_batch
+
+    n = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters = minhash_dedup_clusters(docs, rows_hint=16 * n).map_batches(
+        lambda df: df[["doc_id", "cluster"]], batch_format="pandas")
+    scores = docs.map_batches(
+        quality_classifier_batch, batch_format="pyarrow").map_batches(
+        lambda df: df[["doc_id", "score"]], batch_format="pandas")
+    j = shuffle_join(clusters, scores, "doc_id", "doc_id",
+                     ["cluster"], ["score"], rows_hint=n)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "score", "doc_id"],
+                          ascending=[True, False, True])
+        keep = (g.groupby("cluster").cumcount() == 0)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "cluster": g["cluster"].astype(np.int64),
+            "score": g["score"].astype(np.int64),
+            "keep": keep.astype(np.int64),
+        })
+
+    return hash_bucket_aggregate(j, ["cluster"], per_bucket, rows_hint=n)
+
+
+def _sql_quality_dedup() -> str:
+    return ("WITH RECURSIVE " + _sql_minhash_ctes() + """,
+memb AS (
+  SELECT bd.doc_id, bd.band_id::VARCHAR || '|' || bd.bkey AS bucket
+  FROM bands bd JOIN buckets k USING (band_id, bkey) WHERE k.n >= 2),
+lbl AS (
+  SELECT doc_id, doc_id AS comp FROM documents
+  UNION
+  SELECT m2.doc_id, l.comp
+  FROM lbl l JOIN memb m1 ON m1.doc_id = l.doc_id
+             JOIN memb m2 ON m2.bucket = m1.bucket),
+cl AS (SELECT doc_id, min(comp)::BIGINT AS cluster FROM lbl
+       GROUP BY doc_id),
+""" + _sql_qclf_ctes() + """
+SELECT cl.doc_id, cl.cluster, qsc.score,
+       (row_number() OVER (PARTITION BY cl.cluster
+                           ORDER BY qsc.score DESC, cl.doc_id) = 1
+        )::BIGINT AS keep
+FROM cl JOIN qsc ON qsc.doc_id = cl.doc_id
+""")
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -7978,7 +8045,7 @@ QUERIES = {
     "kg_negative_samples": kg_negative_samples,
     "media_features_stats": media_features_stats,
     "docs_exact_dedup": docs_exact_dedup,
-    "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_quality_dedup": docs_quality_dedup,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_paragraph_dedup": docs_paragraph_dedup,
@@ -8159,6 +8226,7 @@ QUERIES = {
     "docs_link_cocitation": docs_link_cocitation,
     "docs_length_quantiles": docs_length_quantiles,
     "embed_scalar_quantize": embed_scalar_quantize,
+    "docs_normalized_dedup": docs_normalized_dedup,
 }
 
 
@@ -8183,6 +8251,7 @@ ORACLES = {
     "docs_quality_classifier": _sql_quality_classifier(),
     "embed_scalar_quantize": _sql_scalar_quantize(10 ** 6, EMBED_DIM,
                                                   SQ_LEVELS),
+    "docs_quality_dedup": _sql_quality_dedup(),
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
