@@ -186,6 +186,9 @@ def domain_blocklist_stats(docs_ds) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 _HREF_RE = re.compile(rb'href="https://docs\.test/doc/(\d+)"')
+_ANCHOR_RE = re.compile(rb'href="https://docs\.test/doc/(\d+)">(\w+)</a>')
+
+N_ANCHOR_WORDS = 40
 
 _LINKED_PAGE = (
     b"<html><head><title>doc %d</title></head><body>"
@@ -210,11 +213,17 @@ def outlink_target(doc_id: int, j: int, n_docs: int) -> int:
     return _link_u64(f"link:{doc_id}:{j}") % n_docs
 
 
+def anchor_word(doc_id: int, j: int) -> str:
+    """The j-th outlink's anchor text (md5 draw over a 40-word lexicon)."""
+    return f"anchor{_link_u64(f'atext:{doc_id}:{j}') % N_ANCHOR_WORDS}"
+
+
 def render_linked_html(doc_id: int, n_docs: int) -> bytes:
     """Deterministic page markup with <a> outlink anchors."""
     anchors = b"".join(
-        b'<a href="https://docs.test/doc/%d">ref</a>'
-        % outlink_target(doc_id, j, n_docs)
+        b'<a href="https://docs.test/doc/%d">%s</a>'
+        % (outlink_target(doc_id, j, n_docs),
+           anchor_word(doc_id, j).encode())
         for j in range(n_outlinks(doc_id)))
     return _LINKED_PAGE % (doc_id, anchors)
 
@@ -235,3 +244,18 @@ def extract_links_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     return pa.table({"src_doc": pa.array(sdocs, pa.int64()),
                      "src_source": pa.array(srcs, pa.string()),
                      "dst_doc": pa.array(dsts, pa.int64())})
+
+
+def extract_anchors_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+    """(doc_id, ...) -> one (dst_doc, anchor) row per extracted <a> tag —
+    the incoming-anchor-text stream search engines aggregate to name a
+    target page. Same render-then-regex contract as
+    ``extract_links_batch``."""
+    dsts, anchors = [], []
+    for d in batch.column("doc_id").to_pylist():
+        html = render_linked_html(d, n_docs)
+        for m in _ANCHOR_RE.finditer(html):
+            dsts.append(int(m.group(1)))
+            anchors.append(m.group(2).decode())
+    return pa.table({"dst_doc": pa.array(dsts, pa.int64()),
+                     "anchor": pa.array(anchors, pa.string())})

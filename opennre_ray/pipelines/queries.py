@@ -7960,6 +7960,51 @@ FROM r GROUP BY dim, mn, mx
 """
 
 
+def docs_anchor_text(sf_dir):
+    """Incoming-anchor-text consensus: the most common anchor text across
+    every link pointing AT a page (ties -> lexicographically smallest) —
+    the classic web-search signal for naming/describing a target page.
+    Scale shape: anchor extraction is row-local; the mode is
+    ``per_key_mode``'s distinct-pair partial shuffle (moves (dst, anchor)
+    pairs, never the link stream)."""
+    from ..functions.relational import per_key_mode
+    from ..functions.urls import extract_anchors_batch
+
+    n_docs = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    anchors = docs.map_batches(
+        lambda b: extract_anchors_batch(b, n_docs), batch_format="pyarrow")
+    modes = per_key_mode(anchors, "dst_doc", "anchor",
+                         rows_hint=n_docs * 2)
+    return modes.map_batches(
+        lambda df: df.rename(columns={"modal_value": "anchor",
+                                      "cnt": "n_mentions"}),
+        batch_format="pandas")
+
+
+_SQL_ANCHOR_TEXT = """
+WITH n AS (SELECT count(*)::UBIGINT AS n_docs FROM documents),
+a AS (
+  SELECT (('0x' || substr(md5('link:' || d.doc_id::VARCHAR || ':'
+                              || t.j::VARCHAR), 1, 16))::UBIGINT
+          % n.n_docs)::BIGINT AS dst_doc,
+         'anchor' || (('0x' || substr(md5('atext:' || d.doc_id::VARCHAR
+                 || ':' || t.j::VARCHAR), 1, 16))::UBIGINT % 40)::VARCHAR
+           AS anchor
+  FROM documents d, n, range(3) t(j)
+  WHERE t.j < 1 + (('0x' || substr(md5('nlinks:' || d.doc_id::VARCHAR),
+                                   1, 16))::UBIGINT % 3)::BIGINT
+),
+c AS (SELECT dst_doc, anchor, count(*)::BIGINT AS cnt
+      FROM a GROUP BY 1, 2)
+SELECT dst_doc, anchor, cnt AS n_mentions FROM (
+  SELECT dst_doc, anchor, cnt,
+         row_number() OVER (PARTITION BY dst_doc
+                            ORDER BY cnt DESC, anchor) AS rn
+  FROM c) WHERE rn = 1
+"""
+
+
 def docs_quality_dedup(sf_dir):
     """Quality-aware near-dedup — the production composition: MinHash+LSH
     transitive clusters, but the keeper per cluster is the HIGHEST-QUALITY
@@ -8227,6 +8272,7 @@ QUERIES = {
     "docs_length_quantiles": docs_length_quantiles,
     "embed_scalar_quantize": embed_scalar_quantize,
     "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_anchor_text": docs_anchor_text,
 }
 
 
@@ -8252,6 +8298,7 @@ ORACLES = {
     "embed_scalar_quantize": _sql_scalar_quantize(10 ** 6, EMBED_DIM,
                                                   SQ_LEVELS),
     "docs_quality_dedup": _sql_quality_dedup(),
+    "docs_anchor_text": _SQL_ANCHOR_TEXT,
     "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     "supplier_region_join": SQL_SUPPLIER_REGION_JOIN,
     "part_brand_stats": SQL_PART_BRAND_STATS,
