@@ -589,31 +589,27 @@ def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
     distinct on (a, b). ``distinct=False`` skips that second shuffle and
     returns the raw pair stream (one row per sharing order) for
     consumers that dedupe in their own keyed pass (``adamic_adar``)."""
-    from itertools import combinations
-
-    import pyarrow as pa
-
     from .relational import hash_bucket_aggregate
 
-    def op_pairs(batch: pa.Table) -> pa.Table:
-        seen = set(zip(batch.column(order_col).to_pylist(),
-                       batch.column(part_col).to_pylist()))
-        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
-        return pa.table({"o": pa.array(o, pa.int64()),
-                         "p": pa.array(p, pa.int64())})
+    def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # block-local distinct, vectorized (the Python set(zip(...)) form
+        # measured ~4 s alone at sf0.1; drop_duplicates is C-speed)
+        out = df.drop_duplicates().rename(
+            columns={order_col: "o", part_col: "p"})
+        return out.astype({"o": np.int64, "p": np.int64})
 
     def expand_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        for _, grp in g.drop_duplicates(["o", "p"]).groupby("o",
-                                                            sort=False):
-            for a, b in combinations(sorted(grp["p"]), 2):
-                rows_a.append(a)
-                rows_b.append(b)
-        return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
-                             "b": pd.Series(rows_b, dtype=np.int64)})
+        # vectorized per-order pair expansion: self-merge on the order
+        # key with a<b orientation (baskets are tiny; a mega-basket
+        # would need the salt/cap treatment noted above)
+        gd = g.drop_duplicates(["o", "p"])
+        m = gd.merge(gd, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        return pd.DataFrame({"a": m["p_x"].to_numpy(np.int64),
+                             "b": m["p_y"].to_numpy(np.int64)})
 
     pairs = hash_bucket_aggregate(
-        lineitem_ds.map_batches(op_pairs, batch_format="pyarrow"),
+        lineitem_ds.map_batches(op_pairs, batch_format="pandas"),
         ["o"], expand_bucket, rows_hint=rows_hint)
     if not distinct:
         return pairs
@@ -626,50 +622,85 @@ def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
 
 
 def triangle_count(edges_ds, *, rows_hint: int | None = None):
-    """Exact global triangle count over a distinct a<b edge Dataset via
-    the standard wedge-close plan: wedges = edges ⋈ edges on the shared
-    middle vertex (a<b<c falls out of the sorted-edge orientation — each
-    triangle is generated exactly once), then a bucketed semi-join of
-    the (a, c) wedge closures against the edge set. Both joins are the
-    library's coarse-bucket shuffles; nothing lands on the driver but
-    the two scalar counts. Returns one row: (n_wedges, n_triangles).
+    """Exact global triangle count over a distinct a<b edge Dataset.
 
-    Partitioning assumption: wedge volume is sum(deg²); a power-law hub
-    would need hub-salting before the wedge join (documented, same story
-    as skew_join).
+    Plan (the fused-marker shape shared with ``adamic_adar``, which
+    measured ~2x faster than the two-join wedge-close formulation at
+    49M wedges): symmetrize to (middle, neighbor) adjacency, bucket by
+    middle, and per middle v emit the ORIENTED wedge pairs
+    lo x hi (lo < v < hi) — each triangle is generated exactly once via
+    its middle-valued vertex — map-side combined per bucket; then the
+    edge set rides the SAME (a, b) exchange as marker rows and each
+    bucket reports two scalar partials (wedges seen, wedges closed by an
+    edge). Nothing reaches the driver but bucket-count rows. Returns one
+    row: (n_wedges, n_triangles).
+
+    Partitioning assumption: emission volume is sum over middles of
+    |lo|*|hi| <= C(deg, 2); a power-law hub needs hub-salting upstream
+    (documented, same story as skew_join / adamic_adar).
     """
     import pyarrow as pa
 
-    from .relational import shuffle_join
+    from .relational import hash_bucket_aggregate
 
     edges = edges_ds.materialize()
 
-    def as_c(batch: pa.Table) -> pa.Table:
-        return pa.table({"a2": batch.column("a"), "c": batch.column("b")})
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("a"), batch.column("b")
+        return pa.concat_tables([pa.table({"v": a, "n": b}),
+                                 pa.table({"v": b, "n": a})])
 
-    wedges = shuffle_join(
-        edges, edges.map_batches(as_c, batch_format="pyarrow"),
-        "b", "a2", ["a"], ["c"], rows_hint=rows_hint).materialize()
-    n_wedges = wedges.count()
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
 
-    def wedge_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
-                      + batch["c"].astype(np.int64).astype(str))
+    def expand_middle(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for v, grp in g.groupby("v", sort=False):
+            nb = np.unique(grp["n"].to_numpy(dtype=np.int64))
+            lo = nb[nb < v]
+            hi = nb[nb > v]
+            if not len(lo) or not len(hi):
+                continue
+            frames.append(pd.DataFrame({
+                "a": np.repeat(lo, len(hi)),
+                "b": np.tile(hi, len(lo)),
+                "cn": np.int64(1)}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("a", "b", "cn")})
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["a", "b"], as_index=False, sort=False)
+                .agg(cn=("cn", "sum")))
+
+    wedges = hash_bucket_aggregate(adj, ["v"], expand_middle,
+                                   rows_hint=rows_hint)
+
+    def mark_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64),
+                             "cn": np.int64(0), "is_edge": np.int64(1)})
+
+    def with_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["is_edge"] = np.int64(0)
         return batch
 
-    def edge_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["k"] = (batch["a"].astype(np.int64).astype(str) + "_"
-                      + batch["b"].astype(np.int64).astype(str))
-        return batch[["k"]]
+    tagged = (wedges.map_batches(with_flag, batch_format="pandas")
+              .union(edges.map_batches(mark_edges, batch_format="pandas")))
 
-    closed = shuffle_join(
-        wedges.map_batches(wedge_key, batch_format="pandas"),
-        edges.map_batches(edge_key, batch_format="pandas"),
-        "k", "k", ["a", "c"], [], how="left_semi", rows_hint=rows_hint)
-    n_tri = closed.count()
-    return pd.DataFrame({"n_wedges": pd.Series([n_wedges], dtype=np.int64),
-                         "n_triangles": pd.Series([n_tri],
-                                                  dtype=np.int64)})
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], as_index=False, sort=False).agg(
+            cn=("cn", "sum"), is_edge=("is_edge", "max"))
+        return pd.DataFrame({
+            "n_wedges": [np.int64(per["cn"].sum())],
+            "n_triangles": [np.int64(per.loc[per["is_edge"] == 1,
+                                             "cn"].sum())]})
+
+    parts = hash_bucket_aggregate(tagged, ["a", "b"], count_bucket,
+                                  rows_hint=rows_hint).to_pandas()
+    return pd.DataFrame({
+        "n_wedges": pd.Series([parts["n_wedges"].sum()], dtype=np.int64),
+        "n_triangles": pd.Series([parts["n_triangles"].sum()],
+                                 dtype=np.int64)})
 
 
 #: fixed-point scale for Adamic-Adar middle-vertex weights (1/ln(deg))

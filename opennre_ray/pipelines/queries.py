@@ -3472,35 +3472,31 @@ def lineitem_frequent_pairs(sf_dir):
     expansion as the triangle edge build, but counting support instead
     of collapsing to distinct — the shuffle moves (a, b, partial-count)
     rows, never baskets."""
-    from itertools import combinations
-
     from ..functions.relational import hash_bucket_aggregate
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    def op_pairs(batch: pa.Table) -> pa.Table:
-        seen = set(zip(batch.column("l_orderkey").to_pylist(),
-                       batch.column("l_partkey").to_pylist()))
-        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
-        return pa.table({"o": pa.array(o, pa.int64()),
-                         "p": pa.array(p, pa.int64())})
+    def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # block-local distinct, vectorized (the Python set(zip(...)) form
+        # measured ~4 s alone at sf0.1; drop_duplicates is C-speed)
+        out = df.drop_duplicates().rename(
+            columns={"l_orderkey": "o", "l_partkey": "p"})
+        return out.astype({"o": np.int64, "p": np.int64})
 
     def expand_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ra, rb = [], []
-        for _, grp in g.drop_duplicates(["o", "p"]).groupby("o",
-                                                            sort=False):
-            for a, b in combinations(sorted(grp["p"]), 2):
-                ra.append(a)
-                rb.append(b)
-        out = pd.DataFrame({"a": pd.Series(ra, dtype=np.int64),
-                            "b": pd.Series(rb, dtype=np.int64)})
-        out = out.groupby(["a", "b"], as_index=False).agg(
-            support=("b", "size"))
+        # vectorized per-order pair expansion: self-merge with a<b
+        # orientation (baskets are tiny, <= 7 lineitems)
+        gd = g.drop_duplicates(["o", "p"])
+        m = gd.merge(gd, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        out = m.groupby(["p_x", "p_y"], as_index=False).agg(
+            support=("o", "size"))
+        out = out.rename(columns={"p_x": "a", "p_y": "b"})
         out["support"] = out["support"].astype(np.int64)
         return out
 
     pairs = hash_bucket_aggregate(
-        ds.map_batches(op_pairs, batch_format="pyarrow"), ["o"],
+        ds.map_batches(op_pairs, batch_format="pandas"), ["o"],
         expand_bucket, rows_hint=_nrows(sf_dir, "lineitem"))
 
     def sup_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -7387,12 +7383,17 @@ def lineitem_association_rules(sf_dir):
     products — no float forms, hash-oracle exact; all counts are
     non-negative so // semantics agree across engines).
 
-    Scale shape: pair supports ride the lineitem_frequent_pairs plan
-    (per-order expansion inside the order's hash bucket, minsup-filtered
-    so the rule set stays small); single-item supports are one bucketed
-    distinct-(order, part) count; the item-support table is
-    catalog-sized and BROADCAST onto the rule stream (ray.put once, a
-    dict lookup per batch) instead of two shuffle joins."""
+    Scale shape: ONE order-keyed bucket shuffle does everything that
+    needs co-located baskets — the (order, part) distinct, per-bucket
+    item-support partials, the EXACT per-bucket distinct-order count
+    (orders never span buckets) and the per-order pair expansion — as a
+    tagged union; pair partials then take one small (a, b) support sum,
+    while the parts-sized item/basket stats fold on the driver. The
+    item-support table is catalog-sized and BROADCAST onto the rule
+    stream (ray.put once, a dict lookup per batch) instead of two
+    shuffle joins. (The previous plan ran the lineitem distinct twice
+    plus a separate distinct-order shuffle — 4 shuffles and 2 reads;
+    this one measures ~2.5x faster at sf0.1.)"""
     import ray as _ray
 
     from ..functions.relational import hash_bucket_aggregate
@@ -7400,38 +7401,58 @@ def lineitem_association_rules(sf_dir):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     n_rows = _nrows(sf_dir, "lineitem")
 
-    def op_pairs(batch: pa.Table) -> pa.Table:
-        seen = set(zip(batch.column("l_orderkey").to_pylist(),
-                       batch.column("l_partkey").to_pylist()))
-        o, p = (list(c) for c in zip(*seen)) if seen else ([], [])
-        return pa.table({"o": pa.array(o, pa.int64()),
-                         "p": pa.array(p, pa.int64())})
+    def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # block-local distinct, vectorized (the Python set(zip(...)) form
+        # measured ~4 s alone at sf0.1; drop_duplicates is C-speed)
+        out = df.drop_duplicates().rename(
+            columns={"l_orderkey": "o", "l_partkey": "p"})
+        return out.astype({"o": np.int64, "p": np.int64})
 
-    op = hash_bucket_aggregate(
-        ds.map_batches(op_pairs, batch_format="pyarrow"), ["o", "p"],
-        lambda g: g.drop_duplicates(["o", "p"]), rows_hint=n_rows)
+    def basket_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gd = g.drop_duplicates(["o", "p"])
+        # kind 0: per-order pair-support partials — vectorized self-merge
+        # (baskets are tiny, <= 7 lineitems, so the merge is ~7x rows;
+        # a mega-basket would need skew_join's salt/cap treatment)
+        m = gd.merge(gd, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        pairs = m.groupby(["p_x", "p_y"], as_index=False).agg(
+            v=("o", "size"))
+        pairs = pairs.rename(columns={"p_x": "a", "p_y": "b"})
+        pairs.insert(0, "kind", np.int64(0))
+        # kind 1: item-support partials (parts-sized)
+        vc = gd["p"].value_counts()
+        items = pd.DataFrame({"kind": np.int64(1),
+                              "a": vc.index.to_numpy(np.int64),
+                              "b": np.int64(0),
+                              "v": vc.to_numpy(np.int64)})
+        # kind 2: EXACT distinct-order count for this bucket (orders are
+        # the bucket key, so bucket counts sum to the global count)
+        norders = pd.DataFrame({"kind": [np.int64(2)], "a": [np.int64(0)],
+                                "b": [np.int64(0)],
+                                "v": [np.int64(gd["o"].nunique())]})
+        out = pd.concat([pairs, items, norders], ignore_index=True)
+        return out.astype({c: np.int64 for c in out.columns})
 
-    # item supports + distinct basket count: parts-sized partials only
-    def supp_partial(g: pd.DataFrame) -> pd.DataFrame:
-        vc = g["p"].value_counts()
-        return pd.DataFrame({"p": vc.index.to_numpy(np.int64),
-                             "supp": vc.to_numpy(np.int64),
-                             "n_orders": np.int64(g["o"].nunique())})
+    tagged = hash_bucket_aggregate(
+        ds.map_batches(op_pairs, batch_format="pandas"), ["o"],
+        basket_bucket, rows_hint=n_rows).materialize()
 
-    # op blocks hold disjoint (o, p) buckets keyed on BOTH columns, so
-    # per-block part counts are partial; one driver-side merge of
-    # parts-sized frames finishes it (same shape as docs_word_freq)
-    sup = (op.map_batches(supp_partial, batch_format="pandas")
-             .to_pandas())
-    item_supp = sup.groupby("p")["supp"].sum()
-    # o is NOT a bucket key alone: a basket can span blocks — recount
-    # distinct orders exactly with one tiny keyed pass
-    n_orders = int(hash_bucket_aggregate(
-        op.select_columns(["o"]), ["o"],
-        lambda g: g.drop_duplicates("o"), rows_hint=n_rows).count())
+    stats = (tagged.map_batches(
+        lambda df: df[df["kind"] > 0], batch_format="pandas").to_pandas())
+    item_supp = (stats[stats["kind"] == 1].groupby("a")["v"].sum())
+    n_orders = int(stats.loc[stats["kind"] == 2, "v"].sum())
     supp_ref = _ray.put(item_supp.to_dict())
 
-    pairs = lineitem_frequent_pairs(sf_dir)
+    def sup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).agg(
+            support=("v", "sum"))
+        out["support"] = out["support"].astype(np.int64)
+        return out[out["support"] >= FREQ_PAIR_MINSUP]
+
+    pairs = hash_bucket_aggregate(
+        tagged.map_batches(lambda df: df[df["kind"] == 0],
+                           batch_format="pandas"),
+        ["a", "b"], sup_bucket, rows_hint=n_rows)
 
     def rules(b: pd.DataFrame, _ref=supp_ref, _n=n_orders) -> pd.DataFrame:
         from ..stages.score import cached
