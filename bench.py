@@ -197,6 +197,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_link_cocitation(sf_dir)))
     timed("docs_link_bfs",
           lambda: consume(Q.docs_link_bfs(sf_dir)))
+    timed("docs_link_hits",
+          lambda: consume(Q.docs_link_hits(sf_dir)))
+    timed("lineitem_price_mad_outliers",
+          lambda: consume(Q.lineitem_price_mad_outliers(sf_dir)))
     timed("docs_quality_classifier",
           lambda: consume(Q.docs_quality_classifier(sf_dir)))
     timed("docs_quality_dedup",

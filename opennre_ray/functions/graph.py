@@ -576,6 +576,165 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
     return ranks
 
 
+HITS_SCALE = 10 ** 6
+
+
+def hits(triples_ds, iters: int = 3, scale: int = HITS_SCALE,
+         subj_col="subj", obj_col="obj", rows_hint: int | None = None):
+    """Distributed HITS (hubs & authorities) in integer fixed-point.
+
+    Kleinberg's mutual-reinforcement iteration, L1-normalized each
+    half-step with floor division so the distributed result is
+    bit-identical to a sequential or SQL (DuckDB ``//`` on HUGEINT)
+    replay — the same determinism argument as :func:`pagerank`:
+
+        a_raw(v) = sum_{u->v} h(u)          (edge multiplicity kept)
+        a(v)     = (a_raw(v) * scale) // sum_v a_raw(v)
+        h_raw(u) = sum_{u->v} a(v)
+        h(u)     = (h_raw(u) * scale) // sum_u h_raw(u)
+
+    with h_0(v) = ``scale`` for every node. Overflow bound: after each
+    normalize every score is <= ``scale`` (1e6), so a raw score is
+    <= indeg * scale and the normalize numerator <= indeg * scale^2 =
+    indeg * 1e12 — int64-exact up to in-degree ~9e6 per page; beyond
+    that, lower ``scale``. The L1 totals themselves are driver scalars
+    (Python ints / DuckDB HUGEINT), never a precision risk.
+
+    Scale shape: the edge table is built once; each half-step is one
+    bucketed hash join (scores onto edges by endpoint) + one bucketed
+    sum + one O(1) global-sum scalar + one row-local normalize map —
+    score tables are never collected to the driver, and block counts
+    are compacted per round like :func:`connected_components`.
+
+    Reference scope note: thunlp/OpenNRE stops at the triple table;
+    hub/authority structure over the extracted link graph is part of
+    this engine's downstream web-graph extension set.
+    """
+    from .relational import compute_n_buckets, shuffle_join
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def edge_frame(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return edge_schema.empty_table()
+
+        def arr(name):
+            c = batch.column(name)
+            return (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c).cast(pa.string())
+        return pa.table({"src": arr(subj_col), "dst": arr(obj_col)})
+
+    edges = triples_ds.map_batches(edge_frame,
+                                   batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    edges = compact(edges)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"entity": pa.concat_arrays(
+            [t.column("src").combine_chunks(),
+             t.column("dst").combine_chunks()])})
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("entity")
+
+    nodes = compact(hash_bucket_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["entity"], distinct_bucket, n_buckets=n_parts))
+    empty_out = pd.DataFrame({"entity": pd.Series([], dtype=str),
+                              "hub_micro": pd.Series([], dtype="int64"),
+                              "auth_micro": pd.Series([], dtype="int64")})
+    if nodes.count() == 0:
+        import ray.data as rd
+        return rd.from_pandas(empty_out)
+
+    score_schema = pa.schema([("entity", pa.string()),
+                              ("score", pa.int64())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return score_schema.empty_table()
+            return t.select(score_schema.names).cast(score_schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    def const_scores(value: int):
+        return conform(nodes.map_batches(
+            lambda t, v=value: pa.table({
+                "entity": t.column("entity"),
+                "score": pa.array(np.full(t.num_rows, v, dtype=np.int64))})
+            if t.num_rows else score_schema.empty_table(),
+            batch_format="pyarrow"))
+
+    zero_rows = const_scores(0)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", as_index=False)["score"].sum()
+        out["score"] = out["score"].astype("int64")
+        return out
+
+    def half_step(scores, join_key: str, emit_key: str):
+        """One mutual-reinforcement half-step: push scores across edges
+        (joined on ``join_key``), sum at ``emit_key``, L1-normalize."""
+        joined = shuffle_join(edges, scores, join_key, "entity",
+                              [emit_key], ["score"], n_buckets=n_parts)
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"entity": pd.Series([], dtype=str),
+                     "score": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "entity": df[emit_key].astype(str).to_numpy(),
+                "score": df["score"].to_numpy(dtype=np.int64)})
+
+        raw = compact(conform(hash_bucket_aggregate(
+            joined.map_batches(emit, batch_format="pandas").union(zero_rows),
+            ["entity"], sum_bucket, n_buckets=n_parts)))
+        total = int(raw.sum("score") or 0)
+        if total == 0:
+            return raw  # isolated graph half: all-zero scores stay zero
+
+        def normalize(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return score_schema.empty_table()
+            s = t.column("score").to_numpy(zero_copy_only=False)
+            return pa.table({"entity": t.column("entity"),
+                             "score": pa.array(
+                                 (s * scale) // total, type=pa.int64())})
+
+        return conform(raw.map_batches(normalize, batch_format="pyarrow"))
+
+    hubs = const_scores(scale)
+    auths = zero_rows
+    for _ in range(iters):
+        auths = half_step(hubs, "src", "dst")      # a(v) <- sum h over in
+        hubs = half_step(auths, "dst", "src")      # h(u) <- sum a over out
+
+    def rename(ds, col):
+        return ds.map_batches(
+            lambda t, c=col: t.rename_columns(["entity", c]),
+            batch_format="pyarrow")
+
+    out = shuffle_join(rename(hubs, "hub_micro"), rename(auths, "auth_micro"),
+                       "entity", "entity", ["hub_micro"], ["auth_micro"],
+                       n_buckets=n_parts)
+    out_schema = pa.schema([("entity", pa.string()),
+                            ("hub_micro", pa.int64()),
+                            ("auth_micro", pa.int64())])
+    return out.map_batches(
+        lambda t: (t.select(out_schema.names).cast(out_schema)
+                   if t.num_rows else out_schema.empty_table()),
+        batch_format="pyarrow")
+
+
 
 def build_copurchase_edges(lineitem_ds, *, order_col: str = "l_orderkey",
                            part_col: str = "l_partkey",

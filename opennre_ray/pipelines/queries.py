@@ -7226,6 +7226,91 @@ FROM m, t
 """
 
 
+#: mild-outlier fence in halves: |x - median| > (3/2) * MAD, compared as
+#: 2*dev > 3*mad so the test stays integer-exact on both sides.
+MAD_FENCE_NUM = 3
+MAD_FENCE_DEN = 2
+
+
+def lineitem_price_mad_outliers(sf_dir):
+    """Robust outlier screen over l_extendedprice: median/MAD fence in
+    exact integer cents (median and MAD are immune to the outliers they
+    hunt — the reason data-quality monitors prefer them to mean/stddev).
+    Scale shape: ONE streaming pass reduces each block to a
+    (l_returnflag, cents, count) value-histogram partial — cardinality
+    bounded by flags × distinct prices, not rows — and the median, the
+    MAD (a second rank selection over the |dev| re-weighted histogram,
+    no second data pass), and the per-flag fence counts all come off
+    that driver-sized merge. Same exactness argument as
+    docs_length_quantiles: quantile_disc rank = max(ceil(q*n)-1, 0)."""
+    import math
+
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"],
+               rows_per_block=32768)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        cents = pa.array(sql_round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64), pa.int64())
+        g = (pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "cents": cents})
+             .group_by(["l_returnflag", "cents"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["l_returnflag", "cents", "cnt"])
+
+    h = (ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+           .groupby(["l_returnflag", "cents"], as_index=False)["cnt"].sum())
+
+    def disc_median(vals: np.ndarray, weights: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], weights[order]
+        cum = w.cumsum()
+        n = int(cum[-1])
+        return int(v[np.searchsorted(
+            cum, max(math.ceil(0.5 * n) - 1, 0) + 1, side="left")])
+
+    gl = h.groupby("cents", as_index=False)["cnt"].sum()
+    vals = gl["cents"].to_numpy(np.int64)
+    wts = gl["cnt"].to_numpy(np.int64)
+    med = disc_median(vals, wts)
+    mad = disc_median(np.abs(vals - med), wts)
+
+    h["dev"] = np.abs(h["cents"].to_numpy(np.int64) - med)
+    h["out"] = np.where(
+        MAD_FENCE_DEN * h["dev"].to_numpy() > MAD_FENCE_NUM * mad,
+        h["cnt"].to_numpy(), 0).astype(np.int64)
+    out = h.groupby("l_returnflag", as_index=False).agg(
+        n_rows=("cnt", "sum"), n_outliers=("out", "sum"))
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    out["median_cents"] = np.int64(med)
+    out["mad_cents"] = np.int64(mad)
+    return out
+
+
+_SQL_PRICE_MAD_OUTLIERS = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         ROUND(l_extendedprice * 100, 0)::BIGINT AS cents
+  FROM lineitem),
+m AS (SELECT quantile_disc(cents, 0.5)::BIGINT AS med FROM c),
+d AS (SELECT l_returnflag,
+             abs(cents - (SELECT med FROM m))::BIGINT AS dev
+      FROM c),
+md AS (SELECT quantile_disc(dev, 0.5)::BIGINT AS mad FROM d)
+SELECT l_returnflag,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {MAD_FENCE_DEN} * dev
+                     > {MAD_FENCE_NUM} * (SELECT mad FROM md)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       (SELECT med FROM m) AS median_cents,
+       (SELECT mad FROM md) AS mad_cents
+FROM d GROUP BY 1
+"""
+
+
 KCORE_K = 14
 #: same deterministic partkey-mod vertex sample as the Adamic-Adar query
 #: (the full co-purchase graph is dense enough that small k-cores are
@@ -7896,6 +7981,66 @@ GROUP BY 1, 2
 """
 
 
+HITS_ITERS = 3
+
+
+def docs_link_hits(sf_dir):
+    """HITS hubs & authorities over the doc-level hyperlink graph — the
+    other canonical web-graph ranking next to PageRank (directories vs
+    endorsed content). Runs functions.graph.hits: integer fixed-point
+    mutual reinforcement, L1-normalized with floor division each
+    half-step, so the distributed result is bit-identical to the
+    chained-CTE HUGEINT replay. Scale shape: per half-step one bucketed
+    join + one bucketed sum + an O(1) global scalar; score tables never
+    collect to the driver."""
+    from ..functions.graph import HITS_SCALE, hits
+
+    edges, n_docs = _link_edges(sf_dir)
+
+    def as_pair(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t.column("src_doc").cast(pa.string()),
+            "obj": t.column("dst_doc").cast(pa.string())})
+
+    return hits(edges.map_batches(as_pair, batch_format="pyarrow"),
+                iters=HITS_ITERS, scale=HITS_SCALE, rows_hint=n_docs * 2)
+
+
+def _link_hits_sql(iters: int, scale: int) -> str:
+    """Chained-CTE replay of the integer HITS iteration over the
+    md5-replayed link edges (same round structure as _link_pagerank_sql;
+    HUGEINT keeps the normalize numerator exact)."""
+    parts = [_SQL_LINK_EDGES + f""",
+pe AS MATERIALIZED (
+  SELECT src_doc::VARCHAR AS src, dst_doc::VARCHAR AS dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS v FROM pe UNION SELECT dst FROM pe),
+h0 AS (SELECT v, {scale}::BIGINT AS s FROM nodes)"""]
+    # every multiply-referenced CTE is MATERIALIZED: the scalar L1 total
+    # re-references each round's raw CTE, and without materialization
+    # DuckDB re-inlines the whole chain (measured exponential blowup)
+    for i in range(1, iters + 1):
+        for raw, cur, prev, jk, gk in (
+                (f"a{i}r", f"a{i}", f"h{i - 1}", "src", "dst"),
+                (f"h{i}r", f"h{i}", f"a{i}", "dst", "src")):
+            parts.append(f""",
+{raw} AS MATERIALIZED (
+          SELECT nodes.v, COALESCE(t.x, 0)::BIGINT AS x
+          FROM nodes LEFT JOIN (
+            SELECT pe.{gk} AS v, sum(p.s)::BIGINT AS x
+            FROM pe JOIN {prev} p ON pe.{jk} = p.v GROUP BY pe.{gk}) t
+          ON nodes.v = t.v),
+{cur} AS MATERIALIZED (
+          SELECT v, CASE WHEN (SELECT sum(x) FROM {raw}) = 0 THEN x
+          ELSE ((x::HUGEINT * {scale})
+                // (SELECT sum(x) FROM {raw}))::BIGINT END AS s
+          FROM {raw})""")
+    parts.append(f"""
+SELECT h.v AS entity, h.s AS hub_micro, a.s AS auth_micro
+FROM h{iters} h JOIN a{iters} a USING (v)""")
+    return "".join(parts)
+
+
 def docs_quality_classifier(sf_dir):
     """fasttext/CCNet-style model-based quality filter: every page gets a
     linear score over hashed bag-of-words features (hash token -> bucket,
@@ -8267,6 +8412,7 @@ QUERIES = {
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "orders_skyline": orders_skyline,
     "lineitem_benford": lineitem_benford,
+    "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
@@ -8290,6 +8436,7 @@ QUERIES = {
     "docs_mojibake": docs_mojibake,
     "docs_link_bfs": docs_link_bfs,
     "docs_link_cocitation": docs_link_cocitation,
+    "docs_link_hits": docs_link_hits,
     "docs_length_quantiles": docs_length_quantiles,
     "embed_scalar_quantize": embed_scalar_quantize,
     "docs_normalized_dedup": docs_normalized_dedup,
@@ -8304,6 +8451,7 @@ ORACLES = {
     "topk_orders": SQL_TOPK_ORDERS,
     "orders_skyline": SQL_ORDERS_SKYLINE,
     "lineitem_benford": _sql_benford(),
+    "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
@@ -8315,6 +8463,8 @@ ORACLES = {
                                              85, 100),
     "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
     "docs_link_cocitation": _SQL_LINK_COCITATION,
+    # 10**6 == functions.graph.HITS_SCALE (pinned by test_graph hits test)
+    "docs_link_hits": _link_hits_sql(HITS_ITERS, 10 ** 6),
     "docs_quality_classifier": _sql_quality_classifier(),
     "embed_scalar_quantize": _sql_scalar_quantize(10 ** 6, EMBED_DIM,
                                                   SQ_LEVELS),

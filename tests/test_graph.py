@@ -182,6 +182,61 @@ def test_pagerank_matches_sequential(ray_session):
     assert got["rank_micro"].dtype == np.int64
 
 
+def _seq_hits(edges, iters=3, scale=10 ** 6):
+    """Sequential integer-arithmetic replay of functions.graph.hits
+    (L1-normalized floor-division mutual reinforcement)."""
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+
+    def normalize(raw):
+        total = sum(raw.values())
+        if total == 0:
+            return raw
+        return {v: (x * scale) // total for v, x in raw.items()}
+
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw_a = {v: 0 for v in nodes}
+        for a, b in edges:
+            raw_a[b] += hub[a]
+        auth = normalize(raw_a)
+        raw_h = {v: 0 for v in nodes}
+        for a, b in edges:
+            raw_h[a] += auth[b]
+        hub = normalize(raw_h)
+    return hub, auth
+
+
+def test_hits_matches_sequential(ray_session):
+    """Distributed fixed-point HITS == sequential integer replay on a
+    graph with a directory-style hub, a popular authority, a dangling
+    sink, a pure source, and a parallel multi-edge."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import hits
+
+    edges = (
+        [("dir", t) for t in ("p1", "p2", "p3", "sink")]
+        + [("dir2", t) for t in ("p1", "p2")]
+        + [("p1", "p2"), ("p2", "p3"), ("s0", "p1")]
+        + [("p3", "p1"), ("p3", "p1")]   # multi-edge counted twice
+    )
+    triples = rd.from_items(
+        [{"subj": a, "pred": "e", "obj": b} for a, b in edges])
+    got = hits(triples, iters=3).to_pandas()
+    want_hub, want_auth = _seq_hits(edges, iters=3)
+    assert dict(zip(got["entity"], got["hub_micro"])) == want_hub
+    assert dict(zip(got["entity"], got["auth_micro"])) == want_auth
+    assert got["hub_micro"].dtype == np.int64
+    # hubs and authorities separate: the sink (no out-edges) has zero
+    # hubness and the pure source (no in-edges) zero authority, while the
+    # most-linked page dominates the directory on authority
+    hub = dict(zip(got["entity"], got["hub_micro"]))
+    auth = dict(zip(got["entity"], got["auth_micro"]))
+    assert hub["sink"] == 0 and auth["s0"] == 0
+    assert hub["dir"] > 0 and auth["p1"] > auth["dir"]
+
+
 def test_triangle_count_planted(ray_session):
     """K4 has 4 wedges under sorted-edge orientation and all 4 close to
     triangles; adding a dangling path contributes wedges but no new
