@@ -201,6 +201,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_link_hits(sf_dir)))
     timed("lineitem_price_mad_outliers",
           lambda: consume(Q.lineitem_price_mad_outliers(sf_dir)))
+    timed("docs_alias_jw_matches",
+          lambda: consume(Q.docs_alias_jw_matches(sf_dir)))
     timed("docs_quality_classifier",
           lambda: consume(Q.docs_quality_classifier(sf_dir)))
     timed("docs_quality_dedup",

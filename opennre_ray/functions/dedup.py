@@ -304,6 +304,60 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     return prev[-1]
 
 
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity, the DuckDB/rapidfuzz formulation: match window
+    ``max(len)/2 - 1``, greedy left-to-right matching, transpositions =
+    the count of order-mismatched matched characters FLOOR-halved
+    (rapidfuzz, which DuckDB vendors, uses integer division — an odd
+    mismatch count rounds down), score ``(m/|a| + m/|b| + (m-t)/m)/3``."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t_full = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t_full += 1
+            j += 1
+    t = t_full // 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler: boost by the common prefix (capped at 4 chars) when
+    the Jaro score clears the standard 0.7 threshold — DuckDB's
+    ``jaro_winkler_similarity`` defaults, verified pairwise against
+    DuckDB in tests (the alias-match oracle depends on bit-parity at
+    6-decimal rounding)."""
+    sim = jaro(a, b)
+    if sim > 0.7:
+        prefix = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            prefix += 1
+        sim += prefix * prefix_weight * (1.0 - sim)
+    return sim
+
+
 def edit_distance_self_join(ds, *, id_col: str, str_col: str,
                             block_fn=None, max_dist: int = 1,
                             rows_hint: int | None = None):

@@ -5732,6 +5732,107 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+#: rounded-similarity keep threshold for the JW alias matcher (0.85 and
+#: the 6-dp rounding are SQL literals; DuckDB parses both exactly the
+#: same doubles Python does at this precision)
+JW_ALIAS_THRESHOLD = 0.85
+
+
+def docs_alias_jw_matches(sf_dir):
+    """Entity-alias resolution by Jaro-Winkler: every corpus vocabulary
+    word with >= 4 chars gets a deterministic md5-drawn typo variant
+    (one interior char deleted — first char kept so blocking is exact),
+    and each variant is matched back against the vocabulary inside its
+    first-character block; pairs at rounded JW >= 0.85 survive. This is
+    the canonicalization dictionary step of a KG build (fuzzy surface →
+    canonical form); the JW kernel (functions/dedup.py::jaro_winkler) is
+    bit-parity with DuckDB's rapidfuzz vendoring, making the whole match
+    table value-oracle-able. Scale shape: vocab distinct is one bucketed
+    pass; variant generation is row-local; matching is ONE shuffle keyed
+    by the blocking char with per-block candidate sets bounded by the
+    blocking key (production widens the key to (first char, length band)
+    when per-block vocab grows)."""
+    from ..functions.dedup import jaro_winkler
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+    from ..functions.urls import _link_u64
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        words = set()
+        for t in batch.column("text").to_pylist():
+            words.update(w.lower() for w in t.split())
+        return pa.table({"w": pa.array(sorted(words), pa.string())})
+
+    def vocab_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("w")
+
+    vocab = hash_bucket_aggregate(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["w"], vocab_bucket, rows_hint=_nrows(sf_dir, "documents"))
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].astype(str)
+        rows = [pd.DataFrame({"blk": w.str[0], "s": w, "src": "",
+                              "side": np.int64(0)})]
+        long = w[w.str.len() >= 4]
+        if len(long):
+            variants = []
+            for word in long:
+                pos = 1 + _link_u64(f"typo:{word}") % (len(word) - 1)
+                variants.append(word[:pos] + word[pos + 1:])
+            vs = pd.Series(variants, index=long.index)
+            rows.append(pd.DataFrame({"blk": vs.str[0], "s": vs,
+                                      "src": long, "side": np.int64(1)}))
+        return pd.concat(rows, ignore_index=True)
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        words = g[g["side"] == 0][["blk", "s"]].rename(
+            columns={"s": "candidate"})
+        variants = g[g["side"] == 1][["blk", "s", "src"]].rename(
+            columns={"s": "variant"})
+        m = variants.merge(words, on="blk")
+        if not len(m):
+            return pd.DataFrame({
+                "variant": pd.Series([], dtype=str),
+                "src": pd.Series([], dtype=str),
+                "candidate": pd.Series([], dtype=str),
+                "sim": pd.Series([], dtype="float64")})
+        sims = sql_round(np.fromiter(
+            (jaro_winkler(v, c)
+             for v, c in zip(m["variant"], m["candidate"])),
+            dtype=np.float64, count=len(m)), 6)
+        m = m.assign(sim=sims)
+        m = m[m["sim"] >= JW_ALIAS_THRESHOLD]
+        return m[["variant", "src", "candidate", "sim"]]
+
+    return hash_bucket_aggregate(
+        vocab.map_batches(sides, batch_format="pandas"),
+        ["blk"], match_bucket, rows_hint=_nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_ALIAS_JW_MATCHES = rf"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+w AS (SELECT DISTINCT lower(unnest(toks)) AS w FROM t),
+v AS (
+  SELECT w AS src, substr(w, 1, pos::INTEGER)
+         || substr(w, pos::INTEGER + 2) AS variant
+  FROM (SELECT w,
+               (1 + ('0x' || substr(md5('typo:' || w), 1, 16))::UBIGINT
+                    % (length(w) - 1))::BIGINT AS pos
+        FROM w WHERE length(w) >= 4))
+SELECT v.variant, v.src, w.w AS candidate,
+       round(jaro_winkler_similarity(v.variant, w.w), 6) AS sim
+FROM v JOIN w ON substr(v.variant, 1, 1) = substr(w.w, 1, 1)
+WHERE round(jaro_winkler_similarity(v.variant, w.w), 6)
+      >= {JW_ALIAS_THRESHOLD}
+"""
+
+
 def graph_predicate_stats(sf_dir):
     """Per-predicate functionality stats (PARIS, Suchanek et al. 2011)
     over a deterministic three-relation edge table: in_nation
@@ -8372,6 +8473,7 @@ QUERIES = {
     "docs_skipgram_pairs": docs_skipgram_pairs,
     "graph_predicate_stats": graph_predicate_stats,
     "customer_name_typo_pairs": customer_name_typo_pairs,
+    "docs_alias_jw_matches": docs_alias_jw_matches,
     "events_click_near_purchase": events_click_near_purchase,
     "docs_version_diff": docs_version_diff,
     "events_value_winsorized": events_value_winsorized,
@@ -8526,6 +8628,7 @@ ORACLES = {
     "docs_skipgram_pairs": SQL_DOCS_SKIPGRAM_PAIRS,
     "graph_predicate_stats": SQL_GRAPH_PREDICATE_STATS,
     "customer_name_typo_pairs": SQL_CUSTOMER_NAME_TYPO_PAIRS,
+    "docs_alias_jw_matches": SQL_DOCS_ALIAS_JW_MATCHES,
     "events_click_near_purchase": SQL_EVENTS_CLICK_NEAR_PURCHASE,
     "knn_graph": SQL_KNN_GRAPH,
     "docs_version_diff": SQL_DOCS_VERSION_DIFF,

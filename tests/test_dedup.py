@@ -337,3 +337,27 @@ def test_edit_distance_self_join_typos(ray_session):
     assert (5, 6) in pairs
     assert not any(7 in p for p in pairs)
     assert pairs == {(1, 2), (5, 6)}
+
+
+def test_jaro_winkler_bit_parity_with_duckdb():
+    """The alias-match oracle needs jaro_winkler to be BIT-equal to
+    DuckDB's rapidfuzz vendoring (6-dp rounding only absorbs ulp noise,
+    not formula differences — e.g. rapidfuzz floor-halves an odd
+    transposition count, where the textbook formula keeps the .5)."""
+    import itertools
+
+    import duckdb
+
+    from opennre_ray.functions.dedup import jaro_winkler
+
+    words = ["martha", "marhta", "dwayne", "duane", "stream", "vetor",
+             "scan", "span", "san", "table", "tble", "batch", "bach",
+             "customer", "custmer", "aaaa", "aaab", "xy", "yx",
+             "abcd", "acbd", "abcde", "bacde", "abcdefghij", "jihgfedcba",
+             "a", "ab", "window", "widow", "filter", "fiter"]
+    con = duckdb.connect()
+    for x, y in itertools.combinations_with_replacement(words, 2):
+        want = con.sql("SELECT jaro_winkler_similarity(?, ?)",
+                       params=[x, y]).fetchone()[0]
+        assert jaro_winkler(x, y) == want, (x, y)
+    con.close()
