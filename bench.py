@@ -203,6 +203,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.lineitem_price_mad_outliers(sf_dir)))
     timed("docs_alias_jw_matches",
           lambda: consume(Q.docs_alias_jw_matches(sf_dir)))
+    timed("sentence_calibration_bins",
+          lambda: consume(Q.sentence_calibration_bins(sf_dir)))
+    timed("kg_truth_discovery",
+          lambda: consume(Q.kg_truth_discovery(sf_dir)))
     timed("docs_quality_classifier",
           lambda: consume(Q.docs_quality_classifier(sf_dir)))
     timed("docs_quality_dedup",

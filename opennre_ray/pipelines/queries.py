@@ -2536,6 +2536,126 @@ def bag_eval_metrics(sf_dir):
     return pd.DataFrame(scalars)
 
 
+def kg_truth_discovery(sf_dir):
+    """KB-fusion conflict resolution: for every (subj, pred) the elected
+    object is the one with the most supporting evidence across the
+    extracted triples (majority voting, the baseline truth-discovery
+    rule of Dong et al.'s knowledge fusion line) — ties break to the
+    lexicographically smallest object, deterministic. Reports the
+    winner's support and how many competing objects it beat;
+    n_alternatives > 0 rows are exactly the conflicts a curation pass
+    reviews. Scale shape: one bucketed argmax over the deduplicated
+    triple table keyed by (subj, pred); all reported columns are exact
+    integers/strings, so the row set pins bit-stably (pins.py)."""
+    from ..functions.relational import hash_bucket_aggregate
+    from .kg import extract_triples
+
+    triples = extract_triples(sf_dir)
+
+    def elect_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["subj", "pred", "obj"],
+                         as_index=False)["n_evidence"].sum()
+        alts = full.groupby(["subj", "pred"], as_index=False).size() \
+                   .rename(columns={"size": "n_objs"})
+        full = full.sort_values(["subj", "pred", "n_evidence", "obj"],
+                                ascending=[True, True, False, True],
+                                kind="stable")
+        top = full.drop_duplicates(["subj", "pred"])
+        out = top.merge(alts, on=["subj", "pred"])
+        return pd.DataFrame({
+            "subj": out["subj"].to_numpy(),
+            "pred": out["pred"].to_numpy(),
+            "obj": out["obj"].to_numpy(),
+            "support": out["n_evidence"].astype(np.int64).to_numpy(),
+            "n_alternatives": (out["n_objs"] - 1)
+            .astype(np.int64).to_numpy()})
+
+    return hash_bucket_aggregate(
+        triples.select_columns(["subj", "pred", "obj", "n_evidence"]),
+        ["subj", "pred"], elect_bucket,
+        rows_hint=_nrows(sf_dir, "documents"))
+
+
+CALIB_BINS = 10
+
+
+def sentence_calibration_bins(sf_dir):
+    """Reliability-diagram bins for the sentence scorer: per confidence
+    decile, how often an instance-level prediction matches its entity
+    pair's MAJORITY vote under the same model — the self-consistency
+    calibration proxy a distant-supervision KG build uses when no gold
+    labels exist (ECE falls out of the n / n_agree / score_sum_micro
+    columns; a well-calibrated scorer concentrates disagreement in the
+    low-confidence bins). Scale shape: the candidate stream is scored
+    once; majority votes come from map-side (pair, rel, count) partials
+    + one pair-keyed bucketed argmax (ties break to the lexicographic
+    smallest relation, deterministic); consensus joins back via one
+    pair-keyed shuffle; the decile histogram reduces map-side to <= 10
+    rows per block before the driver fold. All reported columns are
+    exact integers, so the row set pins bit-stably (pins.py)."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir)).materialize()
+    n_hint = max(inst.count(), 1)
+
+    def sent_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pair": df["h_id"].astype(str) + "|" + df["t_id"].astype(str),
+            "pred_rel": df["pred_rel"].astype(str),
+            "score": df["score"].astype(np.float64)})
+
+    sent = inst.map_batches(sent_rows, batch_format="pandas")
+
+    def vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["pair", "pred_rel"], sort=False,
+                         as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    def majority_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["pair", "pred_rel"], as_index=False)["c"].sum()
+        full = full.sort_values(["pair", "c", "pred_rel"],
+                                ascending=[True, False, True],
+                                kind="stable")
+        top = full.drop_duplicates("pair")
+        return pd.DataFrame({
+            "pair": top["pair"].to_numpy(),
+            "major_rel": top["pred_rel"].astype(str).to_numpy()})
+
+    major = hash_bucket_aggregate(
+        sent.map_batches(vote_partial, batch_format="pandas"),
+        ["pair"], majority_bucket, rows_hint=n_hint)
+
+    joined = shuffle_join(sent, major, "pair", "pair",
+                          ["pred_rel", "score"], ["major_rel"],
+                          rows_hint=n_hint)
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("bin", "n", "n_agree",
+                                           "score_sum_micro")})
+        s = df["score"].to_numpy(np.float64)
+        b = np.minimum((s * CALIB_BINS).astype(np.int64), CALIB_BINS - 1)
+        out = pd.DataFrame({
+            "bin": b,
+            "n": np.ones(len(df), dtype=np.int64),
+            "n_agree": (df["pred_rel"].to_numpy()
+                        == df["major_rel"].to_numpy()).astype(np.int64),
+            "score_sum_micro": np.rint(s * 1e6).astype(np.int64)})
+        return out.groupby("bin", as_index=False).sum()
+
+    parts = joined.map_batches(bin_partial, batch_format="pandas") \
+                  .to_pandas()
+    out = parts.groupby("bin", as_index=False).sum()
+    for c in ("bin", "n", "n_agree", "score_sum_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # --- companion *_stats queries: deterministic integer aggregates over the
 # large model-pipeline outputs, pinnable as value oracles (pins.py) --------
 
@@ -8346,6 +8466,8 @@ QUERIES = {
     "kg_triples_pcnn_stats": kg_triples_pcnn_stats,
     "kg_triples_bert_stats": kg_triples_bert_stats,
     "sentence_scores_stats": sentence_scores_stats,
+    "sentence_calibration_bins": sentence_calibration_bins,
+    "kg_truth_discovery": kg_truth_discovery,
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,

@@ -33,6 +33,12 @@ PINNED = [
     "kg_triples_pcnn_stats",
     "kg_triples_bert_stats",
     "sentence_scores_stats",
+    # decile reliability histogram is <= 10 exact-integer rows per sf —
+    # full-table pin (model scores are seeded; SQL cannot replay them)
+    "sentence_calibration_bins",
+    # majority-vote object election per (subj, pred): int/string columns
+    # over the pinnable triple table — full-table pin
+    "kg_truth_discovery",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",
