@@ -8227,6 +8227,109 @@ def docs_link_hits(sf_dir):
                 iters=HITS_ITERS, scale=HITS_SCALE, rows_hint=n_docs * 2)
 
 
+REDIRECT_HOPS = 4
+
+
+def docs_redirect_resolution(sf_dir):
+    """Redirect-chain resolution over the crawl — the canonicalization a
+    URL-level dedup needs BEFORE hashing (a crawl that stores both ends
+    of a redirect double-counts content). Redirect pages are the docs
+    with n_chars % 4 == 0 (a data-dependent predicate, not derivable
+    from the doc id) and their redirect target is the FIRST extracted
+    href; every page then advances along the redirect edges up to
+    REDIRECT_HOPS times. Output: (doc_id, final_doc, n_hops, resolved)
+    — resolved=false rows are over-long chains or loops, exactly what a
+    crawl audit reviews. Scale shape: the edge table is one extraction
+    pass; each hop is ONE bucketed left join keyed by the current
+    target (state never collects to the driver); K+1 joins total."""
+    from ..functions.relational import shuffle_join
+    from ..functions.urls import extract_links_batch
+
+    n_docs = _nrows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def redirect_edges(t: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.bit_wise_and(t.column("n_chars"), 3), 0)
+        red = t.filter(mask)
+        links = extract_links_batch(red, n_docs)
+        # first href per src doc: rows are emitted in document order, so
+        # a block-local first is the j=0 link (docs never split blocks)
+        df = links.to_pandas().drop_duplicates("src_doc", keep="first")
+        return pa.table({
+            "src_doc": pa.array(df["src_doc"].to_numpy(np.int64)),
+            "dst_doc": pa.array(df["dst_doc"].to_numpy(np.int64))})
+
+    edges = docs.map_batches(redirect_edges,
+                             batch_format="pyarrow").materialize()
+
+    state = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "cur": t.column("doc_id").cast(pa.int64()),
+            "hops": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    def advance(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("doc_id", "cur", "hops")})
+        hit = df["dst_doc"].notna().to_numpy()
+        cur = np.where(hit, df["dst_doc"].fillna(0).to_numpy(np.float64),
+                       df["cur"].to_numpy(np.float64)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "cur": cur,
+            "hops": df["hops"].to_numpy(np.int64) + hit.astype(np.int64)})
+
+    for _ in range(REDIRECT_HOPS):
+        joined = shuffle_join(state, edges, "cur", "src_doc",
+                              ["doc_id", "hops"], ["dst_doc"],
+                              how="left", rows_hint=n_docs)
+        state = joined.map_batches(advance, batch_format="pandas")
+
+    final = shuffle_join(state, edges, "cur", "src_doc",
+                         ["doc_id", "hops"], ["dst_doc"],
+                         how="left", rows_hint=n_docs)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "final_doc": pd.Series([], dtype="int64"),
+                "n_hops": pd.Series([], dtype="int64"),
+                "resolved": pd.Series([], dtype=bool)})
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "final_doc": df["cur"].to_numpy(np.int64),
+            "n_hops": df["hops"].to_numpy(np.int64),
+            "resolved": df["dst_doc"].isna().to_numpy()})
+
+    return final.map_batches(flag, batch_format="pandas")
+
+
+def _redirect_resolution_sql(hops: int) -> str:
+    """Unrolled hop-by-hop replay: redirect edges are the j=0 md5 link
+    draw of the n_chars-selected pages; each hop is one LEFT JOIN."""
+    parts = [f"""
+WITH n AS (SELECT count(*)::UBIGINT AS n_docs FROM documents),
+e AS MATERIALIZED (
+  SELECT d.doc_id AS src_doc,
+         (('0x' || substr(md5('link:' || d.doc_id::VARCHAR || ':0'),
+                          1, 16))::UBIGINT % n.n_docs)::BIGINT AS dst_doc
+  FROM documents d, n WHERE d.n_chars % 4 = 0),
+s0 AS (SELECT doc_id, doc_id AS cur, 0::BIGINT AS hops FROM documents)"""]
+    for k in range(1, hops + 1):
+        parts.append(f""",
+s{k} AS (SELECT s.doc_id, COALESCE(e.dst_doc, s.cur) AS cur,
+         s.hops + CASE WHEN e.dst_doc IS NULL THEN 0 ELSE 1 END AS hops
+         FROM s{k - 1} s LEFT JOIN e ON s.cur = e.src_doc)""")
+    parts.append(f"""
+SELECT s.doc_id, s.cur AS final_doc, s.hops AS n_hops,
+       (e.dst_doc IS NULL) AS resolved
+FROM s{hops} s LEFT JOIN e ON s.cur = e.src_doc""")
+    return "".join(parts)
+
+
 def _link_hits_sql(iters: int, scale: int) -> str:
     """Chained-CTE replay of the integer HITS iteration over the
     md5-replayed link edges (same round structure as _link_pagerank_sql;
@@ -8661,6 +8764,7 @@ QUERIES = {
     "docs_link_bfs": docs_link_bfs,
     "docs_link_cocitation": docs_link_cocitation,
     "docs_link_hits": docs_link_hits,
+    "docs_redirect_resolution": docs_redirect_resolution,
     "docs_length_quantiles": docs_length_quantiles,
     "embed_scalar_quantize": embed_scalar_quantize,
     "docs_normalized_dedup": docs_normalized_dedup,
@@ -8689,6 +8793,7 @@ ORACLES = {
     "docs_link_cocitation": _SQL_LINK_COCITATION,
     # 10**6 == functions.graph.HITS_SCALE (pinned by test_graph hits test)
     "docs_link_hits": _link_hits_sql(HITS_ITERS, 10 ** 6),
+    "docs_redirect_resolution": _redirect_resolution_sql(REDIRECT_HOPS),
     "docs_quality_classifier": _sql_quality_classifier(),
     "embed_scalar_quantize": _sql_scalar_quantize(10 ** 6, EMBED_DIM,
                                                   SQ_LEVELS),
