@@ -463,6 +463,88 @@ class SimHashStage:
         return pa.table(out)
 
 
+#: byte-wise popcount LUT (numpy 1.26 has no ``bitwise_count``)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64/uint64 array via the byte LUT."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return _POPCNT8[b].sum(axis=1)
+
+
+def simhash_dedup_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        rows_hint: int | None = None):
+    """SimHash near-dup pairs (the Manku et al. WWW'07 crawl-dedup shape):
+    64-bit SimHash → 4 × 16-bit band tables → exact band match candidates
+    → popcount verify. Hamming ≤ 3 guarantees (pigeonhole over 4 bands)
+    that at least one band matches exactly, so band equality is a LOSSLESS
+    candidate filter at the default threshold.
+
+    Scale shape: one membership expansion (4 rows/doc), ONE bucketed
+    shuffle on (band_id, band_val) with vectorized in-bucket pair
+    expansion (self-merge), then a distinct-pair aggregate — never an
+    all-pairs product. Zero signatures (token-less docs or all-tie votes)
+    are dropped: they carry no near-dup signal and would cross-pair every
+    empty doc quadratically. A band value shared by f docs costs f²
+    candidate pairs; at web scale widen the bands (more, wider tables) to
+    bound f — the band width is the load knob, the pipeline shape stays.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
+    ``max_hamming``.
+    """
+    from .relational import compute_n_buckets, hash_bucket_aggregate
+
+    n_buckets = compute_n_buckets(rows_hint)
+    sig = ds.map_batches(SimHashStage(text_col, key_col),
+                         batch_format="pyarrow")
+
+    def memberships(batch: pa.Table) -> pd.DataFrame:
+        arr = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        keep = arr != 0
+        sh = arr[keep].view(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)[keep] \
+            .astype(np.int64)
+        n = len(sh)
+        band_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        vals = np.concatenate([
+            ((sh.view(np.uint64) >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+            .astype(np.int64) for b in range(4)]) if n else \
+            np.empty(0, np.int64)
+        return pd.DataFrame({"band_id": band_id,
+                             "band_val": vals,
+                             key_col: np.tile(keys, 4),
+                             "sig": np.tile(sh, 4)})
+
+    memb = sig.map_batches(memberships, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
+        m = m[m[f"{key_col}_a"] < m[f"{key_col}_b"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ham = _popcount64(np.bitwise_xor(m["sig_a"].to_numpy(np.int64),
+                                         m["sig_b"].to_numpy(np.int64)))
+        hit = ham <= max_hamming
+        return pd.DataFrame({"doc_a": m[f"{key_col}_a"].to_numpy()[hit],
+                             "doc_b": m[f"{key_col}_b"].to_numpy()[hit],
+                             "hamming": ham[hit]})
+
+    cand = hash_bucket_aggregate(memb, ["band_id", "band_val"],
+                                 bucket_pairs, n_buckets=n_buckets)
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
+
+    return hash_bucket_aggregate(cand, ["doc_a", "doc_b"], distinct,
+                                 n_buckets=n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard verification
 # ---------------------------------------------------------------------------

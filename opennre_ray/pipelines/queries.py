@@ -3148,7 +3148,7 @@ def docs_simhash(sf_dir):
 
 # Word hash = first 8 md5 bytes (dedup._word_hash64) so both engines agree;
 # bit i majority over ±1 votes, ties → 0 (strictly-positive test in both).
-SQL_DOCS_SIMHASH = r"""
+_SIMHASH_SIG_CTE = r"""
 WITH words AS (
   SELECT doc_id, w FROM (
     SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
@@ -3169,7 +3169,9 @@ sig AS (
     COALESCE(SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << i)
                       ELSE 0::UBIGINT END), 0)::UBIGINT AS simhash
   FROM bits GROUP BY doc_id
-),
+)"""
+
+SQL_DOCS_SIMHASH = _SIMHASH_SIG_CTE + r""",
 full_sig AS (
   SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
   FROM documents d LEFT JOIN sig s USING (doc_id)
@@ -3181,6 +3183,37 @@ SELECT doc_id,
   ((simhash >> 32) & 65535)::BIGINT AS band2,
   ((simhash >> 48) & 65535)::BIGINT AS band3
 FROM full_sig
+"""
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def docs_simhash_dedup(sf_dir):
+    """SimHash near-dup pairs: 4 × 16-bit band tables → exact band match
+    → popcount(xor) ≤ 3 verify (lossless by pigeonhole at this radius).
+    One bucketed shuffle for candidates + one for the pair distinct; the
+    in-bucket pair expansion is the only quadratic term and it is bounded
+    per band value (see ``dedup.simhash_dedup_pairs``)."""
+    from ..functions.dedup import simhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=SIMHASH_MAX_HAMMING,
+                               rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_SIMHASH_DEDUP = _SIMHASH_SIG_CTE + rf""",
+nz AS (SELECT doc_id, simhash FROM sig WHERE simhash <> 0),
+bands AS (
+  SELECT doc_id, simhash, i AS band_id,
+         ((simhash >> (16 * i)) & 65535)::BIGINT AS band_val
+  FROM nz, range(4) t(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands b USING (band_id, band_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -8736,6 +8769,7 @@ QUERIES = {
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
     "orders_above_customer_avg": orders_above_customer_avg,
     "docs_simhash": docs_simhash,
+    "docs_simhash_dedup": docs_simhash_dedup,
     "docs_rolling_fingerprint": docs_rolling_fingerprint,
     "orders_skyline": orders_skyline,
     "lineitem_benford": lineitem_benford,
@@ -8840,6 +8874,7 @@ ORACLES = {
     "lineitem_price_ddsketch": SQL_LINEITEM_PRICE_DDSKETCH,
     "docs_langid_heuristic": SQL_DOCS_LANGID,
     "docs_simhash": SQL_DOCS_SIMHASH,
+    "docs_simhash_dedup": SQL_DOCS_SIMHASH_DEDUP,
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,

@@ -98,6 +98,37 @@ def test_simhash_stage_bands():
         assert out.column(f"band{b}")[0].as_py() == (h >> (16 * b)) & 0xFFFF
 
 
+def test_simhash_dedup_pairs_vs_bruteforce(ray_session):
+    """Banded candidate search + popcount verify == the all-pairs answer
+    (banding is lossless at Hamming ≤ 3 by pigeonhole over 4 bands)."""
+    import itertools
+
+    import ray
+
+    from opennre_ray.functions.dedup import simhash_dedup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    texts = [base,
+             base,                                    # exact dup: hamming 0
+             base.replace("quiet", "silent"),         # near dup
+             "completely unrelated text about astrophysics and turbines",
+             "another document with its own distinct vocabulary entirely",
+             ""]                                      # zero sig: dropped
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = simhash_dedup_pairs(docs, rows_hint=64).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    sigs = {i: simhash64(t) for i, t in enumerate(texts) if simhash64(t)}
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3)
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert (0, 1, 0) in want                          # exact dup found
+
+
 def test_embedding_dup_groups(ray_session, sf_dir):
     import ray.data as rd
 
