@@ -8125,8 +8125,17 @@ def docs_link_pagerank(sf_dir):
 def _link_pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
     """Chained-CTE replay of the integer power iteration over the
     md5-replayed link edges (same round structure as _pagerank_sql)."""
-    parts = [_SQL_LINK_EDGES + f""",
-pe AS (SELECT src_doc::VARCHAR AS src, dst_doc::VARCHAR AS dst FROM e),
+    head = _SQL_LINK_EDGES + """,
+pe AS (SELECT src_doc::VARCHAR AS src, dst_doc::VARCHAR AS dst FROM e)"""
+    return _pagerank_rounds_sql(head, iters, scale, num, den)
+
+
+def _pagerank_rounds_sql(head: str, iters: int, scale: int, num: int,
+                         den: int) -> str:
+    """Unrolled integer-pagerank rounds over whatever edge CTE ``head``
+    defines as ``pe (src, dst)`` — shared by the page-level and
+    domain-level replays."""
+    parts = [head + f""",
 deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM pe GROUP BY src),
 nodes AS (SELECT DISTINCT src AS v FROM pe UNION SELECT dst FROM pe),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -8144,6 +8153,76 @@ r{i} AS (SELECT nodes.v,
            GROUP BY pe.dst) s ON nodes.v = s.v)""")
     parts.append(f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
     return "".join(parts)
+
+
+def docs_domain_pagerank(sf_dir):
+    """Domain-level PageRank — the crawl-prioritization authority signal.
+    Page graphs aggregate to registered domains BEFORE ranking so one
+    site's million internal pages can't vote a million times: page edges
+    map row-locally to (src_domain, dst_domain) via the full URL chain
+    (synthesize → host parse → public-suffix-lite), self-domain links
+    drop (navigation, not endorsement), the pair set dedups, and the
+    integer fixed-point power iteration runs over the domain graph.
+    Scale shape: the mapping is row-local with a per-worker cache keyed
+    on the 407-value domain residue; the distinct is map-side partialed
+    (≤ domain² rows per block leave the map side — corpus-sized edge
+    streams never shuffle raw); pagerank itself runs on the tiny domain
+    graph. Same update rule / fixed-point math as ``docs_link_pagerank``
+    (functions/graph.py::pagerank)."""
+    from ..functions.graph import pagerank
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.urls import _HOST_RE, crawl_url, registered_domain
+
+    edges, n_docs = _link_edges(sf_dir)
+
+    def to_domains(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, str] = {}
+
+        def dom(i: int) -> str:
+            # domain depends on doc_id only through i % 37 and i % 11,
+            # so the cache key is the CRT residue — bounded at 407
+            # entries per worker regardless of corpus size
+            k = int(i) % 407
+            d = cache.get(k)
+            if d is None:
+                host = _HOST_RE.match(crawl_url(int(i))).group(1)
+                d = cache[k] = registered_domain(host)
+            return d
+
+        out = pd.DataFrame({"subj": df["src_doc"].map(dom),
+                            "obj": df["dst_doc"].map(dom)})
+        return out[out["subj"] != out["obj"]].drop_duplicates()
+
+    de = hash_bucket_aggregate(
+        edges.map_batches(to_domains, batch_format="pandas"),
+        ["subj", "obj"], lambda g: g.drop_duplicates(["subj", "obj"]),
+        rows_hint=2048)
+    return pagerank(de, iters=PAGERANK_ITERS, rows_hint=2048)
+
+
+def _domain_pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
+    """Domain-pagerank replay: the same URL→registered-domain chain as
+    ``_sql_domain_blocklist`` maps both edge endpoints, then the shared
+    unrolled integer rounds run over the distinct inter-domain pairs."""
+    from ..functions.urls import CRAWL_SUBS, CRAWL_TLDS
+
+    subs = ", ".join(f"'{s}'" for s in CRAWL_SUBS)
+    tlds = ", ".join(f"'{t}'" for t in CRAWL_TLDS)
+    head = _SQL_LINK_EDGES + rf""",
+dom AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(host, '\.co\.(uk|jp)$')
+         THEN regexp_extract(host, '([^.]+\.co\.[^.]+)$', 1)
+         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM (SELECT doc_id, regexp_extract(
+          'https://' || [{subs}][doc_id % 3 + 1] || 'site' || (doc_id % 37)
+          || '.' || [{tlds}][doc_id % 11 + 1] || '/p/' || doc_id,
+          '^[A-Za-z]+://([^/?#]+)', 1) AS host FROM documents)),
+pe AS (SELECT DISTINCT sd.domain AS src, dd.domain AS dst
+       FROM e JOIN dom sd ON e.src_doc = sd.doc_id
+              JOIN dom dd ON e.dst_doc = dd.doc_id
+       WHERE sd.domain <> dd.domain)"""
+    return _pagerank_rounds_sql(head, iters, scale, num, den)
 
 
 LINK_BFS_SEED_STRIDE = 1000
@@ -8650,6 +8729,7 @@ QUERIES = {
     "embed_centroid_outliers": embed_centroid_outliers,
     "docs_link_graph": docs_link_graph,
     "docs_link_pagerank": docs_link_pagerank,
+    "docs_domain_pagerank": docs_domain_pagerank,
     "fd_audit": fd_audit,
     "events_snapshot_diff": events_snapshot_diff,
     "docs_perplexity_tiers": docs_perplexity_tiers,
@@ -8823,6 +8903,8 @@ ORACLES = {
     "docs_link_graph": _SQL_LINK_GRAPH,
     "docs_link_pagerank": _link_pagerank_sql(PAGERANK_ITERS, 10 ** 12,
                                              85, 100),
+    "docs_domain_pagerank": _domain_pagerank_sql(PAGERANK_ITERS, 10 ** 12,
+                                                 85, 100),
     "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
     "docs_link_cocitation": _SQL_LINK_COCITATION,
     # 10**6 == functions.graph.HITS_SCALE (pinned by test_graph hits test)
