@@ -852,6 +852,95 @@ def kmeans_fixed_point(ds_emb, k: int = 8, iters: int = 3,
     return ds_emb.map_batches(label, batch_format="pyarrow")
 
 
+def kcenter_coreset(ds_emb, k: int = 8, scale: int = KM_SCALE,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Greedy k-center coreset selection (Gonzalez farthest-point — the
+    classic 2-approximation for the k-center objective), the standard
+    diversity-sampling primitive for curation: pick k maximally-spread
+    exemplars so a small subset covers the embedding space.
+
+    Determinism: coordinates quantize once (``floor(x*scale)``, same IEEE
+    ops as the SQL ``floor(x*1e6)``) and every distance is exact int64,
+    so argmax ties break identically everywhere (max dist, then smallest
+    id). Center 0 = smallest id.
+
+    Scale shape: k streaming passes; each block computes min-distance to
+    the broadcast (ray.put) center matrix (≤ k×D ints) and emits ONE
+    winning candidate row, so only blocks-many rows reach the driver per
+    round and the corpus never shuffles. Already-selected ids are
+    excluded per block so duplicate points can't re-win at distance 0.
+
+    Returns an arrow table (rank, id, dist): dist = squared quantized
+    distance to the previously-selected set at selection time (0 for the
+    seed center).
+    """
+    import ray
+
+    def quantize(col) -> np.ndarray:
+        return np.floor(_as_matrix(col, np.float64) * scale).astype(np.int64)
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return batch.select([id_col, vec_col])
+        o = np.argsort(ids, kind="stable")[:1]
+        return batch.select([id_col, vec_col]).take(pa.array(o))
+
+    cand = pa.concat_tables(
+        t for t in ds_emb.map_batches(partial_min, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if t.num_rows)
+    ids0 = cand.column(id_col).to_numpy(zero_copy_only=False)
+    first = int(np.argmin(ids0))
+    sel_ids = [int(ids0[first])]
+    sel_vecs = quantize(cand.column(vec_col))[first:first + 1]
+    sel_dist = [0]
+    dim = sel_vecs.shape[1]
+
+    for r in range(1, k):
+        ref = ray.put((np.asarray(sel_ids, np.int64), sel_vecs.copy()))
+
+        def block_winner(batch: pa.Table) -> pa.Table:
+            cids, cvecs = ray.get(ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mat = quantize(batch.column(vec_col)) if batch.num_rows else \
+                np.empty((0, dim), np.int64)
+            keep = ~np.isin(ids, cids)
+            ids, mat = ids[keep], mat[keep]
+            if not len(ids):
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.int64(), dim))})
+            d2 = ((mat * mat).sum(1, keepdims=True)
+                  + (cvecs * cvecs).sum(1)[None, :] - 2 * (mat @ cvecs.T))
+            mind = d2.min(axis=1)
+            o = np.lexsort((ids, -mind))[:1]
+            return pa.table({
+                id_col: pa.array(ids[o]),
+                "dist": pa.array(mind[o]),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat[o].ravel()), dim)})
+
+        t = pa.concat_tables(
+            b for b in ds_emb.map_batches(block_winner,
+                                          batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow") if b.num_rows)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bd = t.column("dist").to_numpy(zero_copy_only=False)
+        w = int(np.lexsort((bids, -bd))[0])
+        sel_ids.append(int(bids[w]))
+        sel_dist.append(int(bd[w]))
+        v = (t.column("vec").combine_chunks().flatten()
+             .to_numpy(zero_copy_only=False).reshape(-1, dim))[w]
+        sel_vecs = np.vstack([sel_vecs, v[None, :]])
+
+    return pa.table({
+        "rank": pa.array(np.arange(len(sel_ids), dtype=np.int64)),
+        id_col: pa.array(np.asarray(sel_ids, np.int64)),
+        "dist": pa.array(np.asarray(sel_dist, np.int64))})
+
+
 def jl_project(ds_emb, in_dim: int, out_dim: int = 16, seed: int = 31,
                id_col: str = "vec_id", vec_col: str = "embedding"):
     """Johnson-Lindenstrauss random projection (dimensionality reduction).

@@ -2256,6 +2256,54 @@ SQL_EMBED_KMEANS_CLUSTERS = _kmeans_sql(KMEANS_K, KMEANS_ITERS,
                                         10 ** 6, EMBED_DIM)
 
 
+KCENTER_K = 8
+
+
+def embed_kcenter_coreset(sf_dir):
+    """Greedy k-center (Gonzalez farthest-point) coreset — diversity
+    sampling over the embedding table: k maximally-spread exemplars in
+    integer fixed-point distance math, bit-identical to the unrolled SQL
+    replay (see functions.similarity.kcenter_coreset for the k-pass /
+    one-candidate-row-per-block scale shape)."""
+    from ..functions.similarity import kcenter_coreset
+
+    return kcenter_coreset(_read_embeddings(sf_dir), k=KCENTER_K)
+
+
+def _kcenter_sql(k: int, scale: int, dim: int) -> str:
+    """Unrolled greedy rounds: round r computes each point's min squared
+    distance to the selected set and picks (max dist, min id)."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # selected-set twice, so inlined CTEs would re-expand the whole
+    # chain exponentially (3^k plan copies)
+    parts = [f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id, i::BIGINT AS dim,
+         floor(embedding[i]::DOUBLE * {scale})::BIGINT AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i)),
+s0 AS MATERIALIZED (
+  SELECT vec_id, 0::BIGINT AS rank, 0::BIGINT AS dist
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1))"""]
+    for r in range(1, k):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT qid AS vec_id, min(dist) AS mind FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           sum((q.v - c.v) * (q.v - c.v))::BIGINT AS dist
+    FROM pts q JOIN pts c USING (dim)
+    WHERE c.vec_id IN (SELECT vec_id FROM s{r - 1})
+      AND q.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+    GROUP BY 1, 2)
+  GROUP BY 1),
+p{r} AS MATERIALIZED (
+  SELECT vec_id, mind FROM d{r} ORDER BY mind DESC, vec_id LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT * FROM s{r - 1} UNION ALL
+  SELECT vec_id, {r}::BIGINT, mind::BIGINT FROM p{r})""")
+    parts.append(f"\nSELECT rank, vec_id, dist FROM s{k - 1}")
+    return "".join(parts)
+
+
 JL_OUT_DIM = 16
 JL_SEED = 31
 
@@ -8711,6 +8759,7 @@ QUERIES = {
     "embed_cosine_pairs": embed_cosine_pairs,
     "embed_cosine_pairs_lsh": embed_cosine_pairs_lsh,
     "embed_kmeans_clusters": embed_kmeans_clusters,
+    "embed_kcenter_coreset": embed_kcenter_coreset,
     "embed_triplet_mine": embed_triplet_mine,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_pretrain_pipeline": docs_pretrain_pipeline,
@@ -8948,6 +8997,7 @@ ORACLES = {
     "graph_khop_customers": SQL_GRAPH_KHOP_CUSTOMERS,
     "graph_pagerank_customers": SQL_GRAPH_PAGERANK_CUSTOMERS,
     "embed_kmeans_clusters": SQL_EMBED_KMEANS_CLUSTERS,
+    "embed_kcenter_coreset": _kcenter_sql(KCENTER_K, 10 ** 6, EMBED_DIM),
     "embed_semantic_dedup": SQL_EMBED_SEMANTIC_DEDUP,
     "embed_jl_projection": _jl_sql(),
     "docs_shingles": SQL_DOCS_SHINGLES,

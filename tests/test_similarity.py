@@ -245,6 +245,42 @@ def test_kmeans_fixed_point_matches_sequential(ray_session):
         assert got["cluster"].dtype == np.int64
 
 
+def test_kcenter_coreset_matches_sequential(ray_session):
+    """Distributed greedy k-center == the sequential farthest-point
+    replay (same integer quantization and tie-breaks), independent of
+    partitioning; exact duplicates never re-win at distance 0."""
+    import numpy as np
+    import ray.data as rd
+
+    from opennre_ray.functions.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((120, 8)).astype(np.float32)
+    X[50] = X[0]                       # duplicate point
+    rows = [{"vec_id": i, "embedding": X[i].tolist()}
+            for i in range(len(X))]
+
+    S, K = 10 ** 6, 6
+    Q = np.floor(X.astype(np.float64) * S).astype(np.int64)
+    sel, dist = [0], [0]
+    for r in range(1, K):
+        c = Q[sel]
+        d2 = ((Q * Q).sum(1, keepdims=True)
+              + (c * c).sum(1)[None, :] - 2 * (Q @ c.T)).min(axis=1)
+        d2[sel] = -1                   # exclude selected
+        ids = np.arange(len(Q))
+        w = int(np.lexsort((ids, -d2))[0])
+        sel.append(w)
+        dist.append(int(d2[w]))
+
+    for n_parts in (1, 7):
+        ds = rd.from_items(rows).repartition(n_parts)
+        got = kcenter_coreset(ds, k=K).to_pandas()
+        assert got["vec_id"].tolist() == sel
+        assert got["dist"].tolist() == dist
+    assert 50 not in sel  # the duplicate sits at distance 0, never wins
+
+
 def test_knn_pq_partition_invariant_and_recall(ray_session):
     """PQ/ADC top-k: identical at any block count, self-query ranks 1,
     recall vs brute force non-trivial even on hard random data."""
