@@ -1226,6 +1226,98 @@ FROM documents
 """
 
 
+def docs_source_length_zscore(sf_dir):
+    """Per-source z-score of document token counts — per-feed length
+    calibration that flags truncated/concatenated pages WITHIN each crawl
+    feed (50 tokens is normal for one source, an outlier for another;
+    a global threshold can't see that). Determinism: z is ONE float op
+    chain over exact integer moments — z = (n·s − S)/√(n·Q − S²) with
+    per-source n, S = Σs, Q = Σs² folded from map-side int64 partials
+    (sources-many rows reach the driver, never the corpus); scoring is a
+    broadcast row-local second pass over the materialized narrow
+    (id, source, count) projection. Identical integer inputs → identical
+    IEEE doubles in both engines; rounded at 12 (BASELINE.md's DuckDB
+    decimal-parse rule)."""
+    import math
+
+    from ..functions.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def counted(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch.select(["doc_id", "text"]))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "n_tokens": t.column("n_tokens")})
+
+    cnt = ds.map_batches(counted, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"source": batch.column("source"),
+                      "n": pa.array(np.ones(len(s), np.int64)),
+                      "s_sum": pa.array(s), "q_sum": pa.array(s * s)})
+        g = t.group_by("source").aggregate(
+            [("n", "sum"), ("s_sum", "sum"), ("q_sum", "sum")])
+        return g.rename_columns(["source", "n", "s_sum", "q_sum"])
+
+    stats: dict[str, list[int]] = {}
+    for b in cnt.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        for src, n, ssum, qsum in zip(b.column("source").to_pylist(),
+                                      b.column("n").to_pylist(),
+                                      b.column("s_sum").to_pylist(),
+                                      b.column("q_sum").to_pylist()):
+            a = stats.setdefault(src, [0, 0, 0])
+            a[0] += n
+            a[1] += ssum
+            a[2] += qsum
+    # exact Python-int moments → one double sqrt (== SQL HUGEINT::DOUBLE)
+    params = {src: (n, ssum, math.sqrt(float(n * qsum - ssum * ssum)))
+              for src, (n, ssum, qsum) in stats.items()}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "source": pd.Series([], dtype="object"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "z": pd.Series([], dtype="float64")})
+        n = df["source"].map(lambda x: params[x][0]).to_numpy(np.int64)
+        ssum = df["source"].map(lambda x: params[x][1]).to_numpy(np.int64)
+        den = df["source"].map(lambda x: params[x][2]).to_numpy(np.float64)
+        s = df["n_tokens"].to_numpy(np.int64)
+        z = np.where(den > 0.0,
+                     sql_round(np.divide(
+                         (n * s - ssum).astype(np.float64),
+                         np.where(den > 0.0, den, 1.0)), 12), 0.0)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "source": df["source"],
+                             "n_tokens": s, "z": z})
+
+    return cnt.map_batches(score, batch_format="pandas")
+
+
+SQL_DOCS_SOURCE_LENGTH_ZSCORE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+          )::BIGINT AS s
+  FROM documents),
+a AS (
+  SELECT source, count(*)::HUGEINT AS n, sum(s)::HUGEINT AS ssum,
+         sum(s::HUGEINT * s)::HUGEINT AS q
+  FROM t GROUP BY source)
+SELECT t.doc_id, t.source, t.s AS n_tokens,
+  CASE WHEN a.n * a.q - a.ssum * a.ssum = 0 THEN 0.0
+       ELSE round(((a.n * t.s - a.ssum)::DOUBLE)
+                  / sqrt((a.n * a.q - a.ssum * a.ssum)::DOUBLE), 12)
+  END AS z
+FROM t JOIN a USING (source)
+"""
+
+
 VOCAB_TOP_N = 256
 
 
@@ -8785,6 +8877,7 @@ QUERIES = {
     "docs_hybrid_rrf": docs_hybrid_rrf,
     "docs_langid_heuristic": docs_langid_heuristic,
     "docs_token_count": docs_token_count,
+    "docs_source_length_zscore": docs_source_length_zscore,
     "docs_bpe_learn": docs_bpe_learn,
     "docs_bpe_encode_stats": docs_bpe_encode_stats,
     "docs_fingerprint": docs_fingerprint,
@@ -8984,6 +9077,7 @@ ORACLES = {
     "docs_bpe_pairs": SQL_DOCS_BPE_PAIRS,
     "docs_pmi_collocations": SQL_DOCS_PMI_COLLOCATIONS,
     "docs_token_count": SQL_DOCS_TOKEN_COUNT,
+    "docs_source_length_zscore": SQL_DOCS_SOURCE_LENGTH_ZSCORE,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_word_freq": SQL_DOCS_WORD_FREQ,
     "docs_tfidf_topk": SQL_DOCS_TFIDF_TOPK,
