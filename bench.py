@@ -199,6 +199,16 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_link_bfs(sf_dir)))
     timed("docs_link_hits",
           lambda: consume(Q.docs_link_hits(sf_dir)))
+    timed("docs_redirect_resolution",
+          lambda: consume(Q.docs_redirect_resolution(sf_dir)))
+    timed("docs_domain_pagerank",
+          lambda: consume(Q.docs_domain_pagerank(sf_dir)))
+    timed("docs_simhash_dedup",
+          lambda: consume(Q.docs_simhash_dedup(sf_dir)))
+    timed("embed_kcenter_coreset",
+          lambda: consume(Q.embed_kcenter_coreset(sf_dir)))
+    timed("docs_source_length_zscore",
+          lambda: consume(Q.docs_source_length_zscore(sf_dir)))
     timed("lineitem_price_mad_outliers",
           lambda: consume(Q.lineitem_price_mad_outliers(sf_dir)))
     timed("docs_alias_jw_matches",
