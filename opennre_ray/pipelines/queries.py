@@ -3767,7 +3767,9 @@ def lineitem_frequent_pairs(sf_dir):
     rows, never baskets."""
     from ..functions.relational import hash_bucket_aggregate
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # coarse blocks: see graph_link_prediction_parts
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
 
     def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # block-local distinct, vectorized (the Python set(zip(...)) form
@@ -4159,7 +4161,10 @@ def graph_triangles_parts(sf_dir):
     bucketed semi-join closure. Output is two scalars."""
     from ..functions.graph import build_copurchase_edges, triangle_count
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # coarse blocks: cheap vectorized stages + bucketed shuffles (same
+    # fixed-cost-per-block finding as graph_link_prediction_parts)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
     n = _nrows(sf_dir, "lineitem")
     edges = build_copurchase_edges(ds, rows_hint=4 * n)
     return triangle_count(edges, rows_hint=8 * n)
@@ -4194,7 +4199,11 @@ def graph_link_prediction_parts(sf_dir):
     (see AA_VERTEX_MOD); the oracle replays the same filter."""
     from ..functions.graph import adamic_adar, build_copurchase_edges
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # coarse blocks: every stage here is a cheap vectorized pass feeding
+    # THREE bucketed shuffles — at the 4096 default the sort barriers pay
+    # ~150 blocks of fixed cost each (measured 18.1 s vs 2.2 s at 32k)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
 
     def sample(batch: pa.Table) -> pa.Table:
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
@@ -7724,7 +7733,10 @@ def graph_kcore_parts(sf_dir):
     stop at 64 rounds, reached by neither — measured max 6)."""
     from ..functions.graph import build_copurchase_edges, k_core
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # coarse blocks: cheap vectorized stages + bucketed shuffles (same
+    # fixed-cost-per-block finding as graph_link_prediction_parts)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
 
     def sample(batch: pa.Table) -> pa.Table:
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
@@ -7877,7 +7889,9 @@ def lineitem_association_rules(sf_dir):
 
     from ..functions.relational import hash_bucket_aggregate
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # coarse blocks: see graph_link_prediction_parts
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
     n_rows = _nrows(sf_dir, "lineitem")
 
     def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
