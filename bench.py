@@ -203,6 +203,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_redirect_resolution(sf_dir)))
     timed("docs_domain_pagerank",
           lambda: consume(Q.docs_domain_pagerank(sf_dir)))
+    timed("docs_domain_trustrank",
+          lambda: consume(Q.docs_domain_trustrank(sf_dir)))
     timed("docs_simhash_dedup",
           lambda: consume(Q.docs_simhash_dedup(sf_dir)))
     timed("embed_kcenter_coreset",

@@ -430,6 +430,7 @@ PAGERANK_SCALE = 10 ** 12
 def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
              damping_num: int = 85, damping_den: int = 100,
              subj_col="subj", obj_col="obj",
+             seeds: "frozenset[str] | set[str] | None" = None,
              rows_hint: int | None = None):
     """Distributed PageRank in integer fixed-point arithmetic.
 
@@ -456,6 +457,14 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
     one union row per node) — the rank table is never collected to the
     driver. Block counts are bounded per round the same way
     ``connected_components`` bounds them.
+
+    ``seeds``: personalization — teleport mass lands ONLY on the given
+    node set (TrustRank, Gyöngyi et al. 2004: trust flows out from a
+    vetted seed list, spam sits far from it). Both the init vector and
+    the per-round base term use N = |seeds ∩ nodes| over the seed set
+    instead of uniform-over-all-nodes; non-seed nodes still ride the rank
+    table with an explicit 0 base so the output covers every node. The
+    seed set is broadcast-sized by assumption (a curated trust list).
 
     Reference scope note: thunlp/OpenNRE stops at the triple table; graph
     analytics over the extracted KG (degree/components/k-hop/PageRank) are
@@ -506,8 +515,41 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
             {"entity": pd.Series([], dtype=str),
              "rank_micro": pd.Series([], dtype="int64")}))
 
-    base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
-    r0 = scale // n_nodes
+    if seeds is None:
+        base = (scale * (damping_den - damping_num)) \
+            // (damping_den * n_nodes)
+        r0 = scale // n_nodes
+
+        def init_vec(ent: pa.Array) -> np.ndarray:
+            return np.full(len(ent), r0, dtype=np.int64)
+
+        def base_vec(ent: pa.Array) -> np.ndarray:
+            return np.full(len(ent), base, dtype=np.int64)
+    else:
+        seed_set = frozenset(seeds)
+
+        def count_seeds(t: pa.Table) -> pa.Table:
+            hit = sum(1 for v in t.column("entity").to_pylist()
+                      if v in seed_set)
+            return pa.table({"n": pa.array([hit], pa.int64())})
+
+        n_seeds = sum(
+            sum(b.column("n").to_pylist())
+            for b in nodes.map_batches(count_seeds, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow") if b.num_rows)
+        if n_seeds == 0:
+            raise ValueError("pagerank: no seed intersects the node set")
+        base = (scale * (damping_den - damping_num)) \
+            // (damping_den * n_seeds)
+        r0 = scale // n_seeds
+
+        def init_vec(ent: pa.Array) -> np.ndarray:
+            return np.array([r0 if v in seed_set else 0
+                             for v in ent.to_pylist()], dtype=np.int64)
+
+        def base_vec(ent: pa.Array) -> np.ndarray:
+            return np.array([base if v in seed_set else 0
+                             for v in ent.to_pylist()], dtype=np.int64)
 
     # static out-degree-annotated edge table (built once, reused per iter)
     def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -536,7 +578,7 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
         lambda t: pa.table({
             "entity": t.column("entity"),
             "rank_micro": pa.array(
-                np.full(t.num_rows, r0, dtype=np.int64))})
+                init_vec(t.column("entity").combine_chunks()))})
         if t.num_rows else rank_schema.empty_table(),
         batch_format="pyarrow"))
 
@@ -555,7 +597,7 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
         lambda t: pa.table({
             "entity": t.column("entity"),
             "rank_micro": pa.array(
-                np.full(t.num_rows, base, dtype=np.int64))})
+                base_vec(t.column("entity").combine_chunks()))})
         if t.num_rows else rank_schema.empty_table(),
         batch_format="pyarrow"))
 

@@ -8324,6 +8324,14 @@ def docs_domain_pagerank(sf_dir):
     graph. Same update rule / fixed-point math as ``docs_link_pagerank``
     (functions/graph.py::pagerank)."""
     from ..functions.graph import pagerank
+
+    return pagerank(_domain_edges(sf_dir), iters=PAGERANK_ITERS,
+                    rows_hint=2048)
+
+
+def _domain_edges(sf_dir):
+    """Distinct inter-domain link edges (subj, obj) — shared by the
+    domain-level pagerank and trustrank queries."""
     from ..functions.relational import hash_bucket_aggregate
     from ..functions.urls import _HOST_RE, crawl_url, registered_domain
 
@@ -8347,22 +8355,37 @@ def docs_domain_pagerank(sf_dir):
                             "obj": df["dst_doc"].map(dom)})
         return out[out["subj"] != out["obj"]].drop_duplicates()
 
-    de = hash_bucket_aggregate(
+    return hash_bucket_aggregate(
         edges.map_batches(to_domains, batch_format="pandas"),
         ["subj", "obj"], lambda g: g.drop_duplicates(["subj", "obj"]),
         rows_hint=2048)
-    return pagerank(de, iters=PAGERANK_ITERS, rows_hint=2048)
 
 
-def _domain_pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
-    """Domain-pagerank replay: the same URL→registered-domain chain as
-    ``_sql_domain_blocklist`` maps both edge endpoints, then the shared
-    unrolled integer rounds run over the distinct inter-domain pairs."""
+def docs_domain_trustrank(sf_dir):
+    """TrustRank over the domain graph (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): personalized PageRank whose teleport mass lands
+    only on a vetted trust-seed list — here every ``.edu`` registered
+    domain, the paper's own oracle-seed heuristic. A domain ranking low
+    here but high on raw pagerank is the classic spam-farm signal. Same
+    integer fixed-point rounds and scale shape as
+    ``docs_domain_pagerank``; the seed set is broadcast-sized by
+    construction."""
+    from ..functions.graph import pagerank
+
+    seeds = frozenset(f"site{k}.edu" for k in range(37))
+    return pagerank(_domain_edges(sf_dir), iters=PAGERANK_ITERS,
+                    seeds=seeds, rows_hint=2048)
+
+
+def _domain_edges_sql_head() -> str:
+    """CTE chain ending in ``pe (src, dst)`` = the distinct inter-domain
+    link edges: the same URL→registered-domain chain as
+    ``_sql_domain_blocklist`` maps both edge endpoints."""
     from ..functions.urls import CRAWL_SUBS, CRAWL_TLDS
 
     subs = ", ".join(f"'{s}'" for s in CRAWL_SUBS)
     tlds = ", ".join(f"'{t}'" for t in CRAWL_TLDS)
-    head = _SQL_LINK_EDGES + rf""",
+    return _SQL_LINK_EDGES + rf""",
 dom AS (
   SELECT doc_id,
     CASE WHEN regexp_matches(host, '\.co\.(uk|jp)$')
@@ -8376,7 +8399,41 @@ pe AS (SELECT DISTINCT sd.domain AS src, dd.domain AS dst
        FROM e JOIN dom sd ON e.src_doc = sd.doc_id
               JOIN dom dd ON e.dst_doc = dd.doc_id
        WHERE sd.domain <> dd.domain)"""
-    return _pagerank_rounds_sql(head, iters, scale, num, den)
+
+
+def _domain_pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
+    return _pagerank_rounds_sql(_domain_edges_sql_head(), iters, scale,
+                                num, den)
+
+
+def _trustrank_rounds_sql(head: str, iters: int, scale: int, num: int,
+                          den: int, seed_like: str) -> str:
+    """Unrolled TrustRank rounds over ``pe``: identical to the pagerank
+    rounds except init mass and the per-round teleport land only on
+    nodes matching ``seed_like``, normalized by the seed count."""
+    parts = [head + f""",
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM pe GROUP BY src),
+nodes AS (SELECT DISTINCT src AS v FROM pe UNION SELECT dst FROM pe),
+sn AS (SELECT count(*)::BIGINT AS n FROM nodes WHERE v LIKE '{seed_like}'),
+r0 AS (SELECT v, (CASE WHEN v LIKE '{seed_like}'
+                  THEN {scale} // (SELECT n FROM sn)
+                  ELSE 0 END)::BIGINT AS r
+       FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (SELECT nodes.v,
+         (CASE WHEN nodes.v LIKE '{seed_like}'
+               THEN ({scale} * {den - num}) // ({den} * (SELECT n FROM sn))
+               ELSE 0 END)::BIGINT
+         + COALESCE(s.inc, 0) AS r
+         FROM nodes LEFT JOIN (
+           SELECT pe.dst AS v,
+                  sum((p.r * {num}) // ({den} * deg.outdeg))::BIGINT AS inc
+           FROM pe JOIN r{i - 1} p ON pe.src = p.v
+                  JOIN deg ON pe.src = deg.src
+           GROUP BY pe.dst) s ON nodes.v = s.v)""")
+    parts.append(f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
+    return "".join(parts)
 
 
 LINK_BFS_SEED_STRIDE = 1000
@@ -8885,6 +8942,7 @@ QUERIES = {
     "docs_link_graph": docs_link_graph,
     "docs_link_pagerank": docs_link_pagerank,
     "docs_domain_pagerank": docs_domain_pagerank,
+    "docs_domain_trustrank": docs_domain_trustrank,
     "fd_audit": fd_audit,
     "events_snapshot_diff": events_snapshot_diff,
     "docs_perplexity_tiers": docs_perplexity_tiers,
@@ -9061,6 +9119,9 @@ ORACLES = {
                                              85, 100),
     "docs_domain_pagerank": _domain_pagerank_sql(PAGERANK_ITERS, 10 ** 12,
                                                  85, 100),
+    "docs_domain_trustrank": _trustrank_rounds_sql(
+        _domain_edges_sql_head(), PAGERANK_ITERS, 10 ** 12, 85, 100,
+        "%.edu"),
     "docs_link_bfs": _link_bfs_sql(LINK_BFS_HOPS, LINK_BFS_SEED_STRIDE),
     "docs_link_cocitation": _SQL_LINK_COCITATION,
     # 10**6 == functions.graph.HITS_SCALE (pinned by test_graph hits test)

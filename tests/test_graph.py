@@ -182,6 +182,48 @@ def test_pagerank_matches_sequential(ray_session):
     assert got["rank_micro"].dtype == np.int64
 
 
+def _seq_trustrank(edges, seeds, iters=5, scale=10 ** 12, num=85, den=100):
+    """Sequential replay of pagerank(seeds=...): teleport only to seeds."""
+    from collections import Counter
+
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+    outdeg = Counter(a for a, b in edges)
+    sset = set(seeds) & set(nodes)
+    ns = len(sset)
+    rank = {v: (scale // ns if v in sset else 0) for v in nodes}
+    base = (scale * (den - num)) // (den * ns)
+    for _ in range(iters):
+        nxt = {v: (base if v in sset else 0) for v in nodes}
+        for a, b in edges:
+            nxt[b] += (rank[a] * num) // (den * outdeg[a])
+        rank = nxt
+    return rank
+
+
+def test_trustrank_seeded_pagerank(ray_session):
+    """pagerank(seeds=...) == the sequential seeded replay; trust stays 0
+    on nodes unreachable from the seed set; missing seeds raise."""
+    import pytest
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import pagerank
+
+    edges = [("t1", "a"), ("a", "b"), ("b", "a"),
+             ("spam1", "spam2"), ("spam2", "spam1"),   # closed spam farm
+             ("t2", "a"), ("x", "t1")]
+    triples = rd.from_items(
+        [{"subj": a, "pred": "e", "obj": b} for a, b in edges])
+    seeds = {"t1", "t2", "never-in-graph"}
+    got = pagerank(triples, iters=5, seeds=seeds).to_pandas()
+    got_map = dict(zip(got["entity"], got["rank_micro"]))
+    assert got_map == _seq_trustrank(edges, seeds, iters=5)
+    assert got_map["spam1"] == 0 and got_map["spam2"] == 0
+    assert got_map["a"] > 0 and got_map["x"] == 0  # x: no in-trust
+
+    with pytest.raises(ValueError):
+        pagerank(triples, iters=1, seeds={"never"}).to_pandas()
+
+
 def _seq_hits(edges, iters=3, scale=10 ** 6):
     """Sequential integer-arithmetic replay of functions.graph.hits
     (L1-normalized floor-division mutual reinforcement)."""
