@@ -85,6 +85,35 @@ def entity_id(name: str) -> str:
     return "Q" + hashlib.sha1(name.encode()).hexdigest()[:7]
 
 
+# Coarse ontology over the gazetteer (every entity gets exactly one type)
+# + the relation type schema — the domain/range constraints a KG-quality
+# pass validates extracted triples against (violations are model errors
+# by construction, exactly what a curation review queues).
+ENTITY_TYPES = {
+    "spark": "SYSTEM", "stream": "SYSTEM", "batch": "SYSTEM",
+    "query": "SYSTEM", "window": "SYSTEM",
+    "table": "DATA", "column": "DATA", "row": "DATA", "key": "DATA",
+    "data": "DATA", "vector": "DATA", "part": "DATA",
+    "join": "OP", "hash": "OP", "merge": "OP", "sort": "OP",
+    "filter": "OP", "scan": "OP", "group": "OP",
+    "customer": "AGENT",
+}
+
+#: pred → the single allowed (subj_type, obj_type) pair
+RELATION_SCHEMA = {
+    "father": ("AGENT", "AGENT"), "spouse": ("AGENT", "AGENT"),
+    "employer": ("AGENT", "SYSTEM"), "educated_at": ("AGENT", "SYSTEM"),
+    "member_of": ("AGENT", "OP"), "founder_of": ("AGENT", "SYSTEM"),
+    "part_of": ("DATA", "DATA"), "located_in": ("DATA", "SYSTEM"),
+    "country": ("SYSTEM", "DATA"),
+}
+
+
+def entity_type_table() -> dict[str, str]:
+    """entity id → coarse type (broadcast-sized by construction)."""
+    return {entity_id(s): t for s, t in ENTITY_TYPES.items()}
+
+
 def default_alias_table() -> dict[str, str]:
     """surface form (normalized) → entity id."""
     table = {s: entity_id(s) for s in _ENTITY_SURFACES}

@@ -2719,6 +2719,59 @@ def kg_truth_discovery(sf_dir):
 CALIB_BINS = 10
 
 
+def kg_type_violations(sf_dir):
+    """Ontology/schema validation over the extracted triples — the KG
+    QA gate: every triple's (subj_type, pred, obj_type) is checked
+    against the relation's declared domain/range
+    (fixtures.RELATION_SCHEMA); violating combinations are model errors
+    by construction and feed the curation review queue. Scale shape:
+    the entity→type table is gazetteer-sized and broadcast (ships in the
+    task closure); validation is row-local; the report aggregate is
+    |schema|²-bounded, reduced map-side before a tiny driver fold. All
+    columns exact ints/strings → full-table pin (pins.py)."""
+    from ..fixtures import RELATION_SCHEMA, entity_type_table
+    from .kg import extract_triples
+
+    types = entity_type_table()
+    schema = dict(RELATION_SCHEMA)
+    triples = extract_triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "pred": pd.Series([], dtype="object"),
+                "subj_type": pd.Series([], dtype="object"),
+                "obj_type": pd.Series([], dtype="object"),
+                "valid": pd.Series([], dtype="int64"),
+                "n_triples": pd.Series([], dtype="int64"),
+                "n_evidence": pd.Series([], dtype="int64")})
+        st = df["subj"].map(types)
+        ot = df["obj"].map(types)
+        want = df["pred"].map(schema)
+        ok = [int(w == (a, b))
+              for w, a, b in zip(want.tolist(), st.tolist(), ot.tolist())]
+        g = pd.DataFrame({"pred": df["pred"], "subj_type": st,
+                          "obj_type": ot, "valid": ok,
+                          "n_triples": np.int64(1),
+                          "n_evidence": df["n_evidence"].astype(np.int64)})
+        return (g.groupby(["pred", "subj_type", "obj_type", "valid"],
+                          as_index=False, sort=False)
+                .agg(n_triples=("n_triples", "sum"),
+                     n_evidence=("n_evidence", "sum")))
+
+    parts = triples.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby(["pred", "subj_type", "obj_type", "valid"],
+                         as_index=False)
+           .agg(n_triples=("n_triples", "sum"),
+                n_evidence=("n_evidence", "sum"))
+           .sort_values(["pred", "subj_type", "obj_type"])
+           .reset_index(drop=True))
+    out["valid"] = out["valid"].astype(np.int64)
+    out["n_triples"] = out["n_triples"].astype(np.int64)
+    out["n_evidence"] = out["n_evidence"].astype(np.int64)
+    return out
+
+
 def sentence_calibration_bins(sf_dir):
     """Reliability-diagram bins for the sentence scorer: per confidence
     decile, how often an instance-level prediction matches its entity
@@ -8894,6 +8947,7 @@ QUERIES = {
     "sentence_scores_stats": sentence_scores_stats,
     "sentence_calibration_bins": sentence_calibration_bins,
     "kg_truth_discovery": kg_truth_discovery,
+    "kg_type_violations": kg_type_violations,
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,

@@ -39,6 +39,9 @@ PINNED = [
     # majority-vote object election per (subj, pred): int/string columns
     # over the pinnable triple table — full-table pin
     "kg_truth_discovery",
+    # schema-validation report over the triple table: |schema|²-bounded
+    # exact int/string rows — full-table pin
+    "kg_type_violations",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",
