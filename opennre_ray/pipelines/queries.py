@@ -5381,6 +5381,75 @@ WHERE p.fp - c.fc <= {CONVERSION_WINDOW_US}
 """
 
 
+ATTRIBUTION_WINDOW_US = CONVERSION_WINDOW_US
+ATTRIBUTION_SCALE = 10 ** 6
+
+
+def events_attribution_credit(sf_dir):
+    """Linear multi-touch attribution — the ad-pipeline credit split:
+    each user's FIRST purchase distributes one unit of credit equally
+    across their DISTINCT click timestamps inside the 72 h window ending
+    at the purchase. Credit is exact integer micro-units
+    (``scale // n`` per click, remainder to the EARLIEST click) so the
+    distributed result hash-matches SQL under any partitioning. One
+    user-keyed bucket shuffle; per-user work is bounded by the user's
+    own event count."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(["click", "purchase"])
+        df = df[keep]
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "event_type": df["event_type"], "t": t})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            buys = grp.loc[grp["event_type"] == "purchase", "t"]
+            if buys.empty:
+                continue
+            fp = int(buys.min())
+            c = grp.loc[(grp["event_type"] == "click")
+                        & (grp["t"] <= fp)
+                        & (grp["t"] >= fp - ATTRIBUTION_WINDOW_US), "t"]
+            clicks = np.unique(c.to_numpy(np.int64))
+            n = len(clicks)
+            if not n:
+                continue
+            base, rem = divmod(ATTRIBUTION_SCALE, n)
+            for i, t in enumerate(clicks):
+                rows.append((int(uid), int(t),
+                             base + (rem if i == 0 else 0)))
+        cols = ("user_id", "click_us", "credit_micro")
+        return pd.DataFrame(rows, columns=cols).astype("int64") if rows \
+            else pd.DataFrame({c: pd.Series([], dtype="int64")
+                               for c in cols})
+
+    return hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"],
+        per_bucket, rows_hint=_nrows(sf_dir, "events"))
+
+
+SQL_EVENTS_ATTRIBUTION_CREDIT = f"""
+WITH fp AS (SELECT user_id, min(epoch_us(ts)) AS fp FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+c AS (SELECT DISTINCT e.user_id, epoch_us(e.ts) AS t
+      FROM events e JOIN fp USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) <= fp.fp
+        AND epoch_us(e.ts) >= fp.fp - {ATTRIBUTION_WINDOW_US}),
+n AS (SELECT user_id, count(*)::BIGINT AS n, min(t) AS t0
+      FROM c GROUP BY user_id)
+SELECT c.user_id, c.t AS click_us,
+       ({ATTRIBUTION_SCALE} // n.n
+        + CASE WHEN c.t = n.t0 THEN {ATTRIBUTION_SCALE} % n.n
+               ELSE 0 END)::BIGINT AS credit_micro
+FROM c JOIN n USING (user_id)
+"""
+
+
 def docs_source_concentration(sf_dir):
     """Corpus-diversity concentration metrics: the Herfindahl–Hirschman
     index (Σ share²) and top-1 share over source sizes, integer
@@ -9097,6 +9166,7 @@ QUERIES = {
     "docs_cdc_apply": docs_cdc_apply,
     "docs_source_concentration": docs_source_concentration,
     "events_timed_conversion": events_timed_conversion,
+    "events_attribution_credit": events_attribution_credit,
     "lineitem_cube": lineitem_cube,
     "docs_ngram_novelty": docs_ngram_novelty,
     "events_cohort_retention": events_cohort_retention,
@@ -9266,6 +9336,7 @@ ORACLES = {
     "docs_cdc_apply": SQL_DOCS_CDC_APPLY,
     "docs_source_concentration": SQL_DOCS_SOURCE_CONCENTRATION,
     "events_timed_conversion": SQL_EVENTS_TIMED_CONVERSION,
+    "events_attribution_credit": SQL_EVENTS_ATTRIBUTION_CREDIT,
     "lineitem_cube": SQL_LINEITEM_CUBE,
     "docs_ngram_novelty": SQL_DOCS_NGRAM_NOVELTY,
     "docs_heavy_hitters_verified": SQL_DOCS_HEAVY_HITTERS_VERIFIED,
