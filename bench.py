@@ -211,6 +211,12 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.embed_kcenter_coreset(sf_dir)))
     timed("docs_source_length_zscore",
           lambda: consume(Q.docs_source_length_zscore(sf_dir)))
+    timed("docs_lsh_recall_eval",
+          lambda: consume(Q.docs_lsh_recall_eval(sf_dir)))
+    timed("events_attribution_credit",
+          lambda: consume(Q.events_attribution_credit(sf_dir)))
+    timed("kg_type_violations",
+          lambda: consume(Q.kg_type_violations(sf_dir)))
     timed("lineitem_price_mad_outliers",
           lambda: consume(Q.lineitem_price_mad_outliers(sf_dir)))
     timed("docs_alias_jw_matches",

@@ -174,6 +174,36 @@ def minhash_duplicate_groups(ds, *, num_bands=16, rows_per_band=4,
     return hash_bucket_aggregate(cand, [key_col], resolve)
 
 
+def lsh_candidate_pairs(ds, *, num_bands=16, rows_per_band=4,
+                        shingle_k=3, text_col="text", key_col="doc_id",
+                        rows_hint: int | None = None):
+    """Distinct candidate pairs (a < b) sharing ≥1 MinHash-LSH band
+    bucket — the raw candidate set BEFORE any verification, which is what
+    an LSH recall/precision audit scores. One bucketed shuffle on
+    (band_id, band_hash) with vectorized in-bucket pair expansion + one
+    distinct-pair aggregate (the same shape as ``simhash_dedup_pairs``;
+    a bucket of f docs costs f² candidate rows, bounded by band width)."""
+    from .relational import compute_n_buckets, hash_bucket_aggregate
+
+    n_buckets = compute_n_buckets(rows_hint)
+    bands = ds.map_batches(
+        MinHashLSH(num_bands, rows_per_band, shingle_k, text_col, key_col),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{key_col}_a"] < m[f"{key_col}_b"]]
+        return pd.DataFrame({
+            "a": m[f"{key_col}_a"].to_numpy(np.int64),
+            "b": m[f"{key_col}_b"].to_numpy(np.int64)}).drop_duplicates()
+
+    cand = hash_bucket_aggregate(bands, ["band_id", "band_hash"],
+                                 bucket_pairs, n_buckets=n_buckets)
+    return hash_bucket_aggregate(
+        cand, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]),
+        n_buckets=n_buckets)
+
+
 def minhash_dedup_clusters(ds, *, num_bands=16, rows_per_band=4,
                            shingle_k=3, text_col="text", key_col="doc_id",
                            rows_hint: int | None = None):

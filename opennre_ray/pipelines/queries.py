@@ -3289,6 +3289,104 @@ GROUP BY bd.doc_id
 """
 
 
+LSH_EVAL_T_NUM, LSH_EVAL_T_DEN = 1, 2   # shingle-Jaccard threshold 1/2
+
+
+def docs_lsh_recall_eval(sf_dir):
+    """'Measure, don't guess' for the near-dedup stack: EXACT recall and
+    precision of the MinHash-LSH candidate stage against ground-truth
+    3-shingle Jaccard ≥ 1/2 pairs. Truth pairs come from a
+    shingle-membership bucket join (intersection counts per pair, then
+    the integer cross-multiplied threshold test — no float compare);
+    candidates are the distinct band-bucket pairs
+    (dedup.lsh_candidate_pairs); both streams meet in ONE tagged-union
+    bucketed pass that folds to three counters. Scale note: the truth
+    join's pair volume is Σ df(shingle)² — exact audits run corpus-wide
+    here and on a stratified sample at 100 TB (the LSH side stays
+    linear)."""
+    from ..functions.dedup import lsh_candidate_pairs, shingle_hashes
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _nrows(sf_dir, "documents")
+
+    def memb(batch: pa.Table) -> pd.DataFrame:
+        hs_all, d_all, n_all = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            hs = np.unique(shingle_hashes(t, 3)).astype(np.uint64) \
+                .view(np.int64)
+            hs_all.append(hs)
+            d_all.append(np.full(len(hs), d, np.int64))
+            n_all.append(np.full(len(hs), len(hs), np.int64))
+        if not hs_all:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("h", "doc", "n")})
+        return pd.DataFrame({"h": np.concatenate(hs_all),
+                             "doc": np.concatenate(d_all),
+                             "n": np.concatenate(n_all)})
+
+    m = ds.map_batches(memb, batch_format="pyarrow")
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        mm = g.merge(g, on="h", suffixes=("_a", "_b"))
+        mm = mm[mm["doc_a"] < mm["doc_b"]]
+        return (mm.groupby(["doc_a", "doc_b", "n_a", "n_b"], sort=False)
+                .size().reset_index(name="c"))
+
+    pp = hash_bucket_aggregate(m, ["h"], pair_partial,
+                               rows_hint=8 * n_docs)
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)
+               ["c"].sum())
+        keep = (out["c"] * LSH_EVAL_T_DEN
+                >= (out["n_a"] + out["n_b"] - out["c"]) * LSH_EVAL_T_NUM)
+        out = out[keep]
+        return pd.DataFrame({"a": out["doc_a"].to_numpy(np.int64),
+                             "b": out["doc_b"].to_numpy(np.int64)})
+
+    truth = hash_bucket_aggregate(pp, ["doc_a", "doc_b"], pair_sum,
+                                  rows_hint=4 * n_docs)
+    cand = lsh_candidate_pairs(ds, rows_hint=16 * n_docs)
+
+    def tag(is_cand: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "a": df["a"].to_numpy(np.int64) if len(df) else
+                np.empty(0, np.int64),
+                "b": df["b"].to_numpy(np.int64) if len(df) else
+                np.empty(0, np.int64),
+                "ist": np.full(len(df), 1 - is_cand, np.int64),
+                "isc": np.full(len(df), is_cand, np.int64)})
+        return f
+
+    union = truth.map_batches(tag(0), batch_format="pandas").union(
+        cand.map_batches(tag(1), batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["a", "b"], as_index=False).agg(
+            ist=("ist", "max"), isc=("isc", "max"))
+        return pd.DataFrame({
+            "n_true": [int(f["ist"].sum())],
+            "n_cand": [int(f["isc"].sum())],
+            "n_hit": [int(((f["ist"] == 1) & (f["isc"] == 1)).sum())]})
+
+    parts = hash_bucket_aggregate(union, ["a", "b"], fold,
+                                  rows_hint=4 * n_docs).to_pandas()
+    n_true = int(parts["n_true"].sum())
+    n_cand = int(parts["n_cand"].sum())
+    n_hit = int(parts["n_hit"].sum())
+    return pd.DataFrame({
+        "n_true": np.array([n_true], np.int64),
+        "n_cand": np.array([n_cand], np.int64),
+        "n_hit": np.array([n_hit], np.int64),
+        "recall_micro": np.array(
+            [10 ** 6 * n_hit // n_true if n_true else 0], np.int64),
+        "precision_micro": np.array(
+            [10 ** 6 * n_hit // n_cand if n_cand else 0], np.int64)})
+
+
 def docs_dedup_clusters(sf_dir):
     """TRANSITIVE near-dedup clustering (the Gopher/RefinedWeb production
     shape): MinHash band buckets → doc↔bucket star edges → distributed
@@ -3302,6 +3400,32 @@ def docs_dedup_clusters(sf_dir):
     return minhash_dedup_clusters(ds,
                                   rows_hint=16 * _nrows(sf_dir,
                                                         "documents"))
+
+
+SQL_DOCS_LSH_RECALL_EVAL = "WITH " + _sql_minhash_ctes() + f""",
+nsh AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+isect AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+          FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT i.a, i.b FROM isect i
+          JOIN nsh na ON na.doc_id = i.a
+          JOIN nsh nb ON nb.doc_id = i.b
+          WHERE i.c * {LSH_EVAL_T_DEN}
+                >= (na.n + nb.n - i.c) * {LSH_EVAL_T_NUM}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y USING (band_id, bkey)
+         WHERE x.doc_id < y.doc_id),
+hit AS (SELECT a, b FROM truth INTERSECT SELECT a, b FROM cand),
+s AS (SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+             (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+             (SELECT count(*) FROM hit)::BIGINT AS n_hit)
+SELECT n_true, n_cand, n_hit,
+  (CASE WHEN n_true = 0 THEN 0
+        ELSE 1000000 * n_hit // n_true END)::BIGINT AS recall_micro,
+  (CASE WHEN n_cand = 0 THEN 0
+        ELSE 1000000 * n_hit // n_cand END)::BIGINT AS precision_micro
+FROM s
+"""
 
 
 SQL_DOCS_DEDUP_CLUSTERS = "WITH RECURSIVE " + _sql_minhash_ctes() + """,
@@ -9031,6 +9155,7 @@ QUERIES = {
     "docs_quality_dedup": docs_quality_dedup,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_lsh_recall_eval": docs_lsh_recall_eval,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_duplicated_spans": docs_duplicated_spans,
     "embed_semantic_dedup": embed_semantic_dedup,
@@ -9303,6 +9428,7 @@ ORACLES = {
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
+    "docs_lsh_recall_eval": SQL_DOCS_LSH_RECALL_EVAL,
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
     "customer_orders_bucketed_join": SQL_CUSTOMER_ORDERS_BUCKETED_JOIN,
