@@ -129,6 +129,38 @@ def test_simhash_dedup_pairs_vs_bruteforce(ray_session):
     assert (0, 1, 0) in want                          # exact dup found
 
 
+def test_pair_ops_partition_invariant(ray_session):
+    """simhash_dedup_pairs and lsh_candidate_pairs return identical pair
+    sets at any block count (bucketing must not depend on layout)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import (lsh_candidate_pairs,
+                                             simhash_dedup_pairs)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(40):
+        t = base if i % 7 == 0 else f"{base} doc{i} unique tail {i}"
+        rows.append({"doc_id": i, "text": t})
+
+    def canon(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True))
+
+    outs_s, outs_l = [], []
+    for n_parts in (1, 9):
+        ds = rd.from_items(rows).repartition(n_parts)
+        outs_s.append(canon(simhash_dedup_pairs(ds, rows_hint=64)
+                            .to_pandas()))
+        outs_l.append(canon(lsh_candidate_pairs(ds, rows_hint=64)
+                            .to_pandas()))
+    pd.testing.assert_frame_equal(outs_s[0], outs_s[1])
+    pd.testing.assert_frame_equal(outs_l[0], outs_l[1])
+    assert len(outs_s[0]) >= 1 and len(outs_l[0]) >= 1
+
+
 def test_embedding_dup_groups(ray_session, sf_dir):
     import ray.data as rd
 
