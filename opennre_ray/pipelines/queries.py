@@ -3656,6 +3656,34 @@ def knn_pq_query(sf_dir):
     return knn_pq(emb, qids, qmat, k=KNN_K, m=16, ksub=32)
 
 
+def knn_ann_recall_eval(sf_dir):
+    """Recall@k audit of every ANN path (hyperplane-LSH, IVF, PQ-ADC)
+    against the brute-force cosine truth — the 'measure, don't guess'
+    gate before trusting an approximate index at scale. Each path runs
+    its own distributed search (the heavy part); the per-query top-k
+    lists are queries×k-sized, so the overlap fold is driver-local by
+    construction. All counts exact ints → full-table pin (pins.py)."""
+    truth = knn_cosine(sf_dir)
+    tset = set(zip(truth["query_id"].tolist(),
+                   truth["neighbor_id"].tolist()))
+    n_true = len(truth)
+    n_queries = truth["query_id"].nunique()
+    rows = []
+    for name, fn in (("lsh", knn_lsh_query), ("ivf", knn_ivf_query),
+                     ("pq", knn_pq_query)):
+        got = fn(sf_dir)
+        got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+        hits = sum((q, n) in tset
+                   for q, n in zip(got["query_id"].tolist(),
+                                   got["neighbor_id"].tolist()))
+        rows.append((name, int(n_queries), KNN_K, int(hits),
+                     10 ** 6 * hits // n_true if n_true else 0))
+    return pd.DataFrame(rows, columns=["method", "n_queries", "k",
+                                       "n_hit", "recall_micro"]) \
+        .astype({"n_queries": np.int64, "k": np.int64,
+                 "n_hit": np.int64, "recall_micro": np.int64})
+
+
 def embedding_near_dups(sf_dir):
     # threshold/planes tuned so the synthetic corpus (near-orthogonal
     # random embeddings, closest pairs ~0.5 cosine) yields a non-trivial
@@ -9166,6 +9194,7 @@ QUERIES = {
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
     "knn_pq": knn_pq_query,
+    "knn_ann_recall_eval": knn_ann_recall_eval,
     "knn_graph": knn_graph_query,
     "embed_cosine_pairs": embed_cosine_pairs,
     "embed_cosine_pairs_lsh": embed_cosine_pairs_lsh,

@@ -50,6 +50,8 @@ PINNED = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    # recall@k of each ANN path vs brute-force truth: 3 exact-int rows
+    "knn_ann_recall_eval",
     # deterministic iterative algorithm (merge table is n_merges rows);
     # recursive-SQL replay of BPE is impractical, so the value oracle pins
     "docs_bpe_learn",
