@@ -2772,6 +2772,63 @@ def kg_type_violations(sf_dir):
     return out
 
 
+def _predicted_triples(sf_dir):
+    """Distinct (subj, pred, obj) over the model's per-instance argmax
+    labels — the CANDIDATE knowledge graph a rule-mining QA pass audits
+    before thresholding (the post-threshold table keeps ~4 triples at
+    test scale, far too sparse to ground a rule). ``NA`` participates
+    like any label on purpose: its inverse/path statistics sanity-check
+    the pair generator's symmetry, and the report's relation columns let
+    an analyst filter it. One bucketed dedup keyed by the full triple."""
+    from ..functions.rules import distinct_triples
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir)).map_batches(
+        lambda t: t.select(["h_id", "pred_rel", "t_id"]).rename_columns(
+            ["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+    return distinct_triples(inst, rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+def kg_inverse_relations(sf_dir):
+    """Inverse/symmetric relation detection over the candidate KG
+    (rules.inverse_relations): for every ordered label pair (r1, r2),
+    how many entity pairs carry r1(h, t) and r2(t, h) both, with
+    integer-micro confidence against |r1|. The classic KB-enrichment QA
+    signal (AMIE-family); model-derived labels → full-table pin
+    (pins.py). Scale shape: one tagged-union shuffle keyed by the
+    directed entity pair; driver work is |R|²-bounded."""
+    from ..functions.rules import inverse_relations
+
+    return inverse_relations(_predicted_triples(sf_dir),
+                             rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+def kg_path_rules(sf_dir):
+    """AMIE-lite horn-rule mining r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) over the
+    candidate KG (rules.path_rules): body support on distinct (x, z)
+    groundings, closed counts, head coverage — exact integer micros.
+    Two bucketed shuffles (join entity, then grounding pair); the
+    driver fold is |R|³-bounded. Model-derived → full-table pin."""
+    from ..functions.rules import path_rules
+
+    return path_rules(_predicted_triples(sf_dir),
+                      rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+def kg_relation_profile(sf_dir):
+    """Per-relation cardinality/functionality profile of the candidate
+    KG (rules.relation_profile): triple count, distinct subjects and
+    objects, AMIE functionality micros — the 1:1 / 1:N / N:M label that
+    gates rule pruning and truth discovery. Bucketed (pred, entity)
+    dedup; |R|-bounded at the driver. Model-derived → full-table pin."""
+    from ..functions.rules import relation_profile
+
+    return relation_profile(_predicted_triples(sf_dir),
+                            rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
 def sentence_calibration_bins(sf_dir):
     """Reliability-diagram bins for the sentence scorer: per confidence
     decile, how often an instance-level prediction matches its entity
@@ -9169,6 +9226,9 @@ QUERIES = {
     "sentence_calibration_bins": sentence_calibration_bins,
     "kg_truth_discovery": kg_truth_discovery,
     "kg_type_violations": kg_type_violations,
+    "kg_inverse_relations": kg_inverse_relations,
+    "kg_path_rules": kg_path_rules,
+    "kg_relation_profile": kg_relation_profile,
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,

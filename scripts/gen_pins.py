@@ -42,6 +42,11 @@ PINNED = [
     # schema-validation report over the triple table: |schema|²-bounded
     # exact int/string rows — full-table pin
     "kg_type_violations",
+    # rule-mining QA over the candidate KG: |R|²/|R|³/|R|-bounded exact
+    # int/string rows (model argmax labels) — full-table pins
+    "kg_inverse_relations",
+    "kg_path_rules",
+    "kg_relation_profile",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",

@@ -1,0 +1,152 @@
+"""KG rule mining (functions/rules.py): hand-computed fixture oracles +
+distributed == sequential parity on a random triple table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from opennre_ray.functions.rules import (distinct_triples,
+                                         inverse_relations, path_rules,
+                                         relation_profile)
+
+TRIPLES = pd.DataFrame(
+    [("a", "r1", "b"),
+     ("b", "r2", "a"),      # r1(a,b) & r2(b,a): inverse grounding
+     ("a", "r2", "b"),
+     ("b", "r1", "c"),      # path a -r1-> b -r1-> c
+     ("a", "r3", "c"),      # closes r1∘r1 ⇒ r3
+     ("c", "r1", "a")],     # path b -r1-> c -r1-> a closes nothing new
+    columns=["subj", "pred", "obj"])
+
+
+def _ds(df):
+    return ray.data.from_pandas(df.copy()).repartition(3)
+
+
+def test_inverse_relations_hand():
+    out = inverse_relations(_ds(TRIPLES), rows_hint=6)
+    got = {(r.r1, r.r2): (r.n_overlap, r.n_r1, r.confidence_micro)
+           for r in out.itertuples()}
+    t = TRIPLES.copy()
+    t.columns = ["subj", "pred", "obj"]
+    assert got == _slow_inverse(t)
+    # spot checks: r2 is symmetric (r2(a,b) & r2(b,a)); r1(a,b) has the
+    # r2(b,a) inverse witness; supports are per-relation triple counts
+    assert got[("r2", "r2")] == (2, 2, 1_000_000)
+    assert got[("r1", "r2")] == (1, 3, 333_333)
+    assert got[("r3", "r1")] == (1, 1, 1_000_000)
+
+
+def test_path_rules_hand():
+    out = path_rules(_ds(TRIPLES), rows_hint=6)
+    got = {(r.r1, r.r2, r.r3): (r.n_paths, r.n_closed, r.n_head,
+                                r.confidence_micro, r.head_coverage_micro)
+           for r in out.itertuples()}
+    assert got == _slow_paths(TRIPLES)
+    # spot checks: r1∘r1 grounds {(a,c),(c,b),(b,a)}; (a,c) closes by
+    # r3(a,c), (b,a) closes by r2(b,a); x == z cycles are excluded
+    assert got[("r1", "r1", "r3")] == (3, 1, 1, 333_333, 1_000_000)
+    assert got[("r1", "r1", "r2")] == (3, 1, 2, 333_333, 500_000)
+    assert got[("r2", "r3", "r1")] == (1, 1, 3, 1_000_000, 333_333)
+
+
+def test_path_rules_max_fanout_caps_hub():
+    hub = pd.DataFrame(
+        [("x%d" % i, "r1", "h") for i in range(5)]
+        + [("h", "r2", "z%d" % i) for i in range(5)],
+        columns=["subj", "pred", "obj"])
+    capped = path_rules(_ds(hub), rows_hint=10, max_fanout=2)
+    full = path_rules(_ds(hub), rows_hint=10)
+    # no rule ever closes here (no direct x->z edges)
+    assert len(capped) == 0 and len(full) == 0
+    # but the cap is visible on the inverse pass? exercise the grounding
+    # count through a closing edge instead:
+    hub2 = pd.concat([hub, pd.DataFrame(
+        [("x%d" % i, "r3", "z%d" % j) for i in range(5) for j in range(5)],
+        columns=["subj", "pred", "obj"])], ignore_index=True)
+    full2 = path_rules(_ds(hub2), rows_hint=40)
+    capped2 = path_rules(_ds(hub2), rows_hint=40, max_fanout=2)
+    f = {(r.r1, r.r2, r.r3): r.n_paths for r in full2.itertuples()}
+    c = {(r.r1, r.r2, r.r3): r.n_paths for r in capped2.itertuples()}
+    assert f[("r1", "r2", "r3")] == 25
+    assert c[("r1", "r2", "r3")] == 4  # 2 in-edges × 2 out-edges kept
+
+
+def test_relation_profile_hand():
+    out = relation_profile(_ds(TRIPLES), rows_hint=6)
+    got = {r.pred: (r.n_triples, r.n_subj, r.n_obj,
+                    r.functionality_micro, r.inv_functionality_micro)
+           for r in out.itertuples()}
+    assert got == {
+        "r1": (3, 3, 3, 1_000_000, 1_000_000),
+        "r2": (2, 2, 2, 1_000_000, 1_000_000),
+        "r3": (1, 1, 1, 1_000_000, 1_000_000),
+    }
+
+
+def test_distinct_triples_dedups():
+    dup = pd.concat([TRIPLES, TRIPLES.iloc[:3]], ignore_index=True)
+    out = distinct_triples(_ds(dup), rows_hint=9).to_pandas()
+    assert len(out) == len(TRIPLES)
+    assert (out.sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+            .equals(TRIPLES.sort_values(["subj", "pred", "obj"])
+                    .reset_index(drop=True)))
+
+
+def _slow_inverse(t: pd.DataFrame) -> dict:
+    rev = t.merge(t, left_on=["subj", "obj"], right_on=["obj", "subj"],
+                  suffixes=("_f", "_r"))
+    cnt = rev.groupby(["pred_f", "pred_r"]).size()
+    sup = t.groupby("pred").size()
+    return {(r1, r2): (int(c), int(sup[r1]), 10 ** 6 * int(c) // int(sup[r1]))
+            for (r1, r2), c in cnt.items()}
+
+
+def _slow_paths(t: pd.DataFrame) -> dict:
+    p = t.merge(t, left_on="obj", right_on="subj", suffixes=("_1", "_2"))
+    p = p[p["subj_1"] != p["obj_2"]]
+    body = p[["subj_1", "pred_1", "pred_2", "obj_2"]].drop_duplicates()
+    n_paths = body.groupby(["pred_1", "pred_2"]).size()
+    closed = body.merge(t, left_on=["subj_1", "obj_2"],
+                        right_on=["subj", "obj"])
+    n_closed = closed.groupby(["pred_1", "pred_2", "pred"]).size()
+    sup = t.groupby("pred").size()
+    out = {}
+    for (r1, r2, r3), c in n_closed.items():
+        np_ = int(n_paths[(r1, r2)])
+        out[(r1, r2, r3)] = (np_, int(c), int(sup[r3]),
+                             10 ** 6 * int(c) // np_,
+                             10 ** 6 * int(c) // int(sup[r3]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_parity_random_graph(seed):
+    rng = np.random.default_rng(seed)
+    n = 400
+    t = pd.DataFrame({
+        "subj": ["e%d" % i for i in rng.integers(0, 25, n)],
+        "pred": ["r%d" % i for i in rng.integers(0, 4, n)],
+        "obj": ["e%d" % i for i in rng.integers(0, 25, n)],
+    }).drop_duplicates().reset_index(drop=True)
+    ds = _ds(t)
+
+    inv = inverse_relations(ds, rows_hint=n)
+    got = {(r.r1, r.r2): (r.n_overlap, r.n_r1, r.confidence_micro)
+           for r in inv.itertuples()}
+    assert got == _slow_inverse(t)
+
+    pr = path_rules(ds, rows_hint=n)
+    gotp = {(r.r1, r.r2, r.r3): (r.n_paths, r.n_closed, r.n_head,
+                                 r.confidence_micro, r.head_coverage_micro)
+            for r in pr.itertuples()}
+    assert gotp == _slow_paths(t)
+
+    prof = relation_profile(ds, rows_hint=n)
+    for r in prof.itertuples():
+        sub = t[t["pred"] == r.pred]
+        assert r.n_triples == len(sub)
+        assert r.n_subj == sub["subj"].nunique()
+        assert r.n_obj == sub["obj"].nunique()
