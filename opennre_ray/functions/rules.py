@@ -35,7 +35,7 @@ import pandas as pd
 from .relational import hash_bucket_aggregate
 
 __all__ = ["distinct_triples", "inverse_relations", "path_rules",
-           "relation_profile"]
+           "relation_profile", "rule_inference"]
 
 _TRIPLE_COLS = ["subj", "pred", "obj"]
 
@@ -124,21 +124,12 @@ def inverse_relations(triples, rows_hint: int | None = None) -> pd.DataFrame:
     }).sort_values(["r1", "r2"]).reset_index(drop=True)
 
 
-def path_rules(triples, rows_hint: int | None = None,
-               max_fanout: int | None = None) -> pd.DataFrame:
-    """AMIE-lite closed-path rule mining: for every rule
-    r1(x, y) ∧ r2(y, z) ⇒ r3(x, z), report the body support (distinct
-    (x, z) groundings with some witness y, x ≠ z), the closed count
-    (groundings where r3(x, z) is also asserted), the head size |r3|,
-    and the integer-micro standard confidence n_closed / n_paths and
-    head coverage n_closed / |r3| (Galarraga et al., AMIE, WWW'13 §3).
-
-    Two bucketed shuffles: (1) keyed by the JOIN entity y, the per-bucket
-    merge grounds the body; (2) keyed by (x, z), body groundings dedup
-    (all copies of a grounding share the key) and meet the head triples
-    in a tagged union. Driver fold is |R|³-bounded partial counts. Rules
-    with n_closed = 0 are dropped. ``max_fanout`` (optional) caps per-y
-    in/out edges for hub-skew control — deterministic keep-lowest."""
+def _ground_paths(triples, rows_hint: int | None = None,
+                  max_fanout: int | None = None):
+    """Body grounding shared by ``path_rules`` and ``rule_inference``:
+    one shuffle keyed by the join entity y, per-bucket merge of incoming
+    (side 0: r1(x, y)) against outgoing (side 1: r2(y, z)) edges →
+    Dataset of per-bucket-distinct (x, r1, r2, z) rows with x ≠ z."""
     def tag_hop(second: bool):
         def f(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
@@ -175,8 +166,26 @@ def path_rules(triples, rows_hint: int | None = None,
             "r2": m["rel_2"].to_numpy(), "z": m["other_2"].to_numpy(),
         }).drop_duplicates()
 
-    paths = hash_bucket_aggregate(hops, ["y"], ground_bucket,
-                                  rows_hint=rows_hint)
+    return hash_bucket_aggregate(hops, ["y"], ground_bucket,
+                                 rows_hint=rows_hint)
+
+
+def path_rules(triples, rows_hint: int | None = None,
+               max_fanout: int | None = None) -> pd.DataFrame:
+    """AMIE-lite closed-path rule mining: for every rule
+    r1(x, y) ∧ r2(y, z) ⇒ r3(x, z), report the body support (distinct
+    (x, z) groundings with some witness y, x ≠ z), the closed count
+    (groundings where r3(x, z) is also asserted), the head size |r3|,
+    and the integer-micro standard confidence n_closed / n_paths and
+    head coverage n_closed / |r3| (Galarraga et al., AMIE, WWW'13 §3).
+
+    Two bucketed shuffles: (1) keyed by the JOIN entity y, the per-bucket
+    merge grounds the body; (2) keyed by (x, z), body groundings dedup
+    (all copies of a grounding share the key) and meet the head triples
+    in a tagged union. Driver fold is |R|³-bounded partial counts. Rules
+    with n_closed = 0 are dropped. ``max_fanout`` (optional) caps per-y
+    in/out edges for hub-skew control — deterministic keep-lowest."""
+    paths = _ground_paths(triples, rows_hint, max_fanout)
 
     def tag_path(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -307,3 +316,168 @@ def relation_profile(triples, rows_hint: int | None = None) -> pd.DataFrame:
                                     out["n_triples"]).astype(np.int64)
         .to_numpy(),
     }).sort_values("pred").reset_index(drop=True)
+
+
+_INFER_COLS = {"r1": pd.Series([], dtype="object"),
+               "r2": pd.Series([], dtype="object"),
+               "r3": pd.Series([], dtype="object"),
+               "n_paths": pd.Series([], dtype="int64"),
+               "n_closed": pd.Series([], dtype="int64"),
+               "n_new": pd.Series([], dtype="int64"),
+               "confidence_micro": pd.Series([], dtype="int64"),
+               "new_checksum": pd.Series([], dtype="int64")}
+
+_CKSUM_MOD = 2 ** 31
+
+
+def _triple_cksum(subj: pd.Series, pred: pd.Series, obj: pd.Series):
+    """Order-independent content hash of a triple set: per-triple
+    md5-u64 of 'subj|pred|obj' mod 2^31; callers SUM these (partials
+    fold associatively, final sum re-modded at the driver)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(f"{s}|{p}|{o}".encode("utf-8"))
+                        .digest()[:8], "big") % _CKSUM_MOD
+         for s, p, o in zip(subj, pred, obj)),
+        dtype=np.int64, count=len(subj))
+
+
+def rule_inference(triples, min_conf_micro: int = 200_000,
+                   rows_hint: int | None = None,
+                   max_fanout: int | None = None) -> pd.DataFrame:
+    """KB completion by rule application: mine the AMIE path rules
+    (``path_rules``), keep those with standard confidence ≥
+    ``min_conf_micro``, re-ground their bodies, and anti-join the
+    implied heads r3(x, z) against the asserted triples — the classic
+    "apply learned horn rules to predict missing facts" step (Galarraga
+    et al. WWW'13 §5). A triple predicted by several qualifying rules is
+    attributed once, to its best rule (highest confidence, then lowest
+    (r1, r2)). Per qualifying rule the audit reports body support,
+    closed count, the NEW-prediction count, and an order-independent
+    md5 checksum of the predicted-triple set (sum of per-triple u64
+    mod 2^31) so the full prediction content is value-verifiable while
+    the output stays |R|³-bounded at any corpus size.
+
+    Scale shape: the rule table is |R|³-bounded (driver-sized, shipped
+    to workers inside the closure); grounding is the shared one-shuffle
+    pass; the anti-join + best-rule dedup is one more bucketed pass
+    keyed by (x, z) — every copy of a grounding and every asserted
+    head for that pair co-locate, so dedup and membership are exact."""
+    mined = path_rules(triples, rows_hint=rows_hint, max_fanout=max_fanout)
+    mined = mined[mined["confidence_micro"] >= min_conf_micro] \
+        .reset_index(drop=True)
+    if not len(mined):
+        return pd.DataFrame(_INFER_COLS)
+    rule_map: dict = {}
+    for row in mined.itertuples(index=False):
+        rule_map.setdefault((row.r1, row.r2), []).append(
+            (row.r3, int(row.confidence_micro)))
+
+    paths = _ground_paths(triples, rows_hint, max_fanout)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = {"k1": [], "k2": [], "r3": [], "r1": [], "r2": [],
+                "conf": []}
+        if len(df):
+            # group by (r1, r2) so each rule's groundings expand as one
+            # vectorized append, not a per-row loop
+            for (r1, r2), g in df.groupby(["r1", "r2"], sort=False):
+                for r3, conf in rule_map.get((r1, r2), ()):
+                    outs["k1"].append(g["x"].to_numpy())
+                    outs["k2"].append(g["z"].to_numpy())
+                    outs["r3"].append(np.full(len(g), r3, dtype=object))
+                    outs["r1"].append(np.full(len(g), r1, dtype=object))
+                    outs["r2"].append(np.full(len(g), r2, dtype=object))
+                    outs["conf"].append(np.full(len(g), conf, np.int64))
+        if not outs["k1"]:
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="object"),
+                "k2": pd.Series([], dtype="object"),
+                "r3": pd.Series([], dtype="object"),
+                "r1": pd.Series([], dtype="object"),
+                "r2": pd.Series([], dtype="object"),
+                "conf": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({k: np.concatenate(v)
+                            for k, v in outs.items()})
+        out["side"] = np.zeros(len(out), np.int64)
+        return out
+
+    def tag_asserted(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="object"),
+                "k2": pd.Series([], dtype="object"),
+                "r3": pd.Series([], dtype="object"),
+                "r1": pd.Series([], dtype="object"),
+                "r2": pd.Series([], dtype="object"),
+                "conf": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64")})
+        n = len(df)
+        return pd.DataFrame({
+            "k1": df["subj"].to_numpy(), "k2": df["obj"].to_numpy(),
+            "r3": df["pred"].to_numpy(),
+            "r1": np.full(n, "", dtype=object),
+            "r2": np.full(n, "", dtype=object),
+            "conf": np.zeros(n, np.int64),
+            "side": np.ones(n, np.int64)})
+
+    union = paths.map_batches(expand, batch_format="pandas").union(
+        triples.map_batches(tag_asserted, batch_format="pandas"))
+
+    def infer_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cand = g[g["side"] == 0]
+        if not len(cand):
+            return pd.DataFrame({
+                "r1": pd.Series([], dtype="object"),
+                "r2": pd.Series([], dtype="object"),
+                "r3": pd.Series([], dtype="object"),
+                "n_new": pd.Series([], dtype="int64"),
+                "cksum": pd.Series([], dtype="int64")})
+        head = g[g["side"] == 1]
+        if len(head):
+            cand = cand.merge(
+                head[["k1", "k2", "r3"]].drop_duplicates()
+                .assign(_hit=np.int64(1)),
+                on=["k1", "k2", "r3"], how="left")
+            cand = cand[cand["_hit"].isna()]
+        if not len(cand):
+            return pd.DataFrame({
+                "r1": pd.Series([], dtype="object"),
+                "r2": pd.Series([], dtype="object"),
+                "r3": pd.Series([], dtype="object"),
+                "n_new": pd.Series([], dtype="int64"),
+                "cksum": pd.Series([], dtype="int64")})
+        best = cand.sort_values(
+            ["k1", "k2", "r3", "conf", "r1", "r2"],
+            ascending=[True, True, True, False, True, True]) \
+            .drop_duplicates(["k1", "k2", "r3"])
+        best = best.assign(
+            cksum=_triple_cksum(best["k1"], best["r3"], best["k2"]))
+        agg = (best.groupby(["r1", "r2", "r3"], sort=False)
+               .agg(n_new=("cksum", "size"), cksum=("cksum", "sum"))
+               .reset_index())
+        agg["cksum"] = agg["cksum"] % _CKSUM_MOD
+        return agg
+
+    parts = hash_bucket_aggregate(union, ["k1", "k2"], infer_bucket,
+                                  rows_hint=rows_hint).to_pandas()
+    if len(parts):
+        folded = parts.groupby(["r1", "r2", "r3"], as_index=False) \
+            .agg(n_new=("n_new", "sum"), cksum=("cksum", "sum"))
+    else:
+        folded = pd.DataFrame({"r1": pd.Series([], dtype="object"),
+                               "r2": pd.Series([], dtype="object"),
+                               "r3": pd.Series([], dtype="object"),
+                               "n_new": pd.Series([], dtype="int64"),
+                               "cksum": pd.Series([], dtype="int64")})
+    out = mined[["r1", "r2", "r3", "n_paths", "n_closed",
+                 "confidence_micro"]].merge(folded, on=["r1", "r2", "r3"],
+                                            how="left")
+    out["n_new"] = out["n_new"].fillna(0).astype(np.int64)
+    out["new_checksum"] = (out["cksum"].fillna(0).astype(np.int64)
+                           % _CKSUM_MOD)
+    return out.drop(columns="cksum") \
+        .sort_values(["r1", "r2", "r3"]).reset_index(drop=True)[
+        list(_INFER_COLS)]

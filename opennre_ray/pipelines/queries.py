@@ -2829,6 +2829,22 @@ def kg_relation_profile(sf_dir):
                             rows_hint=4 * _nrows(sf_dir, "documents"))
 
 
+def kg_rule_inference(sf_dir):
+    """KB completion by rule application (rules.rule_inference): mine
+    the AMIE path rules, keep confidence ≥ 0.2, re-ground bodies, and
+    anti-join the implied heads against the asserted candidate KG. Per
+    qualifying rule: body support, closed count, NEW-prediction count,
+    and an order-independent md5 checksum of the predicted-triple set —
+    the full prediction content is value-verified while the output stays
+    |R|³-bounded. Model-derived labels → full-table pin (pins.py).
+    Scale shape: the rule table ships in the closure (|R|³-bounded);
+    grounding + anti-join are two bucketed shuffles."""
+    from ..functions.rules import rule_inference
+
+    return rule_inference(_predicted_triples(sf_dir),
+                          rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
 def sentence_calibration_bins(sf_dir):
     """Reliability-diagram bins for the sentence scorer: per confidence
     decile, how often an instance-level prediction matches its entity
@@ -9229,6 +9245,7 @@ QUERIES = {
     "kg_inverse_relations": kg_inverse_relations,
     "kg_path_rules": kg_path_rules,
     "kg_relation_profile": kg_relation_profile,
+    "kg_rule_inference": kg_rule_inference,
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,

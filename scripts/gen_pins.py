@@ -47,6 +47,7 @@ PINNED = [
     "kg_inverse_relations",
     "kg_path_rules",
     "kg_relation_profile",
+    "kg_rule_inference",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",

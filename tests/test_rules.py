@@ -8,7 +8,7 @@ import ray
 
 from opennre_ray.functions.rules import (distinct_triples,
                                          inverse_relations, path_rules,
-                                         relation_profile)
+                                         relation_profile, rule_inference)
 
 TRIPLES = pd.DataFrame(
     [("a", "r1", "b"),
@@ -122,6 +122,61 @@ def _slow_paths(t: pd.DataFrame) -> dict:
     return out
 
 
+def _slow_inference(t: pd.DataFrame, min_conf: int = 200_000) -> dict:
+    import hashlib
+
+    rules = _slow_paths(t)
+    qual = {k: v for k, v in rules.items() if v[3] >= min_conf}
+    p = t.merge(t, left_on="obj", right_on="subj", suffixes=("_1", "_2"))
+    p = p[p["subj_1"] != p["obj_2"]]
+    body = p[["subj_1", "pred_1", "pred_2", "obj_2"]].drop_duplicates()
+    asserted = set(map(tuple, t[["subj", "pred", "obj"]].to_numpy()))
+    best = {}          # (x, r3, z) -> (-conf, r1, r2)
+    for row in body.itertuples(index=False):
+        for (r1, r2, r3), v in qual.items():
+            if (row.pred_1, row.pred_2) != (r1, r2):
+                continue
+            if (row.subj_1, r3, row.obj_2) in asserted:
+                continue
+            key = (row.subj_1, r3, row.obj_2)
+            cand = (-v[3], r1, r2)
+            if key not in best or cand < best[key]:
+                best[key] = cand
+    acc = {}
+    for (x, r3, z), (negconf, r1, r2) in best.items():
+        h = int.from_bytes(hashlib.md5(f"{x}|{r3}|{z}".encode())
+                           .digest()[:8], "big") % 2 ** 31
+        n, s = acc.get((r1, r2, r3), (0, 0))
+        acc[(r1, r2, r3)] = (n + 1, (s + h) % 2 ** 31)
+    return {(r1, r2, r3): (v[0], v[1], *acc.get((r1, r2, r3), (0, 0)), v[3])
+            for (r1, r2, r3), v in qual.items()}
+
+
+def test_rule_inference_hand():
+    out = rule_inference(_ds(TRIPLES), rows_hint=6)
+    got = {(r.r1, r.r2, r.r3): (r.n_paths, r.n_closed, r.n_new,
+                                r.new_checksum, r.confidence_micro)
+           for r in out.itertuples()}
+    assert got == _slow_inference(TRIPLES)
+    # hand-traced: r1∘r1 grounds {(a,c),(b,a),(c,b)}; r3(a,c) asserted →
+    # rule r1∘r1⇒r3 predicts the two missing heads r3(b,a), r3(c,b);
+    # r1∘r1⇒r2 likewise predicts r2(a,c), r2(c,b); the two conf-1.0
+    # rules are fully closed so they predict nothing new
+    assert got[("r1", "r1", "r3")][:3] == (3, 1, 2)
+    assert got[("r1", "r1", "r2")][:3] == (3, 1, 2)
+    assert got[("r2", "r1", "r3")][:3] == (1, 1, 0)
+    assert got[("r2", "r3", "r1")][:3] == (1, 1, 0)
+    assert got[("r2", "r1", "r3")][3] == 0     # zero-new → zero checksum
+
+
+def test_rule_inference_threshold_excludes():
+    # min_conf above 333,333 drops the r1∘r1 rules entirely
+    out = rule_inference(_ds(TRIPLES), min_conf_micro=500_000, rows_hint=6)
+    keys = {(r.r1, r.r2, r.r3) for r in out.itertuples()}
+    assert keys == {("r2", "r1", "r3"), ("r2", "r3", "r1")}
+    assert (out["n_new"] == 0).all()
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_parity_random_graph(seed):
     rng = np.random.default_rng(seed)
@@ -150,3 +205,9 @@ def test_parity_random_graph(seed):
         assert r.n_triples == len(sub)
         assert r.n_subj == sub["subj"].nunique()
         assert r.n_obj == sub["obj"].nunique()
+
+    inf = rule_inference(ds, min_conf_micro=50_000, rows_hint=n)
+    goti = {(r.r1, r.r2, r.r3): (r.n_paths, r.n_closed, r.n_new,
+                                 r.new_checksum, r.confidence_micro)
+            for r in inf.itertuples()}
+    assert goti == _slow_inference(t, min_conf=50_000)
