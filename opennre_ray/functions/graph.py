@@ -618,6 +618,133 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
     return ranks
 
 
+def label_propagation(edges_ds, seeds_ds, iters: int = 3,
+                      rows_hint: int | None = None):
+    """Seeded (clamped) synchronous label propagation over an undirected
+    graph — semi-supervised node classification (Zhu & Ghahramani 2002
+    label spreading with hard-clamped seeds; LPA, Raghavan et al. 2007):
+
+        label_0(v) = seed(v) if v seeded, else unlabeled
+        label_t(v) = seed(v) if v seeded, else
+                     argmax_l |{u ∈ N(v) : label_{t-1}(u) = l}|
+                     (ties → lexicographically smallest label; no
+                      labeled neighbor → unlabeled this round)
+
+    Fully deterministic — exact integer votes plus a total tie order —
+    so the distributed result is value-identical to a chained-CTE SQL
+    replay (every non-seed label is recomputed fresh each round from
+    the previous round's labels, the synchronous formulation the SQL
+    mirrors one CTE per round).
+
+    Inputs: ``edges_ds`` = distinct undirected (a, b) int64 edges (the
+    ``build_copurchase_edges`` shape); ``seeds_ds`` = (entity int64,
+    label str), at most one row per entity. Seeds that touch no edge
+    still appear in the output (clamped), exactly like the SQL's
+    UNION ALL. Returns a Dataset (entity, label) of every labeled node
+    after ``iters`` rounds.
+
+    Scale shape: per round ONE bucketed hash join (labels onto the
+    symmetrized adjacency, keyed by the voting neighbor) + ONE bucketed
+    clamp/majority keyed by the receiving node, with the seed table
+    riding the same exchange as tagged rows — the label table never
+    reaches the driver, and block counts re-compact per round like
+    ``pagerank``.
+    """
+    from .relational import compute_n_buckets, shuffle_join
+
+    lab_schema = pa.schema([("entity", pa.int64()), ("label", pa.string())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return lab_schema.empty_table()
+            return t.select(lab_schema.names).cast(lab_schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    adj = edges_ds.map_batches(symmetrize,
+                               batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+    n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    adj = compact(adj)
+    seeds = compact(conform(seeds_ds))
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "entity": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="object"),
+                    "side": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "entity": df["entity"].astype(np.int64).to_numpy(),
+                "label": df["label"].astype(str).to_numpy(),
+                "side": np.full(len(df), side, np.int64)})
+        return f
+
+    seed_rows = seeds.map_batches(tag(1), batch_format="pandas") \
+        .materialize()
+
+    def vote_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # shuffle_join output: (u, v, label); the vote lands on v
+        if not len(df):
+            return pd.DataFrame({
+                "entity": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="object"),
+                "side": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "entity": df["v"].astype(np.int64).to_numpy(),
+            "label": df["label"].astype(str).to_numpy(),
+            "side": np.zeros(len(df), np.int64)})
+
+    def clamp_majority(g: pd.DataFrame) -> pd.DataFrame:
+        seed = g[g["side"] == 1]
+        votes = g[g["side"] == 0]
+        if len(seed):
+            votes = votes[~votes["entity"].isin(seed["entity"])]
+        outs = []
+        if len(votes):
+            c = (votes.groupby(["entity", "label"], sort=False).size()
+                 .reset_index(name="c")
+                 .sort_values(["entity", "c", "label"],
+                              ascending=[True, False, True]))
+            outs.append(c.drop_duplicates("entity")[["entity", "label"]])
+        if len(seed):
+            outs.append(seed[["entity", "label"]]
+                        .drop_duplicates("entity"))
+        if not outs:
+            return pd.DataFrame({
+                "entity": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="object")})
+        return pd.concat(outs, ignore_index=True)
+
+    labels = seeds
+    for _ in range(iters):
+        joined = shuffle_join(adj, labels, "u", "entity",
+                              ["v"], ["label"], n_buckets=n_parts)
+        votes = joined.map_batches(vote_rows, batch_format="pandas")
+        labels = compact(conform(hash_bucket_aggregate(
+            votes.union(seed_rows), ["entity"], clamp_majority,
+            n_buckets=n_parts)))
+
+    return labels
+
+
 HITS_SCALE = 10 ** 6
 
 

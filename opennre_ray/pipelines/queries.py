@@ -8136,6 +8136,74 @@ WHERE NOT EXISTS (SELECT 1 FROM deg d2 WHERE d2.core_deg < {k})
 """
 
 
+LP_ITERS = 3
+LP_VERTEX_MOD = 5      # sample parts into the co-purchase graph
+LP_SEED_MOD = 20       # every p_partkey % 20 == 0 part is a labeled seed
+
+
+def graph_label_propagation_parts(sf_dir):
+    """Seeded label propagation (semi-supervised node classification)
+    over the sampled part co-purchase graph: every 4th sampled part is
+    clamped to its p_brand; 3 synchronous rounds spread brands to the
+    unlabeled parts by neighbor majority vote (ties → smallest label).
+    Deterministic integer votes + total tie order → full SQL value
+    oracle (one MATERIALIZED CTE per round). Scale shape: per round one
+    bucketed label⋈adjacency join + one bucketed clamp/majority — see
+    functions/graph.py::label_propagation."""
+    from ..functions.graph import build_copurchase_edges, label_propagation
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(ds.map_batches(sample,
+                                                  batch_format="pyarrow"),
+                                   rows_hint=4 * n)
+    seeds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % LP_SEED_MOD == 0)).rename_columns(["entity", "label"]),
+        batch_format="pyarrow")
+    out = label_propagation(edges, seeds, iters=LP_ITERS,
+                            rows_hint=4 * n).to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _sql_label_propagation() -> str:
+    parts = [f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+seeds AS MATERIALIZED (
+  SELECT p_partkey AS entity, p_brand AS label FROM part
+  WHERE p_partkey % {LP_SEED_MOD} = 0),
+l0 AS MATERIALIZED (SELECT entity, label FROM seeds)"""]
+    for i in range(1, LP_ITERS + 1):
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT entity, label FROM (
+    SELECT adj.v AS entity, p.label,
+           row_number() OVER (PARTITION BY adj.v
+                              ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM adj JOIN l{i - 1} p ON adj.u = p.entity
+    WHERE adj.v NOT IN (SELECT entity FROM seeds)
+    GROUP BY adj.v, p.label) WHERE rn = 1
+  UNION ALL SELECT entity, label FROM seeds)""")
+    parts.append(f"""
+SELECT entity::BIGINT AS entity, label::VARCHAR AS label FROM l{LP_ITERS}
+ORDER BY entity""")
+    return "".join(parts)
+
+
 def events_time_weighted_avg(sf_dir):
     """Time-weighted average of `value` per user: the step-function
     integral sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first) — the
@@ -9424,6 +9492,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
+    "graph_label_propagation_parts": graph_label_propagation_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
     "docs_readability": docs_readability,
@@ -9464,6 +9533,7 @@ ORACLES = {
     "lineitem_benford": _sql_benford(),
     "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
+    "graph_label_propagation_parts": _sql_label_propagation(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
     "docs_readability": SQL_DOCS_READABILITY,

@@ -457,3 +457,66 @@ def test_k_core_empty_core_is_typed_empty(ray_session):
     core = k_core(rd.from_pandas(df), 2)
     assert core.count() == 0
     assert sorted(core.schema().names) == ["core_deg", "v"]
+
+
+def _slow_lp(edges: set, seeds: dict, iters: int) -> dict:
+    """Sequential synchronous clamped label propagation."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = dict(seeds)
+    for _ in range(iters):
+        nxt = dict(seeds)
+        for v, nbrs in adj.items():
+            if v in seeds:
+                continue
+            votes = {}
+            for u in nbrs:
+                if u in labels:
+                    votes[labels[u]] = votes.get(labels[u], 0) + 1
+            if votes:
+                nxt[v] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_hand(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import label_propagation
+
+    # triangle 1-2-3 seeded 'x' at 1; chain 3-4-5; isolated seed 9
+    edges = pd.DataFrame({"a": [1, 2, 1, 3, 4],
+                          "b": [2, 3, 3, 4, 5]})
+    seeds = pd.DataFrame({"entity": [1, 5, 9],
+                          "label": ["x", "y", "z"]})
+    out = label_propagation(rd.from_pandas(edges).repartition(3),
+                            rd.from_pandas(seeds), iters=3).to_pandas()
+    got = dict(zip(out["entity"], out["label"]))
+    assert got == _slow_lp({(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)},
+                           {1: "x", 5: "y", 9: "z"}, 3)
+    # round 1: 2,3 <- x (from 1), 4 <- y (from 5); round 2: ties at 4
+    # (x from 3, y from 5) -> 'x' by lexicographic tie-break
+    assert got[2] == "x" and got[3] == "x" and got[4] == "x"
+    assert got[9] == "z"          # isolated seed survives (clamped)
+
+
+@pytest.mark.parametrize("seed", [1, 11])
+def test_label_propagation_random_parity(ray_session, seed):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import label_propagation
+
+    rng = np.random.RandomState(seed)
+    edges = {(int(a), int(b)) if a < b else (int(b), int(a))
+             for a, b in rng.randint(0, 40, size=(120, 2)) if a != b}
+    seeds = {int(v): "L%d" % (v % 3) for v in rng.choice(40, 8,
+                                                         replace=False)}
+    df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+    sdf = pd.DataFrame(sorted(seeds.items()), columns=["entity", "label"])
+    out = label_propagation(rd.from_pandas(df).repartition(4),
+                            rd.from_pandas(sdf).repartition(2),
+                            iters=3).to_pandas()
+    got = dict(zip(out["entity"], out["label"]))
+    assert got == _slow_lp(edges, seeds, 3)
