@@ -229,6 +229,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_quality_classifier(sf_dir)))
     timed("docs_quality_dedup",
           lambda: consume(Q.docs_quality_dedup(sf_dir)))
+    timed("kg_path_rules", lambda: Q.kg_path_rules(sf_dir))
+    timed("kg_rule_inference", lambda: Q.kg_rule_inference(sf_dir))
+    timed("graph_label_propagation_parts",
+          lambda: Q.graph_label_propagation_parts(sf_dir))
+    timed("graph_sssp_parts", lambda: Q.graph_sssp_parts(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -745,6 +745,100 @@ def label_propagation(edges_ds, seeds_ds, iters: int = 3,
     return labels
 
 
+def sssp(edges_ds, seeds, iters: int = 4,
+         rows_hint: int | None = None):
+    """Multi-source weighted shortest paths by synchronous Bellman-Ford
+    rounds over an undirected integer-weighted graph:
+
+        d_0(v) = 0 if v ∈ seeds, else ∞ (absent)
+        d_t(v) = min(d_{t-1}(v), min_{(u,v) ∈ E} d_{t-1}(u) + w(u, v))
+
+    After ``iters`` rounds the result is exact for every node within
+    ``iters`` hops of a seed (classic round-limited Bellman-Ford);
+    unreached nodes are absent from the output. Integer weights + min
+    (order-independent, exactly associative) make the distributed result
+    value-identical to an unrolled-CTE SQL replay.
+
+    Inputs: ``edges_ds`` = (a, b, w) int64 rows, one per undirected
+    edge; ``seeds`` = iterable of int node ids (distance-0 sources —
+    broadcast-sized by assumption: a hub/POI list). Returns a Dataset
+    (entity, dist).
+
+    Scale shape: per round ONE bucketed hash join (current distances
+    onto the symmetrized adjacency by source) + ONE bucketed min keyed
+    by destination, with the carry-over distances riding the same
+    exchange — the distance table never reaches the driver; block
+    counts re-compact per round like ``pagerank``.
+    """
+    from .relational import compute_n_buckets, shuffle_join
+
+    dist_schema = pa.schema([("entity", pa.int64()), ("dist", pa.int64())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return dist_schema.empty_table()
+            return t.select(dist_schema.names).cast(dist_schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                              ("w", pa.int64())]).empty_table()
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        w = t.column("w").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a]),
+                         "w": pa.concat_arrays([w, w])})
+
+    adj = edges_ds.map_batches(symmetrize,
+                               batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+    n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    adj = compact(adj)
+
+    import ray.data as rd
+    dists = compact(conform(rd.from_pandas(pd.DataFrame({
+        "entity": pd.Series(sorted(set(int(s) for s in seeds)),
+                            dtype="int64"),
+        "dist": pd.Series(0, index=range(len(set(seeds))),
+                          dtype="int64")}))))
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        # shuffle_join output: (u, v, w, dist) — candidate v via u
+        if not len(df):
+            return pd.DataFrame({
+                "entity": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "entity": df["v"].astype(np.int64).to_numpy(),
+            "dist": (df["dist"].astype(np.int64).to_numpy()
+                     + df["w"].astype(np.int64).to_numpy())})
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype("int64")
+        return out
+
+    for _ in range(iters):
+        joined = shuffle_join(adj, dists, "u", "entity",
+                              ["v", "w"], ["dist"], n_buckets=n_parts)
+        relaxed = joined.map_batches(relax, batch_format="pandas")
+        dists = compact(conform(hash_bucket_aggregate(
+            relaxed.union(dists), ["entity"], min_bucket,
+            n_buckets=n_parts)))
+
+    return dists
+
+
 HITS_SCALE = 10 ** 6
 
 

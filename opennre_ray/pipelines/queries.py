@@ -8173,6 +8173,80 @@ def graph_label_propagation_parts(sf_dir):
     return out.sort_values("entity").reset_index(drop=True)
 
 
+SSSP_ITERS = 4
+SSSP_SEED_MOD = 100    # parts with p_partkey % 100 == 0 are hub seeds
+
+
+def graph_sssp_parts(sf_dir):
+    """Multi-source weighted shortest paths (association distance) over
+    the sampled part co-purchase graph: edge weight = 1 + 100 // support
+    (frequently co-bought parts sit closer), hub seeds at distance 0,
+    4 synchronous Bellman-Ford rounds — exact within 4 hops, unreached
+    parts absent. Integer weights + min make the distributed result
+    value-identical to the unrolled-CTE SQL oracle. Scale shape: per
+    round one bucketed distance⋈adjacency join + one bucketed min —
+    see functions/graph.py::sssp."""
+    from ..functions.graph import build_copurchase_edges, sssp
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    pairs = build_copurchase_edges(ds.map_batches(sample,
+                                                  batch_format="pyarrow"),
+                                   rows_hint=4 * n, distinct=False)
+
+    def weight_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).size()
+        out["w"] = (1 + 100 // out["size"]).astype("int64")
+        return out[["a", "b", "w"]]
+
+    edges = hash_bucket_aggregate(pairs, ["a", "b"], weight_bucket,
+                                  rows_hint=4 * n)
+    part_keys = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % SSSP_SEED_MOD == 0)),
+        batch_format="pyarrow").to_pandas()
+    out = sssp(edges, part_keys["p_partkey"].tolist(), iters=SSSP_ITERS,
+               rows_hint=4 * n).to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+def _sql_sssp() -> str:
+    parts = [f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+ew AS MATERIALIZED (
+  SELECT x.p AS a, y.p AS b, (1 + 100 // count(*))::BIGINT AS w
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+  GROUP BY x.p, y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+d0 AS MATERIALIZED (
+  SELECT p_partkey::BIGINT AS entity, 0::BIGINT AS dist FROM part
+  WHERE p_partkey % {SSSP_SEED_MOD} = 0)"""]
+    for i in range(1, SSSP_ITERS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT entity, min(dist)::BIGINT AS dist FROM (
+    SELECT entity, dist FROM d{i - 1}
+    UNION ALL
+    SELECT adj.v AS entity, p.dist + adj.w AS dist
+    FROM adj JOIN d{i - 1} p ON adj.u = p.entity
+  ) GROUP BY entity)""")
+    parts.append(f"""
+SELECT entity::BIGINT AS entity, dist::BIGINT AS dist FROM d{SSSP_ITERS}
+ORDER BY entity""")
+    return "".join(parts)
+
+
 def _sql_label_propagation() -> str:
     parts = [f"""
 WITH lp AS MATERIALIZED (
@@ -9493,6 +9567,7 @@ QUERIES = {
     "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
     "graph_label_propagation_parts": graph_label_propagation_parts,
+    "graph_sssp_parts": graph_sssp_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
     "docs_readability": docs_readability,
@@ -9534,6 +9609,7 @@ ORACLES = {
     "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
     "graph_label_propagation_parts": _sql_label_propagation(),
+    "graph_sssp_parts": _sql_sssp(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
     "docs_readability": SQL_DOCS_READABILITY,

@@ -520,3 +520,69 @@ def test_label_propagation_random_parity(ray_session, seed):
                             iters=3).to_pandas()
     got = dict(zip(out["entity"], out["label"]))
     assert got == _slow_lp(edges, seeds, 3)
+
+
+def _slow_sssp(wedges: dict, seeds: set, iters: int) -> dict:
+    """Sequential round-limited Bellman-Ford on undirected weighted edges."""
+    adj = {}
+    for (a, b), w in wedges.items():
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(iters):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_hand(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import sssp
+
+    # 1 -5- 2 -1- 3 and 1 -10- 3: two-hop (6) beats direct (10)
+    edges = pd.DataFrame({"a": [1, 2, 1, 4], "b": [2, 3, 3, 5],
+                          "w": [5, 1, 10, 2]})
+    out = sssp(rd.from_pandas(edges).repartition(2), [1, 4],
+               iters=3).to_pandas()
+    got = dict(zip(out["entity"], out["dist"]))
+    assert got == {1: 0, 2: 5, 3: 6, 4: 0, 5: 2}
+
+
+def test_sssp_round_limit_is_hop_limit(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import sssp
+
+    # path 1-2-3-4-5: with 2 rounds only nodes within 2 hops are reached
+    edges = pd.DataFrame({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5],
+                          "w": [1, 1, 1, 1]})
+    out = sssp(rd.from_pandas(edges), [1], iters=2).to_pandas()
+    got = dict(zip(out["entity"], out["dist"]))
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+@pytest.mark.parametrize("seed", [3, 13])
+def test_sssp_random_parity(ray_session, seed):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import sssp
+
+    rng = np.random.RandomState(seed)
+    wedges = {}
+    for a, b in rng.randint(0, 30, size=(90, 2)):
+        if a == b:
+            continue
+        k = (int(min(a, b)), int(max(a, b)))
+        wedges.setdefault(k, int(rng.randint(1, 9)))
+    seeds = {int(v) for v in rng.choice(30, 4, replace=False)}
+    df = pd.DataFrame([(a, b, w) for (a, b), w in sorted(wedges.items())],
+                      columns=["a", "b", "w"])
+    out = sssp(rd.from_pandas(df).repartition(4), sorted(seeds),
+               iters=4).to_pandas()
+    got = dict(zip(out["entity"], out["dist"]))
+    assert got == _slow_sssp(wedges, seeds, 4)
