@@ -35,7 +35,7 @@ import pandas as pd
 from .relational import hash_bucket_aggregate
 
 __all__ = ["distinct_triples", "inverse_relations", "path_rules",
-           "relation_profile", "rule_inference"]
+           "relation_implications", "relation_profile", "rule_inference"]
 
 _TRIPLE_COLS = ["subj", "pred", "obj"]
 
@@ -168,6 +168,65 @@ def _ground_paths(triples, rows_hint: int | None = None,
 
     return hash_bucket_aggregate(hops, ["y"], ground_bucket,
                                  rows_hint=rows_hint)
+
+
+def relation_implications(triples,
+                          rows_hint: int | None = None) -> pd.DataFrame:
+    """Same-direction implication mining (AMIE length-1 rules,
+    r1(x, y) ⇒ r2(x, y)): for every ordered relation pair r1 ≠ r2, the
+    number of entity pairs asserting BOTH on the same direction, r1's
+    support, and the integer-micro confidence n_overlap / |r1| —
+    confidence ≈ 1 both ways flags duplicate/equivalent relations, one
+    way flags subsumption (r1 ⊑ r2), the classic ontology-alignment QA
+    signal. One bucketed pass keyed by the directed entity pair (every
+    relation asserted on a pair co-locates; the per-bucket pair-local
+    self-merge is |R_pair|²-bounded); the driver fold is |R|²-bounded.
+    Completes the rule family: implication (this), inversion
+    (``inverse_relations``), composition (``path_rules``)."""
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "k1": pd.Series([], dtype="object"),
+                "k2": pd.Series([], dtype="object"),
+                "rel": pd.Series([], dtype="object")})
+        return pd.DataFrame({"k1": df["subj"].to_numpy(),
+                             "k2": df["obj"].to_numpy(),
+                             "rel": df["pred"].to_numpy()})
+
+    def bucket_overlap(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["k1", "k2", "rel"])
+        m = d.merge(d, on=["k1", "k2"], suffixes=("_1", "_2"))
+        m = m[m["rel_1"] != m["rel_2"]]
+        if not len(m):
+            return pd.DataFrame({"r1": pd.Series([], dtype="object"),
+                                 "r2": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="int64")})
+        return (m.groupby(["rel_1", "rel_2"], sort=False).size()
+                .reset_index(name="c")
+                .rename(columns={"rel_1": "r1", "rel_2": "r2"}))
+
+    parts = hash_bucket_aggregate(
+        triples.map_batches(tag, batch_format="pandas"), ["k1", "k2"],
+        bucket_overlap, rows_hint=rows_hint).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({
+            "r1": pd.Series([], dtype="object"),
+            "r2": pd.Series([], dtype="object"),
+            "n_overlap": pd.Series([], dtype="int64"),
+            "n_r1": pd.Series([], dtype="int64"),
+            "confidence_micro": pd.Series([], dtype="int64")})
+    sup = _pred_counts(triples)
+    out = parts.groupby(["r1", "r2"], as_index=False)["c"].sum()
+    out = out.merge(sup.rename(columns={"pred": "r1", "n": "n_r1"}),
+                    on="r1")
+    return pd.DataFrame({
+        "r1": out["r1"].to_numpy(),
+        "r2": out["r2"].to_numpy(),
+        "n_overlap": out["c"].astype(np.int64).to_numpy(),
+        "n_r1": out["n_r1"].astype(np.int64).to_numpy(),
+        "confidence_micro": (10 ** 6 * out["c"] // out["n_r1"])
+        .astype(np.int64).to_numpy(),
+    }).sort_values(["r1", "r2"]).reset_index(drop=True)
 
 
 def path_rules(triples, rows_hint: int | None = None,

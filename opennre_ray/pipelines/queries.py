@@ -2788,7 +2788,12 @@ def _predicted_triples(sf_dir):
         lambda t: t.select(["h_id", "pred_rel", "t_id"]).rename_columns(
             ["subj", "pred", "obj"]),
         batch_format="pyarrow")
-    return distinct_triples(inst, rows_hint=4 * _nrows(sf_dir, "documents"))
+    # materialize the (KG-sized, corpus-independent) triple table: every
+    # rule miner fans out into several union branches, and an
+    # unmaterialized Dataset re-executes the full model-scoring chain
+    # once PER branch (measured 27.9 s vs 9 s on kg_rule_inference)
+    return distinct_triples(
+        inst, rows_hint=4 * _nrows(sf_dir, "documents")).materialize()
 
 
 def kg_inverse_relations(sf_dir):
@@ -2827,6 +2832,20 @@ def kg_relation_profile(sf_dir):
 
     return relation_profile(_predicted_triples(sf_dir),
                             rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+def kg_relation_implications(sf_dir):
+    """Same-direction implication mining over the candidate KG
+    (rules.relation_implications): for every ordered label pair
+    r1 ≠ r2, how many entity pairs assert BOTH on the same direction,
+    with integer-micro confidence vs |r1| — near-1.0 both ways flags
+    duplicate relations, one way flags subsumption. One bucketed pass
+    keyed by the directed pair; |R|²-bounded fold. Model-derived →
+    full-table pin (pins.py)."""
+    from ..functions.rules import relation_implications
+
+    return relation_implications(_predicted_triples(sf_dir),
+                                 rows_hint=4 * _nrows(sf_dir, "documents"))
 
 
 def kg_rule_inference(sf_dir):
@@ -9388,6 +9407,7 @@ QUERIES = {
     "kg_path_rules": kg_path_rules,
     "kg_relation_profile": kg_relation_profile,
     "kg_rule_inference": kg_rule_inference,
+    "kg_relation_implications": kg_relation_implications,
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,

@@ -48,6 +48,7 @@ PINNED = [
     "kg_path_rules",
     "kg_relation_profile",
     "kg_rule_inference",
+    "kg_relation_implications",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",

@@ -8,6 +8,7 @@ import ray
 
 from opennre_ray.functions.rules import (distinct_triples,
                                          inverse_relations, path_rules,
+                                         relation_implications,
                                          relation_profile, rule_inference)
 
 TRIPLES = pd.DataFrame(
@@ -122,6 +123,26 @@ def _slow_paths(t: pd.DataFrame) -> dict:
     return out
 
 
+def _slow_implications(t: pd.DataFrame) -> dict:
+    m = t.merge(t, on=["subj", "obj"], suffixes=("_1", "_2"))
+    m = m[m["pred_1"] != m["pred_2"]]
+    cnt = m.groupby(["pred_1", "pred_2"]).size()
+    sup = t.groupby("pred").size()
+    return {(r1, r2): (int(c), int(sup[r1]),
+                       10 ** 6 * int(c) // int(sup[r1]))
+            for (r1, r2), c in cnt.items()}
+
+
+def test_relation_implications_hand():
+    out = relation_implications(_ds(TRIPLES), rows_hint=6)
+    got = {(r.r1, r.r2): (r.n_overlap, r.n_r1, r.confidence_micro)
+           for r in out.itertuples()}
+    assert got == _slow_implications(TRIPLES)
+    # only (a,b) carries two relations: r1(a,b) & r2(a,b)
+    assert got == {("r1", "r2"): (1, 3, 333_333),
+                   ("r2", "r1"): (1, 2, 500_000)}
+
+
 def _slow_inference(t: pd.DataFrame, min_conf: int = 200_000) -> dict:
     import hashlib
 
@@ -205,6 +226,11 @@ def test_parity_random_graph(seed):
         assert r.n_triples == len(sub)
         assert r.n_subj == sub["subj"].nunique()
         assert r.n_obj == sub["obj"].nunique()
+
+    impl = relation_implications(ds, rows_hint=n)
+    gotm = {(r.r1, r.r2): (r.n_overlap, r.n_r1, r.confidence_micro)
+            for r in impl.itertuples()}
+    assert gotm == _slow_implications(t)
 
     inf = rule_inference(ds, min_conf_micro=50_000, rows_hint=n)
     goti = {(r.r1, r.r2, r.r3): (r.n_paths, r.n_closed, r.n_new,
