@@ -32,12 +32,28 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .relational import hash_bucket_aggregate
+from .relational import compute_n_buckets, hash_bucket_aggregate
 
 __all__ = ["distinct_triples", "inverse_relations", "path_rules",
            "relation_implications", "relation_profile", "rule_inference"]
 
 _TRIPLE_COLS = ["subj", "pred", "obj"]
+
+
+def compact(ds, n_parts: int | None = None, rows_hint: int | None = None):
+    """Materialize with bounded block count (same rationale as
+    graph.compact): Ray's sort shuffle emits one output partition per
+    INPUT block, and the miners' tagged unions double block counts, so
+    an uncompacted triple table fans a 428-row dataset into 150+ blocks
+    whose per-block fixed sort cost dominates (measured: path_rules
+    8.9 s → the compacted run below). The repartition barrier is paid
+    only when actually over budget."""
+    if n_parts is None:
+        n_parts = compute_n_buckets(rows_hint)
+    ds = ds.materialize()
+    if ds.num_blocks() > n_parts:
+        ds = ds.repartition(n_parts).materialize()
+    return ds
 
 
 def distinct_triples(ds, rows_hint: int | None = None):
@@ -166,8 +182,9 @@ def _ground_paths(triples, rows_hint: int | None = None,
             "r2": m["rel_2"].to_numpy(), "z": m["other_2"].to_numpy(),
         }).drop_duplicates()
 
-    return hash_bucket_aggregate(hops, ["y"], ground_bucket,
-                                 rows_hint=rows_hint)
+    return compact(hash_bucket_aggregate(hops, ["y"], ground_bucket,
+                                         rows_hint=rows_hint),
+                   rows_hint=rows_hint)
 
 
 def relation_implications(triples,
@@ -230,7 +247,8 @@ def relation_implications(triples,
 
 
 def path_rules(triples, rows_hint: int | None = None,
-               max_fanout: int | None = None) -> pd.DataFrame:
+               max_fanout: int | None = None,
+               paths=None) -> pd.DataFrame:
     """AMIE-lite closed-path rule mining: for every rule
     r1(x, y) ∧ r2(y, z) ⇒ r3(x, z), report the body support (distinct
     (x, z) groundings with some witness y, x ≠ z), the closed count
@@ -243,8 +261,11 @@ def path_rules(triples, rows_hint: int | None = None,
     (all copies of a grounding share the key) and meet the head triples
     in a tagged union. Driver fold is |R|³-bounded partial counts. Rules
     with n_closed = 0 are dropped. ``max_fanout`` (optional) caps per-y
-    in/out edges for hub-skew control — deterministic keep-lowest."""
-    paths = _ground_paths(triples, rows_hint, max_fanout)
+    in/out edges for hub-skew control — deterministic keep-lowest.
+    ``paths`` (optional) takes a precomputed ``_ground_paths`` Dataset
+    so rule_inference mines and re-grounds from ONE grounding pass."""
+    if paths is None:
+        paths = _ground_paths(triples, rows_hint, max_fanout)
 
     def tag_path(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -422,8 +443,12 @@ def rule_inference(triples, min_conf_micro: int = 200_000,
     to workers inside the closure); grounding is the shared one-shuffle
     pass; the anti-join + best-rule dedup is one more bucketed pass
     keyed by (x, z) — every copy of a grounding and every asserted
-    head for that pair co-locate, so dedup and membership are exact."""
-    mined = path_rules(triples, rows_hint=rows_hint, max_fanout=max_fanout)
+    head for that pair co-locate, so dedup and membership are exact.
+    Grounding runs ONCE (the compacted ``_ground_paths`` Dataset is
+    shared between mining and re-grounding)."""
+    paths = _ground_paths(triples, rows_hint, max_fanout)
+    mined = path_rules(triples, rows_hint=rows_hint, max_fanout=max_fanout,
+                       paths=paths)
     mined = mined[mined["confidence_micro"] >= min_conf_micro] \
         .reset_index(drop=True)
     if not len(mined):
@@ -432,8 +457,6 @@ def rule_inference(triples, min_conf_micro: int = 200_000,
     for row in mined.itertuples(index=False):
         rule_map.setdefault((row.r1, row.r2), []).append(
             (row.r3, int(row.confidence_micro)))
-
-    paths = _ground_paths(triples, rows_hint, max_fanout)
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         outs = {"k1": [], "k2": [], "r3": [], "r1": [], "r2": [],

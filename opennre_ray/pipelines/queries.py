@@ -2780,7 +2780,7 @@ def _predicted_triples(sf_dir):
     like any label on purpose: its inverse/path statistics sanity-check
     the pair generator's symmetry, and the report's relation columns let
     an analyst filter it. One bucketed dedup keyed by the full triple."""
-    from ..functions.rules import distinct_triples
+    from ..functions.rules import compact, distinct_triples
     from .kg import candidate_instances
     from ..sources.pages import read_pages
 
@@ -2791,9 +2791,14 @@ def _predicted_triples(sf_dir):
     # materialize the (KG-sized, corpus-independent) triple table: every
     # rule miner fans out into several union branches, and an
     # unmaterialized Dataset re-executes the full model-scoring chain
-    # once PER branch (measured 27.9 s vs 9 s on kg_rule_inference)
-    return distinct_triples(
-        inst, rows_hint=4 * _nrows(sf_dir, "documents")).materialize()
+    # once PER branch (measured 27.9 s vs 9 s on kg_rule_inference).
+    # compact: the dedup shuffle inherits the instance read's block count
+    # (78 blocks for 428 rows at sf0.1), and every miner shuffle
+    # downstream pays per-input-block sort cost — bound it to the
+    # KG-sized bucket count.
+    rows_hint = 4 * _nrows(sf_dir, "documents")
+    return compact(distinct_triples(inst, rows_hint=rows_hint),
+                   rows_hint=rows_hint)
 
 
 def kg_inverse_relations(sf_dir):
