@@ -234,6 +234,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("graph_label_propagation_parts",
           lambda: Q.graph_label_propagation_parts(sf_dir))
     timed("graph_sssp_parts", lambda: Q.graph_sssp_parts(sf_dir))
+    timed("events_cusum_drift", lambda: Q.events_cusum_drift(sf_dir))
+    timed("docs_vocab_coverage", lambda: Q.docs_vocab_coverage(sf_dir))
+    timed("docs_filter_agreement",
+          lambda: Q.docs_filter_agreement(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

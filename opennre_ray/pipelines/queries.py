@@ -9390,6 +9390,237 @@ FROM cl JOIN qsc ON qsc.doc_id = cl.doc_id
 """)
 
 
+CUSUM_SLACK_DIV = 20      # slack k = mean/20 (5% of the daily mean)
+CUSUM_THRESH_MULT = 2     # drift flag when cusum exceeds 2x the daily mean
+
+
+def events_cusum_drift(sf_dir):
+    """CUSUM drift monitor over daily event volume per type — the
+    data-quality tripwire a production ingest pipeline runs on every
+    feed (Page's cumulative-sum test): S_d = max(0, S_{d-1} + x_d - μ - k)
+    flags sustained upward volume drift the moment the cumulative excess
+    crosses the threshold. The recursion has the closed form
+    S_d = C_d - min(0, min_{j<=d} C_j) with C the running sum of the
+    centered series, so BOTH sides (engine and the SQL oracle's window
+    functions) compute it without a recursive loop. All arithmetic is
+    exact integer micro-units (μ = floor-div mean, k = μ/20 slack,
+    h = 2μ threshold) — bit-stable across engines.
+
+    Scale shape: daily counts reduce map-side per block to (type, day)
+    partials; the fold + recursion runs on the calendar-bounded
+    |types| × |days| table (the same driver-bound contract as
+    events_type_pivot / kg_type_violations)."""
+    from ..functions.relational import add_time_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    windowed = add_time_window(ds, "ts", unit="day", out_col="day")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["event_type", "day"], sort=False, as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = windowed.map_batches(partial, batch_format="pandas").to_pandas()
+    daily = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    frames = []
+    for etype, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day").reset_index(drop=True)
+        n = g["n"].astype(np.int64).to_numpy()
+        mean_micro = (10 ** 6 * int(n.sum())) // len(n)
+        k_micro = mean_micro // CUSUM_SLACK_DIV
+        h_micro = CUSUM_THRESH_MULT * mean_micro
+        c = np.cumsum(10 ** 6 * n - mean_micro - k_micro)
+        s = c - np.minimum(np.minimum.accumulate(c), 0)
+        frames.append(pd.DataFrame({
+            "event_type": etype,
+            "day": g["day"].to_numpy(),
+            "n_events": n,
+            "cusum_micro": s.astype(np.int64),
+            "drift": (s > h_micro).astype(np.int64)}))
+    return (pd.concat(frames, ignore_index=True)
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+
+
+SQL_EVENTS_CUSUM_DRIFT = f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, day),
+st AS (
+  SELECT event_type, (1000000 * sum(n)) // count(*) AS mean_micro
+  FROM daily GROUP BY event_type),
+y AS (
+  SELECT d.event_type, d.day, d.n,
+         1000000 * d.n - st.mean_micro
+           - st.mean_micro // {CUSUM_SLACK_DIV} AS y_micro,
+         {CUSUM_THRESH_MULT} * st.mean_micro AS h_micro
+  FROM daily d JOIN st USING (event_type)),
+c AS (
+  SELECT *, sum(y_micro) OVER (PARTITION BY event_type
+                               ORDER BY day) AS c_micro FROM y),
+m AS (
+  SELECT *, least(min(c_micro) OVER (PARTITION BY event_type
+                                     ORDER BY day), 0) AS floor_micro
+  FROM c)
+SELECT event_type, day, n AS n_events,
+       (c_micro - floor_micro)::BIGINT AS cusum_micro,
+       (c_micro - floor_micro > h_micro)::BIGINT AS drift
+FROM m
+"""
+
+
+VOCAB_COVERAGE_SIZES = [10, 100, 1000]
+
+
+def docs_vocab_coverage(sf_dir):
+    """Tokenizer-design audit: what fraction of all corpus tokens the
+    top-V whitespace vocabulary covers, for V in {10, 100, 1000} — the
+    coverage curve that sizes a subword vocabulary (a V with coverage
+    near 1 means a word-level vocab suffices; a flat curve demands BPE).
+    Exact integers: coverage_micro = 10^6 * top_V_count // total.
+
+    Scale shape: map-side Counter partials -> one token-keyed groupby
+    (the docs_word_freq aggregate) -> distributed sort by (cnt desc,
+    token asc) with a LIMIT max(V) head; only max(V) rows plus two
+    scalar aggregates (total tokens, vocab size) ever reach the driver.
+    Tie-determinism at the V boundary comes from the token tiebreak on
+    both sides."""
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+            .materialize())
+    total = int(freq.sum("cnt") or 0)
+    vocab = int(freq.count())
+    vmax = max(VOCAB_COVERAGE_SIZES)
+    top = freq.sort(["cnt", "token"], descending=[True, False]) \
+        .limit(vmax).to_pandas()
+    cum = top["cnt"].astype(np.int64).cumsum().to_numpy() \
+        if len(top) else np.array([], dtype=np.int64)
+    rows = []
+    for v in VOCAB_COVERAGE_SIZES:
+        top_sum = int(cum[min(v, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"v": v, "top_sum": top_sum, "total_tokens": total,
+                     "vocab_size": vocab,
+                     "coverage_micro": (10 ** 6 * top_sum // total)
+                     if total else 0})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_DOCS_VOCAB_COVERAGE = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+f AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+      WHERE token <> '' GROUP BY token),
+r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM f),
+tot AS (SELECT COALESCE(sum(cnt), 0)::BIGINT AS total,
+               count(*)::BIGINT AS vocab FROM f)
+SELECT v::BIGINT AS v,
+       (SELECT COALESCE(sum(cnt), 0)::BIGINT FROM r WHERE rk <= v)
+         AS top_sum,
+       tot.total AS total_tokens, tot.vocab AS vocab_size,
+       CASE WHEN tot.total = 0 THEN 0
+            ELSE (1000000 * (SELECT COALESCE(sum(cnt), 0) FROM r
+                             WHERE rk <= v)) // tot.total
+       END::BIGINT AS coverage_micro
+FROM (VALUES (10), (100), (1000)) AS vs(v), tot
+"""
+
+
+def docs_filter_agreement(sf_dir):
+    """Inter-filter agreement audit: the 2x2 confusion matrix between
+    the Gopher rules filter and the hashed-linear quality classifier,
+    plus percent agreement and Cohen's kappa — the calibration check a
+    curation pipeline runs before swapping one filter for another (high
+    agreement but near-zero kappa means both mostly say 'keep' and the
+    classifier adds nothing). Kappa is reported as an exact integer
+    fraction (kappa_num / kappa_den with kappa_den > 0) because kappa
+    itself can be negative and floor-div semantics differ across
+    engines; agreement_micro is the usual nonneg micro floor-div.
+
+    Scale shape: both filters are row-local streaming maps computed in
+    ONE pass over the text; per-block 2x2 partials fold to a single
+    driver row. (int64 bound: kappa terms are ~n_docs² — exact up to
+    ~3e9 docs, HUGEINT territory beyond.)"""
+    from ..functions.textstats import (gopher_quality_batch,
+                                       quality_classifier_batch)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        gop = gopher_quality_batch(batch).to_pandas()[["doc_id", "passed"]]
+        clf = quality_classifier_batch(batch).to_pandas()[["doc_id", "keep"]]
+        m = gop.merge(clf, on="doc_id")
+        g = m["passed"].astype(np.int64).to_numpy()
+        k = m["keep"].astype(np.int64).to_numpy()
+        return pa.table({
+            "n_both_keep": [int((g & k).sum())],
+            "n_gopher_only": [int((g & (1 - k)).sum())],
+            "n_clf_only": [int(((1 - g) & k).sum())],
+            "n_both_drop": [int(((1 - g) & (1 - k)).sum())]})
+
+    parts = ds.map_batches(flags_partial, batch_format="pyarrow").to_pandas()
+    a = int(parts["n_both_keep"].sum())
+    b = int(parts["n_gopher_only"].sum())
+    c = int(parts["n_clf_only"].sum())
+    d = int(parts["n_both_drop"].sum())
+    n = a + b + c + d
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    out = pd.DataFrame([{
+        "n_docs": n, "n_both_keep": a, "n_gopher_only": b,
+        "n_clf_only": c, "n_both_drop": d,
+        "agreement_micro": (10 ** 6 * (a + d) // n) if n else 0,
+        "kappa_num": n * (a + d) - pe_num,
+        "kappa_den": n * n - pe_num}])
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+def _sql_filter_agreement() -> str:
+    return (_SQL_GOPHER_BASE + ",\n" + _sql_qclf_ctes() + """,
+fl AS (SELECT g.doc_id, g.passed AS gop,
+              (qsc.score >= 0)::BIGINT AS clf
+       FROM g JOIN qsc USING (doc_id)),
+cm AS (SELECT
+    count(*)::BIGINT AS n_docs,
+    COALESCE(sum(gop * clf), 0)::BIGINT AS n_both_keep,
+    COALESCE(sum(gop * (1 - clf)), 0)::BIGINT AS n_gopher_only,
+    COALESCE(sum((1 - gop) * clf), 0)::BIGINT AS n_clf_only,
+    COALESCE(sum((1 - gop) * (1 - clf)), 0)::BIGINT AS n_both_drop
+  FROM fl)
+SELECT n_docs, n_both_keep, n_gopher_only, n_clf_only, n_both_drop,
+  CASE WHEN n_docs = 0 THEN 0
+       ELSE (1000000 * (n_both_keep + n_both_drop)) // n_docs
+  END::BIGINT AS agreement_micro,
+  (n_docs * (n_both_keep + n_both_drop)
+   - ((n_both_keep + n_gopher_only) * (n_both_keep + n_clf_only)
+      + (n_clf_only + n_both_drop) * (n_gopher_only + n_both_drop))
+  )::BIGINT AS kappa_num,
+  (n_docs * n_docs
+   - ((n_both_keep + n_gopher_only) * (n_both_keep + n_clf_only)
+      + (n_clf_only + n_both_drop) * (n_gopher_only + n_both_drop))
+  )::BIGINT AS kappa_den
+FROM cm
+""")
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -9621,6 +9852,9 @@ QUERIES = {
     "embed_scalar_quantize": embed_scalar_quantize,
     "docs_normalized_dedup": docs_normalized_dedup,
     "docs_anchor_text": docs_anchor_text,
+    "events_cusum_drift": events_cusum_drift,
+    "docs_vocab_coverage": docs_vocab_coverage,
+    "docs_filter_agreement": docs_filter_agreement,
 }
 
 
@@ -9809,6 +10043,9 @@ ORACLES = {
     "lineitem_qty_price_corr": SQL_LINEITEM_QTY_PRICE_CORR,
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
+    "events_cusum_drift": SQL_EVENTS_CUSUM_DRIFT,
+    "docs_vocab_coverage": SQL_DOCS_VOCAB_COVERAGE,
+    "docs_filter_agreement": _sql_filter_agreement(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -534,3 +534,85 @@ def test_link_graph_render_extract_roundtrip():
         assert edges.column("dst_doc").to_pylist() == [
             outlink_target(doc_id, j, n_docs) for j in range(k)]
         assert edges.column("src_source").to_pylist() == ["s"] * k
+
+
+def test_cusum_closed_form_equals_recursion():
+    """events_cusum_drift computes Page's CUSUM via the closed form
+    S_d = C_d - min(0, min prefix C) — verify against the textbook
+    recursion S_d = max(0, S_{d-1} + y_d) on adversarial series."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        y = rng.integers(-1000, 1000, size=rng.integers(1, 40))
+        c = np.cumsum(y)
+        closed = c - np.minimum(np.minimum.accumulate(c), 0)
+        s, rec = 0, []
+        for v in y.tolist():
+            s = max(0, s + v)
+            rec.append(s)
+        assert closed.tolist() == rec
+
+
+def test_cusum_drift_flags_planted_shift(ray_session, tmp_path):
+    """A planted mean shift in the back half of one type's daily series
+    must raise the drift flag there and nowhere in the flat type."""
+    import numpy as np
+    import pandas as pd
+
+    from opennre_ray.pipelines.queries import events_cusum_drift
+
+    days = pd.date_range("2024-01-01", periods=20, freq="D")
+    rows = []
+    eid = 0
+    for d_i, day in enumerate(days):
+        n_flat = 10
+        n_shift = 10 if d_i < 10 else 40          # sustained 4x jump
+        for etype, n in (("flat", n_flat), ("shift", n_shift)):
+            for k in range(n):
+                rows.append({"event_id": eid, "ts": day + pd.Timedelta(minutes=k),
+                             "user_id": k, "event_type": etype,
+                             "value": 1.0, "props": "{}"})
+                eid += 1
+    df = pd.DataFrame(rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.to_parquet(sf / "events.parquet")
+
+    out = events_cusum_drift(str(sf))
+    flat = out[out["event_type"] == "flat"]
+    shift = out[out["event_type"] == "shift"]
+    assert int(flat["drift"].sum()) == 0
+    assert int(shift["drift"].sum()) > 0
+    # flag fires in the shifted back half only
+    assert (shift.loc[shift["drift"] == 1, "day"] >= "2024-01-11").all()
+    # exact-integer invariants
+    assert (out["cusum_micro"] >= 0).all()
+
+
+def test_vocab_coverage_invariants(ray_session, sf_dir):
+    from opennre_ray.pipelines.queries import docs_vocab_coverage
+
+    out = docs_vocab_coverage(sf_dir).sort_values("v").reset_index(drop=True)
+    assert out["v"].tolist() == [10, 100, 1000]
+    # coverage is monotone in v, bounded by 1e6, top_sum bounded by total
+    assert out["coverage_micro"].is_monotonic_increasing
+    assert (out["coverage_micro"] <= 10 ** 6).all()
+    assert (out["top_sum"] <= out["total_tokens"]).all()
+    assert (out["vocab_size"] > 0).all()
+
+
+def test_filter_agreement_identities(ray_session, sf_dir):
+    from opennre_ray.pipelines.queries import docs_filter_agreement
+
+    row = docs_filter_agreement(sf_dir).iloc[0]
+    a, b, c, d = (int(row["n_both_keep"]), int(row["n_gopher_only"]),
+                  int(row["n_clf_only"]), int(row["n_both_drop"]))
+    n = int(row["n_docs"])
+    assert a + b + c + d == n > 0
+    pe = (a + b) * (a + c) + (c + d) * (b + d)
+    assert int(row["kappa_num"]) == n * (a + d) - pe
+    assert int(row["kappa_den"]) == n * n - pe
+    assert int(row["agreement_micro"]) == 10 ** 6 * (a + d) // n
+    # kappa is a proper fraction: |kappa| <= 1  =>  |num| <= den
+    assert abs(int(row["kappa_num"])) <= int(row["kappa_den"])
