@@ -235,6 +235,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.graph_label_propagation_parts(sf_dir))
     timed("graph_sssp_parts", lambda: Q.graph_sssp_parts(sf_dir))
     timed("events_cusum_drift", lambda: Q.events_cusum_drift(sf_dir))
+    timed("kg_entity_pagerank",
+          lambda: consume(Q.kg_entity_pagerank(sf_dir)))
+    timed("kg_snapshot_diff", lambda: Q.kg_snapshot_diff(sf_dir))
     timed("docs_vocab_coverage", lambda: Q.docs_vocab_coverage(sf_dir))
     timed("docs_filter_agreement",
           lambda: Q.docs_filter_agreement(sf_dir))

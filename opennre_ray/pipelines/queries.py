@@ -2869,6 +2869,103 @@ def kg_rule_inference(sf_dir):
                           rows_hint=4 * _nrows(sf_dir, "documents"))
 
 
+KG_PAGERANK_ITERS = 5
+
+
+def kg_entity_pagerank(sf_dir):
+    """Entity importance over the candidate KG: integer fixed-point
+    PageRank (functions.graph.pagerank — bit-deterministic micro-unit
+    arithmetic) on the directed subj→obj graph of non-NA predicted
+    triples. A KG build uses this to order canonicalization review and
+    type-inference passes by how load-bearing an entity is. Model-derived
+    labels → full-table pin (pins.py); the entity set is gazetteer-
+    bounded, so the pinned output is |E| rows. Scale shape: pagerank's
+    per-round bucketed join/sum, never collected to the driver."""
+    from ..functions.graph import pagerank
+
+    tri = _predicted_triples(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("pred"), "NA")),
+        batch_format="pyarrow")
+    return pagerank(tri, iters=KG_PAGERANK_ITERS, subj_col="subj",
+                    obj_col="obj",
+                    rows_hint=4 * _nrows(sf_dir, "documents"))
+
+
+def kg_snapshot_diff(sf_dir):
+    """Incremental KG rebuild audit (the CDC step of a production KG
+    build): split the crawl into two deterministic snapshots (md5(url)
+    LSB — content-stable, so re-runs and both engines agree), extract
+    the candidate KG from each, and report per (relation, status) how
+    many distinct triples are stable (asserted in both), added (B only),
+    or retired (A only) — plus an order-independent md5 content checksum
+    of each triple set, so the full diff content is value-verified while
+    the output stays |R|×3-bounded at any corpus size. Model-derived
+    labels → full-table pin (pins.py).
+
+    Scale shape: ONE scoring pass; snapshot tags ride the instance
+    stream; per-triple (in_a, in_b) flags come from one bucketed dedup
+    keyed by the full triple; the (pred, status) fold reduces map-side."""
+    from ..functions.packing import split_draws
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.rules import _triple_cksum, _CKSUM_MOD
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "subj": pd.Series([], dtype="object"),
+                "pred": pd.Series([], dtype="object"),
+                "obj": pd.Series([], dtype="object"),
+                "snap": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "subj": df["h_id"].to_numpy(),
+            "pred": df["pred_rel"].to_numpy(),
+            "obj": df["t_id"].to_numpy(),
+            "snap": (split_draws(df["url"].tolist(), "snap") & 1)
+            .astype(np.int64)})
+
+    tagged = inst.map_batches(tag, batch_format="pandas")
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.assign(in_a=(g["snap"] == 0).astype(np.int64),
+                       in_b=(g["snap"] == 1).astype(np.int64)) \
+            .groupby(["subj", "pred", "obj"], as_index=False) \
+            .agg(in_a=("in_a", "max"), in_b=("in_b", "max"))
+        return out
+
+    flags = hash_bucket_aggregate(
+        tagged, ["subj", "pred", "obj"], flag_bucket,
+        rows_hint=4 * _nrows(sf_dir, "documents"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "pred": pd.Series([], dtype="object"),
+                "status": pd.Series([], dtype="object"),
+                "n_triples": pd.Series([], dtype="int64"),
+                "checksum": pd.Series([], dtype="int64")})
+        status = np.where((df["in_a"] > 0) & (df["in_b"] > 0), "stable",
+                          np.where(df["in_b"] > 0, "added", "retired"))
+        out = pd.DataFrame({
+            "pred": df["pred"].to_numpy(), "status": status,
+            "n_triples": np.ones(len(df), np.int64),
+            "checksum": _triple_cksum(df["subj"], df["pred"], df["obj"])})
+        return (out.groupby(["pred", "status"], as_index=False)
+                .agg(n_triples=("n_triples", "sum"),
+                     checksum=("checksum", "sum")))
+
+    parts = flags.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby(["pred", "status"], as_index=False)
+           .agg(n_triples=("n_triples", "sum"),
+                checksum=("checksum", "sum")))
+    out["n_triples"] = out["n_triples"].astype(np.int64)
+    out["checksum"] = (out["checksum"] % _CKSUM_MOD).astype(np.int64)
+    return out.sort_values(["pred", "status"]).reset_index(drop=True)
+
+
 def sentence_calibration_bins(sf_dir):
     """Reliability-diagram bins for the sentence scorer: per confidence
     decile, how often an instance-level prediction matches its entity
@@ -9855,6 +9952,8 @@ QUERIES = {
     "events_cusum_drift": events_cusum_drift,
     "docs_vocab_coverage": docs_vocab_coverage,
     "docs_filter_agreement": docs_filter_agreement,
+    "kg_entity_pagerank": kg_entity_pagerank,
+    "kg_snapshot_diff": kg_snapshot_diff,
 }
 
 

@@ -49,6 +49,12 @@ PINNED = [
     "kg_relation_profile",
     "kg_rule_inference",
     "kg_relation_implications",
+    # entity importance over the candidate KG: |E|-bounded (gazetteer)
+    # exact-integer ranks — full-table pin
+    "kg_entity_pagerank",
+    # two-snapshot incremental rebuild diff: |R|×3-bounded exact rows
+    # with md5 content checksums — full-table pin
+    "kg_snapshot_diff",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",

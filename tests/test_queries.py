@@ -616,3 +616,55 @@ def test_filter_agreement_identities(ray_session, sf_dir):
     assert int(row["agreement_micro"]) == 10 ** 6 * (a + d) // n
     # kappa is a proper fraction: |kappa| <= 1  =>  |num| <= den
     assert abs(int(row["kappa_num"])) <= int(row["kappa_den"])
+
+
+def test_kg_entity_pagerank_covers_non_na_endpoints(ray_session, sf_dir):
+    """Composition sanity for the pinned query: the rank table covers
+    EXACTLY the endpoint entities of non-NA predicted triples (pagerank
+    math itself is sequential-parity-tested in test_graph)."""
+    import pandas as pd
+
+    from opennre_ray.pipelines.queries import (_predicted_triples,
+                                               kg_entity_pagerank)
+
+    tri = _predicted_triples(sf_dir).to_pandas()
+    tri = tri[tri["pred"] != "NA"]
+    want = set(tri["subj"]) | set(tri["obj"])
+    got = kg_entity_pagerank(sf_dir).to_pandas()
+    assert set(got["entity"]) == want
+    assert (got["rank_micro"] > 0).all()
+
+
+def test_kg_snapshot_diff_matches_sequential(ray_session, sf_dir):
+    """Distributed == sequential: recompute the two-snapshot diff with a
+    slow pandas pass over the same scored instance stream."""
+    import numpy as np
+    import pandas as pd
+
+    from opennre_ray.functions.packing import split_draws
+    from opennre_ray.functions.rules import _CKSUM_MOD, _triple_cksum
+    from opennre_ray.pipelines.kg import candidate_instances
+    from opennre_ray.pipelines.queries import kg_snapshot_diff
+    from opennre_ray.sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir)) \
+        .select_columns(["h_id", "pred_rel", "t_id", "url"]).to_pandas()
+    inst["snap"] = (split_draws(inst["url"].tolist(), "snap") & 1)
+    g = inst.assign(in_a=(inst["snap"] == 0).astype(int),
+                    in_b=(inst["snap"] == 1).astype(int)) \
+        .groupby(["h_id", "pred_rel", "t_id"], as_index=False) \
+        .agg(in_a=("in_a", "max"), in_b=("in_b", "max"))
+    status = np.where((g["in_a"] > 0) & (g["in_b"] > 0), "stable",
+                      np.where(g["in_b"] > 0, "added", "retired"))
+    g = g.assign(status=status,
+                 cks=_triple_cksum(g["h_id"], g["pred_rel"], g["t_id"]))
+    want = (g.groupby(["pred_rel", "status"], as_index=False)
+            .agg(n_triples=("cks", "size"), checksum=("cks", "sum")))
+    want["checksum"] = want["checksum"] % _CKSUM_MOD
+    want = want.rename(columns={"pred_rel": "pred"}) \
+        .sort_values(["pred", "status"]).reset_index(drop=True)
+
+    got = kg_snapshot_diff(sf_dir)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_triples": "int64", "checksum": "int64"}),
+        want.astype({"n_triples": "int64", "checksum": "int64"}))
