@@ -9487,6 +9487,144 @@ FROM cl JOIN qsc ON qsc.doc_id = cl.doc_id
 """)
 
 
+SESSION_PATH_K = 5        # events per session kept in the path prefix
+SESSION_PATH_TOPN = 20    # reported paths
+
+
+def events_session_paths(sf_dir):
+    """Clickstream path mining: the top event-type sequences users take
+    inside a session — the funnel-discovery pass a product-analytics
+    pipeline runs before designing funnels by hand. Sessions use the
+    same 30-min-gap rule as ``events_sessionize``; a session's path is
+    its first K=5 event types joined with '>' (total per-user order:
+    (ts, event_id), so ties are deterministic in both engines); the
+    report is the top 20 paths by session count (ties break to the
+    lexicographically smaller path).
+
+    Scale shape: one user-keyed bucketed pass does session assignment +
+    path construction + per-bucket path counts; the fold that reaches
+    the driver is bounded by |event_types|^K partial rows per bucket,
+    not by users or sessions."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_session = (
+            (g["user_id"] != g["user_id"].shift())
+            | ((g["ts"] - g["ts"].shift())
+               > pd.Timedelta(minutes=SESSION_GAP_MIN)))
+        g = g.assign(_sid=new_session.cumsum())
+        g["_rk"] = g.groupby("_sid").cumcount()
+        head = g[g["_rk"] < SESSION_PATH_K]
+        paths = head.groupby("_sid")["event_type"].agg(">".join)
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n_sessions"]
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
+
+    parts = hash_bucket_aggregate(
+        ds, ["user_id"], per_bucket,
+        rows_hint=_nrows(sf_dir, "events")).to_pandas()
+    out = parts.groupby("path", as_index=False)["n_sessions"].sum()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return (out.sort_values(["n_sessions", "path"],
+                            ascending=[False, True])
+            .head(SESSION_PATH_TOPN).reset_index(drop=True))
+
+
+SQL_EVENTS_SESSION_PATHS = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w
+                      > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rk
+  FROM sess),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rk <= {SESSION_PATH_K} GROUP BY user_id, sid),
+cnt AS (SELECT path, count(*)::BIGINT AS n_sessions
+        FROM paths GROUP BY path)
+SELECT path, n_sessions FROM cnt
+ORDER BY n_sessions DESC, path LIMIT {SESSION_PATH_TOPN}
+"""
+
+
+COOC_TOPN = 50            # strongest co-mention priors reported
+
+
+def kg_entity_cooccurrence(sf_dir):
+    """Entity co-mention statistics over the candidate stream — the
+    distant-supervision PRIOR a KG build consults before trusting a
+    relation between two entities (high-PMI pairs co-occur far above
+    chance; low-PMI pairs are incidental). Per unordered entity pair:
+    co-mention instance count, each side's mention-slot count, and PMI
+    = ln(n_pair · N / (n_a · n_b)) rounded to 12 decimals (counts are
+    exact integers, so the float is a single deterministic log on the
+    driver-bounded pair table). Model-free but extraction-derived
+    (gazetteer NER over extracted text) → full-table pin of the top-50
+    pairs by support (deterministic (n_pair desc, a, b) cut); the full
+    pair table is |E|²-bounded by the gazetteer.
+
+    Scale shape: map-side pair/slot partial counts; one tiny fold."""
+    from .kg import candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="object"),
+                                 "b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        a = np.minimum(df["h_id"].to_numpy(), df["t_id"].to_numpy())
+        b = np.maximum(df["h_id"].to_numpy(), df["t_id"].to_numpy())
+        out = pd.DataFrame({"a": a, "b": b})
+        out = out.groupby(["a", "b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = (inst.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby(["a", "b"], as_index=False)["n"].sum())
+    # each instance contributes one slot to BOTH sides; pair instances
+    # double-count into the marginals exactly as PMI over pair draws wants
+    total = int(pairs["n"].sum())
+    marg = (pd.concat([pairs[["a", "n"]].rename(columns={"a": "e"}),
+                       pairs[["b", "n"]].rename(columns={"b": "e"})])
+            .groupby("e")["n"].sum())
+    import math
+    n = pairs["n"].astype(np.int64)
+    na = pairs["a"].map(marg).astype(np.int64)
+    nb = pairs["b"].map(marg).astype(np.int64)
+    pmi = [round(math.log(int(x) * total / (int(u) * int(v))), 12)
+           for x, u, v in zip(n, na, nb)]
+    out = pd.DataFrame({
+        "a": pairs["a"].to_numpy(), "b": pairs["b"].to_numpy(),
+        "n_pair": n.to_numpy(),
+        "n_a": na.to_numpy(), "n_b": nb.to_numpy(),
+        "pmi": pd.Series(pmi, dtype="float64").to_numpy(),
+    })
+    # report the strongest priors only: top-50 by support keeps the
+    # pinned table bounded however wide the gazetteer grows
+    return (out.sort_values(["n_pair", "a", "b"],
+                            ascending=[False, True, True])
+            .head(COOC_TOPN).reset_index(drop=True)
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 CUSUM_SLACK_DIV = 20      # slack k = mean/20 (5% of the daily mean)
 CUSUM_THRESH_MULT = 2     # drift flag when cusum exceeds 2x the daily mean
 
@@ -9954,6 +10092,8 @@ QUERIES = {
     "docs_filter_agreement": docs_filter_agreement,
     "kg_entity_pagerank": kg_entity_pagerank,
     "kg_snapshot_diff": kg_snapshot_diff,
+    "events_session_paths": events_session_paths,
+    "kg_entity_cooccurrence": kg_entity_cooccurrence,
 }
 
 
@@ -10145,6 +10285,7 @@ ORACLES = {
     "events_cusum_drift": SQL_EVENTS_CUSUM_DRIFT,
     "docs_vocab_coverage": SQL_DOCS_VOCAB_COVERAGE,
     "docs_filter_agreement": _sql_filter_agreement(),
+    "events_session_paths": SQL_EVENTS_SESSION_PATHS,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -55,6 +55,9 @@ PINNED = [
     # two-snapshot incremental rebuild diff: |R|×3-bounded exact rows
     # with md5 content checksums — full-table pin
     "kg_snapshot_diff",
+    # entity co-mention priors: top-50 pairs by support, exact counts +
+    # one deterministic ln() rounded to 12 decimals — full-table pin
+    "kg_entity_cooccurrence",
     "encoded_instances_stats",
     "bag_scores_stats",
     "fewshot_stats",
