@@ -241,6 +241,16 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_vocab_coverage", lambda: Q.docs_vocab_coverage(sf_dir))
     timed("docs_filter_agreement",
           lambda: Q.docs_filter_agreement(sf_dir))
+    timed("events_session_paths",
+          lambda: Q.events_session_paths(sf_dir))
+    timed("kg_entity_cooccurrence",
+          lambda: Q.kg_entity_cooccurrence(sf_dir))
+    timed("docs_containment_pairs",
+          lambda: Q.docs_containment_pairs(sf_dir))
+    timed("graph_assortativity_parts",
+          lambda: Q.graph_assortativity_parts(sf_dir))
+    timed("graph_modularity_parts",
+          lambda: Q.graph_modularity_parts(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

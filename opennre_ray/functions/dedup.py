@@ -1200,3 +1200,121 @@ def winnow_batch(batch: pa.Table) -> pa.Table:
         "n_fps": pa.array(n_fps, pa.int64()),
         "fp_checksum": pa.array(np.array(checks, dtype=np.uint64)),
     })
+
+
+def containment_pair_join(docs_ds, threshold: float = 0.5, *,
+                          k: int = 3, df_cap: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          rows_hint: int | None = None):
+    """ASYMMETRIC containment self-join: ordered pairs (src, dst) with
+    C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| >= threshold over word
+    k-shingle sets. Containment (Broder 1997's other resemblance) finds
+    near-SUBSET relations Jaccard misses — a short doc quoted inside a
+    long one scores J ≈ |short|/|long| (tiny) but C(short→long) ≈ 1;
+    it's the quote-inclusion / partial-mirror detector next to the
+    symmetric MinHash path.
+
+    Discriminative-shingle restriction: shingles with document frequency
+    above ``df_cap`` (boilerplate) are dropped from BOTH the intersection
+    and the denominator — the standard capped-index semantics, replayed
+    exactly by the SQL oracle. Unique shingles (df = 1) still count
+    toward the denominator (a doc full of its own content must NOT look
+    contained just because its overlap is all that survives); they are
+    merely skipped during pair generation, where they cannot contribute.
+    Docs shorter than k words have no shingles and never pair.
+
+    Scale shape (no all-pairs): bucket-by-shingle co-locates every copy
+    of a shingle, so df-filter + per-shingle pair generation are
+    bucket-local (pair volume <= df_cap^2 per shingle by construction);
+    per-doc capped sizes and per-pair shared counts are two more
+    bucketed sums; two hash joins attach the denominators. Returns
+    (src, dst, n_shared, src_size, containment[6dp rounded]).
+    """
+    from .relational import hash_bucket_aggregate, shuffle_join
+    from .sqlcompat import sql_round
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, sh = [], []
+        id_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column(text_col).to_pylist()):
+            toks = t.split()
+            for g in {" ".join(toks[j: j + k])
+                      for j in range(len(toks) - k + 1)}:
+                ids.append(int(i))
+                sh.append(g)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "s": pa.array(sh, pa.string())})
+
+    ex = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("s")["doc_id"].transform("size")
+        out = g[df <= df_cap].copy()
+        out["pairable"] = (df[df <= df_cap] >= 2).to_numpy()
+        return out[["doc_id", "s", "pairable"]]
+
+    kept = hash_bucket_aggregate(ex, ["s"], keep_bucket,
+                                 rows_hint=rows_hint).materialize()
+
+    def size_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "sz": out["size"].to_numpy(np.int64)})
+
+    sizes = hash_bucket_aggregate(kept, ["doc_id"], size_bucket,
+                                  rows_hint=rows_hint)
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["pairable"]][["doc_id", "s"]]
+        m = g.merge(g, on="s")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+               .rename(columns={"doc_id_x": "a", "doc_id_y": "b",
+                                "size": "n"}))
+        return out.astype({"a": np.int64, "b": np.int64, "n": np.int64})
+
+    pairs = hash_bucket_aggregate(kept, ["s"], pair_bucket,
+                                  rows_hint=rows_hint)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        return out.astype({"a": np.int64, "b": np.int64, "n": np.int64})
+
+    shared = hash_bucket_aggregate(pairs, ["a", "b"], sum_bucket,
+                                   rows_hint=rows_hint)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": np.concatenate([a, b]).astype(np.int64),
+            "dst": np.concatenate([b, a]).astype(np.int64),
+            "n_shared": np.concatenate([n, n]).astype(np.int64)})
+
+    both = shared.map_batches(orient, batch_format="pyarrow")
+    out = shuffle_join(both, sizes, "src", "doc_id",
+                       ["dst", "n_shared"], ["sz"], rows_hint=rows_hint)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+                "src_size": pd.Series([], dtype="int64"),
+                "containment": pd.Series([], dtype="float64")})
+        c = sql_round(df["n_shared"].to_numpy(np.int64).astype(np.float64)
+                      / df["sz"].to_numpy(np.int64).astype(np.float64), 6)
+        out = pd.DataFrame({"src": df["src"].to_numpy(np.int64),
+                            "dst": df["dst"].to_numpy(np.int64),
+                            "n_shared": df["n_shared"].to_numpy(np.int64),
+                            "src_size": df["sz"].to_numpy(np.int64),
+                            "containment": c})
+        return out[out["containment"] >= threshold]
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -1483,3 +1483,89 @@ def k_core(edges_ds, k: int, *, max_iters: int = 64,
                            "b": t.column("b").cast(pa.int64())})),
             batch_format="pyarrow"))
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def assortativity(edges_ds, *, rows_hint: int | None = None):
+    """Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
+    89:208701): the Pearson correlation of endpoint degrees over every
+    directed adjacency row. r > 0 means hubs attach to hubs (social
+    graphs); r < 0 means hubs attach to leaves (web / biological
+    graphs) — the one-number structural fingerprint a KG build reports
+    next to degree_stats.
+
+    Every moment except the cross term is VERTEX-LOCAL in the degree
+    table: over directed rows, sum(d_u) = sum_v d_v^2 and
+    sum(d_u^2) = sum_v d_v^3, so the only joined quantity is
+    sum(d_u * d_v) = sum_v d_v * s_v with s_v = sum of v's neighbor
+    degrees. Plan: one bucketed degree aggregate, one bucketed
+    deg-onto-adjacency join + neighbor-sum aggregate, one bucketed
+    (d, s) join, then scalar partials fold on the driver. r is one
+    float division of two exact integers (numerator / denominator of
+    the symmetric Pearson form), rounded half-away-from-zero to 12
+    decimals — bit-identical to the SQL oracle's HUGEINT replay.
+
+    Integer-exactness bound: the int64 partials hold while hub degree
+    stays under ~2M (d^3 < 2^63); beyond that the moments need the
+    same fixed-point widening as pagerank's accumulators.
+
+    Input: distinct undirected ``(a, b)`` edges. Output: one row
+    ``(n_vertices, n_edges, assortativity)``.
+    """
+    from .relational import shuffle_join
+    from .sqlcompat import sql_round
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    adj = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u", as_index=False).size()
+        return pd.DataFrame({"v": out["u"].to_numpy(np.int64),
+                             "d": out["size"].to_numpy(np.int64)})
+
+    # d_v = count of v's adjacency rows keyed by the FIRST slot; both
+    # orientations are present, so this is the full undirected degree
+    deg = hash_bucket_aggregate(adj, ["u"], deg_bucket,
+                                rows_hint=rows_hint).materialize()
+
+    # s_v = sum of neighbor degrees: ship d_u onto each (u, v) row,
+    # then one bucketed sum keyed by v
+    joined = shuffle_join(adj, deg, "u", "v", ["v"], ["d"],
+                          rows_hint=rows_hint)
+
+    def nsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["d"].sum()
+        return pd.DataFrame({"v": out["v"].to_numpy(np.int64),
+                             "s": out["d"].to_numpy(np.int64)})
+
+    nsum = hash_bucket_aggregate(joined, ["v"], nsum_bucket,
+                                 rows_hint=rows_hint)
+    both = shuffle_join(deg, nsum, "v", "v", ["d"], ["s"],
+                        rows_hint=rows_hint)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["d"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_vertices": [np.int64(len(g))],
+            "n": [int((d).sum())],
+            "sx": [int((d * d).sum())],
+            "sxx": [int((d * d * d).sum())],
+            "sxy": [int((d * s).sum())]})
+
+    parts = both.map_batches(partial, batch_format="pandas").to_pandas()
+    n_vertices = int(parts["n_vertices"].sum())
+    n = int(parts["n"].sum())            # directed rows = 2|E|
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = n * sxy - sx * sx              # exact Python ints
+    den = n * sxx - sx * sx
+    r = float(sql_round(float(num) / float(den), 12)) if den else 0.0
+    return pd.DataFrame({"n_vertices": pd.Series([n_vertices], dtype="int64"),
+                         "n_edges": pd.Series([n // 2], dtype="int64"),
+                         "assortativity": pd.Series([r], dtype="float64")})

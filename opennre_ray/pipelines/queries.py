@@ -4580,6 +4580,43 @@ SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
 """
 
 
+def graph_assortativity_parts(sf_dir):
+    """Degree assortativity of the part co-purchase graph — the Newman
+    r coefficient (Pearson correlation of endpoint degrees): the
+    one-number report of whether popular parts co-sell with other
+    popular parts (r > 0) or with long-tail parts (r < 0). All moments
+    except the cross term are vertex-local in the degree table; the
+    cross term is one bucketed deg-onto-adjacency join + neighbor-sum.
+    Exact-integer moments → one float division, 12-dp rounded,
+    bit-matching the HUGEINT SQL replay."""
+    from ..functions.graph import assortativity, build_copurchase_edges
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+    n = _nrows(sf_dir, "lineitem")
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    return assortativity(edges, rows_hint=8 * n)
+
+
+SQL_GRAPH_ASSORTATIVITY_PARTS = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS vtx, count(*)::BIGINT AS d FROM adj GROUP BY u),
+m AS (SELECT sum(d::HUGEINT) AS n, sum(d::HUGEINT * d) AS sx,
+             sum(d::HUGEINT * d * d) AS sxx FROM deg),
+x AS (SELECT sum(du.d::HUGEINT * dv.d) AS sxy
+      FROM adj JOIN deg du ON adj.u = du.vtx
+               JOIN deg dv ON adj.v = dv.vtx)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_vertices,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       round((m.n * x.sxy - m.sx * m.sx)::DOUBLE
+             / (m.n * m.sxx - m.sx * m.sx)::DOUBLE, 12) AS assortativity
+FROM m, x
+"""
+
+
 AA_TOPK = 50
 #: deterministic 20% vertex sample: the co-purchase graph is dense
 #: (~120 neighbors/part), and AA's wedge emission is sum(deg²) —
@@ -5071,6 +5108,55 @@ j AS (SELECT i.a, i.b,
              round(i.c / (na.n + nb.n - i.c)::DOUBLE, 6) AS jaccard
       FROM i JOIN n na ON na.doc_id = i.a JOIN n nb ON nb.doc_id = i.b)
 SELECT a, b, jaccard FROM j WHERE jaccard >= {JACCARD_T}
+"""
+
+
+CONTAIN_T = 0.5        # containment threshold C(src->dst)
+CONTAIN_DF_CAP = 64    # shingles seen in more docs than this are boilerplate
+
+
+def docs_containment_pairs(sf_dir):
+    """ASYMMETRIC containment self-join: ordered (src, dst) pairs where
+    >= half of src's discriminative 3-shingles also appear in dst — the
+    quote-inclusion / partial-mirror detector that symmetric Jaccard
+    misses (a short doc embedded in a long one has tiny J but C ≈ 1).
+    Bucket-by-shingle keeps pair generation df_cap^2-bounded per
+    shingle; see functions/dedup.py::containment_pair_join."""
+    from ..functions.dedup import containment_pair_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = containment_pair_join(
+        ds, threshold=CONTAIN_T, df_cap=CONTAIN_DF_CAP,
+        rows_hint=16 * _nrows(sf_dir, "documents")).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_DOCS_CONTAINMENT_PAIRS = rf"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text)='' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, length(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+    FROM t WHERE length(toks) >= 3)),
+df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+-- df = 1 shingles COUNT toward the denominator (a doc of unique
+-- content must not look contained); only pair generation needs df >= 2
+shk AS (SELECT sh.doc_id, sh.s, df.df FROM sh
+        JOIN df ON sh.s = df.s WHERE df.df <= {CONTAIN_DF_CAP}),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shk GROUP BY doc_id),
+p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n
+      FROM shk x JOIN shk y ON x.s = y.s AND x.doc_id < y.doc_id
+      WHERE x.df >= 2 GROUP BY x.doc_id, y.doc_id),
+o AS (SELECT a AS src, b AS dst, n FROM p
+      UNION ALL SELECT b, a, n FROM p),
+c AS (SELECT o.src, o.dst, o.n AS n_shared, sz.sz AS src_size,
+             round(o.n::DOUBLE / sz.sz::DOUBLE, 6) AS containment
+      FROM o JOIN sz ON sz.doc_id = o.src)
+SELECT src, dst, n_shared, src_size, containment
+FROM c WHERE containment >= {CONTAIN_T} ORDER BY src, dst
 """
 
 
@@ -8399,6 +8485,119 @@ ORDER BY entity""")
     return "".join(parts)
 
 
+def graph_modularity_parts(sf_dir):
+    """Modularity report of the label-propagation communities: per
+    community c over the labeled-induced subgraph, Q_c = e_c/m -
+    (D_c/2m)^2 (Newman-Girvan) — the standard "did the propagation find
+    real structure" check a KG build runs before trusting community
+    labels downstream. e_c/D_c/m are exact integers from two bucketed
+    label⋈edge joins; Q_c is two float divisions and one subtraction
+    from those integers, rounded to 12 dp, bit-matching the SQL replay
+    (which re-runs the SAME unrolled LP rounds via the shared CTE
+    prefix). Driver fold is |communities|^2-bounded (labels are the
+    25-brand vocabulary), never edge-bounded."""
+    from ..functions.graph import build_copurchase_edges, label_propagation
+    from ..functions.relational import shuffle_join
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(ds.map_batches(sample,
+                                                  batch_format="pyarrow"),
+                                   rows_hint=4 * n)
+    seeds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % LP_SEED_MOD == 0)).rename_columns(["entity", "label"]),
+        batch_format="pyarrow")
+    labels = label_propagation(edges, seeds, iters=LP_ITERS,
+                               rows_hint=4 * n).materialize()
+
+    la = labels.map_batches(
+        lambda t: t.rename_columns(["entity", "ca"]),
+        batch_format="pyarrow")
+    lb = labels.map_batches(
+        lambda t: t.rename_columns(["entity", "cb"]),
+        batch_format="pyarrow")
+    el = shuffle_join(edges, la, "a", "entity", ["b"], ["ca"],
+                      rows_hint=4 * n)
+    # shuffle_join's tagged union round-trips carried non-string columns
+    # as object dtype — restore int64 before keying the second join
+    el = el.map_batches(
+        lambda df: df.astype({"b": np.int64}), batch_format="pandas")
+    el = shuffle_join(el, lb, "b", "entity", ["a", "ca"], ["cb"],
+                      rows_hint=4 * n)
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ca", "cb"], as_index=False).size()
+        out["size"] = out["size"].astype(np.int64)
+        return out.rename(columns={"size": "n"})
+
+    pairs = (el.map_batches(pair_partial, batch_format="pandas").to_pandas()
+             .groupby(["ca", "cb"], as_index=False)["n"].sum())
+
+    def node_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", as_index=False).size()
+        out["size"] = out["size"].astype(np.int64)
+        return out.rename(columns={"size": "n_nodes"})
+
+    nn = (labels.map_batches(node_partial, batch_format="pandas")
+          .to_pandas().groupby("label", as_index=False)["n_nodes"].sum())
+
+    m = int(pairs["n"].sum())
+    intra = {c: int(v) for c, v in
+             pairs[pairs["ca"] == pairs["cb"]][["ca", "n"]].itertuples(
+                 index=False)}
+    dsum: dict = {}
+    for ca, cb, cnt in pairs.itertuples(index=False):
+        dsum[ca] = dsum.get(ca, 0) + int(cnt)
+        dsum[cb] = dsum.get(cb, 0) + int(cnt)
+    rows = []
+    for lab, nv in sorted(zip(nn["label"], nn["n_nodes"])):
+        ec = intra.get(lab, 0)
+        dc = dsum.get(lab, 0)
+        q = float(sql_round(float(ec) / float(m)
+                            - float(dc * dc) / float(4 * m * m), 12))
+        rows.append((lab, int(nv), ec, dc, q))
+    return pd.DataFrame(rows, columns=["label", "n_nodes", "intra_edges",
+                                       "degree_sum", "q"]).astype(
+        {"n_nodes": "int64", "intra_edges": "int64", "degree_sum": "int64"})
+
+
+def _sql_modularity() -> str:
+    lp_sql = _sql_label_propagation()
+    # reuse the LP oracle's unrolled CTE chain verbatim; swap its final
+    # SELECT for the modularity tail so the two oracles cannot drift
+    prefix = lp_sql[:lp_sql.rindex("\nSELECT entity::BIGINT")]
+    return prefix + f""",
+lab AS MATERIALIZED (SELECT entity, label FROM l{LP_ITERS}),
+el AS MATERIALIZED (
+  SELECT la.label AS ca, lb.label AS cb FROM e0
+  JOIN lab la ON e0.a = la.entity JOIN lab lb ON e0.b = lb.entity),
+mm AS (SELECT count(*)::HUGEINT AS m FROM el),
+ec AS (SELECT ca AS label, count(*)::BIGINT AS intra_edges
+       FROM el WHERE ca = cb GROUP BY ca),
+ds AS (SELECT label, count(*)::BIGINT AS degree_sum FROM
+       (SELECT ca AS label FROM el UNION ALL SELECT cb FROM el)
+       GROUP BY label),
+nn AS (SELECT label, count(*)::BIGINT AS n_nodes FROM lab GROUP BY label)
+SELECT nn.label::VARCHAR AS label, nn.n_nodes,
+       coalesce(ec.intra_edges, 0)::BIGINT AS intra_edges,
+       coalesce(ds.degree_sum, 0)::BIGINT AS degree_sum,
+       round(coalesce(ec.intra_edges, 0)::DOUBLE / mm.m::DOUBLE
+             - (coalesce(ds.degree_sum, 0)::HUGEINT
+                * coalesce(ds.degree_sum, 0))::DOUBLE
+               / (4 * mm.m * mm.m)::DOUBLE, 12) AS q
+FROM nn LEFT JOIN ec USING (label) LEFT JOIN ds USING (label), mm
+ORDER BY label"""
+
+
 def events_time_weighted_avg(sf_dir):
     """Time-weighted average of `value` per user: the step-function
     integral sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first) — the
@@ -9899,6 +10098,7 @@ QUERIES = {
     "embed_semantic_dedup": embed_semantic_dedup,
     "docs_decontaminate": docs_decontaminate,
     "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_containment_pairs": docs_containment_pairs,
     "customer_entity_resolution": customer_entity_resolution,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
@@ -9995,6 +10195,7 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
+    "graph_assortativity_parts": graph_assortativity_parts,
     "graph_link_prediction_parts": graph_link_prediction_parts,
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
@@ -10058,6 +10259,7 @@ QUERIES = {
     "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
     "graph_label_propagation_parts": graph_label_propagation_parts,
+    "graph_modularity_parts": graph_modularity_parts,
     "graph_sssp_parts": graph_sssp_parts,
     "events_time_weighted_avg": events_time_weighted_avg,
     "lineitem_association_rules": lineitem_association_rules,
@@ -10107,6 +10309,7 @@ ORACLES = {
     "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
     "graph_label_propagation_parts": _sql_label_propagation(),
+    "graph_modularity_parts": _sql_modularity(),
     "graph_sssp_parts": _sql_sssp(),
     "events_time_weighted_avg": SQL_EVENTS_TIME_WEIGHTED_AVG,
     "lineitem_association_rules": SQL_LINEITEM_ASSOCIATION_RULES,
@@ -10247,6 +10450,7 @@ ORACLES = {
     "docs_perplexity_tiers": _sql_perplexity_tiers(),
     "docs_hybrid_rrf": SQL_DOCS_HYBRID_RRF,
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
+    "docs_containment_pairs": SQL_DOCS_CONTAINMENT_PAIRS,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_temperature_sample": SQL_DOCS_TEMPERATURE_SAMPLE,
     "docs_source_overlap": SQL_DOCS_SOURCE_OVERLAP,
@@ -10254,6 +10458,7 @@ ORACLES = {
     "events_props_stats": SQL_EVENTS_PROPS_STATS,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
+    "graph_assortativity_parts": SQL_GRAPH_ASSORTATIVITY_PARTS,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,

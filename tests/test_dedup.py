@@ -424,3 +424,25 @@ def test_jaro_winkler_bit_parity_with_duckdb():
                        params=[x, y]).fetchone()[0]
         assert jaro_winkler(x, y) == want, (x, y)
     con.close()
+
+
+def test_containment_detects_subset(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opennre_ray.functions.dedup import containment_pair_join
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    quote = " ".join(f"tok{i}" for i in range(10, 20))   # strict subset
+    other = " ".join(f"zzz{i}" for i in range(25))
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [base, quote, other]})
+    out = containment_pair_join(
+        rd.from_pandas(docs), threshold=0.5).to_pandas()
+    got = {(r.src, r.dst): r.containment for r in out.itertuples()}
+    # every shingle of the quote appears in the base -> C(2->1) = 1;
+    # the reverse direction is 8/28 and must NOT pass at t=0.5;
+    # the disjoint doc pairs with nobody
+    assert got == {(2, 1): 1.0}
+    row = out.iloc[0]
+    assert row["n_shared"] == 8 and row["src_size"] == 8

@@ -586,3 +586,47 @@ def test_sssp_random_parity(ray_session, seed):
                iters=4).to_pandas()
     got = dict(zip(out["entity"], out["dist"]))
     assert got == _slow_sssp(wedges, seeds, 4)
+
+
+def test_assortativity_star(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import assortativity
+
+    # star K_{1,5}: every edge joins the hub (deg 5) to a leaf (deg 1)
+    # -> perfectly disassortative, r = -1
+    edges = pd.DataFrame({"a": [0, 0, 0, 0, 0], "b": [1, 2, 3, 4, 5]})
+    out = assortativity(rd.from_pandas(edges))
+    assert out["n_vertices"][0] == 6
+    assert out["n_edges"][0] == 5
+    assert out["assortativity"][0] == -1.0
+
+
+def test_assortativity_random_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import assortativity
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    rng = np.random.RandomState(7)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 40, size=(150, 2)) if a != b}
+    df = pd.DataFrame(sorted(es), columns=["a", "b"])
+    out = assortativity(rd.from_pandas(df).repartition(4))
+
+    deg: dict = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = sx = sxx = sxy = 0
+    for a, b in es:
+        for u, v in ((a, b), (b, a)):
+            n += 1
+            sx += deg[u]
+            sxx += deg[u] ** 2
+            sxy += deg[u] * deg[v]
+    want = float(sql_round(float(n * sxy - sx * sx)
+                           / float(n * sxx - sx * sx), 12))
+    assert out["assortativity"][0] == want
+    assert out["n_vertices"][0] == len(deg)
+    assert out["n_edges"][0] == len(es)
