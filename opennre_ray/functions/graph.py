@@ -1569,3 +1569,119 @@ def assortativity(edges_ds, *, rows_hint: int | None = None):
     return pd.DataFrame({"n_vertices": pd.Series([n_vertices], dtype="int64"),
                          "n_edges": pd.Series([n // 2], dtype="int64"),
                          "assortativity": pd.Series([r], dtype="float64")})
+
+
+def local_clustering(edges_ds, *, rows_hint: int | None = None):
+    """Per-vertex local clustering coefficient (Watts-Strogatz 1998):
+    lcc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1)) — the per-entity
+    "how clique-like is this neighborhood" profile a KG build reports
+    next to degree_stats; the global triangle census
+    (``triangle_count``) says nothing about WHICH hubs sit in dense
+    neighborhoods vs star centers.
+
+    Plan (same middle-oriented wedge exchange as ``triangle_count``):
+    symmetrize to (v, n) adjacency; per middle bucket emit wedge rows
+    (lo, hi, v) with lo < v < hi — each triangle is generated exactly
+    once, via its median-valued vertex; ride the edge set down the SAME
+    (a, b) exchange as marker rows; in each (a, b) bucket, every wedge
+    whose endpoints are an edge is a triangle crediting all THREE
+    corners (+1 to lo, hi, and the carried middle) — credits partial-sum
+    per bucket; one more bucketed sum per vertex, then a left join onto
+    the degree table (vertices in no triangle keep tri = 0). lcc is one
+    division of exact integers, 12-dp rounded, bit-matching the SQL
+    replay.
+
+    Partitioning assumption: wedge volume is sum over middles of
+    |lo|x|hi| <= C(deg, 2) — the triangle_count bound; unlike there,
+    wedge rows carry the middle so they cannot map-side combine, making
+    this ~1 row per wedge on the wire (a power-law hub needs the same
+    upstream degree cap / vertex sample as ``adamic_adar``).
+
+    Input: distinct undirected ``(a, b)`` edges. Output one row per
+    vertex: ``(entity, degree, triangles, lcc)``.
+    """
+    from .relational import shuffle_join
+    from .sqlcompat import sql_round
+
+    edges = edges_ds.materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("a"), batch.column("b")
+        return pa.concat_tables([pa.table({"v": a, "n": b}),
+                                 pa.table({"v": b, "n": a})])
+
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["n"].nunique()
+        return pd.DataFrame({"entity": out["v"].to_numpy(np.int64),
+                             "degree": out["n"].to_numpy(np.int64)})
+
+    deg = hash_bucket_aggregate(adj, ["v"], deg_bucket,
+                                rows_hint=rows_hint)
+
+    def expand_middle(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for v, grp in g.groupby("v", sort=False):
+            nb = np.unique(grp["n"].to_numpy(dtype=np.int64))
+            lo = nb[nb < v]
+            hi = nb[nb > v]
+            if not len(lo) or not len(hi):
+                continue
+            frames.append(pd.DataFrame({
+                "a": np.repeat(lo, len(hi)),
+                "b": np.tile(hi, len(lo)),
+                "v": np.int64(v)}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("a", "b", "v")})
+        return pd.concat(frames, ignore_index=True)
+
+    wedges = hash_bucket_aggregate(adj, ["v"], expand_middle,
+                                   rows_hint=rows_hint)
+
+    def mark_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64),
+                             "v": np.int64(-1)})
+
+    tagged = wedges.union(edges.map_batches(mark_edges,
+                                            batch_format="pandas"))
+
+    def credit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["v"].to_numpy(np.int64) == -1
+        epairs = g.loc[is_edge, ["a", "b"]]
+        w = g[~is_edge].merge(epairs, on=["a", "b"])
+        if not len(w):
+            return pd.DataFrame({"entity": pd.Series(dtype=np.int64),
+                                 "tri": pd.Series(dtype=np.int64)})
+        vtx = np.concatenate([w["a"].to_numpy(np.int64),
+                              w["b"].to_numpy(np.int64),
+                              w["v"].to_numpy(np.int64)])
+        u, c = np.unique(vtx, return_counts=True)
+        return pd.DataFrame({"entity": u, "tri": c.astype(np.int64)})
+
+    credits = hash_bucket_aggregate(tagged, ["a", "b"], credit_bucket,
+                                    rows_hint=rows_hint)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", as_index=False)["tri"].sum()
+        return out.astype({"entity": np.int64, "tri": np.int64})
+
+    tri = hash_bucket_aggregate(credits, ["entity"], sum_bucket,
+                                rows_hint=rows_hint)
+    joined = shuffle_join(deg, tri, "entity", "entity",
+                          ["degree"], ["tri"], how="left",
+                          rows_hint=rows_hint)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["degree"].to_numpy(np.float64).astype(np.int64)
+        t = np.nan_to_num(df["tri"].to_numpy(np.float64)).astype(np.int64)
+        denom = d * (d - 1)
+        lcc = np.where(denom > 0,
+                       sql_round(2.0 * t / np.maximum(denom, 1), 12), 0.0)
+        return pd.DataFrame({"entity": df["entity"].to_numpy(np.int64),
+                             "degree": d, "triangles": t,
+                             "lcc": lcc.astype(np.float64)})
+
+    return joined.map_batches(finish, batch_format="pandas")

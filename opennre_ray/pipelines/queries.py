@@ -4580,6 +4580,63 @@ SELECT (SELECT count(*) FROM w)::BIGINT AS n_wedges,
 """
 
 
+#: deterministic 20% vertex sample: the co-purchase graph is dense
+#: (~120 neighbors/part), and AA's wedge emission is sum(deg²) —
+#: 148M wedges at sf0.1 on the full graph. Sampling VERTICES (not
+#: edges) keeps every sampled subgraph score exact; the full-graph run
+#: is the same operator with a hub cap, documented in adamic_adar.
+AA_VERTEX_MOD = 5
+
+
+def graph_clustering_parts(sf_dir):
+    """Per-vertex local clustering coefficient on the (sampled) part
+    co-purchase graph: lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — the
+    per-entity neighborhood-density profile next to the global triangle
+    census. Middle-oriented wedge exchange credits all three corners of
+    each closed wedge; credits and degrees meet in a left join so
+    triangle-free vertices report 0. Runs on the same deterministic
+    partkey-mod vertex sample as link prediction (wedge volume is
+    sum(deg²)); the oracle replays the filter."""
+    from ..functions.graph import build_copurchase_edges, local_clustering
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % AA_VERTEX_MOD == 0))
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    n = _nrows(sf_dir, "lineitem") // AA_VERTEX_MOD
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    out = local_clustering(edges, rows_hint=8 * n).to_pandas()
+    return out.sort_values("entity").reset_index(drop=True)
+
+
+SQL_GRAPH_CLUSTERING_PARTS = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey % {AA_VERTEX_MOD} = 0),
+e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT v AS entity, count(DISTINCT n)::BIGINT AS degree
+        FROM adj GROUP BY v),
+w AS (SELECT e1.a, e2.b AS c, e1.b AS v
+      FROM e e1 JOIN e e2 ON e1.b = e2.a),
+t AS (SELECT w.a, w.v, w.c FROM w JOIN e ON e.a = w.a AND e.b = w.c),
+cr AS (SELECT a AS entity FROM t UNION ALL SELECT v FROM t
+       UNION ALL SELECT c FROM t),
+tc AS (SELECT entity, count(*)::BIGINT AS triangles FROM cr GROUP BY entity)
+SELECT deg.entity, deg.degree,
+       coalesce(tc.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         round(2.0 * coalesce(tc.triangles, 0)::DOUBLE
+               / (deg.degree * (deg.degree - 1))::DOUBLE, 12)
+       ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tc USING (entity) ORDER BY deg.entity
+"""
+
+
 def graph_assortativity_parts(sf_dir):
     """Degree assortativity of the part co-purchase graph — the Newman
     r coefficient (Pearson correlation of endpoint degrees): the
@@ -4618,14 +4675,6 @@ FROM m, x
 
 
 AA_TOPK = 50
-#: deterministic 20% vertex sample: the co-purchase graph is dense
-#: (~120 neighbors/part), and AA's wedge emission is sum(deg²) —
-#: 148M wedges at sf0.1 on the full graph. Sampling VERTICES (not
-#: edges) keeps every sampled subgraph score exact; the full-graph run
-#: is the same operator with a hub cap, documented in adamic_adar.
-AA_VERTEX_MOD = 5
-
-
 def graph_link_prediction_parts(sf_dir):
     """Adamic-Adar link prediction on the part co-purchase graph: top-k
     NON-adjacent part pairs ranked by sum of 1/ln(deg) over common
@@ -10196,6 +10245,7 @@ QUERIES = {
     "lineitem_profile": lineitem_profile,
     "graph_triangles_parts": graph_triangles_parts,
     "graph_assortativity_parts": graph_assortativity_parts,
+    "graph_clustering_parts": graph_clustering_parts,
     "graph_link_prediction_parts": graph_link_prediction_parts,
     "docs_curation_funnel": docs_curation_funnel,
     "events_value_outliers": events_value_outliers,
@@ -10459,6 +10509,7 @@ ORACLES = {
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
     "graph_assortativity_parts": SQL_GRAPH_ASSORTATIVITY_PARTS,
+    "graph_clustering_parts": SQL_GRAPH_CLUSTERING_PARTS,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,

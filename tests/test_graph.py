@@ -630,3 +630,47 @@ def test_assortativity_random_parity(ray_session):
     assert out["assortativity"][0] == want
     assert out["n_vertices"][0] == len(deg)
     assert out["n_edges"][0] == len(es)
+
+
+def test_local_clustering_triangle_plus_tail(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import local_clustering
+
+    # triangle {1,2,3} plus a tail 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3
+    # (deg 3, one triangle), lcc(4)=0 (deg 1)
+    edges = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 4]})
+    out = local_clustering(rd.from_pandas(edges)).to_pandas()
+    got = {int(r.entity): (int(r.degree), int(r.triangles), r.lcc)
+           for r in out.itertuples()}
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0),
+                   3: (3, 1, round(1 / 3, 12)), 4: (1, 0, 0.0)}
+
+
+def test_local_clustering_random_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import local_clustering
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    rng = np.random.RandomState(11)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 30, size=(120, 2)) if a != b}
+    df = pd.DataFrame(sorted(es), columns=["a", "b"])
+    out = local_clustering(rd.from_pandas(df).repartition(4)).to_pandas()
+
+    nbrs: dict = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in out.itertuples():
+        v = int(r.entity)
+        nb = sorted(nbrs[v])
+        assert r.degree == len(nb)
+        tri = sum(1 for i, x in enumerate(nb) for y in nb[i + 1:]
+                  if y in nbrs[x])
+        assert r.triangles == tri, v
+        want = (float(sql_round(2.0 * tri / (len(nb) * (len(nb) - 1)), 12))
+                if len(nb) >= 2 else 0.0)
+        assert r.lcc == want, v
+    assert len(out) == len(nbrs)
