@@ -253,6 +253,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.graph_modularity_parts(sf_dir))
     timed("graph_clustering_parts",
           lambda: Q.graph_clustering_parts(sf_dir))
+    timed("customer_rfm_segments",
+          lambda: consume(Q.customer_rfm_segments(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

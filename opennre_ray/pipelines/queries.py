@@ -418,6 +418,107 @@ FROM orders
 """
 
 
+RFM_TILES = 5
+_DAY_US = 86_400_000_000
+
+
+def customer_rfm_segments(sf_dir):
+    """RFM segmentation (Hughes 1994 — the classic marketing-analytics
+    triple): per customer, Recency = whole days between their last order
+    and the corpus's last order, Frequency = order count, Monetary =
+    exact integer cents (per-row half-away-from-zero rounding, so float
+    sum order can never drift); then three NTILE(5) scores over
+    deterministic (metric, custkey) orders and the combined 3-digit
+    segment code. One bucketed per-customer aggregate, then THREE
+    chained global_rank passes — each rank carries every column, so no
+    score-reassembly joins; tiles are a stateless per-row formula."""
+    from ..functions.relational import global_rank, hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = sql_round(g["o_totalprice"].to_numpy(np.float64) * 100.0,
+                          0).astype(np.int64)
+        out = (pd.DataFrame({"c_custkey": g["o_custkey"].to_numpy(np.int64),
+                             "last_ts": ts, "cents": cents})
+               .groupby("c_custkey", as_index=False)
+               .agg(last_ts=("last_ts", "max"),
+                    frequency=("last_ts", "size"),
+                    monetary_cents=("cents", "sum")))
+        return out.astype({"c_custkey": np.int64, "last_ts": np.int64,
+                           "frequency": np.int64,
+                           "monetary_cents": np.int64})
+
+    base = hash_bucket_aggregate(
+        ds, ["o_custkey"], per_customer,
+        rows_hint=_nrows(sf_dir, "orders")).materialize()
+    n = base.count()
+    md = int(base.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.max(t.column("last_ts")).as_py()], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["m"].max())
+    q, r = divmod(n, RFM_TILES)
+
+    def tiled(col: str):
+        big = r * (q + 1)
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            rn = b["rn"].to_numpy(np.int64)
+            t = np.where(rn <= big, (rn - 1) // max(q + 1, 1),
+                         r + (rn - 1 - big) // max(q, 1))
+            b = b.drop(columns=["rn"]).copy()
+            b[col] = (t + 1).astype(np.int64)
+            return b
+        return fn
+
+    out = base
+    for metric, col in (("last_ts", "r_score"), ("frequency", "f_score"),
+                        ("monetary_cents", "m_score")):
+        out = global_rank(out, [metric, "c_custkey"], out_col="rn")
+        out = out.map_batches(tiled(col), batch_format="pandas")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        rec = (md - b["last_ts"].to_numpy(np.int64)) // _DAY_US
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(np.int64),
+            "recency_days": rec.astype(np.int64),
+            "frequency": b["frequency"].to_numpy(np.int64),
+            "monetary_cents": b["monetary_cents"].to_numpy(np.int64),
+            "r_score": b["r_score"].to_numpy(np.int64),
+            "f_score": b["f_score"].to_numpy(np.int64),
+            "m_score": b["m_score"].to_numpy(np.int64),
+            "rfm": (b["r_score"].to_numpy(np.int64) * 100
+                    + b["f_score"].to_numpy(np.int64) * 10
+                    + b["m_score"].to_numpy(np.int64)).astype(np.int64)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_CUSTOMER_RFM_SEGMENTS = f"""
+WITH c AS (SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_ts,
+                  count(*)::BIGINT AS frequency,
+                  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+                    AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+m AS (SELECT max(last_ts) AS md FROM c),
+s AS (SELECT c_custkey,
+        (date_diff('microsecond', last_ts, m.md) // {_DAY_US})::BIGINT
+          AS recency_days,
+        frequency, monetary_cents,
+        ntile({RFM_TILES}) OVER (ORDER BY last_ts, c_custkey)::BIGINT
+          AS r_score,
+        ntile({RFM_TILES}) OVER (ORDER BY frequency, c_custkey)::BIGINT
+          AS f_score,
+        ntile({RFM_TILES}) OVER (ORDER BY monetary_cents, c_custkey)::BIGINT
+          AS m_score
+      FROM c, m)
+SELECT *, (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm FROM s
+"""
+
+
 def lineitem_price_histogram(sf_dir):
     """Fixed-width histogram of extended price: per-batch vectorized
     bincount partials, one tiny groupby sum — the one-pass distributed
@@ -10149,6 +10250,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_containment_pairs": docs_containment_pairs,
     "customer_entity_resolution": customer_entity_resolution,
+    "customer_rfm_segments": customer_rfm_segments,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10510,6 +10612,7 @@ ORACLES = {
     "graph_triangles_parts": SQL_GRAPH_TRIANGLES_PARTS,
     "graph_assortativity_parts": SQL_GRAPH_ASSORTATIVITY_PARTS,
     "graph_clustering_parts": SQL_GRAPH_CLUSTERING_PARTS,
+    "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
