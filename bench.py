@@ -255,6 +255,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.graph_clustering_parts(sf_dir))
     timed("customer_rfm_segments",
           lambda: consume(Q.customer_rfm_segments(sf_dir)))
+    timed("events_user_skew_profile",
+          lambda: Q.events_user_skew_profile(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

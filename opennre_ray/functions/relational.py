@@ -1015,3 +1015,69 @@ def skyline_2d(ds, x_col: str, y_col: str):
     # survivors are frontier-sized: one coalesced block, one final mask
     return partials.repartition(1).map_batches(frontier,
                                                batch_format="pyarrow")
+
+
+def key_skew_profile(ds, key_col: str, *, topk: int = 10,
+                     rows_hint: int | None = None):
+    """Shuffle-planning preflight: how skewed is ``key_col`` as a
+    partition key? Reports exact key-count concentration — the decision
+    input for salting / hub-capping (every bucketed shuffle in this
+    engine assumes per-key volume is bounded; this operator measures
+    that assumption BEFORE a job burns a cluster on one hot key).
+
+    One bucketed per-key count, then:
+    - Gini of the count distribution via the sorted-rank identity
+      G = (2*sum(rank_i * x_i) - (N+1)*sum(x)) / (N*sum(x)) over the
+      ascending (count, key) global rank — exact integer partials
+      (tie order cannot change the sum: equal x contribute equally at
+      any rank), one 12-dp-rounded division at the end;
+    - top-k share: the k hottest keys' row fraction (deterministic
+      (count desc, key) cutoff), 12-dp rounded;
+    - the single hottest key and its count.
+
+    Returns ONE row: (n_rows, n_keys, hot_key, hot_cnt, topk_share,
+    gini). Never materializes per-key counts on the driver — only
+    per-block scalar partials and the k-row head come back.
+    """
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False).size()
+        return pd.DataFrame({"k": out["k"].to_numpy(np.int64),
+                             "cnt": out["size"].to_numpy(np.int64)})
+
+    keyed = ds.map_batches(
+        lambda t: pa.table({"k": t.column(key_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    counts = hash_bucket_aggregate(keyed, ["k"], count_bucket,
+                                   rows_hint=rows_hint).materialize()
+
+    ranked = global_rank(counts, ["cnt", "k"], out_col="rn")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cnt"].to_numpy(np.int64)
+        rn = b["rn"].to_numpy(np.int64)
+        return pd.DataFrame({"n_keys": [np.int64(len(b))],
+                             "tot": [np.int64(c.sum())],
+                             "sr": [np.int64((rn * c).sum())]})
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    n_keys = int(parts["n_keys"].sum())
+    tot = int(parts["tot"].sum())
+    sr = int(parts["sr"].sum())
+
+    head = (counts.sort(["cnt", "k"], descending=[True, False])
+            .limit(topk).to_pandas())
+    topk_cnt = int(head["cnt"].sum())
+    hot_key = int(head["k"].iloc[0])
+    hot_cnt = int(head["cnt"].iloc[0])
+
+    from .sqlcompat import sql_round
+    gini = float(sql_round((2 * sr - (n_keys + 1) * tot)
+                           / float(n_keys * tot), 12))
+    share = float(sql_round(topk_cnt / float(tot), 12))
+    return pd.DataFrame({
+        "n_rows": pd.Series([tot], dtype="int64"),
+        "n_keys": pd.Series([n_keys], dtype="int64"),
+        "hot_key": pd.Series([hot_key], dtype="int64"),
+        "hot_cnt": pd.Series([hot_cnt], dtype="int64"),
+        "topk_share": pd.Series([share], dtype="float64"),
+        "gini": pd.Series([gini], dtype="float64")})

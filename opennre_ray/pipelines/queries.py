@@ -519,6 +519,42 @@ SELECT *, (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm FROM s
 """
 
 
+SKEW_TOPK = 10
+
+
+def events_user_skew_profile(sf_dir):
+    """Shuffle-planning preflight on the event log's natural partition
+    key: exact Gini of the per-user row-count distribution (sorted-rank
+    identity over one global rank — integer partials, one rounded
+    division), the top-10 users' row share, and the hottest key. The
+    number every salting / hub-capping decision in this engine wants
+    BEFORE the shuffle runs; see functions/relational.py::
+    key_skew_profile."""
+    from ..functions.relational import key_skew_profile
+
+    ds = _read(sf_dir, "events", ["user_id"], rows_per_block=32768)
+    return key_skew_profile(ds, "user_id", topk=SKEW_TOPK,
+                            rows_hint=_nrows(sf_dir, "events") // 4)
+
+
+SQL_EVENTS_USER_SKEW_PROFILE = f"""
+WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS cnt FROM events
+           GROUP BY user_id),
+r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c),
+s AS (SELECT count(*)::HUGEINT AS n_keys, sum(cnt)::HUGEINT AS tot,
+             sum(rn::HUGEINT * cnt) AS sr FROM r),
+h AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT {SKEW_TOPK})
+SELECT s.tot::BIGINT AS n_rows, s.n_keys::BIGINT AS n_keys,
+       (SELECT k FROM h ORDER BY cnt DESC, k LIMIT 1)::BIGINT AS hot_key,
+       (SELECT max(cnt) FROM h)::BIGINT AS hot_cnt,
+       round((SELECT sum(cnt) FROM h)::DOUBLE / s.tot::DOUBLE, 12)
+         AS topk_share,
+       round((2 * s.sr - (s.n_keys + 1) * s.tot)::DOUBLE
+             / (s.n_keys * s.tot)::DOUBLE, 12) AS gini
+FROM s
+"""
+
+
 def lineitem_price_histogram(sf_dir):
     """Fixed-width histogram of extended price: per-batch vectorized
     bincount partials, one tiny groupby sum — the one-pass distributed
@@ -10251,6 +10287,7 @@ QUERIES = {
     "docs_containment_pairs": docs_containment_pairs,
     "customer_entity_resolution": customer_entity_resolution,
     "customer_rfm_segments": customer_rfm_segments,
+    "events_user_skew_profile": events_user_skew_profile,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10613,6 +10650,7 @@ ORACLES = {
     "graph_assortativity_parts": SQL_GRAPH_ASSORTATIVITY_PARTS,
     "graph_clustering_parts": SQL_GRAPH_CLUSTERING_PARTS,
     "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
+    "events_user_skew_profile": SQL_EVENTS_USER_SKEW_PROFILE,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
