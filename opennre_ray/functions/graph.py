@@ -425,13 +425,19 @@ def connected_components(triples_ds, max_iters: int = 30,
 
 
 PAGERANK_SCALE = 10 ** 12
+#: size gate: below this many edges the graph replays locally with the
+#: IDENTICAL int64 fixed-point iteration (bit-equal by construction) —
+#: the distributed rounds' fixed barrier cost dominates tiny graphs.
+#: ~200k string edges is a few MB on the driver.
+PAGERANK_LOCAL_EDGES = 200_000
 
 
 def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
              damping_num: int = 85, damping_den: int = 100,
              subj_col="subj", obj_col="obj",
              seeds: "frozenset[str] | set[str] | None" = None,
-             rows_hint: int | None = None):
+             rows_hint: int | None = None,
+             local_edges_gate: int = PAGERANK_LOCAL_EDGES):
     """Distributed PageRank in integer fixed-point arithmetic.
 
     Floating-point PageRank is not reproducible across distributions: the
@@ -486,6 +492,49 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
     edges = triples_ds.map_batches(edge_frame,
                                    batch_format="pyarrow").materialize()
     n_edges = edges.count()
+
+    # size gate (same policy as connected_components): each distributed
+    # round costs 2 bucketed shuffles of FIXED barrier latency (~1.6 s/
+    # round measured) regardless of size — a graph whose edge list fits
+    # on the driver replays the SAME int64 arithmetic locally (addition
+    # order-independent, floor division exact -> bit-identical output)
+    if n_edges <= local_edges_gate:
+        import ray.data as rd
+        epd = edges.to_pandas()
+        if not len(epd):
+            return rd.from_pandas(pd.DataFrame(
+                {"entity": pd.Series([], dtype=str),
+                 "rank_micro": pd.Series([], dtype="int64")}))
+        src = epd["src"].to_numpy()
+        dst = epd["dst"].to_numpy()
+        ents, inv = np.unique(np.concatenate([src, dst]),
+                              return_inverse=True)
+        si, di = inv[:len(src)], inv[len(src):]
+        outdeg = np.bincount(si, minlength=len(ents)).astype(np.int64)
+        if seeds is None:
+            r = np.full(len(ents), scale // len(ents), np.int64)
+            basev = np.full(len(ents),
+                            (scale * (damping_den - damping_num))
+                            // (damping_den * len(ents)), np.int64)
+        else:
+            smask = np.isin(ents, list(frozenset(seeds)))
+            ns = int(smask.sum())
+            if ns == 0:
+                raise ValueError(
+                    "pagerank: no seed intersects the node set")
+            r = np.where(smask, scale // ns, 0).astype(np.int64)
+            basev = np.where(
+                smask, (scale * (damping_den - damping_num))
+                // (damping_den * ns), 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = (r[si] * damping_num) // (damping_den * outdeg[si])
+            nxt = basev.copy()
+            np.add.at(nxt, di, contrib)
+            r = nxt
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": ents.astype(str),
+             "rank_micro": r.astype(np.int64)}))
+
     n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
 
     def compact(ds):

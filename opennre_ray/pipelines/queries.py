@@ -2391,14 +2391,21 @@ def graph_pagerank_customers(sf_dir):
                     rows_hint=2 * _nrows(sf_dir, "customer"))
 
 
-def _pagerank_sql(iters: int, scale: int, num: int, den: int) -> str:
+def _pagerank_sql(iters: int, scale: int, num: int, den: int,
+                  edge_cte: str | None = None,
+                  tail: str | None = None) -> str:
     """Chained-CTE replay of the integer power iteration (one CTE per
-    round; all arithmetic BIGINT floor-division, matching the engine)."""
-    parts = [f"""
-WITH e AS (SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst
+    round; all arithmetic BIGINT floor-division, matching the engine).
+    ``edge_cte``: SQL producing the directed ``e(src, dst)`` edge set
+    (defaults to the customer<->nation graph); ``tail``: final SELECT
+    override."""
+    if edge_cte is None:
+        edge_cte = """e AS (SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst
            FROM customer
            UNION ALL
-           SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer),
+           SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer)"""
+    parts = [f"""
+WITH {edge_cte},
 deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
 nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT dst FROM e),
 nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
@@ -2414,12 +2421,89 @@ r{i} AS (SELECT nodes.v,
            FROM e JOIN r{i - 1} p ON e.src = p.v
                   JOIN deg ON e.src = deg.src
            GROUP BY e.dst) s ON nodes.v = s.v)""")
-    parts.append(f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
+    parts.append(tail if tail is not None
+                 else f"\nSELECT v AS entity, r AS rank_micro FROM r{iters}")
     return "".join(parts)
 
 
 SQL_GRAPH_PAGERANK_CUSTOMERS = _pagerank_sql(PAGERANK_ITERS, 10 ** 12,
                                              85, 100)
+
+
+TEXTRANK_ITERS = 5
+TEXTRANK_TOPK = 50
+TEXTRANK_MIN_LEN = 4     # content-word heuristic: tokens >= 4 chars
+
+
+def docs_textrank_keywords(sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, EMNLP):
+    integer fixed-point PageRank over the corpus word co-occurrence
+    graph — vertices are content tokens (>= 4 chars), edges connect
+    adjacent content tokens within a document (symmetrized, distinct),
+    and the top-k words by stationary rank are the corpus keyword
+    vocabulary. One tokenize pass emits directed pairs, one bucketed
+    distinct, then the shared bit-deterministic pagerank rounds; a tiny
+    sort+limit finishes. Oracle replays the SAME rounds via the shared
+    _pagerank_sql CTE template over a word-graph edge CTE."""
+    from ..functions.graph import pagerank
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        seen = set()
+        for t in batch.column("text").to_pylist():
+            toks = [w for w in t.split() if len(w) >= TEXTRANK_MIN_LEN]
+            for a, b in zip(toks, toks[1:]):
+                if a != b and (a, b) not in seen:
+                    seen.add((a, b))
+                    src.append(a)
+                    dst.append(b)
+        return pa.table({"subj": pa.array(src, pa.string()),
+                         "obj": pa.array(dst, pa.string())})
+
+    pairs = ds.map_batches(pair_edges, batch_format="pyarrow")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("subj"), batch.column("obj")
+        return pa.concat_tables([batch,
+                                 pa.table({"subj": b, "obj": a})])
+
+    both = pairs.map_batches(sym, batch_format="pyarrow")
+    n_docs = _nrows(sf_dir, "documents")
+    edges = hash_bucket_aggregate(
+        both, ["subj", "obj"],
+        lambda g: g.drop_duplicates(["subj", "obj"]),
+        rows_hint=64 * n_docs).materialize()
+    # the word graph is vocabulary²-bounded, FAR smaller than the corpus
+    # that generated it — size pagerank's buckets to the real edge count,
+    # not the corpus (count() on the materialized edges is metadata-cheap)
+    ranks = pagerank(edges, iters=TEXTRANK_ITERS, subj_col="subj",
+                     obj_col="obj", rows_hint=2 * edges.count())
+    return (ranks.sort(["rank_micro", "entity"],
+                       descending=[True, False])
+            .limit(TEXTRANK_TOPK).to_pandas()
+            .rename(columns={"entity": "word"}))
+
+
+def _sql_textrank() -> str:
+    edge_cte = rf"""tt AS (SELECT list_filter(
+    regexp_split_to_array(trim(text), '\s+'),
+    w -> length(w) >= {TEXTRANK_MIN_LEN}) AS toks
+  FROM documents WHERE trim(text) != ''),
+pr AS (SELECT unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS s
+       FROM tt WHERE length(toks) >= 2),
+e0 AS (SELECT DISTINCT split_part(s, ' ', 1) AS src,
+                       split_part(s, ' ', 2) AS dst
+       FROM pr WHERE split_part(s, ' ', 1) != split_part(s, ' ', 2)),
+e AS MATERIALIZED (SELECT src, dst FROM e0
+     UNION SELECT dst, src FROM e0)"""
+    tail = (f"\nSELECT v AS word, r AS rank_micro FROM r{TEXTRANK_ITERS}"
+            f"\nORDER BY r DESC, v LIMIT {TEXTRANK_TOPK}")
+    return _pagerank_sql(TEXTRANK_ITERS, 10 ** 12, 85, 100,
+                         edge_cte=edge_cte, tail=tail)
 
 
 KMEANS_K = 8
@@ -10288,6 +10372,7 @@ QUERIES = {
     "customer_entity_resolution": customer_entity_resolution,
     "customer_rfm_segments": customer_rfm_segments,
     "events_user_skew_profile": events_user_skew_profile,
+    "docs_textrank_keywords": docs_textrank_keywords,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10651,6 +10736,7 @@ ORACLES = {
     "graph_clustering_parts": SQL_GRAPH_CLUSTERING_PARTS,
     "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
     "events_user_skew_profile": SQL_EVENTS_USER_SKEW_PROFILE,
+    "docs_textrank_keywords": _sql_textrank(),
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,

@@ -674,3 +674,26 @@ def test_local_clustering_random_parity(ray_session):
                 if len(nb) >= 2 else 0.0)
         assert r.lcc == want, v
     assert len(out) == len(nbrs)
+
+
+def test_pagerank_local_gate_bit_parity(ray_session):
+    """The driver-local size-gated path and the distributed rounds run
+    the SAME int64 arithmetic — outputs must be bit-identical, seeded
+    and unseeded, on a random graph."""
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    edges = pd.DataFrame({
+        "subj": [f"n{x}" for x in rng.randint(0, 25, 120)],
+        "obj": [f"n{x}" for x in rng.randint(0, 25, 120)]})
+    ds = rd.from_pandas(edges).repartition(4)
+
+    for seeds in (None, frozenset({"n1", "n2", "n3"})):
+        loc = pagerank(ds, iters=4, seeds=seeds).to_pandas()
+        dist = pagerank(ds, iters=4, seeds=seeds,
+                        local_edges_gate=0).to_pandas()
+        lm = dict(zip(loc["entity"], loc["rank_micro"]))
+        dm = dict(zip(dist["entity"], dist["rank_micro"]))
+        assert lm == dm, seeds
