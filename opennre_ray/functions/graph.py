@@ -892,7 +892,8 @@ HITS_SCALE = 10 ** 6
 
 
 def hits(triples_ds, iters: int = 3, scale: int = HITS_SCALE,
-         subj_col="subj", obj_col="obj", rows_hint: int | None = None):
+         subj_col="subj", obj_col="obj", rows_hint: int | None = None,
+         local_edges_gate: int = PAGERANK_LOCAL_EDGES):
     """Distributed HITS (hubs & authorities) in integer fixed-point.
 
     Kleinberg's mutual-reinforcement iteration, L1-normalized each
@@ -939,6 +940,40 @@ def hits(triples_ds, iters: int = 3, scale: int = HITS_SCALE,
     edges = triples_ds.map_batches(edge_frame,
                                    batch_format="pyarrow").materialize()
     n_edges = edges.count()
+
+    # size gate (same policy + bit-parity argument as pagerank's): the
+    # L1 totals are exact scalars in both paths, every other step is
+    # order-independent int64 adds + exact floor division
+    if n_edges <= local_edges_gate:
+        import ray.data as rd
+        epd = edges.to_pandas()
+        if not len(epd):
+            return rd.from_pandas(pd.DataFrame(
+                {"entity": pd.Series([], dtype=str),
+                 "hub_micro": pd.Series([], dtype="int64"),
+                 "auth_micro": pd.Series([], dtype="int64")}))
+        src = epd["src"].to_numpy()
+        dst = epd["dst"].to_numpy()
+        ents, inv = np.unique(np.concatenate([src, dst]),
+                              return_inverse=True)
+        si, di = inv[:len(src)], inv[len(src):]
+        h = np.full(len(ents), scale, dtype=np.int64)
+        a = np.zeros(len(ents), dtype=np.int64)
+
+        def local_half(scores, from_i, to_i):
+            raw = np.zeros(len(ents), dtype=np.int64)
+            np.add.at(raw, to_i, scores[from_i])
+            total = int(raw.sum())
+            return (raw * scale) // total if total else raw
+
+        for _ in range(iters):
+            a = local_half(h, si, di)
+            h = local_half(a, di, si)
+        return rd.from_pandas(pd.DataFrame(
+            {"entity": ents.astype(str),
+             "hub_micro": h.astype(np.int64),
+             "auth_micro": a.astype(np.int64)}))
+
     n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
 
     def compact(ds):

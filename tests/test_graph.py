@@ -697,3 +697,20 @@ def test_pagerank_local_gate_bit_parity(ray_session):
         lm = dict(zip(loc["entity"], loc["rank_micro"]))
         dm = dict(zip(dist["entity"], dist["rank_micro"]))
         assert lm == dm, seeds
+
+
+def test_hits_local_gate_bit_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import hits
+
+    rng = np.random.RandomState(5)
+    edges = pd.DataFrame({
+        "subj": [f"p{x}" for x in rng.randint(0, 20, 90)],
+        "obj": [f"p{x}" for x in rng.randint(0, 20, 90)]})
+    ds = rd.from_pandas(edges).repartition(3)
+    loc = hits(ds, iters=3).to_pandas()
+    dist = hits(ds, iters=3, local_edges_gate=0).to_pandas()
+    lm = {r.entity: (r.hub_micro, r.auth_micro) for r in loc.itertuples()}
+    dm = {r.entity: (r.hub_micro, r.auth_micro) for r in dist.itertuples()}
+    assert lm == dm
