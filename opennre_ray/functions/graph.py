@@ -668,7 +668,8 @@ def pagerank(triples_ds, iters: int = 5, scale: int = PAGERANK_SCALE,
 
 
 def label_propagation(edges_ds, seeds_ds, iters: int = 3,
-                      rows_hint: int | None = None):
+                      rows_hint: int | None = None,
+                      local_edges_gate: int = PAGERANK_LOCAL_EDGES):
     """Seeded (clamped) synchronous label propagation over an undirected
     graph — semi-supervised node classification (Zhu & Ghahramani 2002
     label spreading with hard-clamped seeds; LPA, Raghavan et al. 2007):
@@ -722,6 +723,32 @@ def label_propagation(edges_ds, seeds_ds, iters: int = 3,
     adj = edges_ds.map_batches(symmetrize,
                                batch_format="pyarrow").materialize()
     n_adj = adj.count()
+
+    # size gate (pagerank's policy): votes are exact integer counts with
+    # a total (count desc, label asc) tie order — the local pandas replay
+    # below runs the SAME synchronous update, value-identical
+    if n_adj <= local_edges_gate:
+        import ray.data as rd
+        apd = adj.to_pandas()
+        seed_df = (conform(seeds_ds).to_pandas()
+                   .drop_duplicates("entity")
+                   .astype({"entity": np.int64, "label": str}))
+        seed_ids = set(seed_df["entity"])
+        cur = seed_df
+        for _ in range(iters):
+            j = apd.merge(cur, left_on="u", right_on="entity")
+            votes = j[~j["v"].isin(seed_ids)]
+            c = (votes.groupby(["v", "label"], sort=False).size()
+                 .reset_index(name="c")
+                 .sort_values(["v", "c", "label"],
+                              ascending=[True, False, True])
+                 .drop_duplicates("v"))
+            won = pd.DataFrame({
+                "entity": c["v"].to_numpy(np.int64),
+                "label": c["label"].astype(str).to_numpy()})
+            cur = pd.concat([won, seed_df], ignore_index=True)
+        return rd.from_pandas(cur.reset_index(drop=True))
+
     n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
 
     def compact(ds):
@@ -795,7 +822,8 @@ def label_propagation(edges_ds, seeds_ds, iters: int = 3,
 
 
 def sssp(edges_ds, seeds, iters: int = 4,
-         rows_hint: int | None = None):
+         rows_hint: int | None = None,
+         local_edges_gate: int = PAGERANK_LOCAL_EDGES):
     """Multi-source weighted shortest paths by synchronous Bellman-Ford
     rounds over an undirected integer-weighted graph:
 
@@ -844,6 +872,27 @@ def sssp(edges_ds, seeds, iters: int = 4,
     adj = edges_ds.map_batches(symmetrize,
                                batch_format="pyarrow").materialize()
     n_adj = adj.count()
+
+    # size gate (pagerank's policy): min over ints is exactly
+    # associative in any order — local replay is value-identical
+    if n_adj <= local_edges_gate:
+        import ray.data as rd
+        apd = adj.to_pandas()
+        cur = pd.DataFrame({
+            "entity": pd.Series(sorted(set(int(s) for s in seeds)),
+                                dtype="int64")})
+        cur["dist"] = np.int64(0)
+        for _ in range(iters):
+            j = apd.merge(cur, left_on="u", right_on="entity")
+            cand = pd.DataFrame({
+                "entity": j["v"].to_numpy(np.int64),
+                "dist": (j["dist"].to_numpy(np.int64)
+                         + j["w"].to_numpy(np.int64))})
+            cur = (pd.concat([cand, cur], ignore_index=True)
+                   .groupby("entity", as_index=False)["dist"].min()
+                   .astype({"entity": np.int64, "dist": np.int64}))
+        return rd.from_pandas(cur)
+
     n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
 
     def compact(ds):

@@ -714,3 +714,39 @@ def test_hits_local_gate_bit_parity(ray_session):
     lm = {r.entity: (r.hub_micro, r.auth_micro) for r in loc.itertuples()}
     dm = {r.entity: (r.hub_micro, r.auth_micro) for r in dist.itertuples()}
     assert lm == dm
+
+
+def test_sssp_local_gate_bit_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import sssp
+
+    rng = np.random.RandomState(9)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 25, size=(80, 2)) if a != b}
+    df = pd.DataFrame(sorted(es), columns=["a", "b"])
+    df["w"] = (rng.randint(1, 9, size=len(df))).astype("int64")
+    ds = rd.from_pandas(df).repartition(3)
+    seeds = [0, 7]
+    loc = sssp(ds, seeds, iters=4).to_pandas()
+    dist = sssp(ds, seeds, iters=4, local_edges_gate=0).to_pandas()
+    assert dict(zip(loc["entity"], loc["dist"])) == \
+        dict(zip(dist["entity"], dist["dist"]))
+
+
+def test_label_propagation_local_gate_bit_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import label_propagation
+
+    rng = np.random.RandomState(13)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 30, size=(100, 2)) if a != b}
+    edges = rd.from_pandas(pd.DataFrame(sorted(es), columns=["a", "b"]))
+    seeds = rd.from_pandas(pd.DataFrame(
+        {"entity": [0, 5, 11], "label": ["x", "y", "z"]}))
+    loc = label_propagation(edges, seeds, iters=3).to_pandas()
+    dist = label_propagation(edges, seeds, iters=3,
+                             local_edges_gate=0).to_pandas()
+    assert dict(zip(loc["entity"], loc["label"])) == \
+        dict(zip(dist["entity"], dist["label"]))
