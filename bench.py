@@ -257,6 +257,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.customer_rfm_segments(sf_dir)))
     timed("events_user_skew_profile",
           lambda: Q.events_user_skew_profile(sf_dir))
+    timed("docs_textrank_keywords",
+          lambda: Q.docs_textrank_keywords(sf_dir))
+    timed("events_multistep_funnel",
+          lambda: Q.events_multistep_funnel(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -1059,6 +1059,73 @@ def events_funnel_click_purchase(sf_dir):
         per_bucket, rows_hint=_nrows(sf_dir, "events"))
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 24 * 3_600_000_000    # each step within 24h of the last
+
+
+def events_multistep_funnel(sf_dir):
+    """STRICT-ORDER windowed multi-step funnel (the product-analytics
+    shape the 2-step min/max filter can't express): a user completes
+    step k only if their earliest step-k event lands strictly AFTER the
+    timestamp that completed step k-1 and within the 24-hour step
+    window — min-ts chaining, the standard funnel semantics.
+    Per-user events co-locate in one hash bucket, so every chain step is
+    a vectorized merge+filter+min inside the bucket; only per-bucket
+    scalar counts reach the driver. Output: one row of per-step user
+    counts."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "event_type": g["event_type"],
+            "ts": g["ts"].to_numpy("datetime64[us]").astype(np.int64)})
+        counts = [np.int64(g["user_id"].nunique())]
+        prev = None
+        for step in FUNNEL_STEPS:
+            ev = g[g["event_type"] == step]
+            if prev is not None:
+                ev = ev.merge(prev, on="user_id")
+                ev = ev[(ev["ts"] > ev["prev_ts"])
+                        & (ev["ts"] <= ev["prev_ts"] + FUNNEL_WINDOW_US)]
+            cur = (ev.groupby("user_id", as_index=False)
+                   .agg(prev_ts=("ts", "min")))
+            counts.append(np.int64(len(cur)))
+            prev = cur[["user_id", "prev_ts"]]
+        return pd.DataFrame({
+            "n_users": [counts[0]], "n_view": [counts[1]],
+            "n_view_click": [counts[2]], "n_full": [counts[3]]})
+
+    parts = hash_bucket_aggregate(
+        ds, ["user_id"], per_bucket,
+        rows_hint=_nrows(sf_dir, "events")).to_pandas()
+    return pd.DataFrame({c: pd.Series([parts[c].sum()], dtype="int64")
+                         for c in ("n_users", "n_view", "n_view_click",
+                                   "n_full")})
+
+
+SQL_EVENTS_MULTISTEP_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+         AND date_diff('microsecond', s1.t, e.ts) <= {FUNNEL_WINDOW_US}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+         AND date_diff('microsecond', s2.t, e.ts) <= {FUNNEL_WINDOW_US}
+       GROUP BY e.user_id)
+SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n_users,
+       (SELECT count(*) FROM s1)::BIGINT AS n_view,
+       (SELECT count(*) FROM s2)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM s3)::BIGINT AS n_full
+"""
+
+
 SQL_EVENTS_FUNNEL = """
 SELECT user_id, first_click, last_purchase FROM (
   SELECT user_id,
@@ -10373,6 +10440,7 @@ QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "events_user_skew_profile": events_user_skew_profile,
     "docs_textrank_keywords": docs_textrank_keywords,
+    "events_multistep_funnel": events_multistep_funnel,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10737,6 +10805,7 @@ ORACLES = {
     "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
     "events_user_skew_profile": SQL_EVENTS_USER_SKEW_PROFILE,
     "docs_textrank_keywords": _sql_textrank(),
+    "events_multistep_funnel": SQL_EVENTS_MULTISTEP_FUNNEL,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
