@@ -261,6 +261,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.docs_textrank_keywords(sf_dir))
     timed("events_multistep_funnel",
           lambda: Q.events_multistep_funnel(sf_dir))
+    timed("events_orders_join_estimate",
+          lambda: Q.events_orders_join_estimate(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

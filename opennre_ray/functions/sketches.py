@@ -14,6 +14,7 @@ import hashlib
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -533,3 +534,70 @@ def exact_int_quantiles(ds, column: str, n_parts: int) -> list[int]:
         rank = (total * i + n_parts - 1) // n_parts     # ceil
         out.append(int(hist.loc[cum >= rank, "v"].iloc[0]))
     return out
+
+
+def join_size_estimate(ds_l, ds_r, col_l: str, col_r: str, *,
+                       width: int = 1 << 12, depth: int = 4,
+                       rows_hint: int | None = None):
+    """Join-cardinality estimation by Count-Min inner product (Cormode &
+    Muthukrishnan 2005, §4.2): |L ⋈ R| is estimated as
+    min over rows r of sum_c CM_L[r,c] * CM_R[r,c] — an always-over
+    estimate, like the point query. This is the planning preflight that
+    pairs with ``key_skew_profile``: before shuffling two corpus-scale
+    tables, two fixed-size sketch scans bound the output volume.
+
+    Both sketches build distributed (one depth×width partial per batch,
+    merged by addition); the exact size — sum over matching keys of
+    n_l(k)*n_r(k) — runs as two bucketed per-key counts + one bucketed
+    join + scalar partials, and rides along so the estimate is
+    value-audited in the same row. All integers except the 12-dp
+    relative error. md5-KM hashing makes the sketch itself replayable
+    in SQL (HUGEINT wrap arithmetic), so the oracle checks the
+    ESTIMATE too, not just the exact count.
+
+    Overflow bound: row inner products are sums of count products —
+    int64-exact while |L|·|R|/width < 2^63 per hash row.
+
+    Returns one row: (exact_pairs, cm_estimate, rel_err).
+    """
+    from .relational import hash_bucket_aggregate, shuffle_join
+    from .sqlcompat import sql_round
+
+    cm_l = build_count_min(ds_l, col_l, width, depth)
+    cm_r = build_count_min(ds_r, col_r, width, depth)
+    est = min(int((cm_l.table[r].astype(object)
+                   * cm_r.table[r].astype(object)).sum())
+              for r in range(depth))
+
+    def count_bucket(name):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("k", as_index=False).size()
+            return pd.DataFrame({"k": out["k"].to_numpy(np.int64),
+                                 name: out["size"].to_numpy(np.int64)})
+        return fn
+
+    def keyed(ds, col):
+        return ds.map_batches(
+            lambda t, c=col: pa.table({"k": t.column(c).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    cl = hash_bucket_aggregate(keyed(ds_l, col_l), ["k"],
+                               count_bucket("c1"), rows_hint=rows_hint)
+    cr = hash_bucket_aggregate(keyed(ds_r, col_r), ["k"],
+                               count_bucket("c2"), rows_hint=rows_hint)
+    joined = shuffle_join(cl, cr, "k", "k", ["c1"], ["c2"],
+                          rows_hint=rows_hint)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p": [np.int64(
+            (g["c1"].to_numpy(np.int64)
+             * g["c2"].to_numpy(np.int64)).sum())]})
+
+    exact = int(joined.map_batches(
+        partial, batch_format="pandas").to_pandas()["p"].sum())
+    rel = float(sql_round((est - exact) / float(exact), 12)) if exact \
+        else 0.0
+    return pd.DataFrame({
+        "exact_pairs": pd.Series([exact], dtype="int64"),
+        "cm_estimate": pd.Series([est], dtype="int64"),
+        "rel_err": pd.Series([rel], dtype="float64")})

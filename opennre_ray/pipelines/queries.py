@@ -519,6 +519,58 @@ SELECT *, (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm FROM s
 """
 
 
+CMJ_WIDTH = 1 << 12
+CMJ_DEPTH = 4
+
+
+def events_orders_join_estimate(sf_dir):
+    """Join-cardinality planning preflight: estimate
+    |events ⋈ orders ON user_id = o_custkey| from two fixed-size
+    Count-Min sketches (min-over-rows inner product — always an
+    over-estimate) next to the exact pair count, BEFORE any shuffle
+    moves either table. md5-KM hashing makes the sketch bit-replayable
+    in SQL, so the oracle value-checks the estimate itself, not just
+    the exact count. See functions/sketches.py::join_size_estimate."""
+    from ..functions.sketches import join_size_estimate
+
+    ev = _read(sf_dir, "events", ["user_id"], rows_per_block=32768)
+    od = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=32768)
+    return join_size_estimate(ev, od, "user_id", "o_custkey",
+                              width=CMJ_WIDTH, depth=CMJ_DEPTH,
+                              rows_hint=_nrows(sf_dir, "orders"))
+
+
+SQL_EVENTS_ORDERS_JOIN_ESTIMATE = f"""
+WITH lc AS (SELECT user_id AS k, count(*)::BIGINT AS c FROM events
+            GROUP BY user_id),
+rc AS (SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders
+       GROUP BY o_custkey),
+ks AS (SELECT k FROM lc UNION SELECT k FROM rc),
+h AS (SELECT k,
+        ('0x' || substr(md5(k::VARCHAR), 1, 16))::UBIGINT::HUGEINT AS h1,
+        (('0x' || substr(md5(k::VARCHAR), 17, 16))::UBIGINT
+         | 1)::HUGEINT AS h2
+      FROM ks),
+pos AS (SELECT k, r,
+          (((h1 + r * h2) % 18446744073709551616) % {CMJ_WIDTH})::BIGINT
+            AS p
+        FROM h, unnest(range(0, {CMJ_DEPTH})) AS u(r)),
+tl AS (SELECT r, p, sum(lc.c)::HUGEINT AS v FROM lc
+       JOIN pos ON lc.k = pos.k GROUP BY r, p),
+tr AS (SELECT r, p, sum(rc.c)::HUGEINT AS v FROM rc
+       JOIN pos ON rc.k = pos.k GROUP BY r, p),
+ip AS (SELECT tl.r, sum(tl.v * tr.v) AS prod FROM tl
+       JOIN tr ON tl.r = tr.r AND tl.p = tr.p GROUP BY tl.r),
+ex AS (SELECT coalesce(sum(lc.c::HUGEINT * rc.c), 0) AS e FROM lc
+       JOIN rc ON lc.k = rc.k)
+SELECT ex.e::BIGINT AS exact_pairs,
+       (SELECT min(prod) FROM ip)::BIGINT AS cm_estimate,
+       round(((SELECT min(prod) FROM ip) - ex.e)::DOUBLE
+             / ex.e::DOUBLE, 12) AS rel_err
+FROM ex
+"""
+
+
 SKEW_TOPK = 10
 
 
@@ -10441,6 +10493,7 @@ QUERIES = {
     "events_user_skew_profile": events_user_skew_profile,
     "docs_textrank_keywords": docs_textrank_keywords,
     "events_multistep_funnel": events_multistep_funnel,
+    "events_orders_join_estimate": events_orders_join_estimate,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10806,6 +10859,7 @@ ORACLES = {
     "events_user_skew_profile": SQL_EVENTS_USER_SKEW_PROFILE,
     "docs_textrank_keywords": _sql_textrank(),
     "events_multistep_funnel": SQL_EVENTS_MULTISTEP_FUNNEL,
+    "events_orders_join_estimate": SQL_EVENTS_ORDERS_JOIN_ESTIMATE,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
