@@ -263,6 +263,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.events_multistep_funnel(sf_dir))
     timed("events_orders_join_estimate",
           lambda: Q.events_orders_join_estimate(sf_dir))
+    timed("customer_k_anonymity",
+          lambda: Q.customer_k_anonymity(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -571,6 +571,77 @@ FROM ex
 """
 
 
+KANON_SMALL = 5     # re-identification risk: groups smaller than this
+LDIV_LOW = 3        # homogeneity risk: sensitive diversity below this
+
+
+def customer_k_anonymity(sf_dir):
+    """Privacy / compliance audit (Sweeney 2002 k-anonymity; Machanavajjhala
+    2007 l-diversity) over the quasi-identifier pair
+    (nation, market segment) with account-balance-thousands as the
+    sensitive attribute: the release-readiness numbers a training-data
+    pipeline reports before shipping a table containing people.
+    k = the smallest QI group (anyone in a group of k is hidden among
+    k records); l = the least-diverse group's distinct sensitive count.
+    One bucketed QI aggregate (groups co-locate, so per-group n and
+    distinct-sensitive are vectorized in-bucket), then per-block scalar
+    partials fold on the driver — the group table never collects.
+    Output: one summary row."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(s=np.floor(
+            g["c_acctbal"].to_numpy(np.float64) / 1000.0))
+        out = (g.groupby(["c_nationkey", "c_mktsegment"])
+               .agg(n=("s", "size"), l=("s", "nunique")).reset_index())
+        return out.astype({"n": np.int64, "l": np.int64})
+
+    groups = hash_bucket_aggregate(
+        ds, ["c_nationkey", "c_mktsegment"], per_group,
+        rows_hint=_nrows(sf_dir, "customer"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        l = b["l"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_rows": [np.int64(n.sum())],
+            "n_groups": [np.int64(len(b))],
+            "k_min": [np.int64(n.min())],
+            "rows_small": [np.int64(n[n < KANON_SMALL].sum())],
+            "l_min": [np.int64(l.min())],
+            "groups_low": [np.int64((l < LDIV_LOW).sum())]})
+
+    p = groups.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_rows": pd.Series([p["n_rows"].sum()], dtype="int64"),
+        "n_groups": pd.Series([p["n_groups"].sum()], dtype="int64"),
+        "k_anonymity": pd.Series([p["k_min"].min()], dtype="int64"),
+        "rows_in_small_groups": pd.Series([p["rows_small"].sum()],
+                                          dtype="int64"),
+        "l_diversity": pd.Series([p["l_min"].min()], dtype="int64"),
+        "low_diversity_groups": pd.Series([p["groups_low"].sum()],
+                                          dtype="int64")})
+
+
+SQL_CUSTOMER_K_ANONYMITY = f"""
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+                  count(DISTINCT floor(c_acctbal / 1000.0))::BIGINT AS l
+           FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT (SELECT count(*) FROM customer)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_groups,
+       min(n)::BIGINT AS k_anonymity,
+       coalesce(sum(CASE WHEN n < {KANON_SMALL} THEN n END),
+                0)::BIGINT AS rows_in_small_groups,
+       min(l)::BIGINT AS l_diversity,
+       sum(CASE WHEN l < {LDIV_LOW} THEN 1
+                ELSE 0 END)::BIGINT AS low_diversity_groups
+FROM g
+"""
+
+
 SKEW_TOPK = 10
 
 
@@ -10494,6 +10565,7 @@ QUERIES = {
     "docs_textrank_keywords": docs_textrank_keywords,
     "events_multistep_funnel": events_multistep_funnel,
     "events_orders_join_estimate": events_orders_join_estimate,
+    "customer_k_anonymity": customer_k_anonymity,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -10860,6 +10932,7 @@ ORACLES = {
     "docs_textrank_keywords": _sql_textrank(),
     "events_multistep_funnel": SQL_EVENTS_MULTISTEP_FUNNEL,
     "events_orders_join_estimate": SQL_EVENTS_ORDERS_JOIN_ESTIMATE,
+    "customer_k_anonymity": SQL_CUSTOMER_K_ANONYMITY,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,
