@@ -3087,6 +3087,72 @@ def bag_eval_metrics(sf_dir):
     return pd.DataFrame(scalars)
 
 
+def bag_per_relation_metrics(sf_dir):
+    """Per-relation P/R/F1 breakdown of the bag model at the 0.5
+    threshold — the standard RE-paper table that micro/macro scalars
+    (``bag_eval_metrics``) compress away: which relations the model
+    actually gets right. Facts follow bag_eval_distributed's convention
+    (argmax relation per entity pair, ties → relation asc); label/pred
+    flags per (pair, relation) row reduce to per-relation tp/fp/fn
+    INSIDE the (h_id, t_id) bucket the scores already paid for, so only
+    |R| x n_buckets integer partial rows reach the driver. P/R/F1 are
+    one division each from exact integers, 12-dp rounded. The seeded
+    model's softmax never clears 0.5 (max ≈ 0.15 at 10-way), so the
+    threshold columns are honest zeros here; `n_rows` and
+    `score_sum_micro` (sum of round(score·1e6) — exact int64 under any
+    partial-sum order) carry the value-discriminating signal per
+    relation. Model-derived scores → full-table pinned oracle
+    (pins.py)."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    scores = bag_relation_scores(sf_dir)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        f = (g.sort_values(["h_id", "t_id", "score", "relation"],
+                           ascending=[True, True, False, True],
+                           kind="stable")
+             .drop_duplicates(["h_id", "t_id"])
+             [["h_id", "t_id", "relation"]]
+             .rename(columns={"relation": "fact_rel"}))
+        m = g.merge(f, on=["h_id", "t_id"])
+        lab = (m["relation"] == m["fact_rel"]).to_numpy()
+        prd = (m["score"].to_numpy(np.float64) >= 0.5)
+        out = pd.DataFrame({
+            "relation": m["relation"],
+            "tp": (lab & prd).astype(np.int64),
+            "fp": (~lab & prd).astype(np.int64),
+            "fn": (lab & ~prd).astype(np.int64),
+            "n_rows": np.ones(len(m), dtype=np.int64),
+            "score_sum_micro": np.round(
+                m["score"].to_numpy(np.float64) * 1e6).astype(np.int64)})
+        return out.groupby("relation", as_index=False)[
+            ["tp", "fp", "fn", "n_rows", "score_sum_micro"]].sum()
+
+    parts = hash_bucket_aggregate(
+        scores, ["h_id", "t_id"], per_bucket,
+        rows_hint=_nrows(sf_dir, "documents")).to_pandas()
+    agg = (parts.groupby("relation", as_index=False)[
+               ["tp", "fp", "fn", "n_rows", "score_sum_micro"]]
+           .sum().sort_values("relation").reset_index(drop=True))
+    tp = agg["tp"].to_numpy(np.int64)
+    fp = agg["fp"].to_numpy(np.int64)
+    fn = agg["fn"].to_numpy(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+        r = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+        f1 = np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-300),
+                      0.0)
+    return pd.DataFrame({
+        "relation": agg["relation"],
+        "tp": tp, "fp": fp, "fn": fn,
+        "n_rows": agg["n_rows"].to_numpy(np.int64),
+        "score_sum_micro": agg["score_sum_micro"].to_numpy(np.int64),
+        "precision": sql_round(p, 12).astype(np.float64),
+        "recall": sql_round(r, 12).astype(np.float64),
+        "f1": sql_round(f1, 12).astype(np.float64)})
+
+
 def kg_truth_discovery(sf_dir):
     """KB-fusion conflict resolution: for every (subj, pred) the elected
     object is the one with the most supporting evidence across the
@@ -10541,6 +10607,7 @@ QUERIES = {
     "encoded_instances_stats": encoded_instances_stats,
     "bag_scores_stats": bag_scores_stats,
     "bag_eval_metrics": bag_eval_metrics,
+    "bag_per_relation_metrics": bag_per_relation_metrics,
     "fewshot_stats": fewshot_stats,
     "kg_degree_stats": kg_degree_stats,
     "kg_components": kg_components,

@@ -33,6 +33,9 @@ PINNED = [
     "kg_triples_pcnn_stats",
     "kg_triples_bert_stats",
     "sentence_scores_stats",
+    # per-relation P/R/F1 table at the 0.5 threshold: |R|-bounded exact
+    # tp/fp/fn ints + 12-dp ratios over model scores — full-table pin
+    "bag_per_relation_metrics",
     # decile reliability histogram is <= 10 exact-integer rows per sf —
     # full-table pin (model scores are seeded; SQL cannot replay them)
     "sentence_calibration_bins",

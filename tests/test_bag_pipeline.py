@@ -163,3 +163,35 @@ def test_salted_merge_all_aggregators(ray_session, model_name):
                                direct["score"].to_numpy(),
                                rtol=1e-4, atol=1e-5)
     assert (salted["bag_size"] == 3_000).all()
+
+
+def test_per_relation_metrics_matches_sequential(ray_session, sf_dir):
+    """Distributed per-relation tp/fp/fn == a sequential replay of
+    bag_eval's by_pair label/pred logic over the collected score rows."""
+    from opennre_ray.pipelines.queries import (bag_per_relation_metrics,
+                                               bag_relation_scores)
+
+    got = bag_per_relation_metrics(sf_dir)
+    rows = bag_relation_scores(sf_dir).to_pandas()
+
+    # facts: argmax per pair, ties -> relation asc (bag_eval convention)
+    facts = set()
+    for (h, t), grp in rows.groupby(["h_id", "t_id"]):
+        best = grp.sort_values(["score", "relation"],
+                               ascending=[False, True]).iloc[0]
+        facts.add((h, t, best["relation"]))
+    want: dict = {}
+    for r in rows.itertuples():
+        lab = (r.h_id, r.t_id, r.relation) in facts
+        prd = r.score >= 0.5
+        tp, fp, fn, n, sm = want.setdefault(r.relation, [0, 0, 0, 0, 0])
+        want[r.relation] = [tp + (lab and prd), fp + (prd and not lab),
+                            fn + (lab and not prd), n + 1,
+                            sm + round(float(r.score) * 1e6)]
+    for row in got.itertuples():
+        assert [row.tp, row.fp, row.fn, row.n_rows,
+                row.score_sum_micro] == want[row.relation], row.relation
+        denom_p = row.tp + row.fp
+        if denom_p:
+            assert row.precision == round(row.tp / denom_p, 12)
+    assert set(got["relation"]) == set(want)
