@@ -319,3 +319,99 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
     cand = ds.map_batches(clocks, batch_format="pandas").to_pandas()
     return (cand.sort_values(["e", id_col], kind="mergesort").head(k)
             .reset_index(drop=True))
+
+
+def _md5_u64(s: str) -> int:
+    """First 8 md5 digest bytes, big-endian — the repo's standard
+    SQL-replayable u64 draw (``('0x'||substr(md5(s),1,16))::UBIGINT``)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _poisson1_cdf_u64() -> tuple:
+    """u64 acceptance thresholds for a Poisson(1) draw from a uniform
+    u64: weight w = #{k : u >= t_k}, k = 0..7 (tail mass beyond 8 is
+    ~1e-8 per draw and folds into w=8). Both the engine and the SQL
+    oracle consume these EXACT integers, so the weights agree bit-wise."""
+    import math
+    cdf, acc = [], 0.0
+    for k in range(8):
+        acc += 1.0 / math.factorial(k)
+        cdf.append(int(math.exp(-1) * acc * 18446744073709551616.0))
+    return tuple(cdf)
+
+
+POISSON1_CDF_U64 = _poisson1_cdf_u64()
+
+
+def bootstrap_params(n_replicas: int, salt: str = ""):
+    """Per-replica (a, c) multiply-shift constants for the u64-wrap draw
+    u = (a*h + c) mod 2^64 — the MinHash-permutation idiom, replayable
+    in SQL. ``a`` is odd (bijective mod 2^64) and < 2^61 so the oracle's
+    h·a product fits DuckDB's signed INT128."""
+    a = np.array([(_md5_u64(f"bootA:{salt}:{b}") >> 3) | 1
+                  for b in range(n_replicas)], dtype=np.uint64)
+    c = np.array([_md5_u64(f"bootC:{salt}:{b}")
+                  for b in range(n_replicas)], dtype=np.uint64)
+    return a, c
+
+
+def poisson_bootstrap_ci(ds, value_col: str, key_col: str, *,
+                         n_replicas: int = 40, salt: str = "",
+                         value_scale: int = 100) -> pd.DataFrame:
+    """Poisson bootstrap: the web-scale bootstrap (each row enters
+    replica b with an independent Poisson(1) multiplicity instead of the
+    undistributable n-out-of-n multinomial resample — the standard trick
+    for CIs over sharded data, e.g. Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012).
+
+    Fully deterministic and SQL-replayable: row r's replica-b weight
+    comes from u = (a_b * md5_u64(key) + c_b) mod 2^64 compared against
+    the integer Poisson(1) CDF thresholds (:data:`POISSON1_CDF_U64`);
+    values quantize to ``value_scale`` integer units so every replica
+    sum is an exact int64 under any partial-sum order. Each block emits
+    only (n_replicas + 1) integer partial rows (the +1 is the exact
+    full-sample sum for the point estimate); the CI is the nearest-rank
+    2.5 / 97.5 percentile of the replica means. One driver fold over
+    O(n_replicas x n_blocks) scalar rows — the corpus never collects.
+    """
+    B = n_replicas
+    a, c = bootstrap_params(B, salt)
+    thr = np.array(POISSON1_CDF_U64, dtype=np.uint64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "sw": pd.Series([], dtype="int64"),
+                                 "swx": pd.Series([], dtype="int64")})
+        h = np.array([_md5_u64(f"boot:{salt}:{k}") for k in df[key_col]],
+                     dtype=np.uint64)
+        cents = np.round(df[value_col].to_numpy(np.float64)
+                         * value_scale).astype(np.int64)
+        u = h[:, None] * a[None, :] + c[None, :]          # uint64 wrap
+        w = (u[:, :, None] >= thr[None, None, :]).sum(2).astype(np.int64)
+        out = pd.DataFrame({
+            "b": np.arange(B, dtype=np.int64),
+            "sw": w.sum(0), "swx": (w * cents[:, None]).sum(0)})
+        out.loc[len(out)] = [-1, len(df), int(cents.sum())]
+        return out.astype(np.int64)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("b", as_index=False)[["sw", "swx"]].sum()
+
+    from .sqlcompat import sql_round
+    full = agg[agg["b"] == -1].iloc[0]
+    reps = agg[agg["b"] >= 0].reset_index(drop=True)
+    assert (reps["sw"] > 0).all(), "degenerate replica (empty resample)"
+    m = sql_round(reps["swx"].to_numpy(np.float64)
+                  / reps["sw"].to_numpy(np.float64) / value_scale, 12)
+    order = np.lexsort((reps["b"].to_numpy(), m))
+    lo_rank = -(-25 * B // 1000)                       # ceil(0.025 * B)
+    hi_rank = -(-975 * B // 1000)                      # ceil(0.975 * B)
+    mean = sql_round(np.float64(full["swx"]) / np.float64(full["sw"])
+                     / value_scale, 12)
+    return pd.DataFrame({
+        "mean": [float(mean)],
+        "ci_lo": [float(m[order[lo_rank - 1]])],
+        "ci_hi": [float(m[order[hi_rank - 1]])],
+        "n_rows": np.array([full["sw"]], dtype=np.int64),
+        "n_replicas": np.array([B], dtype=np.int64)})

@@ -642,6 +642,67 @@ FROM g
 """
 
 
+BOOT_REPLICAS = 40
+
+
+def orders_bootstrap_ci(sf_dir):
+    """Poisson-bootstrap 95% confidence interval for mean order value —
+    the uncertainty number every sampled-metrics dashboard wants, via
+    the only bootstrap that distributes (per-row Poisson(1) replica
+    weights instead of the n-out-of-n multinomial resample; Chamandy et
+    al. 2012). Deterministic end-to-end: weights come from md5-seeded
+    u64-wrap draws against integer Poisson CDF thresholds, replica sums
+    are exact int64 in cents, and the SQL oracle replays the DRAWS
+    themselves in HUGEINT arithmetic — the interval is value-checked,
+    not just the point estimate. Per block only (B+1) integer partial
+    rows move; nearest-rank 2.5/97.5 percentiles over B=40 replica
+    means."""
+    from ..functions.packing import poisson_bootstrap_ci
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+               rows_per_block=32768)
+    return poisson_bootstrap_ci(ds, "o_totalprice", "o_orderkey",
+                                n_replicas=BOOT_REPLICAS)
+
+
+def _sql_bootstrap_ci() -> str:
+    from ..functions.packing import POISSON1_CDF_U64, bootstrap_params
+
+    B = BOOT_REPLICAS
+    a, c = bootstrap_params(B)
+    A = "[" + ",".join(str(int(x)) for x in a) + "]::UBIGINT[]"
+    C = "[" + ",".join(str(int(x)) for x in c) + "]::UBIGINT[]"
+    w_expr = " + ".join(f"(u >= {t}::UBIGINT)::BIGINT"
+                        for t in POISSON1_CDF_U64)
+    lo = -(-25 * B // 1000)                            # ceil(0.025 * B)
+    hi = -(-975 * B // 1000)                           # ceil(0.975 * B)
+    return f"""
+WITH h AS (SELECT
+    ('0x'||substr(md5('boot::'||o_orderkey::VARCHAR),1,16))::UBIGINT AS h,
+    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+params AS (SELECT unnest(range({B}))::BIGINT AS b,
+                  unnest({A}) AS a, unnest({C}) AS c),
+draws AS (SELECT b, ((h.h::HUGEINT * a::HUGEINT + c::HUGEINT)
+                     % 18446744073709551616)::UBIGINT AS u, cents
+          FROM h CROSS JOIN params),
+reps AS (SELECT b, sum({w_expr}) AS sw,
+                sum(({w_expr}) * cents) AS swx
+         FROM draws GROUP BY b),
+means AS (SELECT b, round(swx::DOUBLE / sw::DOUBLE / 100, 12) AS m
+          FROM reps),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means)
+SELECT (SELECT round(sum(cents)::DOUBLE / count(*)::DOUBLE / 100, 12)
+        FROM h) AS "mean",
+       (SELECT m FROM ranked WHERE r = {lo}) AS ci_lo,
+       (SELECT m FROM ranked WHERE r = {hi}) AS ci_hi,
+       (SELECT count(*) FROM h)::BIGINT AS n_rows,
+       {B}::BIGINT AS n_replicas
+"""
+
+
+SQL_ORDERS_BOOTSTRAP_CI = _sql_bootstrap_ci()
+
+
 SKEW_TOPK = 10
 
 
@@ -10633,6 +10694,7 @@ QUERIES = {
     "events_multistep_funnel": events_multistep_funnel,
     "events_orders_join_estimate": events_orders_join_estimate,
     "customer_k_anonymity": customer_k_anonymity,
+    "orders_bootstrap_ci": orders_bootstrap_ci,
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh_query,
     "knn_ivf": knn_ivf_query,
@@ -11000,6 +11062,7 @@ ORACLES = {
     "events_multistep_funnel": SQL_EVENTS_MULTISTEP_FUNNEL,
     "events_orders_join_estimate": SQL_EVENTS_ORDERS_JOIN_ESTIMATE,
     "customer_k_anonymity": SQL_CUSTOMER_K_ANONYMITY,
+    "orders_bootstrap_ci": SQL_ORDERS_BOOTSTRAP_CI,
     "graph_link_prediction_parts": SQL_GRAPH_LINK_PREDICTION_PARTS,
     "docs_curation_pipeline": SQL_DOCS_CURATION_PIPELINE,
     "docs_curation_funnel": SQL_DOCS_CURATION_FUNNEL,

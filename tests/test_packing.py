@@ -264,3 +264,42 @@ def test_new_ops_empty_input(ray_session):
         "event_type": pa.array([], pa.string())}))
     assert cohort_retention(events).count() == 0
     assert per_key_mode(events, "user_id", "event_type").count() == 0
+
+
+def test_poisson_bootstrap_ci_matches_sequential(ray_session, sf_dir):
+    """Distributed Poisson-bootstrap CI == a single-process numpy replay
+    of the same draws over the collected table, and the interval
+    brackets the point estimate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from opennre_ray.functions.packing import (POISSON1_CDF_U64, _md5_u64,
+                                               bootstrap_params,
+                                               poisson_bootstrap_ci)
+    from opennre_ray.functions.sqlcompat import sql_round
+
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    got = poisson_bootstrap_ci(rd.from_arrow(tbl).repartition(7),
+                               "o_totalprice", "o_orderkey", n_replicas=40)
+
+    keys = tbl.column("o_orderkey").to_numpy()
+    cents = np.round(tbl.column("o_totalprice").to_numpy() * 100
+                     ).astype(np.int64)
+    h = np.array([_md5_u64(f"boot::{k}") for k in keys], dtype=np.uint64)
+    a, c = bootstrap_params(40)
+    thr = np.array(POISSON1_CDF_U64, dtype=np.uint64)
+    u = h[:, None] * a[None, :] + c[None, :]
+    w = (u[:, :, None] >= thr[None, None, :]).sum(2).astype(np.int64)
+    m = np.sort(sql_round(
+        (w * cents[:, None]).sum(0).astype(np.float64)
+        / w.sum(0).astype(np.float64) / 100, 12))
+    row = got.iloc[0]
+    assert row["n_rows"] == len(keys)
+    assert row["mean"] == sql_round(
+        np.float64(cents.sum()) / np.float64(len(keys)) / 100, 12)
+    assert row["ci_lo"] == m[0]          # ceil(0.025*40) = rank 1
+    assert row["ci_hi"] == m[38]         # ceil(0.975*40) = rank 39
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    # Poisson(1) weights: mean ~1, so total resample mass ~ n per replica
+    assert abs(w.sum() / (40 * len(keys)) - 1.0) < 0.05
