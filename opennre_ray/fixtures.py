@@ -109,6 +109,33 @@ RELATION_SCHEMA = {
 }
 
 
+#: class → parent class (rdfs:subClassOf edges over the coarse types) —
+#: the taxonomy the RDFS-reasoning pass (kg_type_inference) closes over.
+CLASS_PARENT = {
+    "SYSTEM": "ARTIFACT", "DATA": "ARTIFACT",
+    "OP": "PROCESS", "AGENT": "ACTOR",
+    "ARTIFACT": "THING", "PROCESS": "THING", "ACTOR": "THING",
+}
+
+
+def class_ancestors() -> dict[str, tuple]:
+    """Reflexive-transitive closure of :data:`CLASS_PARENT`:
+    class → (class, parent, ..., root). Ontology-sized by construction
+    (taxonomies are KBs of ~10³ classes, never corpus-sized), so the
+    closure computes in-process and broadcasts."""
+    out = {}
+    classes = set(CLASS_PARENT) | set(CLASS_PARENT.values())
+    for c in classes:
+        chain, cur = [c], c
+        while cur in CLASS_PARENT:
+            cur = CLASS_PARENT[cur]
+            if cur in chain:        # defensive: a cycle would hang
+                break
+            chain.append(cur)
+        out[c] = tuple(chain)
+    return out
+
+
 def entity_type_table() -> dict[str, str]:
     """entity id → coarse type (broadcast-sized by construction)."""
     return {entity_id(s): t for s, t in ENTITY_TYPES.items()}

@@ -3310,6 +3310,94 @@ def kg_type_violations(sf_dir):
     return out
 
 
+def kg_type_inference(sf_dir):
+    """RDFS-style type inference over the candidate KG — the reasoning
+    pass that turns a triple stream + a taxonomy into typed entities:
+    rdfs2 (pred's declared domain types the subject), rdfs3 (range types
+    the object), gazetteer assertions, then rdfs9 (subClassOf closure)
+    lifts every derived class to its ancestors
+    (fixtures.CLASS_PARENT / class_ancestors). Scale shape: evidence
+    emission is row-local with the broadcast relation schema; ONE
+    bucketed shuffle keyed on entity co-locates each entity's evidence,
+    and the (ontology-sized, corpus-independent) class closure expands
+    INSIDE the bucket — the output is |E|x|classes|-bounded exact
+    ints/strings. ``inferred_only`` marks types no direct rule asserted
+    (what reasoning added). Model-derived argmax labels → full-table
+    pinned oracle (pins.py)."""
+    from ..fixtures import (RELATION_SCHEMA, class_ancestors,
+                            entity_type_table)
+    from ..functions.relational import hash_bucket_aggregate
+
+    types = entity_type_table()
+    schema = dict(RELATION_SCHEMA)
+    anc = class_ancestors()
+    triples = _predicted_triples(sf_dir)
+
+    def evidence(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"entity": pd.Series([], dtype="object"),
+                                 "cls": pd.Series([], dtype="object"),
+                                 "src": pd.Series([], dtype="object")})
+        want = df["pred"].map(schema)
+        has = want.notna()
+        dom = pd.DataFrame({"entity": df.loc[has, "subj"],
+                            "cls": [w[0] for w in want[has]],
+                            "src": "domain"})
+        rng = pd.DataFrame({"entity": df.loc[has, "obj"],
+                            "cls": [w[1] for w in want[has]],
+                            "src": "range"})
+        ment = pd.DataFrame({
+            "entity": pd.concat([df["subj"], df["obj"]]).unique(),
+            "cls": "", "src": "mention"})
+        return pd.concat([dom, rng, ment], ignore_index=True)
+
+    ev = triples.map_batches(evidence, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g[g["src"] != "mention"]
+               .groupby(["entity", "cls", "src"]).size()
+               .rename("n").reset_index())
+        ents = [e for e in g["entity"].unique() if e in types]
+        asserted = pd.DataFrame({"entity": ents,
+                                 "cls": [types[e] for e in ents],
+                                 "src": "asserted",
+                                 "n": np.ones(len(ents), dtype=np.int64)})
+        direct = pd.concat([cnt, asserted], ignore_index=True)
+        if not len(direct):
+            return pd.DataFrame({
+                "entity": pd.Series([], dtype="object"),
+                "type": pd.Series([], dtype="object"),
+                "n_asserted": pd.Series([], dtype="int64"),
+                "n_domain": pd.Series([], dtype="int64"),
+                "n_range": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+                "inferred_only": pd.Series([], dtype="int64")})
+        ex = (direct.assign(type=direct["cls"].map(lambda c: list(anc[c])))
+              .explode("type"))
+        agg = ex.groupby(["entity", "type", "src"], as_index=False)["n"].sum()
+        wide = (agg.pivot(index=["entity", "type"], columns="src",
+                          values="n").reset_index())
+        for c in ("asserted", "domain", "range"):
+            if c not in wide.columns:
+                wide[c] = 0
+            wide[c] = wide[c].fillna(0).astype(np.int64)
+        directly = set(zip(direct["entity"], direct["cls"]))
+        out = pd.DataFrame({
+            "entity": wide["entity"], "type": wide["type"],
+            "n_asserted": wide["asserted"], "n_domain": wide["domain"],
+            "n_range": wide["range"]})
+        out["n_total"] = (out["n_asserted"] + out["n_domain"]
+                          + out["n_range"]).astype(np.int64)
+        out["inferred_only"] = np.array(
+            [int((e, t) not in directly)
+             for e, t in zip(out["entity"], out["type"])], dtype=np.int64)
+        return out
+
+    res = hash_bucket_aggregate(ev, ["entity"], per_bucket,
+                                n_buckets=8).to_pandas()
+    return (res.sort_values(["entity", "type"]).reset_index(drop=True))
+
+
 def _predicted_triples(sf_dir):
     """Distinct (subj, pred, obj) over the model's per-instance argmax
     labels — the CANDIDATE knowledge graph a rule-mining QA pass audits
@@ -10660,6 +10748,7 @@ QUERIES = {
     "sentence_calibration_bins": sentence_calibration_bins,
     "kg_truth_discovery": kg_truth_discovery,
     "kg_type_violations": kg_type_violations,
+    "kg_type_inference": kg_type_inference,
     "kg_inverse_relations": kg_inverse_relations,
     "kg_path_rules": kg_path_rules,
     "kg_relation_profile": kg_relation_profile,

@@ -45,6 +45,9 @@ PINNED = [
     # schema-validation report over the triple table: |schema|²-bounded
     # exact int/string rows — full-table pin
     "kg_type_violations",
+    # RDFS type-inference report: |E|x|classes|-bounded exact
+    # int/string rows (model argmax labels) — full-table pin
+    "kg_type_inference",
     # rule-mining QA over the candidate KG: |R|²/|R|³/|R|-bounded exact
     # int/string rows (model argmax labels) — full-table pins
     "kg_inverse_relations",

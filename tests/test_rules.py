@@ -237,3 +237,41 @@ def test_parity_random_graph(seed):
                                  r.new_checksum, r.confidence_micro)
             for r in inf.itertuples()}
     assert goti == _slow_inference(t, min_conf=50_000)
+
+
+def test_type_inference_matches_sequential(ray_session, sf_dir):
+    """Distributed RDFS type inference == a plain-Python replay of
+    rdfs2/rdfs3/assertion/rdfs9 over the collected candidate triples."""
+    from opennre_ray.fixtures import (RELATION_SCHEMA, class_ancestors,
+                                      entity_type_table)
+    from opennre_ray.pipelines.queries import (_predicted_triples,
+                                               kg_type_inference)
+
+    got = kg_type_inference(sf_dir)
+    trip = _predicted_triples(sf_dir).to_pandas()
+    types, anc = entity_type_table(), class_ancestors()
+
+    direct: dict = {}          # (entity, cls) -> [asserted, domain, range]
+    for r in trip.itertuples():
+        dr = RELATION_SCHEMA.get(r.pred)
+        if dr is not None:
+            direct.setdefault((r.subj, dr[0]), [0, 0, 0])[1] += 1
+            direct.setdefault((r.obj, dr[1]), [0, 0, 0])[2] += 1
+    for e in set(trip["subj"]) | set(trip["obj"]):
+        if e in types:
+            direct.setdefault((e, types[e]), [0, 0, 0])[0] += 1
+    want: dict = {}
+    for (e, c), v in direct.items():
+        for d in anc[c]:
+            w = want.setdefault((e, d), [0, 0, 0])
+            for i in range(3):
+                w[i] += v[i]
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        na, nd, nr = want[(r.entity, r.type)]
+        assert (r.n_asserted, r.n_domain, r.n_range) == (na, nd, nr), \
+            (r.entity, r.type)
+        assert r.n_total == na + nd + nr
+        assert r.inferred_only == int((r.entity, r.type) not in direct)
+    # reasoning added something: at least one purely-inherited type
+    assert got["inferred_only"].sum() > 0
