@@ -10730,6 +10730,117 @@ FROM cm
 """)
 
 
+WEAK_LABEL_ROUNDS = 3
+
+
+def docs_weak_label_model(sf_dir):
+    """Dawid-Skene weak-supervision label model (binary, fixed-point EM)
+    over four integer-threshold labeling functions — the label-
+    aggregation pass that replaces a naive majority vote with per-
+    labeler sensitivity/specificity estimates and a per-document
+    posterior. Reports the final confusion parameters per labeler plus
+    the posterior keep count and how many documents EM flipped vs the
+    majority vote (4 rows, exact int64).
+
+    Scale shape: labels computed in ONE streaming pass over text, then
+    materialized as a 5-small-int-per-doc table; each EM round is one
+    map_batches pass emitting 2K+3 integer partials per block, folded
+    with Python ints on the driver — no per-doc state is shuffled or
+    collected (functions/weaklabel.py). The whole chain is floor-div
+    micro-unit arithmetic, replayed bit-exactly by the unrolled-round
+    DuckDB oracle (:func:`_weak_label_sql`)."""
+    from ..functions.weaklabel import dawid_skene, weak_labels_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               rows_per_block=32768)
+    labels = ds.map_batches(weak_labels_batch,
+                            batch_format="pyarrow").materialize()
+    return dawid_skene(labels, rounds=WEAK_LABEL_ROUNDS)
+
+
+def _weak_label_sql(rounds: int = WEAK_LABEL_ROUNDS) -> str:
+    """Unrolled Dawid-Skene EM replay. Every round CTE is MATERIALIZED
+    (each is referenced by both the next params CTE and the next round
+    chain — inlined CTEs would re-expand the plan exponentially)."""
+    s = 1_000_000
+    labs = ("len", "stop", "uniq", "wordlen")
+    stop_list = "'the','a','an','of','and','or','in','on','to','is'"
+    parts = [rf"""WITH dt AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+r0 AS MATERIALIZED (
+  SELECT doc_id, y_len, y_stop, y_uniq, y_wordlen,
+         (((y_len + y_stop + y_uniq + y_wordlen) * {s}) // 4)
+             ::BIGINT AS p
+  FROM (SELECT doc_id,
+    CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END AS y_len,
+    CASE WHEN len(list_distinct(list_filter(
+           list_transform(toks, t -> lower(t)),
+           t -> list_contains([{stop_list}], t)))) >= 2
+         THEN 1 ELSE 0 END AS y_stop,
+    CASE WHEN len(toks) > 0 AND 2 * len(list_distinct(
+           list_transform(toks, t -> lower(t)))) >= len(toks)
+         THEN 1 ELSE 0 END AS y_uniq,
+    CASE WHEN len(toks) > 0 AND 2 * list_sum(
+           list_transform(toks, t -> length(t))) <= 9 * len(toks)
+         THEN 1 ELSE 0 END AS y_wordlen
+  FROM dt))"""]
+    for r in range(1, rounds + 1):
+        aggs = [f"GREATEST(1, LEAST({s - 1}, sum(p) // count(*)))"
+                f"::BIGINT AS pi"]
+        for lb in labs:
+            aggs.append(
+                f"GREATEST(1, LEAST({s - 1}, (sum(p::HUGEINT * y_{lb})"
+                f" * {s}) // GREATEST(sum(p::HUGEINT), 1)))"
+                f"::BIGINT AS a_{lb}")
+            aggs.append(
+                f"GREATEST(1, LEAST({s - 1}, (sum(({s} - p)::HUGEINT"
+                f" * (1 - y_{lb})) * {s})"
+                f" // GREATEST(sum(({s} - p)::HUGEINT), 1)))"
+                f"::BIGINT AS b_{lb}")
+        parts.append(f""",
+par{r} AS MATERIALIZED (
+  SELECT {(',' + chr(10) + '         ').join(aggs)}
+  FROM r{r - 1})""")
+        inner = f"SELECT r.*, q.* FROM r{r - 1} r CROSS JOIN par{r} q"
+        prev_n, prev_d = "pi::HUGEINT", f"({s} - pi)::HUGEINT"
+        for j, lb in enumerate(labs, 1):
+            inner = f"""SELECT *,
+  GREATEST(1, ({prev_n} * (CASE WHEN y_{lb} = 1
+    THEN a_{lb} ELSE {s} - a_{lb} END)) // {s}) AS n{j},
+  GREATEST(1, ({prev_d} * (CASE WHEN y_{lb} = 1
+    THEN {s} - b_{lb} ELSE b_{lb} END)) // {s}) AS d{j}
+FROM ({inner})"""
+            prev_n, prev_d = f"n{j}", f"d{j}"
+        parts.append(f""",
+r{r} AS MATERIALIZED (
+  SELECT doc_id, y_len, y_stop, y_uniq, y_wordlen,
+         (({prev_n} * {s}) // ({prev_n} + {prev_d}))::BIGINT AS p
+  FROM ({inner}))""")
+    vsum = ",\n         ".join(f"sum(y_{lb})::BIGINT AS v_{lb}"
+                               for lb in labs)
+    parts.append(f""",
+fin AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN 2 * p >= {s} THEN 1 ELSE 0 END)
+             ::BIGINT AS n_posterior_keep,
+         sum(CASE WHEN (CASE WHEN 2 * p >= {s} THEN 1 ELSE 0 END)
+                   <> (CASE WHEN 2 * (y_len + y_stop + y_uniq + y_wordlen)
+                        >= 4 THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END)::BIGINT AS n_flipped,
+         {vsum}
+  FROM r{rounds})
+""")
+    sels = [f"""SELECT '{lb}' AS labeler, v_{lb} AS n_said_keep,
+       a_{lb} AS alpha_fp, b_{lb} AS beta_fp, pi AS pi_fp,
+       n_docs, n_posterior_keep, n_flipped
+FROM par{rounds} CROSS JOIN fin""" for lb in labs]
+    parts.append("\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -10977,6 +11088,7 @@ QUERIES = {
     "events_cusum_drift": events_cusum_drift,
     "docs_vocab_coverage": docs_vocab_coverage,
     "docs_filter_agreement": docs_filter_agreement,
+    "docs_weak_label_model": docs_weak_label_model,
     "kg_entity_pagerank": kg_entity_pagerank,
     "kg_snapshot_diff": kg_snapshot_diff,
     "events_session_paths": events_session_paths,
@@ -11183,6 +11295,7 @@ ORACLES = {
     "events_cusum_drift": SQL_EVENTS_CUSUM_DRIFT,
     "docs_vocab_coverage": SQL_DOCS_VOCAB_COVERAGE,
     "docs_filter_agreement": _sql_filter_agreement(),
+    "docs_weak_label_model": _weak_label_sql(),
     "events_session_paths": SQL_EVENTS_SESSION_PATHS,
 }
 
