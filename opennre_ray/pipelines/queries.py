@@ -4263,6 +4263,131 @@ FROM lbl GROUP BY doc_id
 """
 
 
+def docs_dedup_cluster_eval(sf_dir):
+    """Extrinsic dedup-clustering evaluation: the MinHash-LSH transitive
+    clusters (prediction) scored against exact normalized-text duplicate
+    groups (reference) with PAIRWISE precision/recall/F1, Rand index and
+    Adjusted Rand — the QA gate a production near-dedup pass runs on a
+    sample before shipping a new banding config. All metrics derive from
+    three exact pair counts (same-cluster-in-both, predicted-same,
+    truth-same), reported as micro-units plus the ARI as an exact
+    integer fraction (ari_num/ari_den — ARI can be negative, so no
+    floor-div is taken).
+
+    Scale shape: both clusterings are the existing bucketed pipelines;
+    ONE doc_id-bucketed shuffle join aligns them, the contingency table
+    (≤ n_docs rows) aggregates bucketed, and the three pair sums fold
+    from per-block integer partials with Python ints on the driver (the
+    C(n,2) cross terms exceed int64 only at >3e9 docs — HUGEINT in the
+    oracle, arbitrary-precision ints here)."""
+    import re
+
+    from ..functions.dedup import minhash_dedup_clusters
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+
+    n = _nrows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               rows_per_block=32768)
+    pred = minhash_dedup_clusters(ds, rows_hint=16 * n)
+
+    ws = re.compile(r"\s+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = [ws.sub(" ", t.lower()).strip()
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"norm_text": pa.array(texts, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    def assign_truth(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "tgrp": g.groupby("norm_text")["doc_id"].transform("min")})
+
+    truth = hash_bucket_aggregate(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["norm_text"], assign_truth, rows_hint=n)
+
+    j = shuffle_join(pred, truth, "doc_id", "doc_id",
+                     ["cluster"], ["tgrp"], rows_hint=n)
+    ct = hash_bucket_aggregate(
+        j, ["cluster", "tgrp"],
+        lambda g: g.groupby(["cluster", "tgrp"], as_index=False)
+                   .size().rename(columns={"size": "n"}),
+        rows_hint=n)
+
+    def pairs_of(counts: pd.Series) -> int:
+        v = counts.to_numpy(np.int64)
+        return int((v * (v - 1) // 2).sum())
+
+    def tp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tp": [pairs_of(b["n"])]})
+
+    def marginal(key: str):
+        m = hash_bucket_aggregate(
+            ct, [key],
+            lambda g, k=key: g.groupby(k, as_index=False)["n"].sum(),
+            rows_hint=n)
+        return int(m.map_batches(
+            lambda b: pd.DataFrame({"p": [pairs_of(b["n"])]}),
+            batch_format="pandas").to_pandas()["p"].sum())
+
+    tp = int(ct.map_batches(tp_partial, batch_format="pandas")
+               .to_pandas()["tp"].sum())
+    pp, tq = marginal("cluster"), marginal("tgrp")
+    total = n * (n - 1) // 2
+    ari_num = 2 * (total * tp - pp * tq)
+    ari_den = total * (pp + tq) - 2 * pp * tq
+    if ari_den == 0:
+        ari_num, ari_den = 0, 1
+    out = pd.DataFrame([{
+        "n_docs": n, "tp_pairs": tp, "pred_pairs": pp, "true_pairs": tq,
+        "precision_micro": (10 ** 6 * tp // pp) if pp else 0,
+        "recall_micro": (10 ** 6 * tp // tq) if tq else 0,
+        "f1_micro": (2 * 10 ** 6 * tp // (pp + tq)) if pp + tq else 0,
+        "rand_micro": (10 ** 6 * (total - pp - tq + 2 * tp) // total)
+                      if total else 0,
+        "ari_num": ari_num, "ari_den": ari_den}])
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+SQL_DOCS_DEDUP_CLUSTER_EVAL = rf"""
+WITH pred AS MATERIALIZED (
+  SELECT doc_id, cluster FROM ({{clusters_sql}})),
+tr AS MATERIALIZED (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS tgrp
+  FROM documents),
+ct AS MATERIALIZED (
+  SELECT p.cluster, t.tgrp, count(*)::HUGEINT AS n
+  FROM pred p JOIN tr t USING (doc_id) GROUP BY 1, 2),
+s AS (SELECT
+  (SELECT count(*) FROM documents)::HUGEINT AS n_docs,
+  (SELECT COALESCE(sum(n * (n - 1) // 2), 0) FROM ct)::HUGEINT AS tp,
+  (SELECT COALESCE(sum(a * (a - 1) // 2), 0)
+     FROM (SELECT sum(n) AS a FROM ct GROUP BY cluster))::HUGEINT AS pp,
+  (SELECT COALESCE(sum(b * (b - 1) // 2), 0)
+     FROM (SELECT sum(n) AS b FROM ct GROUP BY tgrp))::HUGEINT AS tq),
+f AS (SELECT *, n_docs * (n_docs - 1) // 2 AS total FROM s)
+SELECT n_docs::BIGINT AS n_docs, tp::BIGINT AS tp_pairs,
+  pp::BIGINT AS pred_pairs, tq::BIGINT AS true_pairs,
+  (CASE WHEN pp = 0 THEN 0 ELSE 1000000 * tp // pp END)
+      ::BIGINT AS precision_micro,
+  (CASE WHEN tq = 0 THEN 0 ELSE 1000000 * tp // tq END)
+      ::BIGINT AS recall_micro,
+  (CASE WHEN pp + tq = 0 THEN 0
+        ELSE 2000000 * tp // (pp + tq) END)::BIGINT AS f1_micro,
+  (CASE WHEN total = 0 THEN 0
+        ELSE 1000000 * (total - pp - tq + 2 * tp) // total END)
+      ::BIGINT AS rand_micro,
+  (CASE WHEN total * (pp + tq) - 2 * pp * tq = 0 THEN 0
+        ELSE 2 * (total * tp - pp * tq) END)::BIGINT AS ari_num,
+  (CASE WHEN total * (pp + tq) - 2 * pp * tq = 0 THEN 1
+        ELSE total * (pp + tq) - 2 * pp * tq END)::BIGINT AS ari_den
+FROM f
+"""
+
+
 def docs_simhash(sf_dir):
     from ..functions.dedup import SimHashStage
 
@@ -10880,6 +11005,7 @@ QUERIES = {
     "docs_quality_dedup": docs_quality_dedup,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_dedup_cluster_eval": docs_dedup_cluster_eval,
     "docs_lsh_recall_eval": docs_lsh_recall_eval,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_duplicated_spans": docs_duplicated_spans,
@@ -11178,6 +11304,8 @@ ORACLES = {
     "docs_rolling_fingerprint": SQL_DOCS_ROLLING_FINGERPRINT,
     "docs_minhash_dedup": SQL_DOCS_MINHASH_DEDUP,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
+    "docs_dedup_cluster_eval": SQL_DOCS_DEDUP_CLUSTER_EVAL.replace(
+        "{clusters_sql}", SQL_DOCS_DEDUP_CLUSTERS),
     "docs_lsh_recall_eval": SQL_DOCS_LSH_RECALL_EVAL,
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
