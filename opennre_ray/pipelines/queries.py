@@ -3687,6 +3687,77 @@ def kg_triples_bert_stats(sf_dir):
         sf_dir, model_name="wiki80_bert_softmax", threshold=0.105))
 
 
+UNCERTAINTY_K = 40
+
+
+def sentence_uncertainty_sample(sf_dir):
+    """Active-learning acquisition: the k candidate instances the model
+    is LEAST sure about, ranked by margin (top-1 minus top-2 softmax
+    probability, ascending) — the batch a KG-construction loop sends to
+    annotators each round (margin sampling, Scheffer et al. 2001).
+    Entropy rides along as the secondary acquisition signal. Margin and
+    entropy are reported in micro-units (int64) so the full table pins
+    bit-stably (model scores are seeded; SQL cannot replay them).
+
+    Scale shape: scoring is the same stateless per-worker-cached
+    forward as the flagship (stages/score.py); each block prunes
+    MAP-SIDE to its local k lowest-margin rows, so the driver folds at
+    most k × n_blocks candidate rows (k=40) regardless of corpus size —
+    the global sort never touches the full instance stream.
+    Deterministic total order: (margin, entropy, url, sent_idx, h_id,
+    t_id)."""
+    from ..sources.pages import read_pages
+    from ..stages.extract import ExtractText
+    from ..stages.ner import mentions_udf
+    from ..stages.pairs import generate_pairs
+
+    k = UNCERTAINTY_K
+    order = ["margin_micro", "entropy_micro", "url", "sent_idx",
+             "h_id", "t_id"]
+
+    def margins(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.score import RelationScorer, cached
+
+        empty = pd.DataFrame({
+            "url": pd.Series([], dtype=object),
+            "sent_idx": pd.Series([], dtype="int64"),
+            "h_id": pd.Series([], dtype=object),
+            "t_id": pd.Series([], dtype=object),
+            "pred_rel": pd.Series([], dtype=object),
+            "margin_micro": pd.Series([], dtype="int64"),
+            "entropy_micro": pd.Series([], dtype="int64")})
+        if batch.num_rows == 0:
+            return empty
+        scorer = cached(("scorer", "wiki80_cnn_softmax"),
+                        lambda: RelationScorer("wiki80_cnn_softmax"))
+        mats = [scorer.score_matrix(batch.slice(off, scorer.CHUNK))
+                for off in range(0, batch.num_rows, scorer.CHUNK)]
+        p = np.concatenate(mats).astype(np.float64)
+        top2 = np.partition(p, p.shape[1] - 2, axis=1)[:, -2:]
+        margin = top2[:, 1] - top2[:, 0]
+        ent = -(p * np.log(np.maximum(p, 1e-300))).sum(axis=1)
+        pred = np.argmax(p, axis=1)
+        df = pd.DataFrame({
+            "url": batch.column("url").to_pylist(),
+            "sent_idx": batch.column("sent_idx")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64),
+            "h_id": batch.column("h_id").to_pylist(),
+            "t_id": batch.column("t_id").to_pylist(),
+            "pred_rel": [scorer.id2rel[int(i)] for i in pred],
+            "margin_micro": np.round(margin * 10 ** 6).astype(np.int64),
+            "entropy_micro": np.round(ent * 10 ** 6).astype(np.int64)})
+        return df.sort_values(order).head(k)          # map-side prune
+
+    inst = (read_pages(sf_dir)
+            .map_batches(ExtractText(), batch_format="pyarrow")
+            .map_batches(mentions_udf(), batch_format="pyarrow")
+            .map_batches(generate_pairs, batch_format="pyarrow"))
+    cand = inst.map_batches(margins, batch_format="pyarrow").to_pandas()
+    return (cand.sort_values(order).head(k)
+            .reset_index(drop=True))
+
+
 def sentence_scores_stats(sf_dir):
     """Pinned-aggregate companion to sentence_relation_scores."""
     ds = sentence_relation_scores(sf_dir).materialize()
@@ -7299,6 +7370,95 @@ SELECT k AS c_custkey, min(comp)::BIGINT AS cluster,
        k = min(comp) AS keep
 FROM lbl GROUP BY k
 """
+
+
+def customer_golden_records(sf_dir):
+    """Golden-record construction with FIELD-LEVEL SURVIVORSHIP — the
+    MDM step after entity resolution: each ER cluster emits ONE master
+    record whose fields are elected independently (anchor name from the
+    min-key member, statistical mode for categorical fields with
+    deterministic smallest-value tie-break, exact integer-cents sum for
+    the additive balance field). Scale shape: the cluster assignment
+    joins the attribute table on ONE key-bucketed shuffle, and all
+    survivorship rules are per-cluster aggregates inside ONE
+    cluster-bucketed pass (clusters never span buckets, so modes and
+    anchors are exact without a second exchange)."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+    from ..functions.sqlcompat import sql_round
+
+    n = _nrows(sf_dir, "customer")
+    clusters = customer_entity_resolution(sf_dir)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment", "c_nationkey",
+                  "c_acctbal"])
+    j = shuffle_join(clusters, cust, "c_custkey", "c_custkey",
+                     ["cluster"],
+                     ["c_name", "c_mktsegment", "c_nationkey",
+                      "c_acctbal"], rows_hint=n)
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(cents=sql_round(
+            g["c_acctbal"].to_numpy(np.float64) * 100.0, 0)
+            .astype(np.int64))
+        base = g.groupby("cluster", as_index=False).agg(
+            n_members=("c_custkey", "size"),
+            acctbal_sum_cents=("cents", "sum"))
+        anchor = (g.sort_values(["cluster", "c_custkey"], kind="stable")
+                  .groupby("cluster", as_index=False).first()
+                  [["cluster", "c_name"]]
+                  .rename(columns={"c_name": "name_canonical"}))
+
+        def mode_of(col: str, out: str) -> pd.DataFrame:
+            cnt = g.groupby(["cluster", col], as_index=False).agg(
+                cnt=(col, "size"))
+            cnt = cnt.sort_values(["cnt", col], ascending=[False, True],
+                                  kind="stable")
+            return (cnt.groupby("cluster", sort=False).head(1)
+                    [["cluster", col]].rename(columns={col: out}))
+
+        out = (base.merge(anchor, on="cluster")
+               .merge(mode_of("c_mktsegment", "segment_mode"),
+                      on="cluster")
+               .merge(mode_of("c_nationkey", "nation_mode"),
+                      on="cluster"))
+        return out.astype({"n_members": np.int64,
+                           "acctbal_sum_cents": np.int64,
+                           "nation_mode": np.int64})
+
+    return hash_bucket_aggregate(j, ["cluster"], survivors, rows_hint=n)
+
+
+SQL_CUSTOMER_GOLDEN_RECORDS = ("""
+WITH cl AS MATERIALIZED (
+  SELECT c_custkey, cluster FROM ("""
+                               + SQL_CUSTOMER_ENTITY_RESOLUTION + """)),
+j AS MATERIALIZED (
+  SELECT cl.cluster, c.c_custkey, c.c_name, c.c_mktsegment,
+         c.c_nationkey, round(c.c_acctbal * 100)::BIGINT AS cents
+  FROM cl JOIN customer c USING (c_custkey)),
+base AS (SELECT cluster, count(*)::BIGINT AS n_members,
+                sum(cents)::BIGINT AS acctbal_sum_cents
+         FROM j GROUP BY cluster),
+anchor AS (SELECT cluster, c_name AS name_canonical FROM (
+  SELECT cluster, c_name,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY c_custkey) AS rn FROM j)
+  WHERE rn = 1),
+seg AS (SELECT cluster, c_mktsegment AS segment_mode FROM (
+  SELECT cluster, c_mktsegment,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY count(*) DESC, c_mktsegment) AS rn
+  FROM j GROUP BY cluster, c_mktsegment) WHERE rn = 1),
+nat AS (SELECT cluster, c_nationkey::BIGINT AS nation_mode FROM (
+  SELECT cluster, c_nationkey,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY count(*) DESC, c_nationkey) AS rn
+  FROM j GROUP BY cluster, c_nationkey) WHERE rn = 1)
+SELECT cluster, n_members, acctbal_sum_cents, name_canonical,
+       segment_mode, nation_mode
+FROM base JOIN anchor USING (cluster) JOIN seg USING (cluster)
+     JOIN nat USING (cluster)
+""")
 
 
 def events_click_near_purchase(sf_dir):
@@ -10982,6 +11142,7 @@ QUERIES = {
     "kg_triples_bert_stats": kg_triples_bert_stats,
     "sentence_scores_stats": sentence_scores_stats,
     "sentence_calibration_bins": sentence_calibration_bins,
+    "sentence_uncertainty_sample": sentence_uncertainty_sample,
     "kg_truth_discovery": kg_truth_discovery,
     "kg_type_violations": kg_type_violations,
     "kg_type_inference": kg_type_inference,
@@ -11014,6 +11175,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_containment_pairs": docs_containment_pairs,
     "customer_entity_resolution": customer_entity_resolution,
+    "customer_golden_records": customer_golden_records,
     "customer_rfm_segments": customer_rfm_segments,
     "events_user_skew_profile": events_user_skew_profile,
     "docs_textrank_keywords": docs_textrank_keywords,
@@ -11329,6 +11491,7 @@ ORACLES = {
     "events_late_flags": SQL_EVENTS_LATE_FLAGS,
     "events_user_trend": SQL_EVENTS_USER_TREND,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
+    "customer_golden_records": SQL_CUSTOMER_GOLDEN_RECORDS,
     "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,

@@ -39,6 +39,9 @@ PINNED = [
     # decile reliability histogram is <= 10 exact-integer rows per sf —
     # full-table pin (model scores are seeded; SQL cannot replay them)
     "sentence_calibration_bins",
+    # margin-sampling acquisition batch: k=40 rows of int/string columns
+    # over seeded model scores — full-table pin
+    "sentence_uncertainty_sample",
     # majority-vote object election per (subj, pred): int/string columns
     # over the pinnable triple table — full-table pin
     "kg_truth_discovery",
