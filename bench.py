@@ -265,6 +265,19 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.events_orders_join_estimate(sf_dir))
     timed("customer_k_anonymity",
           lambda: Q.customer_k_anonymity(sf_dir))
+    timed("kg_type_inference", lambda: Q.kg_type_inference(sf_dir))
+    timed("docs_weak_label_model",
+          lambda: Q.docs_weak_label_model(sf_dir))
+    timed("docs_dedup_cluster_eval",
+          lambda: Q.docs_dedup_cluster_eval(sf_dir))
+    timed("sentence_uncertainty_sample",
+          lambda: Q.sentence_uncertainty_sample(sf_dir))
+    timed("sentence_temperature_scaling",
+          lambda: Q.sentence_temperature_scaling(sf_dir))
+    timed("kg_snowball_patterns",
+          lambda: Q.kg_snowball_patterns(sf_dir))
+    timed("customer_golden_records",
+          lambda: consume(Q.customer_golden_records(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -3398,6 +3398,104 @@ def kg_type_inference(sf_dir):
     return (res.sort_values(["entity", "type"]).reset_index(drop=True))
 
 
+SNOWBALL_TOP_K = 25
+SNOWBALL_MAX_PATTERN_TOKENS = 6
+
+
+def kg_snowball_patterns(sf_dir):
+    """Snowball/DIPRE-style pattern induction (Brin 1998, Agichtein &
+    Gravano 2000) — the bootstrapping step of semi-supervised relation
+    extraction: the token context BETWEEN the two entity mentions
+    becomes a candidate extraction pattern, each pattern is scored by
+    how often its instances land in the high-confidence seed KB (the
+    flagship's thresholded triples), and the per-pattern majority seed
+    relation becomes the pattern's label. Reports the top-k patterns by
+    support with exact integer confidence (1e6·n_seed // n_total).
+
+    Scale shape: patterns are row-local string slices of the already-
+    scored instance stream (ONE scoring pass, materialized); the seed
+    KB is KB-bounded (distinct gazetteer pairs × relations), collected
+    once and broadcast in the UDF closure — at open-web scale the
+    membership test swaps to the decontaminate-style Bloom gate. Counts
+    reduce map-side per (pattern, seed_rel), one pattern-bucketed
+    aggregate elects the majority label, and top-k prunes per bucket
+    before a ≤ k×buckets driver fold. SQL cannot replay the model or
+    the NER regex, so the k-row table pins (pins.py)."""
+    import re
+
+    from ..functions.relational import hash_bucket_aggregate
+    from .kg import SCORE_THRESHOLD, candidate_instances
+    from ..sources.pages import read_pages
+
+    inst = candidate_instances(read_pages(sf_dir)).materialize()
+    n_hint = max(inst.count(), 1)
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["pred_rel"] != "NA")
+                & (df["score"].to_numpy(np.float64) >= SCORE_THRESHOLD))
+        g = df.loc[keep, ["h_id", "pred_rel", "t_id"]]
+        return g.drop_duplicates()
+
+    seeds = set(map(tuple, inst.map_batches(
+        seed_rows, batch_format="pandas").to_pandas()
+        .itertuples(index=False, name=None)))
+
+    ws = re.compile(r"\s+")
+
+    def pattern_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pattern": pd.Series([], dtype=object),
+                "seed_rel": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        pats, rels = [], []
+        for text, he, ts, h, r, t in zip(
+                df["text"], df["h_end"], df["t_start"],
+                df["h_id"], df["pred_rel"], df["t_id"]):
+            mid = ws.sub(" ", text[int(he):int(ts)].lower()).strip()
+            if mid.count(" ") >= SNOWBALL_MAX_PATTERN_TOKENS:
+                continue
+            pats.append(mid if mid else "<adjacent>")
+            rels.append(r if (h, r, t) in seeds else "")
+        out = pd.DataFrame({"pattern": pats, "seed_rel": rels})
+        out = out.groupby(["pattern", "seed_rel"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["pattern", "seed_rel"], as_index=False)["n"] \
+                .sum()
+        tot = (full.groupby("pattern", as_index=False)["n"].sum()
+               .rename(columns={"n": "n_total"}))
+        sd = full[full["seed_rel"] != ""]
+        nsd = (sd.groupby("pattern", as_index=False)["n"].sum()
+               .rename(columns={"n": "n_seed"}))
+        top = (sd.sort_values(["pattern", "n", "seed_rel"],
+                              ascending=[True, False, True],
+                              kind="stable")
+               .drop_duplicates("pattern")[["pattern", "seed_rel"]]
+               .rename(columns={"seed_rel": "major_rel"}))
+        out = tot.merge(nsd, on="pattern", how="left") \
+                 .merge(top, on="pattern", how="left")
+        out["n_seed"] = out["n_seed"].fillna(0).astype(np.int64)
+        out["major_rel"] = out["major_rel"].fillna("NA")
+        out["conf_micro"] = (10 ** 6 * out["n_seed"]
+                             // out["n_total"]).astype(np.int64)
+        out = out.sort_values(["n_total", "pattern"],
+                              ascending=[False, True], kind="stable")
+        return out.head(SNOWBALL_TOP_K)          # per-bucket prune
+
+    cand = hash_bucket_aggregate(
+        inst.map_batches(pattern_partial, batch_format="pandas"),
+        ["pattern"], per_bucket, rows_hint=n_hint).to_pandas()
+    out = (cand.sort_values(["n_total", "pattern"],
+                            ascending=[False, True], kind="stable")
+           .head(SNOWBALL_TOP_K).reset_index(drop=True))
+    return out.astype({"n_total": np.int64, "n_seed": np.int64,
+                       "conf_micro": np.int64})
+
+
 def _predicted_triples(sf_dir):
     """Distinct (subj, pred, obj) over the model's per-instance argmax
     labels — the CANDIDATE knowledge graph a rule-mining QA pass audits
@@ -3667,6 +3765,134 @@ def sentence_calibration_bins(sf_dir):
     for c in ("bin", "n", "n_agree", "score_sum_micro"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+#: temperature grid in milli-units (T = t_milli / 1000)
+TEMP_GRID_MILLI = (500, 750, 1000, 1500, 2000, 3000)
+
+
+def sentence_temperature_scaling(sf_dir):
+    """Temperature-scaling calibration fit (Guo et al. 2017) for the
+    sentence scorer: evaluate ECE over a fixed temperature grid against
+    the pair-majority self-consistency proxy (same pseudo-labels as
+    ``sentence_calibration_bins``) and flag the argmin — the post-hoc
+    calibration step a KG build applies before thresholding scores
+    into triples. Softmax temperature is applied to log-probs (softmax
+    is shift-invariant, so ln p recovers the logit geometry exactly).
+
+    Exact integer ECE: per (T, decile) the partials carry n, n_agree
+    and Σ rint(conf·1e6); ece_micro = Σ_bins |1e6·n_agree − Σconf| // N
+    — no float enters after the per-instance rounding, so the 6-row
+    table pins bit-stably. Scale shape: ONE scoring pass emits the
+    grid's confidence columns (6 floats/instance, R-wide rows never
+    shuffle), consensus is the same map-side vote + pair-bucketed
+    argmax + ONE pair-keyed join, and the (T, bin) histogram reduces
+    map-side to ≤ 60 rows per block."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+    from ..sources.pages import read_pages
+    from ..stages.extract import ExtractText
+    from ..stages.ner import mentions_udf
+    from ..stages.pairs import generate_pairs
+
+    tcols = [f"conf_t{t}" for t in TEMP_GRID_MILLI]
+
+    def grid_conf(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.score import RelationScorer, cached
+
+        cols = {"pair": pd.Series([], dtype=object),
+                "pred_rel": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype="float64") for c in tcols}}
+        if batch.num_rows == 0:
+            return pd.DataFrame(cols)
+        scorer = cached(("scorer", "wiki80_cnn_softmax"),
+                        lambda: RelationScorer("wiki80_cnn_softmax"))
+        mats = [scorer.score_matrix(batch.slice(off, scorer.CHUNK))
+                for off in range(0, batch.num_rows, scorer.CHUNK)]
+        p = np.concatenate(mats).astype(np.float64)
+        logp = np.log(np.maximum(p, 1e-300))
+        pred = np.argmax(p, axis=1)
+        h = batch.column("h_id").to_pylist()
+        t_ = batch.column("t_id").to_pylist()
+        out = {"pair": [f"{a}|{b}" for a, b in zip(h, t_)],
+               "pred_rel": [scorer.id2rel[int(i)] for i in pred]}
+        for t_milli, c in zip(TEMP_GRID_MILLI, tcols):
+            z = logp / (t_milli / 1000.0)
+            z -= z.max(axis=1, keepdims=True)
+            ez = np.exp(z)
+            out[c] = ez.max(axis=1) / ez.sum(axis=1)
+        return pd.DataFrame(out)
+
+    inst = (read_pages(sf_dir)
+            .map_batches(ExtractText(), batch_format="pyarrow")
+            .map_batches(mentions_udf(), batch_format="pyarrow")
+            .map_batches(generate_pairs, batch_format="pyarrow"))
+    sent = inst.map_batches(grid_conf, batch_format="pyarrow") \
+               .materialize()
+    n_hint = max(sent.count(), 1)
+
+    def vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["pair", "pred_rel"], sort=False,
+                         as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["c"] = out["c"].astype(np.int64)
+        return out[["pair", "pred_rel", "c"]]
+
+    def majority_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = g.groupby(["pair", "pred_rel"], as_index=False)["c"].sum()
+        full = full.sort_values(["pair", "c", "pred_rel"],
+                                ascending=[True, False, True],
+                                kind="stable")
+        top = full.drop_duplicates("pair")
+        return pd.DataFrame({
+            "pair": top["pair"].to_numpy(),
+            "major_rel": top["pred_rel"].astype(str).to_numpy()})
+
+    major = hash_bucket_aggregate(
+        sent.map_batches(vote_partial, batch_format="pandas"),
+        ["pair"], majority_bucket, rows_hint=n_hint)
+    joined = shuffle_join(sent, major, "pair", "pair",
+                          ["pred_rel"] + tcols, ["major_rel"],
+                          rows_hint=n_hint)
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: pd.Series([], dtype="int64")
+                for c in ("t_milli", "bin", "n", "n_agree",
+                          "conf_sum_micro")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        agree = (df["pred_rel"].to_numpy()
+                 == df["major_rel"].to_numpy()).astype(np.int64)
+        frames = []
+        for t_milli, c in zip(TEMP_GRID_MILLI, tcols):
+            conf = df[c].to_numpy(np.float64)
+            b = np.minimum((conf * CALIB_BINS).astype(np.int64),
+                           CALIB_BINS - 1)
+            frames.append(pd.DataFrame({
+                "t_milli": np.int64(t_milli), "bin": b,
+                "n": np.ones(len(df), dtype=np.int64),
+                "n_agree": agree,
+                "conf_sum_micro": np.rint(conf * 1e6).astype(np.int64)}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["t_milli", "bin"], as_index=False).sum()
+
+    parts = joined.map_batches(bin_partial, batch_format="pandas") \
+                  .to_pandas()
+    bins = parts.groupby(["t_milli", "bin"], as_index=False).sum()
+    rows = []
+    for t_milli, g in bins.groupby("t_milli"):
+        n = int(g["n"].sum())
+        ece_num = int(np.abs(10 ** 6 * g["n_agree"].to_numpy(np.int64)
+                             - g["conf_sum_micro"].to_numpy(np.int64))
+                      .sum())
+        rows.append({"t_milli": int(t_milli), "n": n,
+                     "n_agree": int(g["n_agree"].sum()),
+                     "conf_sum_micro": int(g["conf_sum_micro"].sum()),
+                     "ece_micro": ece_num // n if n else 0})
+    out = pd.DataFrame(rows).sort_values("t_milli")
+    best = out.sort_values(["ece_micro", "t_milli"]).iloc[0]["t_milli"]
+    out["chosen"] = (out["t_milli"] == best).astype(np.int64)
+    return (out.astype({c: np.int64 for c in out.columns})
+            .reset_index(drop=True))
 
 
 # --- companion *_stats queries: deterministic integer aggregates over the
@@ -11143,6 +11369,8 @@ QUERIES = {
     "sentence_scores_stats": sentence_scores_stats,
     "sentence_calibration_bins": sentence_calibration_bins,
     "sentence_uncertainty_sample": sentence_uncertainty_sample,
+    "sentence_temperature_scaling": sentence_temperature_scaling,
+    "kg_snowball_patterns": kg_snowball_patterns,
     "kg_truth_discovery": kg_truth_discovery,
     "kg_type_violations": kg_type_violations,
     "kg_type_inference": kg_type_inference,

@@ -42,6 +42,12 @@ PINNED = [
     # margin-sampling acquisition batch: k=40 rows of int/string columns
     # over seeded model scores — full-table pin
     "sentence_uncertainty_sample",
+    # temperature-grid ECE table: 6 exact-integer rows per sf —
+    # full-table pin (model scores are seeded; SQL cannot replay them)
+    "sentence_temperature_scaling",
+    # snowball pattern-induction top-k: k=25 int/string rows over model
+    # triples + NER spans — full-table pin
+    "kg_snowball_patterns",
     # majority-vote object election per (subj, pred): int/string columns
     # over the pinnable triple table — full-table pin
     "kg_truth_discovery",
