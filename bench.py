@@ -278,6 +278,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.kg_snowball_patterns(sf_dir))
     timed("customer_golden_records",
           lambda: consume(Q.customer_golden_records(sf_dir)))
+    timed("docs_split_leakage",
+          lambda: consume(Q.docs_split_leakage(sf_dir)))
+    timed("customer_blocking_eval",
+          lambda: Q.customer_blocking_eval(sf_dir))
+    timed("events_psi_drift", lambda: Q.events_psi_drift(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

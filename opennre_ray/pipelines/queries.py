@@ -4545,6 +4545,74 @@ FROM s
 """
 
 
+def docs_split_leakage(sf_dir):
+    """Cross-split contamination audit: near-duplicate pairs (MinHash-
+    LSH candidates, `dedup.lsh_candidate_pairs`) that STRADDLE the
+    deterministic train/test hash split — the leakage a benchmark-clean
+    training set must not have (train doc ~ test doc inflates eval).
+    Emits one row per contaminated test doc with its train-partner
+    count and the smallest offending train doc (the decontamination
+    work-list). Scale shape: the candidate stream is the linear banded
+    LSH pass, the split flag is RE-DERIVED row-locally from each pair
+    endpoint's md5 draw (`packing.split_draws` — no join against a
+    split table), and the per-test-doc fold is one bucketed aggregate
+    over cross pairs only."""
+    from ..functions.dedup import lsh_candidate_pairs
+    from ..functions.packing import split_cut, split_draws
+    from ..functions.relational import hash_bucket_aggregate
+
+    n = _nrows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = lsh_candidate_pairs(ds, rows_hint=16 * n)
+    cut = split_cut(SPLIT_TRAIN_FRAC)
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"test_doc": pd.Series([], dtype="int64"),
+                "train_doc": pd.Series([], dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        tra = split_draws(a) < cut
+        trb = split_draws(b) < cut
+        keep = tra != trb
+        return pd.DataFrame({
+            "test_doc": np.where(tra, b, a)[keep],
+            "train_doc": np.where(tra, a, b)[keep]})
+
+    x = cand.map_batches(cross_pairs, batch_format="pandas")
+
+    def per_test(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("test_doc", as_index=False).agg(
+            n_train_partners=("train_doc", "size"),
+            min_train_partner=("train_doc", "min"))
+        return out.astype({"test_doc": np.int64,
+                           "n_train_partners": np.int64,
+                           "min_train_partner": np.int64})
+
+    return hash_bucket_aggregate(x, ["test_doc"], per_test, rows_hint=n)
+
+
+SQL_DOCS_SPLIT_LEAKAGE = "WITH " + _sql_minhash_ctes() + f""",
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y USING (band_id, bkey)
+         WHERE x.doc_id < y.doc_id),
+s AS (SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+          < {int(SPLIT_TRAIN_FRAC * 4294967296)} AS is_train
+      FROM documents),
+x AS (SELECT CASE WHEN sa.is_train THEN c.b ELSE c.a END AS test_doc,
+             CASE WHEN sa.is_train THEN c.a ELSE c.b END AS train_doc
+      FROM cand c JOIN s sa ON sa.doc_id = c.a
+                  JOIN s sb ON sb.doc_id = c.b
+      WHERE sa.is_train <> sb.is_train)
+SELECT test_doc::BIGINT AS test_doc,
+       count(*)::BIGINT AS n_train_partners,
+       min(train_doc)::BIGINT AS min_train_partner
+FROM x GROUP BY test_doc
+"""
+
+
 SQL_DOCS_DEDUP_CLUSTERS = "WITH RECURSIVE " + _sql_minhash_ctes() + """,
 memb AS (
   SELECT bd.doc_id, bd.band_id::VARCHAR || '|' || bd.bkey AS bucket
@@ -5073,6 +5141,101 @@ WITH s AS (SELECT user_id, event_type,
            FROM events)
 SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS cnt
 FROM s WHERE prev IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
+PSI_BIN_WIDTH = 50.0
+PSI_N_BINS = 10
+
+
+def events_psi_drift(sf_dir):
+    """Population-stability-index drift audit between the stream's early
+    and late halves (split at the midpoint timestamp) per event type,
+    over fixed-width value bins — the distribution-shift alarm a
+    continuously-crawled corpus checks before retraining on new data.
+    Each bin's PSI term (n/N − m/M)·ln((n·M)/(m·N)) is rounded ONCE to
+    the 1e-6 grid so the per-type sum is an order-independent integer
+    (`docs_source_divergence`'s fixed-point recipe); bins populated on
+    only one side are excluded and counted in `n_zero_bins`. Scale
+    shape: one min/max aggregate fixes the midpoint, the histogram
+    reduces map-side to ≤ types × 2 × bins rows per block, and the
+    final PSI fold runs over a constant-size table."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(mm["min(ts)"]).value // 1000
+    hi = pd.Timestamp(mm["max(ts)"]).value // 1000
+    mid = (lo + hi) // 2
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "bin": pd.Series([], dtype="int64"),
+                "n_early": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        early = (t <= mid).astype(np.int64)
+        b = np.minimum(np.maximum(np.floor(
+            df["value"].to_numpy(np.float64) / PSI_BIN_WIDTH)
+            .astype(np.int64), 0), PSI_N_BINS - 1)
+        out = pd.DataFrame({"event_type": df["event_type"], "bin": b,
+                            "n_early": early, "n_late": 1 - early})
+        return out.groupby(["event_type", "bin"], as_index=False).sum()
+
+    cnt = (ds.map_batches(bin_partial, batch_format="pandas").to_pandas()
+           .groupby(["event_type", "bin"], as_index=False).sum())
+    rows = []
+    for et, g in cnt.groupby("event_type"):
+        big_n = int(g["n_early"].sum())
+        big_m = int(g["n_late"].sum())
+        psi, zero = 0, 0
+        for n_i, m_i in zip(g["n_early"], g["n_late"]):
+            n_i, m_i = int(n_i), int(m_i)
+            if n_i == 0 or m_i == 0:
+                zero += 1
+                continue
+            term = ((n_i / big_n - m_i / big_m)
+                    * math.log((n_i * big_m) / (m_i * big_n)))
+            psi += math.floor(term * 1000000 + 0.5)
+        rows.append({"event_type": et, "n_early": big_n, "n_late": big_m,
+                     "n_zero_bins": zero, "psi_micro": psi})
+    out = (pd.DataFrame(rows).sort_values("event_type")
+           .reset_index(drop=True))
+    return out.astype({c: np.int64 for c in out.columns
+                       if c != "event_type"})
+
+
+SQL_EVENTS_PSI_DRIFT = f"""
+WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events),
+b AS (SELECT event_type,
+             least(greatest(CAST(floor(value / {PSI_BIN_WIDTH})
+                                 AS BIGINT), 0), {PSI_N_BINS - 1}) AS bin,
+             CASE WHEN epoch_us(ts) <= (mm.lo + mm.hi) // 2
+                  THEN 1 ELSE 0 END AS early
+      FROM events, mm),
+c AS (SELECT event_type, bin, sum(early)::BIGINT AS n_e,
+             sum(1 - early)::BIGINT AS n_l
+      FROM b GROUP BY event_type, bin),
+t AS (SELECT event_type, sum(n_e)::BIGINT AS tn, sum(n_l)::BIGINT AS tm
+      FROM c GROUP BY event_type),
+term AS (SELECT c.event_type,
+           CASE WHEN c.n_e = 0 OR c.n_l = 0 THEN NULL
+                ELSE CAST(floor((c.n_e::DOUBLE / t.tn
+                                 - c.n_l::DOUBLE / t.tm)
+                                * ln((c.n_e * t.tm)::DOUBLE
+                                     / (c.n_l * t.tn)::DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) END AS f
+         FROM c JOIN t USING (event_type))
+SELECT t.event_type, t.tn AS n_early, t.tm AS n_late,
+       (count(*) FILTER (WHERE f IS NULL))::BIGINT AS n_zero_bins,
+       coalesce(sum(f), 0)::BIGINT AS psi_micro
+FROM term JOIN t USING (event_type)
+GROUP BY t.event_type, t.tn, t.tm
 """
 
 
@@ -7685,6 +7848,149 @@ SELECT cluster, n_members, acctbal_sum_cents, name_canonical,
 FROM base JOIN anchor USING (cluster) JOIN seg USING (cluster)
      JOIN nat USING (cluster)
 """)
+
+
+def customer_blocking_eval(sf_dir):
+    """Blocking-scheme quality evaluation for entity resolution
+    (Christen 2012): for three candidate blocking keys — 4-char name
+    prefix, nation+segment, name length — report the candidate-pair
+    volume, REDUCTION RATIO vs the all-pairs cross product, and PAIRS
+    COMPLETENESS vs the accepted match truth (the edit-distance ≤ 1
+    typo pairs that feed `customer_entity_resolution`). This is the
+    'measure, don't guess' step before committing an ER blocking key at
+    corpus scale. Scale shape: candidate-pair counts come from per-key
+    group sizes (Σ n·(n−1)/2 — pairs are COUNTED, never materialized),
+    keys reduce map-side then fold per bucket; truth pairs attach their
+    endpoint keys via two bucketed joins and coverage folds to three
+    integers. Exact micro-unit ratios, no float."""
+    from ..functions.dedup import edit_distance_self_join
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+
+    n = _nrows(sf_dir, "customer")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+    def key_long(df: pd.DataFrame) -> pd.DataFrame:
+        kp = df["c_name"].str.slice(0, 4)
+        kn = (df["c_nationkey"].astype("int64").astype(str)
+              + "|" + df["c_mktsegment"])
+        kl = df["c_name"].str.len().astype("int64").astype(str)
+        return pd.DataFrame({
+            "scheme": (["prefix4"] * len(df) + ["nation_segment"] * len(df)
+                       + ["name_length"] * len(df)),
+            "key": pd.concat([kp, kn, kl], ignore_index=True)})
+
+    def block_partial(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["scheme", "key"], as_index=False).size()
+        sz["pairs"] = (sz["size"] * (sz["size"] - 1) // 2).astype(np.int64)
+        out = sz.groupby("scheme", as_index=False).agg(
+            n_blocks=("key", "size"), n_cand_pairs=("pairs", "sum"))
+        return out.astype({"n_blocks": np.int64, "n_cand_pairs": np.int64})
+
+    blocks = hash_bucket_aggregate(
+        cust.map_batches(key_long, batch_format="pandas"),
+        ["scheme", "key"], block_partial, rows_hint=3 * n).to_pandas()
+    blocks = blocks.groupby("scheme", as_index=False).sum()
+
+    keys = cust.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "kp": df["c_name"].str.slice(0, 4),
+            "kn": (df["c_nationkey"].astype("int64").astype(str)
+                   + "|" + df["c_mktsegment"]),
+            "kl": df["c_name"].str.len().astype("int64").astype(str)}),
+        batch_format="pandas")
+    pairs = edit_distance_self_join(cust, id_col="c_custkey",
+                                    str_col="c_name", max_dist=1,
+                                    rows_hint=n)
+    j1 = shuffle_join(pairs, keys, "id_a", "c_custkey", ["id_b"],
+                      ["kp", "kn", "kl"], rows_hint=n).map_batches(
+        # shuffle_join's tagged union round-trips id_b to object dtype;
+        # re-cast before it becomes the next join's bucket key
+        lambda df: df.assign(id_b=df["id_b"].astype("int64")).rename(
+            columns={"kp": "kp_a", "kn": "kn_a", "kl": "kl_a"}),
+        batch_format="pandas")
+    j2 = shuffle_join(j1, keys, "id_b", "c_custkey",
+                      ["kp_a", "kn_a", "kl_a"], ["kp", "kn", "kl"],
+                      rows_hint=n)
+
+    def cov_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"scheme": pd.Series([], dtype=object),
+                "n_covered": pd.Series([], dtype="int64"),
+                "n_truth_pairs": pd.Series([], dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        m = len(df)
+        return pd.DataFrame({
+            "scheme": ["prefix4", "nation_segment", "name_length"],
+            "n_covered": np.array(
+                [(df["kp_a"] == df["kp"]).sum(),
+                 (df["kn_a"] == df["kn"]).sum(),
+                 (df["kl_a"] == df["kl"]).sum()], np.int64),
+            "n_truth_pairs": np.full(3, m, np.int64)})
+
+    cov = (j2.map_batches(cov_partial, batch_format="pandas")
+           .to_pandas().groupby("scheme", as_index=False).sum())
+
+    out = blocks.merge(cov, on="scheme", how="left")
+    out[["n_covered", "n_truth_pairs"]] = (
+        out[["n_covered", "n_truth_pairs"]].fillna(0))
+    allp = n * (n - 1) // 2
+    out["rr_micro"] = [10 ** 6 * (allp - int(c)) // allp
+                       for c in out["n_cand_pairs"]]
+    out["pc_micro"] = [0 if t == 0 else 10 ** 6 * int(c) // int(t)
+                       for c, t in zip(out["n_covered"],
+                                       out["n_truth_pairs"])]
+    out = out.sort_values("scheme").reset_index(drop=True)
+    return out.astype({c: np.int64 for c in out.columns
+                       if c != "scheme"})
+
+
+SQL_CUSTOMER_BLOCKING_EVAL = """
+WITH pr AS (
+  SELECT a.c_name AS na, b.c_name AS nb,
+         a.c_nationkey AS nka, b.c_nationkey AS nkb,
+         a.c_mktsegment AS msa, b.c_mktsegment AS msb
+  FROM customer a JOIN customer b
+    ON substr(a.c_name, 1, length(a.c_name) - 1)
+       = substr(b.c_name, 1, length(b.c_name) - 1)
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+k AS (
+  SELECT 'prefix4' AS scheme, substr(c_name, 1, 4) AS key FROM customer
+  UNION ALL
+  SELECT 'nation_segment', c_nationkey::VARCHAR || '|' || c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT 'name_length', length(c_name)::VARCHAR FROM customer),
+blocks AS (SELECT scheme, key, count(*)::BIGINT AS n
+           FROM k GROUP BY scheme, key),
+cand AS (SELECT scheme, count(*)::BIGINT AS n_blocks,
+                sum(n * (n - 1) // 2)::BIGINT AS n_cand_pairs
+         FROM blocks GROUP BY scheme),
+cov AS (
+  SELECT 'prefix4' AS scheme,
+         count(*) FILTER (WHERE substr(na,1,4) = substr(nb,1,4))::BIGINT
+           AS n_covered,
+         count(*)::BIGINT AS n_truth_pairs FROM pr
+  UNION ALL
+  SELECT 'nation_segment',
+         count(*) FILTER (WHERE nka::VARCHAR || '|' || msa
+                                = nkb::VARCHAR || '|' || msb)::BIGINT,
+         count(*)::BIGINT FROM pr
+  UNION ALL
+  SELECT 'name_length',
+         count(*) FILTER (WHERE length(na) = length(nb))::BIGINT,
+         count(*)::BIGINT FROM pr),
+tot AS (SELECT count(*)::BIGINT AS nc FROM customer)
+SELECT c.scheme, c.n_blocks, c.n_cand_pairs, v.n_truth_pairs, v.n_covered,
+       (1000000 * (t.nc * (t.nc - 1) // 2 - c.n_cand_pairs)
+          // (t.nc * (t.nc - 1) // 2))::BIGINT AS rr_micro,
+       (CASE WHEN v.n_truth_pairs = 0 THEN 0
+             ELSE 1000000 * v.n_covered // v.n_truth_pairs END)::BIGINT
+         AS pc_micro
+FROM cand c JOIN cov v USING (scheme), tot t
+"""
 
 
 def events_click_near_purchase(sf_dir):
@@ -11396,6 +11702,7 @@ QUERIES = {
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_dedup_cluster_eval": docs_dedup_cluster_eval,
     "docs_lsh_recall_eval": docs_lsh_recall_eval,
+    "docs_split_leakage": docs_split_leakage,
     "docs_paragraph_dedup": docs_paragraph_dedup,
     "docs_duplicated_spans": docs_duplicated_spans,
     "embed_semantic_dedup": embed_semantic_dedup,
@@ -11404,6 +11711,7 @@ QUERIES = {
     "docs_containment_pairs": docs_containment_pairs,
     "customer_entity_resolution": customer_entity_resolution,
     "customer_golden_records": customer_golden_records,
+    "customer_blocking_eval": customer_blocking_eval,
     "customer_rfm_segments": customer_rfm_segments,
     "events_user_skew_profile": events_user_skew_profile,
     "docs_textrank_keywords": docs_textrank_keywords,
@@ -11499,6 +11807,7 @@ QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "docs_token_entropy": docs_token_entropy,
     "events_type_transitions": events_type_transitions,
+    "events_psi_drift": events_psi_drift,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_temperature_sample": docs_temperature_sample,
     "docs_source_overlap": docs_source_overlap,
@@ -11697,6 +12006,7 @@ ORACLES = {
     "docs_dedup_cluster_eval": SQL_DOCS_DEDUP_CLUSTER_EVAL.replace(
         "{clusters_sql}", SQL_DOCS_DEDUP_CLUSTERS),
     "docs_lsh_recall_eval": SQL_DOCS_LSH_RECALL_EVAL,
+    "docs_split_leakage": SQL_DOCS_SPLIT_LEAKAGE,
     "docs_dsir_sample": SQL_DOCS_DSIR_SAMPLE,
     "docs_bigram_logprob": SQL_DOCS_BIGRAM_LOGPROB,
     "customer_orders_bucketed_join": SQL_CUSTOMER_ORDERS_BUCKETED_JOIN,
@@ -11720,6 +12030,7 @@ ORACLES = {
     "events_user_trend": SQL_EVENTS_USER_TREND,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "customer_golden_records": SQL_CUSTOMER_GOLDEN_RECORDS,
+    "customer_blocking_eval": SQL_CUSTOMER_BLOCKING_EVAL,
     "docs_source_scorecard": SQL_DOCS_SOURCE_SCORECARD,
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
@@ -11749,6 +12060,7 @@ ORACLES = {
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
     "docs_token_entropy": SQL_DOCS_TOKEN_ENTROPY,
     "events_type_transitions": SQL_EVENTS_TYPE_TRANSITIONS,
+    "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
     "docs_gopher_filter": SQL_DOCS_GOPHER_FILTER,
     "docs_pii_scrub": _sql_pii_scrub(),
     "docs_c4_filter": _sql_c4_filter(),
