@@ -283,6 +283,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("customer_blocking_eval",
           lambda: Q.customer_blocking_eval(sf_dir))
     timed("events_psi_drift", lambda: Q.events_psi_drift(sf_dir))
+    timed("docs_source_influence",
+          lambda: Q.docs_source_influence(sf_dir))
+    timed("graph_wl_colors_parts",
+          lambda: Q.graph_wl_colors_parts(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

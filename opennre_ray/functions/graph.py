@@ -1818,3 +1818,134 @@ def local_clustering(edges_ds, *, rows_hint: int | None = None):
                              "lcc": lcc.astype(np.float64)})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+WL_LOCAL_EDGES = 200_000
+
+
+def wl_refinement(edges_ds, rounds: int = 3, *,
+                  a_col: str = "a", b_col: str = "b",
+                  rows_hint: int | None = None,
+                  local_edges_gate: int = WL_LOCAL_EDGES):
+    """Weisfeiler-Lehman color refinement (1-WL) over an undirected
+    edge list — per-node structural-role signatures: two nodes share a
+    final color iff 1-WL cannot distinguish their neighborhoods, the
+    canonical cheap test for structurally equivalent entities (role
+    discovery, graph-isomorphism screening, WL-kernel features).
+
+        lab_0(v) = degree(v) (as a string)
+        lab_r(v) = md5_16(lab_{r-1}(v) || '|' ||
+                          join(sorted multiset of neighbor labels, ','))
+
+    md5_16 = first 16 hex chars, so any md5-capable engine replays the
+    colors exactly (labels are ASCII strings; the neighbor sort is
+    byte-wise in both engines). Returns (node, color) after ``rounds``.
+
+    Scale shape: each round is ONE bucketed hash join (labels onto the
+    symmetrized edges by source) + ONE node-bucketed aggregate (sorted
+    string_agg + hash) with per-round block compaction — the same
+    round structure as :func:`pagerank`. Below ``local_edges_gate``
+    edges the whole refinement replays locally (string concatenation
+    per node is exact and order-fixed, so both paths are
+    value-identical by construction).
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .relational import compute_n_buckets, shuffle_join
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        a = t.column(a_col).combine_chunks().cast(pa.int64())
+        b = t.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a])})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+    n_edges = edges.count()
+    empty_out = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "color": pd.Series([], dtype=str)})
+    if n_edges == 0:
+        return rd.from_pandas(empty_out)
+
+    def h16(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    if n_edges <= local_edges_gate:
+        epd = edges.to_pandas()
+        u = epd["u"].to_numpy(np.int64)
+        v = epd["v"].to_numpy(np.int64)
+        nodes, ui = np.unique(u, return_inverse=True)
+        deg = np.bincount(ui)
+        lab = {int(n): str(int(d)) for n, d in zip(nodes, deg)}
+        nb: dict[int, list[int]] = {}
+        for x, y in zip(u, v):
+            nb.setdefault(int(x), []).append(int(y))
+        for _ in range(rounds):
+            lab = {n: h16(lab[n] + "|"
+                          + ",".join(sorted(lab[m] for m in nbs)))
+                   for n, nbs in ((n, nb[n]) for n in lab)}
+        out = pd.DataFrame({"node": np.asarray(sorted(lab), np.int64)})
+        out["color"] = [lab[int(n)] for n in out["node"]]
+        return rd.from_pandas(out)
+
+    n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    edges = compact(edges)
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u", as_index=False).size()
+        return pd.DataFrame({"node": out["u"].to_numpy(np.int64),
+                             "lab": out["size"].astype("int64")
+                             .astype(str)})
+
+    labels = compact(hash_bucket_aggregate(edges, ["u"], deg_bucket,
+                                           n_buckets=n_parts))
+
+    def as_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        # label of u arrives at node v; is_self=0
+        return pd.DataFrame({
+            "node": df["v"].astype("int64"),
+            "lab": df["lab"].astype(str),
+            "is_self": np.zeros(len(df), np.int64)})
+
+    def as_self(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "lab": df["lab"].astype(str),
+            "is_self": np.ones(len(df), np.int64)})
+
+    def relabel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for node, grp in g.groupby("node", sort=False):
+            own = grp.loc[grp["is_self"] == 1, "lab"].iloc[0]
+            nbs = sorted(grp.loc[grp["is_self"] == 0, "lab"])
+            rows.append((int(node), h16(own + "|" + ",".join(nbs))))
+        return pd.DataFrame(rows, columns=["node", "lab"]).astype(
+            {"node": np.int64})
+
+    for _ in range(rounds):
+        j = shuffle_join(edges, labels, "u", "node", ["v"], ["lab"],
+                         rows_hint=rows_hint)
+        msgs = j.map_batches(as_msgs, batch_format="pandas")
+        union = msgs.union(labels.map_batches(as_self,
+                                              batch_format="pandas"))
+        labels = compact(hash_bucket_aggregate(
+            union, ["node"], relabel_bucket, n_buckets=n_parts))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "color": df["lab"].astype(str)})
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -631,6 +631,91 @@ def source_divergence(docs_ds, *, group_col: str = "source",
     return out.map_batches(fin, batch_format="pandas")
 
 
+def source_influence(docs_ds, *, group_col: str = "source",
+                     text_col: str = "text",
+                     rows_hint: int | None = None):
+    """Leave-one-source-out data valuation: each source's influence on
+    the corpus unigram log-likelihood, influence_fp = LL(corpus) −
+    LL(corpus − source), where LL = Σ_w c_w·ln(c_w / T) under the MLE
+    unigram model (both in exact 1e-6 fixed point, each ln rounded once
+    so distributed sums are order-independent integers). A source whose
+    removal barely moves LL is statistically redundant; a large delta
+    marks a source that shapes the corpus distribution — the cheap
+    first-order proxy for leave-one-out data valuation over sources.
+
+    Same two-pass shape as :func:`source_divergence`: one (group, token)
+    counting pass, then a token-bucketed pass where each token's GLOBAL
+    count folds in-bucket (same-token rows co-locate — no join) and the
+    per-source leave-out terms vectorize as a dense (bucket-vocab ×
+    sources) matrix; per-source totals broadcast from a tiny aggregate.
+    Cost is O(vocab × sources) — sources are a bounded curation-tier
+    dimension, not corpus-scale.
+    """
+    from collections import Counter
+
+    from .relational import hash_bucket_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for w in _tokens(t):
+                c[(g, w)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            group_col: pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64())})
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([group_col, "token"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+
+    counts = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        [group_col, "token"], sum_pairs, rows_hint=rows_hint) \
+        .materialize()
+
+    totals = (counts.map_batches(
+        lambda df: df.groupby(group_col, as_index=False)
+        .agg(t=("cnt", "sum")), batch_format="pandas").to_pandas()
+        .groupby(group_col, as_index=False).agg(t=("t", "sum")))
+    tot_s = dict(zip(totals[group_col], (int(x) for x in totals["t"])))
+    tot = sum(tot_s.values())
+    sources = sorted(tot_s)
+    rem = np.asarray([tot - tot_s[s] for s in sources], dtype=np.int64)
+
+    def infl_partial(g: pd.DataFrame) -> pd.DataFrame:
+        piv = (g.pivot_table(index="token", columns=group_col,
+                             values="cnt", fill_value=0, aggfunc="sum")
+               .reindex(columns=sources, fill_value=0))
+        mat = piv.to_numpy(np.int64)
+        cg = mat.sum(axis=1)
+        ll_f = np.floor(np.log(cg / tot) * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        ll_partial = int((cg * ll_f).sum())
+        m = cg[:, None] - mat
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.floor(np.log(m / rem[None, :]) * 1_000_000 + 0.5)
+        f = np.where(m > 0, f, 0).astype(np.int64)
+        wo = (m * f).sum(axis=0)
+        return pd.DataFrame({group_col: sources, "wo_fp": wo,
+                             "ll_fp": np.full(len(sources), ll_partial,
+                                              np.int64)})
+
+    parts = (hash_bucket_aggregate(counts, ["token"], infl_partial,
+                                   rows_hint=rows_hint)
+             .to_pandas().groupby(group_col, as_index=False).sum())
+    parts["n_tokens"] = np.asarray([tot_s[s] for s in parts[group_col]],
+                                   dtype=np.int64)
+    parts["influence_fp"] = (parts["ll_fp"] - parts["wo_fp"]) \
+        .astype(np.int64)
+    out = (parts[[group_col, "n_tokens", "wo_fp", "influence_fp"]]
+           .sort_values(group_col).reset_index(drop=True))
+    return out.astype({"n_tokens": np.int64, "wo_fp": np.int64,
+                       "influence_fp": np.int64})
+
+
 def dsir_weights(docs_ds, *, is_target_col: str = "is_target",
                  id_col: str = "doc_id", text_col: str = "text",
                  rows_hint: int | None = None,

@@ -7490,6 +7490,51 @@ FROM fp JOIN ts USING (source) GROUP BY fp.source
 """
 
 
+def docs_source_influence(sf_dir):
+    """Leave-one-source-out data valuation: each source's influence on
+    the corpus unigram log-likelihood (LL(corpus) − LL(corpus−source),
+    exact 1e-6 fixed point) — the cheap first-order answer to 'which
+    sources actually shape this corpus'. Two passes: (source, token)
+    counts, then a token-bucketed pass where the leave-out terms
+    vectorize as a dense bucket-vocab × sources matrix (global token
+    counts fold in-bucket, per-source totals broadcast)."""
+    from ..functions.textstats import source_influence
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_influence(ds,
+                            rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_SOURCE_INFLUENCE = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT source, token FROM tok WHERE token <> ''),
+c AS (SELECT source, token, count(*)::BIGINT AS cnt FROM tok2
+      GROUP BY source, token),
+g AS (SELECT token, sum(cnt)::BIGINT AS cg FROM c GROUP BY token),
+t AS (SELECT sum(cnt)::BIGINT AS tot FROM c),
+ts AS (SELECT source, sum(cnt)::BIGINT AS tots FROM c GROUP BY source),
+ll AS (SELECT sum(g.cg * CAST(floor(ln(g.cg::DOUBLE / t.tot::DOUBLE)
+                                    * 1000000 + 0.5) AS BIGINT))::BIGINT
+         AS ll_fp
+       FROM g, t),
+x AS (SELECT ts.source, g.cg - coalesce(c.cnt, 0) AS m,
+             t.tot - ts.tots AS rem
+      FROM g CROSS JOIN ts
+      LEFT JOIN c ON c.token = g.token AND c.source = ts.source, t),
+wo AS (SELECT source,
+              sum(CASE WHEN m > 0
+                  THEN m * CAST(floor(ln(m::DOUBLE / rem::DOUBLE)
+                                      * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END)::BIGINT AS wo_fp
+       FROM x GROUP BY source)
+SELECT wo.source, ts.tots AS n_tokens, wo.wo_fp,
+       (ll.ll_fp - wo.wo_fp)::BIGINT AS influence_fp
+FROM wo JOIN ts USING (source), ll
+"""
+
+
 QUOTA_NUM, QUOTA_DEN = 6, 10   # global budget = 60% of the corpus
 
 
@@ -9835,6 +9880,82 @@ WHERE NOT EXISTS (SELECT 1 FROM deg d2 WHERE d2.core_deg < {k})
 """
 
 
+WL_ROUNDS = 3
+WL_VERTEX_MOD = 5      # sample parts into the co-purchase graph
+
+
+def graph_wl_colors_parts(sf_dir):
+    """Weisfeiler-Lehman color refinement (1-WL, 3 rounds) over the
+    sampled part co-purchase graph — structural-role signatures: parts
+    sharing a final color have 1-WL-indistinguishable neighborhoods
+    (role discovery / isomorphism screening / WL-kernel features).
+    Labels are md5-derived hex strings (lab_0 = degree; lab_r =
+    md5_16(own || '|' || sorted neighbor multiset)), so the whole
+    refinement replays exactly in SQL as unrolled MATERIALIZED rounds.
+    Output is the color histogram (color, n_nodes, min part) — bounded
+    by the number of distinct structural roles. Scale shape: per round
+    ONE bucketed label⋈adjacency join + ONE node-bucketed sorted-agg
+    hash, per-round block compaction; size-gated local replay below
+    the edge threshold (functions/graph.py::wl_refinement)."""
+    from ..functions.graph import build_copurchase_edges, wl_refinement
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % WL_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // WL_VERTEX_MOD
+    edges = build_copurchase_edges(ds.map_batches(sample,
+                                                  batch_format="pyarrow"),
+                                   rows_hint=4 * n)
+    colors = wl_refinement(edges, rounds=WL_ROUNDS, rows_hint=4 * n)
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("color", as_index=False).agg(
+            n_nodes=("node", "size"), min_part=("node", "min"))
+        return out.astype({"n_nodes": np.int64, "min_part": np.int64})
+
+    out = hash_bucket_aggregate(colors, ["color"], hist_bucket,
+                                rows_hint=n).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"color": pd.Series(dtype=str),
+                             "n_nodes": pd.Series(dtype="int64"),
+                             "min_part": pd.Series(dtype="int64")})
+    return (out.sort_values("color").reset_index(drop=True)
+            .astype({"n_nodes": np.int64, "min_part": np.int64}))
+
+
+def _sql_wl() -> str:
+    mod = WL_VERTEX_MOD
+    rnd = """
+l{r} AS MATERIALIZED (
+  SELECT s.u AS node,
+         substr(md5(l.lab || '|' || string_agg(n.lab, ',' ORDER BY n.lab)),
+                1, 16) AS lab
+  FROM se s JOIN l{p} l ON l.node = s.u JOIN l{p} n ON n.node = s.v
+  GROUP BY s.u, l.lab)"""
+    rounds = ",".join(rnd.format(r=i + 1, p=i) for i in range(WL_ROUNDS))
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey % {mod} = 0),
+e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+     FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+se AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+     UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT u AS node, count(*)::VARCHAR AS lab
+     FROM se GROUP BY u),{rounds}
+SELECT lab AS color, count(*)::BIGINT AS n_nodes,
+       min(node)::BIGINT AS min_part
+FROM l{WL_ROUNDS} GROUP BY lab
+"""
+
+
+SQL_GRAPH_WL_COLORS_PARTS = _sql_wl()
+
+
 LP_ITERS = 3
 LP_VERTEX_MOD = 5      # sample parts into the co-purchase graph
 LP_SEED_MOD = 20       # every p_partkey % 20 == 0 part is a labeled seed
@@ -11845,6 +11966,7 @@ QUERIES = {
     "embed_label_propagation": embed_label_propagation,
     "docs_source_quota": docs_source_quota,
     "docs_source_divergence": docs_source_divergence,
+    "docs_source_influence": docs_source_influence,
     "docs_exact_stratified_split": docs_exact_stratified_split,
     "orders_pushdown_filter_agg": orders_pushdown_filter_agg,
     "events_daily_resample_ffill": events_daily_resample_ffill,
@@ -11879,6 +12001,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
+    "graph_wl_colors_parts": graph_wl_colors_parts,
     "graph_label_propagation_parts": graph_label_propagation_parts,
     "graph_modularity_parts": graph_modularity_parts,
     "graph_sssp_parts": graph_sssp_parts,
@@ -11930,6 +12053,7 @@ ORACLES = {
     "lineitem_benford": _sql_benford(),
     "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
+    "graph_wl_colors_parts": SQL_GRAPH_WL_COLORS_PARTS,
     "graph_label_propagation_parts": _sql_label_propagation(),
     "graph_modularity_parts": _sql_modularity(),
     "graph_sssp_parts": _sql_sssp(),
@@ -12035,6 +12159,7 @@ ORACLES = {
     "embed_label_propagation": SQL_EMBED_LABEL_PROPAGATION,
     "docs_source_quota": SQL_DOCS_SOURCE_QUOTA,
     "docs_source_divergence": SQL_DOCS_SOURCE_DIVERGENCE,
+    "docs_source_influence": SQL_DOCS_SOURCE_INFLUENCE,
     "docs_exact_stratified_split": SQL_DOCS_EXACT_STRATIFIED_SPLIT,
     "orders_pushdown_filter_agg": SQL_ORDERS_PUSHDOWN_FILTER_AGG,
     "events_daily_resample_ffill": SQL_EVENTS_DAILY_RESAMPLE_FFILL,

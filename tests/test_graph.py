@@ -750,3 +750,40 @@ def test_label_propagation_local_gate_bit_parity(ray_session):
                              local_edges_gate=0).to_pandas()
     assert dict(zip(loc["entity"], loc["label"])) == \
         dict(zip(dist["entity"], dist["label"]))
+
+
+def test_wl_refinement_local_gate_bit_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import wl_refinement
+
+    rng = np.random.RandomState(17)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 30, size=(100, 2)) if a != b}
+    edges = rd.from_pandas(pd.DataFrame(sorted(es), columns=["a", "b"]))
+    loc = wl_refinement(edges, rounds=3).to_pandas()
+    dist = wl_refinement(edges, rounds=3, local_edges_gate=0).to_pandas()
+    assert dict(zip(loc["node"], loc["color"])) == \
+        dict(zip(dist["node"], dist["color"]))
+
+
+def test_wl_refinement_distinguishes_roles(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import wl_refinement
+
+    # path graph 0-1-2-3-4: ends {0,4}, next-to-ends {1,3}, center {2}
+    edges = rd.from_pandas(pd.DataFrame(
+        {"a": [0, 1, 2, 3], "b": [1, 2, 3, 4]}))
+    out = wl_refinement(edges, rounds=2).to_pandas()
+    c = dict(zip(out["node"], out["color"]))
+    assert c[0] == c[4] and c[1] == c[3]
+    assert len({c[0], c[1], c[2]}) == 3
+    # round-1 label of an end node, by hand: own deg '1', neighbor '2'
+    h1_end = hashlib.md5(b"1|2").hexdigest()[:16]
+    h1_mid = hashlib.md5(b"2|1,2").hexdigest()[:16]  # node 1: nbrs 0,2
+    h2_end = hashlib.md5(
+        (h1_end + "|" + h1_mid).encode()).hexdigest()[:16]
+    assert c[0] == h2_end
