@@ -1474,6 +1474,61 @@ FROM documents GROUP BY norm_text
 """
 
 
+def docs_mirror_groups(sf_dir):
+    """Cross-source mirror / syndication detection: groups of documents
+    whose NORMALIZED text is identical but that arrive from ≥ 2 distinct
+    sources — the content-farm / mirror-site signal a crawl curation
+    pass uses to pick one canonical feed per story (same-source exact
+    dups are ordinary recrawls; cross-source dups are syndication).
+    One content-bucketed pass (normalized texts co-locate), emitting
+    only the group summary (anchor doc, sizes) — never the text."""
+    import re
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ws = re.compile(r"\s+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = [ws.sub(" ", t.lower()).strip()
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"norm_text": pa.array(texts, pa.string()),
+                         "doc_id": batch.column("doc_id"),
+                         "source": batch.column("source")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("norm_text").agg(
+            group_doc=("doc_id", "min"), n_docs=("doc_id", "size"),
+            n_sources=("source", "nunique")).reset_index(drop=True)
+        out = out[out["n_docs"] >= 2]
+        out["is_mirror"] = (out["n_sources"] >= 2).astype(np.int64)
+        return out.astype({"group_doc": np.int64, "n_docs": np.int64,
+                           "n_sources": np.int64})
+
+    normed = ds.map_batches(norm, batch_format="pyarrow")
+    out = hash_bucket_aggregate(normed, ["norm_text"], per_bucket,
+                                rows_hint=_nrows(sf_dir, "documents")) \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({"group_doc": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "n_sources": pd.Series(dtype="int64"),
+                             "is_mirror": pd.Series(dtype="int64")})
+    return (out.sort_values("group_doc").reset_index(drop=True)
+            .astype({c: np.int64 for c in out.columns}))
+
+
+SQL_DOCS_MIRROR_GROUPS = r"""
+SELECT min(doc_id)::BIGINT AS group_doc, count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       (count(DISTINCT source) >= 2)::BIGINT AS is_mirror
+FROM (SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents)
+GROUP BY nt HAVING count(*) >= 2
+"""
+
+
 def events_running_total(sf_dir):
     """Per-event running count + sum per user in ts order (streaming-shaped
     cumulative aggregate; keyed by event_id for oracle comparison)."""
@@ -3893,6 +3948,96 @@ def sentence_temperature_scaling(sf_dir):
     out["chosen"] = (out["t_milli"] == best).astype(np.int64)
     return (out.astype({c: np.int64 for c in out.columns})
             .reset_index(drop=True))
+
+
+#: nonconformity quantization grid (1e-4) and split-conformal alphas
+CONF_GRID = 10 ** 4
+CONF_ALPHAS = ((5, 100), (10, 100), (20, 100))
+
+
+def sentence_conformal_sets(sf_dir):
+    """Split-conformal prediction for the sentence scorer (Vovk et al.;
+    Angelopoulos & Bates 2021): a deterministic md5 hash split carves a
+    calibration half; q̂_α = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    nonconformity (s = 1 − max softmax, quantized to the 1e-4 grid, part
+    of the op definition so both paths are integer-exact); on the eval
+    half, report empirical coverage (s_top ≤ q̂) and the total
+    prediction-set size Σ|{r : s_r ≤ q̂}| — the finite-sample coverage
+    check a KG build runs before trusting thresholded scores. Scale
+    shape: ONE scoring pass emits map-side HISTOGRAM partials only
+    (three kinds × ≤ grid bins; instances never shuffle, no joins), and
+    quantile + coverage + set size all fold from the ≤ 3·grid-row
+    histogram on the driver. Pinned-value oracle (the model is not
+    SQL-replayable)."""
+    from ..sources.pages import read_pages
+    from ..stages.extract import ExtractText
+    from ..stages.ner import mentions_udf
+    from ..stages.pairs import generate_pairs
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        from ..functions.packing import split_cut, split_draws
+        from ..stages.score import RelationScorer, cached
+
+        cols = {"kind": pd.Series([], dtype=object),
+                "bin": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")}
+        if batch.num_rows == 0:
+            return pd.DataFrame(cols)
+        scorer = cached(("scorer", "wiki80_cnn_softmax"),
+                        lambda: RelationScorer("wiki80_cnn_softmax"))
+        mats = [scorer.score_matrix(batch.slice(off, scorer.CHUNK))
+                for off in range(0, batch.num_rows, scorer.CHUNK)]
+        p = np.concatenate(mats).astype(np.float64)
+        s = np.clip(np.rint((1.0 - p) * CONF_GRID), 0,
+                    CONF_GRID).astype(np.int64)
+        keys = [f"{u}|{si}|{h}|{t}" for u, si, h, t in zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_idx").to_pylist(),
+            batch.column("h_id").to_pylist(),
+            batch.column("t_id").to_pylist())]
+        is_cal = split_draws(keys, "conf:") < split_cut(0.5)
+        s_top = s.min(axis=1)
+        frames = [
+            pd.DataFrame({"kind": "cal_top", "bin": s_top[is_cal]}),
+            pd.DataFrame({"kind": "eval_top", "bin": s_top[~is_cal]}),
+            pd.DataFrame({"kind": "eval_all",
+                          "bin": s[~is_cal].ravel()})]
+        out = pd.concat(frames, ignore_index=True)
+        out = out.groupby(["kind", "bin"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    inst = (read_pages(sf_dir)
+            .map_batches(ExtractText(), batch_format="pyarrow")
+            .map_batches(mentions_udf(), batch_format="pyarrow")
+            .map_batches(generate_pairs, batch_format="pyarrow"))
+    hist = (inst.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby(["kind", "bin"], as_index=False).sum())
+
+    def series(kind: str) -> pd.DataFrame:
+        return (hist[hist["kind"] == kind].sort_values("bin")
+                [["bin", "cnt"]].reset_index(drop=True))
+
+    cal, etop, eall = series("cal_top"), series("eval_top"), \
+        series("eval_all")
+    n_cal = int(cal["cnt"].sum())
+    n_eval = int(etop["cnt"].sum())
+    rows = []
+    for num, den in CONF_ALPHAS:
+        k = ((n_cal + 1) * (den - num) + den - 1) // den
+        cum = cal["cnt"].cumsum()
+        hit = cal["bin"][cum >= k]
+        qhat = int(hit.iloc[0]) if len(hit) and k <= n_cal else CONF_GRID
+        rows.append({
+            "alpha_pct": 100 * num // den, "n_cal": n_cal,
+            "qhat_e4": qhat, "n_eval": n_eval,
+            "n_covered": int(etop.loc[etop["bin"] <= qhat, "cnt"].sum()),
+            "setsize_sum": int(eall.loc[eall["bin"] <= qhat,
+                                        "cnt"].sum())})
+    out = (pd.DataFrame(rows).sort_values("alpha_pct")
+           .reset_index(drop=True))
+    return out.astype({c: np.int64 for c in out.columns})
 
 
 # --- companion *_stats queries: deterministic integer aggregates over the
@@ -11797,6 +11942,7 @@ QUERIES = {
     "sentence_calibration_bins": sentence_calibration_bins,
     "sentence_uncertainty_sample": sentence_uncertainty_sample,
     "sentence_temperature_scaling": sentence_temperature_scaling,
+    "sentence_conformal_sets": sentence_conformal_sets,
     "kg_snowball_patterns": kg_snowball_patterns,
     "kg_truth_discovery": kg_truth_discovery,
     "kg_type_violations": kg_type_violations,
@@ -12032,6 +12178,7 @@ QUERIES = {
     "docs_length_quantiles": docs_length_quantiles,
     "embed_scalar_quantize": embed_scalar_quantize,
     "docs_normalized_dedup": docs_normalized_dedup,
+    "docs_mirror_groups": docs_mirror_groups,
     "docs_anchor_text": docs_anchor_text,
     "events_cusum_drift": events_cusum_drift,
     "docs_vocab_coverage": docs_vocab_coverage,
@@ -12095,6 +12242,7 @@ ORACLES = {
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "lineitem_topk_per_group": SQL_LINEITEM_TOPK_PER_GROUP,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
+    "docs_mirror_groups": SQL_DOCS_MIRROR_GROUPS,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_deterministic_shuffle": SQL_DOCS_DETERMINISTIC_SHUFFLE,
     "docs_bpe_pairs": SQL_DOCS_BPE_PAIRS,

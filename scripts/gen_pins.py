@@ -45,6 +45,9 @@ PINNED = [
     # temperature-grid ECE table: 6 exact-integer rows per sf —
     # full-table pin (model scores are seeded; SQL cannot replay them)
     "sentence_temperature_scaling",
+    # split-conformal coverage table: 3 exact-integer rows per sf —
+    # full-table pin (histogram-exact quantile/coverage/set-size)
+    "sentence_conformal_sets",
     # snowball pattern-induction top-k: k=25 int/string rows over model
     # triples + NER spans — full-table pin
     "kg_snowball_patterns",
