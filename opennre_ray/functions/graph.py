@@ -1949,3 +1949,169 @@ def wl_refinement(edges_ds, rounds: int = 3, *,
                              "color": df["lab"].astype(str)})
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+TRUSS_LOCAL_EDGES = 200_000
+
+
+def k_truss(edges_ds, k: int, rounds: int = 8, *,
+            rows_hint: int | None = None,
+            local_edges_gate: int = TRUSS_LOCAL_EDGES):
+    """k-truss of a distinct undirected ``(a, b)`` edge list (Cohen
+    2008): the maximal subgraph in which every edge participates in
+    >= k-2 triangles — one step stronger than k-core (every k-truss is
+    a (k-1)-core), the standard refinement for keeping only
+    well-supported relations when densifying a KG.
+
+    Peel semantics are FIXED-UNROLL so a SQL oracle can replay them:
+    both this function and the oracle run at most ``rounds``
+    support->filter rounds (support = exact per-edge triangle count);
+    this function stops early on convergence (idempotent — re-running
+    support on a converged set drops nothing) and RAISES if still
+    peeling after ``rounds`` so a divergence can never ship silently.
+
+    Output: one row per surviving edge, ``(a, b, support)`` with
+    support counted within the converged truss.
+
+    Scale shape per round: support(a, b) = |N(a) ∩ N(b)| via the wedge
+    exchange — per middle vertex emit every neighbor pair (x < y) as a
+    map-side-combinable counter row (each triangle yields 3 wedges, one
+    per middle, each crediting a different edge), union edge-marker
+    rows, and one (a, b)-bucketed aggregate turns closed wedges into
+    per-edge support — two bucketed shuffles per round, never
+    all-pairs; block counts compacted per round. Below
+    ``local_edges_gate`` edges the whole peel replays locally (exact
+    integer counts, value-identical by construction).
+
+    Partitioning assumption: wedge volume <= sum_v C(deg(v), 2); a
+    power-law hub needs the same upstream degree cap / vertex sample as
+    ``adamic_adar`` (documented there).
+    """
+    import ray.data as rd
+
+    from .relational import compute_n_buckets
+
+    thr = k - 2
+    if thr < 1:
+        raise ValueError("k_truss requires k >= 3")
+    empty_out = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "support": pa.array([], pa.int64())})
+
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty_out)
+
+    if n_edges <= local_edges_gate:
+        e = (edges.to_pandas()[["a", "b"]]
+             .astype(np.int64).drop_duplicates())
+        for r in range(rounds + 1):
+            adj = pd.concat([e, e.rename(columns={"a": "b", "b": "a"})],
+                            ignore_index=True)
+            m = (e.merge(adj.rename(columns={"a": "u", "b": "w"}),
+                         left_on="a", right_on="u")
+                 .merge(adj.rename(columns={"a": "u2", "b": "w2"}),
+                        left_on=["b", "w"], right_on=["u2", "w2"]))
+            sup = (m.groupby(["a", "b"], as_index=False).size()
+                   .rename(columns={"size": "support"}))
+            keep = sup[sup["support"] >= thr]
+            if len(keep) == len(e):
+                out = (keep.sort_values(["a", "b"])
+                       .reset_index(drop=True)
+                       .astype({c: np.int64 for c in keep.columns}))
+                return (rd.from_pandas(out) if len(out)
+                        else rd.from_arrow(empty_out))
+            if r == rounds:
+                break
+            if not len(keep):
+                return rd.from_arrow(empty_out)
+            e = keep[["a", "b"]].reset_index(drop=True)
+        raise RuntimeError(f"k_truss did not converge in {rounds} rounds")
+
+    n_parts = max(2, compute_n_buckets(rows_hint or n_edges))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]),
+                         "n": pa.concat_arrays([b, a])})
+
+    def expand_all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for v, grp in g.groupby("v", sort=False):
+            nb = np.unique(grp["n"].to_numpy(dtype=np.int64))
+            if len(nb) < 2:
+                continue
+            ix, iy = np.triu_indices(len(nb), 1)
+            frames.append(pd.DataFrame({"a": nb[ix], "b": nb[iy],
+                                        "cn": np.int64(1)}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("a", "b", "cn")})
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["a", "b"], as_index=False, sort=False)
+                .agg(cn=("cn", "sum")))
+
+    def mark_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": batch["a"].astype(np.int64),
+                             "b": batch["b"].astype(np.int64),
+                             "cn": np.int64(0), "is_edge": np.int64(1)})
+
+    def with_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["is_edge"] = np.int64(0)
+        return batch
+
+    def support_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], as_index=False, sort=False).agg(
+            support=("cn", "sum"), is_edge=("is_edge", "max"))
+        per = per[per["is_edge"] == 1]
+        return per[["a", "b", "support"]].astype(
+            {c: np.int64 for c in ("a", "b", "support")})
+
+    def conform_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": t.column("a").cast(pa.int64()),
+                         "b": t.column("b").cast(pa.int64())})
+
+    for r in range(rounds + 1):
+        adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+        wedges = hash_bucket_aggregate(adj, ["v"], expand_all_pairs,
+                                       rows_hint=rows_hint)
+        tagged = (wedges.map_batches(with_flag, batch_format="pandas")
+                  .union(edges.map_batches(mark_edges,
+                                           batch_format="pandas")))
+        sup = compact(hash_bucket_aggregate(tagged, ["a", "b"],
+                                            support_bucket,
+                                            rows_hint=rows_hint))
+        keep = compact(sup.map_batches(
+            lambda t: (t.filter(pa.compute.greater_equal(
+                t.column("support"), thr))
+                if t.num_rows and "support" in t.column_names
+                else pa.table({"a": pa.array([], pa.int64()),
+                               "b": pa.array([], pa.int64()),
+                               "support": pa.array([], pa.int64())})),
+            batch_format="pyarrow"))
+        n_keep = keep.count()
+        if n_keep == n_edges:
+            return keep
+        if r == rounds:
+            break
+        if n_keep == 0:
+            return rd.from_arrow(empty_out)
+        edges = compact(keep.map_batches(conform_edges,
+                                         batch_format="pyarrow"))
+        n_edges = n_keep
+    raise RuntimeError(f"k_truss did not converge in {rounds} rounds")

@@ -10025,6 +10025,76 @@ WHERE NOT EXISTS (SELECT 1 FROM deg d2 WHERE d2.core_deg < {k})
 """
 
 
+TRUSS_K = 5            # per-edge triangle support >= 3 to survive
+TRUSS_VERTEX_MOD = 5   # sample parts into the co-purchase graph
+TRUSS_ROUNDS = 8       # fixed unroll bound (measured convergence <= 5)
+
+
+def graph_ktruss_parts(sf_dir):
+    """k-truss (Cohen 2008) of the sampled part co-purchase graph: the
+    maximal subgraph where EVERY edge sits in >= k-2 triangles — the
+    edge-supported cohesion refinement a KG build uses to keep only
+    well-corroborated relations (one step stronger than k-core, which
+    only bounds degrees). Peel is a fixed 8-round unroll (measured
+    convergence <= 5 at every sf; the engine stops early on the
+    idempotent converged set and RAISES if still peeling at the bound,
+    so oracle divergence is impossible). Per round: ONE wedge exchange
+    (per middle vertex, neighbor pairs as map-side-combinable counters;
+    each triangle credits all 3 of its edges via its 3 middles) + ONE
+    (a, b)-bucketed support aggregate — two linear shuffles, never
+    all-pairs; size-gated local replay below the edge threshold
+    (functions/graph.py::k_truss). Output: surviving edges with their
+    in-truss support."""
+    from ..functions.graph import build_copurchase_edges, k_truss
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % TRUSS_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // TRUSS_VERTEX_MOD
+    edges = build_copurchase_edges(ds.map_batches(sample,
+                                                  batch_format="pyarrow"),
+                                   rows_hint=4 * n)
+    out = k_truss(edges, TRUSS_K, rounds=TRUSS_ROUNDS,
+                  rows_hint=4 * n).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "support": pd.Series(dtype="int64")})
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            .astype({c: np.int64 for c in out.columns}))
+
+
+def _sql_ktruss() -> str:
+    thr, mod, rounds = TRUSS_K - 2, TRUSS_VERTEX_MOD, TRUSS_ROUNDS
+    parts = [f"""
+WITH
+lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE l_partkey % {mod} = 0),
+e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                    FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p)"""]
+    for i in range(rounds + 1):
+        parts.append(f""",
+adj{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM e{i}
+                        UNION ALL SELECT b, a FROM e{i}),
+sup{i} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS c
+  FROM e{i} e JOIN adj{i} x ON x.u = e.a
+              JOIN adj{i} y ON y.u = e.b AND y.v = x.v
+  GROUP BY e.a, e.b)""")
+        if i < rounds:
+            parts.append(f""",
+e{i + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM sup{i} s WHERE s.c >= {thr})""")
+    parts.append(f"""
+SELECT a, b, c::BIGINT AS support FROM sup{rounds} WHERE c >= {thr}
+""")
+    return "".join(parts)
+
+
 WL_ROUNDS = 3
 WL_VERTEX_MOD = 5      # sample parts into the co-purchase graph
 
@@ -12147,6 +12217,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "lineitem_price_mad_outliers": lineitem_price_mad_outliers,
     "graph_kcore_parts": graph_kcore_parts,
+    "graph_ktruss_parts": graph_ktruss_parts,
     "graph_wl_colors_parts": graph_wl_colors_parts,
     "graph_label_propagation_parts": graph_label_propagation_parts,
     "graph_modularity_parts": graph_modularity_parts,
@@ -12200,6 +12271,7 @@ ORACLES = {
     "lineitem_benford": _sql_benford(),
     "lineitem_price_mad_outliers": _SQL_PRICE_MAD_OUTLIERS,
     "graph_kcore_parts": _sql_kcore(),
+    "graph_ktruss_parts": _sql_ktruss(),
     "graph_wl_colors_parts": SQL_GRAPH_WL_COLORS_PARTS,
     "graph_label_propagation_parts": _sql_label_propagation(),
     "graph_modularity_parts": _sql_modularity(),

@@ -787,3 +787,42 @@ def test_wl_refinement_distinguishes_roles(ray_session):
     h2_end = hashlib.md5(
         (h1_end + "|" + h1_mid).encode()).hexdigest()[:16]
     assert c[0] == h2_end
+
+
+def test_k_truss_local_vs_distributed_bit_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import k_truss
+
+    rng = np.random.RandomState(23)
+    es = {(int(min(a, b)), int(max(a, b)))
+          for a, b in rng.randint(0, 40, size=(300, 2)) if a != b}
+    edges = rd.from_pandas(pd.DataFrame(sorted(es), columns=["a", "b"]))
+    loc = k_truss(edges, 4).to_pandas().sort_values(["a", "b"])
+    dist = k_truss(edges, 4, local_edges_gate=0).to_pandas() \
+        .sort_values(["a", "b"])
+    assert loc.reset_index(drop=True).equals(dist.reset_index(drop=True))
+
+
+def test_k_truss_known_graph(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import k_truss
+
+    # K4 on {0,1,2,3} plus a pendant triangle {3,4,5}: in the 4-truss
+    # every K4 edge has support 2; the {3,4,5} triangle edges only 1.
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    tri = [(3, 4), (3, 5), (4, 5)]
+    edges = rd.from_pandas(pd.DataFrame(k4 + tri, columns=["a", "b"]))
+    out = k_truss(edges, 4).to_pandas()
+    assert sorted(zip(out["a"], out["b"])) == k4
+    assert set(out["support"]) == {2}
+    # k=3 keeps everything (every edge closes >= 1 triangle)
+    out3 = k_truss(edges, 3).to_pandas()
+    assert len(out3) == 9
+    # k=6 peels to nothing: empty Dataset, schema intact (Ray's
+    # to_pandas drops columns from all-empty blocks — callers branch on
+    # count(), as graph_ktruss_parts does)
+    ds6 = k_truss(edges, 6)
+    assert ds6.count() == 0
+    assert ds6.schema().names == ["a", "b", "support"]
