@@ -288,6 +288,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("graph_wl_colors_parts",
           lambda: Q.graph_wl_colors_parts(sf_dir))
     timed("graph_ktruss_parts", lambda: Q.graph_ktruss_parts(sf_dir))
+    timed("docs_heaps_law", lambda: Q.docs_heaps_law(sf_dir))
+    timed("events_kaplan_meier",
+          lambda: Q.events_kaplan_meier(sf_dir))
     timed("docs_mirror_groups", lambda: consume(Q.docs_mirror_groups(sf_dir)))
     timed("sentence_conformal_sets",
           lambda: Q.sentence_conformal_sets(sf_dir))

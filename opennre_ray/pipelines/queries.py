@@ -9072,6 +9072,83 @@ GROUP BY cohort_day, day_offset
 """
 
 
+KM_CENSOR_DAYS = 7     # still-active horizon: last event this close to
+#                        corpus end = right-censored, not churned
+_DAY_US = 86_400_000_000
+
+
+def events_kaplan_meier(sf_dir):
+    """Kaplan-Meier survival table for user lifetime (Kaplan & Meier
+    1958): duration = whole days between a user's first and last event;
+    users whose last event falls within KM_CENSOR_DAYS of the corpus
+    end are right-censored (still active), the churn-analysis staple.
+    Output per observed duration day: (t_day, n_risk, n_event,
+    n_censored) — n_risk = users with duration >= t. All exact
+    integers; the survival curve S(t) = prod(1 - d_i/n_i) folds from
+    them in one pass (kept out of the table so the oracle never
+    compares cross-engine float products). Scale shape: the corpus-end
+    timestamp comes free from parquet footer stats; per-batch per-user
+    min/max partials (order-independent) → one user-bucketed min/max
+    aggregate that reduces in-bucket to a <=#durations-row histogram;
+    the driver folds histogram partials and reverse-cumsums n_risk —
+    raw events never shuffle."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    mx = pd.Timestamp(_col_max(sf_dir, "events", "ts")).value // 1000
+    cut = mx - KM_CENSOR_DAYS * _DAY_US
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "t": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        return (df.groupby("user_id", as_index=False)
+                .agg(f=("t", "min"), l=("t", "max")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(
+            f=("f", "min"), l=("l", "max"))
+        t_day = (u["l"].to_numpy(np.int64)
+                 - u["f"].to_numpy(np.int64)) // _DAY_US
+        cens = (u["l"].to_numpy(np.int64) > cut).astype(np.int64)
+        return (pd.DataFrame({"t_day": t_day, "n_event": 1 - cens,
+                              "n_censored": cens})
+                .groupby("t_day", as_index=False).sum())
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"],
+               rows_per_block=32768)
+    hist = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], per_bucket,
+        rows_hint=_nrows(sf_dir, "events")).to_pandas()
+    h = (hist.groupby("t_day", as_index=False).sum()
+         .sort_values("t_day", ascending=False))
+    h["n_risk"] = (h["n_event"] + h["n_censored"]).cumsum()
+    out = h.sort_values("t_day").reset_index(drop=True)
+    return out[["t_day", "n_risk", "n_event", "n_censored"]].astype(
+        {c: np.int64 for c in ("t_day", "n_risk", "n_event",
+                               "n_censored")})
+
+
+SQL_EVENTS_KAPLAN_MEIER = f"""
+WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+           FROM events GROUP BY user_id),
+m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+d AS (SELECT (l - f) // {_DAY_US} AS t_day,
+             CASE WHEN l > mx - {KM_CENSOR_DAYS * _DAY_US}
+                  THEN 1 ELSE 0 END AS cens
+      FROM u, m),
+h AS (SELECT t_day, sum(1 - cens)::BIGINT AS n_event,
+             sum(cens)::BIGINT AS n_censored, count(*) AS n
+      FROM d GROUP BY t_day)
+SELECT t_day::BIGINT AS t_day,
+       sum(n) OVER (ORDER BY t_day DESC)::BIGINT AS n_risk,
+       n_event, n_censored
+FROM h ORDER BY t_day
+"""
+
+
 def events_user_modal_type(sf_dir):
     """Per-user statistical mode of event_type (ties -> lexicographically
     smallest). Map-side (user, type, count) partials, one user-bucketed
@@ -9376,6 +9453,135 @@ SELECT doc_id,
          AND len(regexp_extract_all(text, '{MOJIBAKE_CONTROL_CLASS}')) = 0
         THEN 1 ELSE 0 END)::BIGINT AS clean
 FROM documents
+"""
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def _col_max(sf_dir, table, col) -> int:
+    """Exact column max from parquet row-group footer statistics — free,
+    no data read (our testdata writers always emit stats; raises loudly
+    if a file ever lacks them rather than guessing)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    maxes = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(f"{table}.{col}: no row-group statistics")
+        maxes.append(st.max)
+    return max(maxes)
+
+
+def docs_heaps_law(sf_dir):
+    """Heaps'-law vocabulary-growth curve: cumulative corpus size
+    (docs, token occurrences) vs distinct-vocabulary size at 10 doc-id
+    decile checkpoints — the sublinearity audit that tells a tokenizer/
+    dedup pipeline whether vocabulary is saturating or still growing
+    linearly (a near-linear tail is a strong novel-content / junk
+    signal). Scale shape: checkpoint thresholds come free from parquet
+    footer stats (max doc_id); ONE corpus pass emits per-batch partials
+    only — per-token min-doc_id rows (vocab first-sightings) and a
+    <=10-row per-decile (docs, tokens) histogram — then one bucketed
+    min/sum aggregate whose per-bucket output is <=10 rows each; the
+    driver folds <=10·buckets rows and cumsums. Tokens never shuffle
+    raw; everything is exact integers."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    m = int(_col_max(sf_dir, "documents", "doc_id")) + 1
+    ts = np.array([(m * i) // HEAPS_CHECKPOINTS
+                   for i in range(1, HEAPS_CHECKPOINTS + 1)],
+                  dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        first: dict = {}
+        n_tok = np.zeros(len(ids), dtype=np.int64)
+        for i, (d, t) in enumerate(zip(ids, texts)):
+            toks = t.split()
+            n_tok[i] = len(toks)
+            for w in toks:
+                p = first.get(w)
+                if p is None or d < p:
+                    first[w] = d
+        tok_rows = pd.DataFrame({
+            "kind": "t", "key": list(first.keys()),
+            "v": np.fromiter(first.values(), dtype=np.int64,
+                             count=len(first)),
+            "nd": np.int64(0)})
+        bins = np.searchsorted(ts, ids, side="right") + 1
+        cnt = (pd.DataFrame({"bin": bins, "v": n_tok})
+               .groupby("bin", as_index=False)
+               .agg(v=("v", "sum"), nd=("v", "size")))
+        cnt_rows = pd.DataFrame({
+            "kind": "c", "key": cnt["bin"].astype(str),
+            "v": cnt["v"].astype(np.int64),
+            "nd": cnt["nd"].astype(np.int64)})
+        return pd.concat([tok_rows, cnt_rows], ignore_index=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        gt = g[g["kind"] == "t"]
+        if len(gt):
+            fd = gt.groupby("key")["v"].min()
+            b = np.searchsorted(ts, fd.to_numpy(np.int64), side="right")
+            vb = np.bincount(b + 1, minlength=HEAPS_CHECKPOINTS + 1)
+            nz = np.flatnonzero(vb)
+            out.append(pd.DataFrame({
+                "decile": nz, "vocab": vb[nz],
+                "toks": np.int64(0), "docs": np.int64(0)}))
+        gc = g[g["kind"] == "c"]
+        if len(gc):
+            cc = gc.groupby("key", as_index=False).agg(
+                v=("v", "sum"), nd=("nd", "sum"))
+            out.append(pd.DataFrame({
+                "decile": cc["key"].astype(np.int64), "vocab": np.int64(0),
+                "toks": cc["v"].astype(np.int64),
+                "docs": cc["nd"].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("decile", "vocab", "toks",
+                                           "docs")})
+        return pd.concat(out, ignore_index=True).astype(
+            {c: np.int64 for c in ("decile", "vocab", "toks", "docs")})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "key"], per_bucket,
+        rows_hint=64 * _nrows(sf_dir, "documents")).to_pandas()
+    agg = (parts.groupby("decile").agg(
+        vocab=("vocab", "sum"), toks=("toks", "sum"), docs=("docs", "sum"))
+        .reindex(range(1, HEAPS_CHECKPOINTS + 1), fill_value=0))
+    return pd.DataFrame({
+        "decile": np.arange(1, HEAPS_CHECKPOINTS + 1, dtype=np.int64),
+        "docs_cum": agg["docs"].cumsum().to_numpy(np.int64),
+        "tokens_cum": agg["toks"].cumsum().to_numpy(np.int64),
+        "vocab_cum": agg["vocab"].cumsum().to_numpy(np.int64)})
+
+
+SQL_DOCS_HEAPS_LAW = rf"""
+WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+firsts AS (SELECT token, min(doc_id) AS fd FROM tok
+           WHERE token <> '' GROUP BY token),
+nt AS (SELECT doc_id, count(*) FILTER (WHERE token <> '') AS n
+       FROM tok GROUP BY doc_id),
+d AS (SELECT unnest(range(1, {HEAPS_CHECKPOINTS + 1})) AS i)
+SELECT i::BIGINT AS decile,
+  (SELECT count(*) FROM documents, m
+   WHERE doc_id < m.m * i // {HEAPS_CHECKPOINTS})::BIGINT AS docs_cum,
+  (SELECT coalesce(sum(n), 0) FROM nt, m
+   WHERE doc_id < m.m * i // {HEAPS_CHECKPOINTS})::BIGINT AS tokens_cum,
+  (SELECT count(*) FROM firsts, m
+   WHERE fd < m.m * i // {HEAPS_CHECKPOINTS})::BIGINT AS vocab_cum
+FROM d ORDER BY i
 """
 
 
@@ -12194,6 +12400,7 @@ QUERIES = {
     "lineitem_cube": lineitem_cube,
     "docs_ngram_novelty": docs_ngram_novelty,
     "events_cohort_retention": events_cohort_retention,
+    "events_kaplan_meier": events_kaplan_meier,
     "events_user_modal_type": events_user_modal_type,
     "docs_inverted_index": docs_inverted_index,
     "docs_topk_tokens_per_lang": docs_topk_tokens_per_lang,
@@ -12253,6 +12460,7 @@ QUERIES = {
     "docs_anchor_text": docs_anchor_text,
     "events_cusum_drift": events_cusum_drift,
     "docs_vocab_coverage": docs_vocab_coverage,
+    "docs_heaps_law": docs_heaps_law,
     "docs_filter_agreement": docs_filter_agreement,
     "docs_weak_label_model": docs_weak_label_model,
     "kg_entity_pagerank": kg_entity_pagerank,
@@ -12450,6 +12658,7 @@ ORACLES = {
     "events_rolling_active_users": SQL_EVENTS_ROLLING_ACTIVE_USERS,
     "kg_negative_samples": SQL_KG_NEGATIVE_SAMPLES,
     "events_cohort_retention": SQL_EVENTS_COHORT_RETENTION,
+    "events_kaplan_meier": SQL_EVENTS_KAPLAN_MEIER,
     "events_user_modal_type": SQL_EVENTS_USER_MODAL_TYPE,
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_topk_tokens_per_lang": SQL_DOCS_TOPK_TOKENS_PER_LANG,
@@ -12470,6 +12679,7 @@ ORACLES = {
     "docs_pretrain_pipeline": SQL_DOCS_PRETRAIN_PIPELINE,
     "events_cusum_drift": SQL_EVENTS_CUSUM_DRIFT,
     "docs_vocab_coverage": SQL_DOCS_VOCAB_COVERAGE,
+    "docs_heaps_law": SQL_DOCS_HEAPS_LAW,
     "docs_filter_agreement": _sql_filter_agreement(),
     "docs_weak_label_model": _weak_label_sql(),
     "events_session_paths": SQL_EVENTS_SESSION_PATHS,
