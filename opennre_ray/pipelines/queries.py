@@ -12201,6 +12201,185 @@ FROM par{rounds} CROSS JOIN fin""" for lb in labs]
 
 
 # ---------------------------------------------------------------------------
+# Nonparametric two-sample / rank statistics (functions/stats.py)
+# ---------------------------------------------------------------------------
+
+def events_ks_value_drift(sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov test between the `click` and
+    `purchase` value distributions — the classic distribution-drift
+    check a crawl pipeline runs between snapshot cohorts (PSI's
+    binned cousin, but bin-free and exact). Values quantize to 1e-6
+    micro ints; the statistic is the integer cross product
+    ``d_num = max |c1*N2 - c2*N1|`` over the sorted distinct-value
+    table so ``D = d_num/(n1*n2)`` is exact (no float CDFs). Scale
+    shape: one bucketed distinct-value aggregate, one sort of the
+    distinct table, stitched per-block prefix slices returning O(1)
+    scalars (functions/stats.py docstring). Reference parity: same
+    order-statistics machinery the reference's driver-side eval sort
+    uses (/root/reference/opennre/framework/data_loader.py:251)."""
+    from ..functions.sqlcompat import sql_round
+    from ..functions.stats import ks_two_sample
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=32768)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "purchase"])]
+        v = sql_round(df["value"].to_numpy(np.float64) * 1e6, 0)
+        return pd.DataFrame({
+            "v": v.astype(np.int64),
+            "g": (df["event_type"] == "click").to_numpy()
+                 .astype(np.int64)})
+
+    r = ks_two_sample(ds.map_batches(prep, batch_format="pandas"),
+                      rows_hint=_nrows(sf_dir, "events"))
+    return pd.DataFrame([{
+        "n1": np.int64(r["n1"]), "n2": np.int64(r["n2"]),
+        "d_num": np.int64(r["d_num"]),
+        "ks_at_micro": np.int64(r["ks_at"]),
+        "ks_d": r["ks_d"]}])
+
+
+SQL_EVENTS_KS_VALUE_DRIFT = """
+WITH x AS (
+  SELECT ROUND(value * 1000000)::BIGINT AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+  FROM events WHERE event_type IN ('click', 'purchase')),
+c AS (SELECT v, sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n2
+      FROM x GROUP BY v),
+t AS (SELECT sum(n1)::BIGINT AS big1, sum(n2)::BIGINT AS big2 FROM c),
+p AS (SELECT v, sum(n1) OVER w AS c1, sum(n2) OVER w AS c2
+      FROM c WINDOW w AS (ORDER BY v)),
+d AS (SELECT v, abs(c1 * t.big2 - c2 * t.big1)::BIGINT AS diff
+      FROM p, t)
+SELECT t.big1 AS n1, t.big2 AS n2,
+       (SELECT max(diff) FROM d) AS d_num,
+       (SELECT v FROM d ORDER BY diff DESC, v ASC LIMIT 1)
+           AS ks_at_micro,
+       ROUND((SELECT max(diff) FROM d)::DOUBLE / (t.big1 * t.big2), 12)
+           AS ks_d
+FROM t
+"""
+
+
+def lineitem_mannwhitney_returnflag(sf_dir):
+    """Exact tie-corrected Mann-Whitney U rank-sum test: does the
+    returned ('R') population of l_extendedprice stochastically
+    dominate the accepted ('A') one? All rank arithmetic in doubled
+    integers over cents (two_r1 = doubled rank-sum, u1_x2 = 2*U1,
+    tie_sum = sum(t^3 - t)); the normal-approximation z mirrors the
+    oracle's double expression and rounds to 12 decimals. Same
+    stitched distinct-value-prefix scale shape as the KS test."""
+    from ..functions.sqlcompat import sql_round
+    from ..functions.stats import mann_whitney
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"],
+               rows_per_block=32768)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "A"])]
+        v = sql_round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0)
+        return pd.DataFrame({
+            "v": v.astype(np.int64),
+            "g": (df["l_returnflag"] == "R").to_numpy()
+                 .astype(np.int64)})
+
+    r = mann_whitney(ds.map_batches(prep, batch_format="pandas"),
+                     rows_hint=_nrows(sf_dir, "lineitem"))
+    return pd.DataFrame([{
+        "n1": np.int64(r["n1"]), "n2": np.int64(r["n2"]),
+        "two_r1": np.int64(r["two_r1"]),
+        "u1_x2": np.int64(r["u1_x2"]),
+        "tie_sum": np.int64(r["tie_sum"]), "z": r["z"]}])
+
+
+SQL_LINEITEM_MANNWHITNEY = """
+WITH x AS (
+  SELECT ROUND(l_extendedprice * 100)::BIGINT AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+c AS (SELECT v, sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n0,
+             count(*)::BIGINT AS t
+      FROM x GROUP BY v),
+w AS (SELECT v, n1, t,
+             coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS prev
+      FROM c),
+s AS (SELECT sum(n1 * (2 * prev + t + 1))::BIGINT AS two_r1,
+             sum(t * t * t - t)::BIGINT AS tie_sum
+      FROM w),
+tot AS (SELECT sum(n1)::BIGINT AS n1, sum(n0)::BIGINT AS n2 FROM c)
+SELECT tot.n1, tot.n2, s.two_r1,
+       (s.two_r1 - tot.n1 * (tot.n1 + 1))::BIGINT AS u1_x2,
+       s.tie_sum,
+       ROUND(((s.two_r1 - tot.n1 * (tot.n1 + 1)
+               - tot.n1 * tot.n2)::DOUBLE / 2.0)
+             / sqrt((tot.n1::HUGEINT * tot.n2
+                     * ((tot.n1 + tot.n2 + 1)::HUGEINT
+                        * (tot.n1 + tot.n2) * (tot.n1 + tot.n2 - 1)
+                        - s.tie_sum))::DOUBLE
+                    / (12.0 * (tot.n1 + tot.n2)
+                       * (tot.n1 + tot.n2 - 1))), 12) AS z
+FROM s, tot
+"""
+
+
+def lineitem_spearman_qty_price(sf_dir):
+    """Exact Spearman rank correlation between l_quantity and
+    l_extendedprice — Pearson on tie-midranks, the robust companion to
+    the existing Pearson `lineitem_qty_price_corr`. Doubled midranks
+    keep every moment integral; the cross moment folds map-side after
+    two shuffle joins attach the per-column rank maps (see
+    functions/stats.py::spearman for the distributed shape and int64
+    bounds)."""
+    from ..functions.sqlcompat import sql_round
+    from ..functions.stats import spearman
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"],
+               rows_per_block=32768)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = sql_round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0)
+        return pd.DataFrame({
+            "q": df["l_quantity"].to_numpy(np.float64)
+                 .astype(np.int64),
+            "c": c.astype(np.int64)})
+
+    r = spearman(ds.map_batches(prep, batch_format="pandas"), "q", "c",
+                 rows_hint=_nrows(sf_dir, "lineitem"))
+    return pd.DataFrame([{"n": np.int64(r["n"]),
+                          "spearman_rho": r["rho"]}])
+
+
+SQL_LINEITEM_SPEARMAN = """
+WITH x AS (
+  SELECT l_quantity::BIGINT AS q,
+         ROUND(l_extendedprice * 100)::BIGINT AS c
+  FROM lineitem),
+r AS (SELECT 2 * rank() OVER (ORDER BY q)
+               + count(*) OVER (PARTITION BY q) - 1 AS rx,
+             2 * rank() OVER (ORDER BY c)
+               + count(*) OVER (PARTITION BY c) - 1 AS ry
+      FROM x),
+s AS (SELECT count(*)::HUGEINT AS n,
+             sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+             sum(rx::HUGEINT * rx) AS sxx,
+             sum(ry::HUGEINT * ry) AS syy,
+             sum(rx::HUGEINT * ry) AS sxy
+      FROM r)
+SELECT n::BIGINT AS n,
+       ROUND((n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)), 12)
+           AS spearman_rho
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -12467,6 +12646,9 @@ QUERIES = {
     "kg_snapshot_diff": kg_snapshot_diff,
     "events_session_paths": events_session_paths,
     "kg_entity_cooccurrence": kg_entity_cooccurrence,
+    "events_ks_value_drift": events_ks_value_drift,
+    "lineitem_mannwhitney_returnflag": lineitem_mannwhitney_returnflag,
+    "lineitem_spearman_qty_price": lineitem_spearman_qty_price,
 }
 
 
@@ -12683,6 +12865,9 @@ ORACLES = {
     "docs_filter_agreement": _sql_filter_agreement(),
     "docs_weak_label_model": _weak_label_sql(),
     "events_session_paths": SQL_EVENTS_SESSION_PATHS,
+    "events_ks_value_drift": SQL_EVENTS_KS_VALUE_DRIFT,
+    "lineitem_mannwhitney_returnflag": SQL_LINEITEM_MANNWHITNEY,
+    "lineitem_spearman_qty_price": SQL_LINEITEM_SPEARMAN,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
