@@ -12379,6 +12379,282 @@ FROM s
 """
 
 
+#: cohorts for the chi-square independence audit (user_id % K)
+CHI2_N_COHORTS = 8
+
+
+def events_chi_square_cohorts(sf_dir):
+    """Pearson chi-square independence test between event_type and a
+    deterministic user cohort (user_id % 8) — the A/B-bucket sanity
+    audit run before trusting any per-cohort metric: a significant
+    statistic means the hash bucketing is confounded with behavior.
+    Contingency counts reduce map-side (types x 8 rows per block); each
+    cell's contribution quantizes ONCE to the 1e-6 grid so the
+    statistic is an order-free integer sum (the PSI recipe). Expected
+    counts round to 12 decimals per the pinned-float rule."""
+    import math
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "cohort": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "cohort": df["user_id"].to_numpy(np.int64)
+                      % CHI2_N_COHORTS})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "cohort"],
+                           as_index=False).sum()
+
+    cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["event_type", "cohort"], as_index=False)["n"]
+           .sum())
+    types = sorted(cnt["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(CHI2_N_COHORTS)],
+        names=["event_type", "cohort"]).to_frame(index=False)
+    g = grid.merge(cnt, how="left").fillna({"n": 0})
+    g["n"] = g["n"].astype(np.int64)
+    rt = g.groupby("event_type")["n"].sum().to_dict()
+    ct = g.groupby("cohort")["n"].sum().to_dict()
+    big_n = int(g["n"].sum())
+    exp, contrib = [], []
+    for _, r in g.iterrows():
+        e_raw = (rt[r["event_type"]] * ct[r["cohort"]]) / big_n
+        exp.append(e_raw)
+        c = (r["n"] - e_raw) * (r["n"] - e_raw) / e_raw
+        contrib.append(int(math.floor(c * 1_000_000 + 0.5)))
+    from ..functions.sqlcompat import sql_round
+    out = g.copy()
+    out["expected"] = sql_round(np.asarray(exp), 12)
+    out["contrib_micro"] = np.asarray(contrib, dtype=np.int64)
+    out["chi2_micro"] = np.int64(sum(contrib))
+    out["dof"] = np.int64((len(types) - 1) * (CHI2_N_COHORTS - 1))
+    out["cohort"] = out["cohort"].astype(np.int64)
+    return out
+
+
+SQL_EVENTS_CHI_SQUARE_COHORTS = f"""
+WITH b AS (SELECT event_type, user_id % {CHI2_N_COHORTS} AS cohort
+           FROM events),
+c AS (SELECT event_type, cohort, count(*)::BIGINT AS n
+      FROM b GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM b),
+co AS (SELECT unnest(range({CHI2_N_COHORTS}))::BIGINT AS cohort),
+g AS (SELECT ty.event_type, co.cohort, coalesce(c.n, 0)::BIGINT AS n
+      FROM ty CROSS JOIN co
+      LEFT JOIN c ON c.event_type = ty.event_type
+                 AND c.cohort = co.cohort),
+rt AS (SELECT event_type, sum(n)::BIGINT AS rt FROM g GROUP BY 1),
+ct AS (SELECT cohort, sum(n)::BIGINT AS ct FROM g GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS bign FROM g),
+e AS (SELECT g.event_type, g.cohort, g.n,
+             (rt.rt * ct.ct)::DOUBLE / t.bign AS e_raw
+      FROM g JOIN rt USING (event_type) JOIN ct USING (cohort), t),
+f AS (SELECT event_type, cohort, n, ROUND(e_raw, 12) AS expected,
+             CAST(floor((n - e_raw) * (n - e_raw) / e_raw
+                        * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+      FROM e)
+SELECT event_type, cohort, n, expected, contrib_micro,
+       sum(contrib_micro) OVER ()::BIGINT AS chi2_micro,
+       (((SELECT count(*) FROM ty) - 1)
+        * {CHI2_N_COHORTS - 1})::BIGINT AS dof
+FROM f
+"""
+
+
+def events_transition_entropy(sf_dir):
+    """Conditional next-event entropy H(next | current) per event type
+    from the first-order Markov transition table — the sequence-
+    predictability audit behind session-model sanity checks (a type
+    whose successors are near-uniform carries no signal). Reuses the
+    bucketed per-user transition counts of `events_type_transitions`
+    (users never span buckets; only types^2 partials shuffle); each
+    -(c/n)ln(c/n) term quantizes ONCE to the 1e-6 grid so per-type sums
+    are order-free integers, and the overall conditional entropy is the
+    count-weighted floor-div mean on the same grid."""
+    import math
+
+    tr = events_type_transitions(sf_dir).to_pandas()
+    rows = []
+    for s, g in tr.groupby("from_type"):
+        n_s = int(g["cnt"].sum())
+        h_fp = 0
+        for c in g["cnt"]:
+            c = int(c)
+            term = -(c / n_s) * math.log(c / n_s)
+            h_fp += int(math.floor(term * 1_000_000 + 0.5))
+        rows.append({"from_type": s, "n_out": n_s,
+                     "entropy_fp": h_fp})
+    out = (pd.DataFrame(rows).sort_values("from_type")
+           .reset_index(drop=True))
+    big_n = int(out["n_out"].sum())
+    cond = sum(int(r["n_out"]) * int(r["entropy_fp"])
+               for _, r in out.iterrows()) // big_n
+    out["cond_entropy_fp"] = np.int64(cond)
+    return out.astype({"n_out": np.int64, "entropy_fp": np.int64})
+
+
+SQL_EVENTS_TRANSITION_ENTROPY = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+tr AS (SELECT prev AS from_type, event_type AS to_type,
+              count(*)::BIGINT AS cnt
+       FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+n AS (SELECT from_type, sum(cnt)::BIGINT AS n_out FROM tr GROUP BY 1),
+h AS (SELECT tr.from_type,
+             sum(CAST(floor(-(tr.cnt::DOUBLE / n.n_out)
+                            * ln(tr.cnt::DOUBLE / n.n_out)
+                            * 1000000 + 0.5) AS BIGINT))::BIGINT
+                 AS entropy_fp
+      FROM tr JOIN n USING (from_type) GROUP BY 1),
+j AS (SELECT n.from_type, n.n_out, h.entropy_fp
+      FROM n JOIN h USING (from_type))
+SELECT from_type, n_out, entropy_fp,
+       (sum(n_out * entropy_fp) OVER () // sum(n_out) OVER ())::BIGINT
+           AS cond_entropy_fp
+FROM j
+"""
+
+
+#: Hill estimator order statistic count (top-k tail sample)
+HILL_K = 100
+
+
+def events_hill_tail_index(sf_dir):
+    """Hill estimator of the Pareto tail index of the event-value
+    distribution: alpha = k / sum ln(v_(i)/v_(k+1)) over the top-k
+    order statistics — the heavy-tail screen that decides whether mean-
+    based monitors are even meaningful for a metric. Values quantize to
+    micro ints; each log term quantizes ONCE to the 1e-6 grid so the
+    sum is an order-free integer. Scale shape: per-block top-(k+1)
+    partials (k+1 ints per block) merge on the driver — no global sort,
+    no shuffle."""
+    import math
+
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["value"], rows_per_block=32768)
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        v = sql_round(np.asarray(
+            t.column("value").to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 1e6, 0).astype(np.int64)
+        v = v[v > 0]
+        if len(v) > HILL_K + 1:
+            v = np.partition(v, len(v) - HILL_K - 1)[-(HILL_K + 1):]
+        return pa.table({"vm": pa.array(np.sort(v)[::-1], pa.int64())})
+
+    cand = np.sort(ds.map_batches(topk_partial, batch_format="pyarrow")
+                   .to_pandas()["vm"].to_numpy(np.int64))[::-1]
+    top = cand[:HILL_K + 1]
+    vk1 = int(top[HILL_K])
+    hill_fp = sum(
+        int(math.floor(math.log(int(v) / vk1) * 1_000_000 + 0.5))
+        for v in top[:HILL_K])
+    alpha = float(sql_round(HILL_K * 1_000_000.0 / hill_fp, 12))
+    return pd.DataFrame([{
+        "k": np.int64(HILL_K), "v_k1_micro": np.int64(vk1),
+        "hill_fp": np.int64(hill_fp), "alpha_hill": alpha}])
+
+
+SQL_EVENTS_HILL_TAIL_INDEX = f"""
+WITH v AS (SELECT ROUND(value * 1000000)::BIGINT AS vm FROM events
+           WHERE ROUND(value * 1000000) > 0),
+r AS (SELECT vm, row_number() OVER (ORDER BY vm DESC) AS rn FROM v),
+k1 AS (SELECT vm AS vk1 FROM r WHERE rn = {HILL_K + 1}),
+h AS (SELECT sum(CAST(floor(ln(r.vm::DOUBLE / k1.vk1)
+                            * 1000000 + 0.5) AS BIGINT))::BIGINT
+                 AS hill_fp
+      FROM r, k1 WHERE r.rn <= {HILL_K})
+SELECT {HILL_K}::BIGINT AS k, k1.vk1 AS v_k1_micro, h.hill_fp,
+       ROUND({HILL_K} * 1000000.0 / h.hill_fp, 12) AS alpha_hill
+FROM h, k1
+"""
+
+
+#: autocorrelation lags reported (calendar-day offsets)
+ACF_MAX_LAG = 7
+
+
+def orders_daily_autocorr(sf_dir):
+    """Lag-1..7 autocorrelation of daily order revenue — the
+    seasonality detector behind weekly-cycle dashboards. Daily cent
+    sums reduce map-side (<= days rows per block); the driver-side fold
+    over the tiny day series is EXACT Python-int arithmetic on
+    mean-centered deviations scaled by n (dev_t = n*x_t - S, so
+    r_k = sum(dev_t*dev_(t+k)) / sum(dev_t^2) with no float mean), with
+    pairs matched on CALENDAR-day offset (a gap day contributes no
+    pair). The single float per lag mirrors the oracle's
+    HUGEINT->DOUBLE division and rounds to 12 decimals."""
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+               rows_per_block=32768)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="int64")})
+        d = pd.to_datetime(df["o_orderdate"]).to_numpy(
+            "datetime64[D]").astype(np.int64)
+        cents = sql_round(df["o_totalprice"].to_numpy(np.float64)
+                          * 100.0, 0).astype(np.int64)
+        return (pd.DataFrame({"day": d, "x": cents})
+                .groupby("day", as_index=False).sum())
+
+    daily = (ds.map_batches(day_partial, batch_format="pandas")
+             .to_pandas().groupby("day", as_index=False)["x"].sum()
+             .sort_values("day"))
+    days = daily["day"].to_numpy(np.int64)
+    x = [int(v) for v in daily["x"].to_numpy(np.int64)]
+    n = len(x)
+    s = sum(x)
+    dev = {int(d): n * v - s for d, v in zip(days, x)}
+    den = sum(v * v for v in dev.values())
+    rows = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        num, pairs = 0, 0
+        for d, v in dev.items():
+            w = dev.get(d + k)
+            if w is not None:
+                num += v * w
+                pairs += 1
+        rows.append({"lag": np.int64(k), "n_days": np.int64(n),
+                     "n_pairs": np.int64(pairs),
+                     "acf": float(sql_round(
+                         float(num) / float(den), 12))})
+    return pd.DataFrame(rows)
+
+
+SQL_ORDERS_DAILY_AUTOCORR = f"""
+WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                           o_orderdate)::BIGINT AS day,
+                  sum(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS x
+           FROM orders GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM d),
+e AS (SELECT day, (s.n * x - s.sx)::HUGEINT AS dev FROM d, s),
+den AS (SELECT sum(dev * dev) AS den FROM e),
+l AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::BIGINT AS lag),
+num AS (SELECT l.lag, coalesce(sum(a.dev * b.dev), 0) AS num,
+               count(b.day)::BIGINT AS n_pairs
+        FROM l LEFT JOIN e a ON true
+        LEFT JOIN e b ON b.day = a.day + l.lag
+        GROUP BY l.lag)
+SELECT num.lag, s.n AS n_days, num.n_pairs,
+       ROUND(num.num::DOUBLE / den.den::DOUBLE, 12) AS acf
+FROM num, s, den
+ORDER BY num.lag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -12649,6 +12925,10 @@ QUERIES = {
     "events_ks_value_drift": events_ks_value_drift,
     "lineitem_mannwhitney_returnflag": lineitem_mannwhitney_returnflag,
     "lineitem_spearman_qty_price": lineitem_spearman_qty_price,
+    "events_chi_square_cohorts": events_chi_square_cohorts,
+    "events_transition_entropy": events_transition_entropy,
+    "events_hill_tail_index": events_hill_tail_index,
+    "orders_daily_autocorr": orders_daily_autocorr,
 }
 
 
@@ -12868,6 +13148,10 @@ ORACLES = {
     "events_ks_value_drift": SQL_EVENTS_KS_VALUE_DRIFT,
     "lineitem_mannwhitney_returnflag": SQL_LINEITEM_MANNWHITNEY,
     "lineitem_spearman_qty_price": SQL_LINEITEM_SPEARMAN,
+    "events_chi_square_cohorts": SQL_EVENTS_CHI_SQUARE_COHORTS,
+    "events_transition_entropy": SQL_EVENTS_TRANSITION_ENTROPY,
+    "events_hill_tail_index": SQL_EVENTS_HILL_TAIL_INDEX,
+    "orders_daily_autocorr": SQL_ORDERS_DAILY_AUTOCORR,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
