@@ -12655,6 +12655,117 @@ ORDER BY num.lag
 """
 
 
+#: power-iteration rounds for the top principal component
+PCA_ITERS = 4
+#: fixed-point scales: embedding micro-quant, the per-row dot shrink,
+#: and the L-infinity vector normalization target (all powers of two so
+#: numpy's arithmetic shifts replay bit-exactly in SQL floor division)
+PCA_XSCALE = 1_000_000
+PCA_DSHIFT = 16384      # 2^14
+PCA_VSCALE = 16384      # 2^14
+
+
+def embed_pca_top_component(sf_dir):
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by FIXED-POINT power iteration — the distributed
+    linear-algebra primitive behind whitening, spectral outlier
+    screens, and ABTT embedding post-processing. Each round is ONE
+    map-side pass: every block computes d_i = sum_j xq_ij*v_j for its
+    rows, shrinks by floor(d/2^14), and emits the 64 partial
+    s_j = sum_i xq_ij*dd_i sums; the driver folds partials in Python
+    ints (exact at any corpus size), L-infinity-normalizes v back to
+    +-2^14 with floor division, and broadcasts the 64 ints into the
+    next round's closure. No shuffle anywhere — per-round traffic is
+    dims x blocks ints. All arithmetic replays bit-exactly in the
+    unrolled BIGINT SQL (per-block int64 bound: rows_per_block x
+    |xq|max x 2^20 must stay under 2^63 — holds to ~500k-row blocks at
+    unit-norm embeddings). Sign is canonicalized so the largest-|v|
+    coordinate (smallest dim on ties) is positive."""
+    from ..functions.similarity import _as_matrix
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read_embeddings(sf_dir).materialize()
+    first = ds.take(1)[0]["embedding"]
+    dim = len(first)
+    v = np.full(dim, PCA_VSCALE, dtype=np.int64)
+
+    for _ in range(PCA_ITERS):
+        vb = v.copy()
+
+        def partial(t: pa.Table, vb=vb) -> pa.Table:
+            x = _as_matrix(t.column("embedding"), dtype=np.float64)
+            xq = sql_round(x * PCA_XSCALE, 0).astype(np.int64)
+            d = xq @ vb
+            dd = d >> 14          # arithmetic shift == floor / 2^14
+            s = xq.T @ dd
+            return pa.table({"j": pa.array(np.arange(len(s)),
+                                           pa.int64()),
+                             "s": pa.array(s, pa.int64())})
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        s_tot = [0] * dim
+        for j, s in zip(parts["j"].to_numpy(np.int64),
+                        parts["s"].to_numpy(np.int64)):
+            s_tot[int(j)] += int(s)        # Python-int exact fold
+        m = max(abs(si) for si in s_tot)
+        den = m // PCA_VSCALE + 1
+        v = np.array([si // den for si in s_tot], dtype=np.int64)
+
+    a = np.abs(v)
+    jstar = int(a.argmax())                # first max = smallest dim
+    if v[jstar] < 0:
+        v = -v
+    return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),
+                         "v_fp": v.astype(np.int64)})
+
+
+def _sql_pca(iters: int) -> str:
+    """Unrolled power-iteration replay. ``fd(a, b)`` is exact BIGINT
+    floor division for b > 0 (DuckDB ``//`` truncates; verified exact
+    above 2^53 where any double detour would round)."""
+
+    def fd(a: str, b: str) -> str:
+        return (f"(CASE WHEN {a} >= 0 THEN ({a}) // ({b}) "
+                f"ELSE -((-({a}) + ({b}) - 1) // ({b})) END)")
+
+    parts = [f"""
+WITH e AS (SELECT vec_id, unnest(embedding) AS comp,
+                  generate_subscripts(embedding, 1) - 1 AS j
+           FROM embeddings),
+x AS MATERIALIZED (
+  SELECT vec_id, j,
+         CAST(CASE WHEN comp >= 0
+              THEN floor(comp::DOUBLE * {PCA_XSCALE} + 0.5)
+              ELSE -floor(-comp::DOUBLE * {PCA_XSCALE} + 0.5) END
+              AS BIGINT) AS xq
+  FROM e),
+v0 AS (SELECT DISTINCT j, {PCA_VSCALE}::BIGINT AS v FROM x)"""]
+    for r in range(1, iters + 1):
+        d = f"sum(x.xq * v{r - 1}.v)::BIGINT"
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT x.vec_id, {fd(d, str(PCA_DSHIFT))} AS dd
+  FROM x JOIN v{r - 1} USING (j) GROUP BY x.vec_id),
+s{r} AS MATERIALIZED (
+  SELECT j, sum(x.xq * d{r}.dd)::BIGINT AS s
+  FROM x JOIN d{r} USING (vec_id) GROUP BY j),
+m{r} AS (SELECT (max(abs(s)) // {PCA_VSCALE} + 1)::BIGINT AS den
+         FROM s{r}),
+v{r} AS MATERIALIZED (
+  SELECT j, {fd('s', f'm{r}.den')}::BIGINT AS v FROM s{r}, m{r})""")
+    parts.append(f""",
+fin AS (SELECT j, v FROM v{iters}),
+mx AS (SELECT max(abs(v)) AS m FROM fin),
+sg AS (SELECT CASE WHEN (SELECT v FROM fin, mx WHERE abs(v) = mx.m
+                         ORDER BY j LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS s)
+SELECT j::BIGINT AS dim, (v * sg.s)::BIGINT AS v_fp
+FROM fin, sg ORDER BY dim
+""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -12929,6 +13040,7 @@ QUERIES = {
     "events_transition_entropy": events_transition_entropy,
     "events_hill_tail_index": events_hill_tail_index,
     "orders_daily_autocorr": orders_daily_autocorr,
+    "embed_pca_top_component": embed_pca_top_component,
 }
 
 
@@ -13152,6 +13264,7 @@ ORACLES = {
     "events_transition_entropy": SQL_EVENTS_TRANSITION_ENTROPY,
     "events_hill_tail_index": SQL_EVENTS_HILL_TAIL_INDEX,
     "orders_daily_autocorr": SQL_ORDERS_DAILY_AUTOCORR,
+    "embed_pca_top_component": _sql_pca(PCA_ITERS),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -80,3 +80,31 @@ def test_spearman_matches_pandas(ray_session):
         rx.std() * ry.std())
     assert got["n"] == n
     assert got["rho"] == pytest.approx(want, abs=1e-9)
+
+
+def test_pca_top_component_recovers_planted_direction(ray_session,
+                                                      tmp_path):
+    """The fixed-point power iteration must align with the true top
+    eigenvector of a planted low-rank-plus-noise embedding table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opennre_ray.pipelines.queries import embed_pca_top_component
+
+    rng = np.random.default_rng(5)
+    d = 16
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    n = 400
+    x = (rng.normal(size=(n, 1)) * 3.0) @ u[None, :] \
+        + rng.normal(size=(n, d)) * 0.05
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in x],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n), pa.int64())})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = embed_pca_top_component(str(tmp_path))
+    v = got["v_fp"].to_numpy(np.float64)
+    v /= np.linalg.norm(v)
+    assert abs(float(v @ u)) > 0.995
