@@ -12766,6 +12766,135 @@ FROM fin, sg ORDER BY dim
     return "".join(parts)
 
 
+# --- Fellegi-Sunter probabilistic record linkage ---------------------------
+#: configured m/u probabilities per agreement feature (expert-set priors
+#: — the classic FS setup; parameter ESTIMATION from labeled data is the
+#: sibling `docs_weak_label_model` Dawid-Skene EM)
+FS_M = {"f_name_tail": 0.9, "f_bal_close": 0.85, "f_bal_bucket": 0.8}
+FS_U = {"f_name_tail": 0.1, "f_bal_close": 0.05, "f_bal_bucket": 0.1}
+FS_BAL_CLOSE_CENTS = 50_000        # |balance delta| <= $500
+FS_BAL_BUCKET_CENTS = 200_000      # same $2000 balance bucket
+FS_BAL_OFFSET = 100_000_000        # shift keeps cents positive so
+#                                    truncating and floor division agree
+FS_UPPER_FP = 2_000_000            # match threshold (2.0 in 1e-6 fp)
+
+
+def _fs_weights() -> dict:
+    """Agreement/disagreement log2-likelihood weights quantized ONCE to
+    the 1e-6 grid; the quantized ints are embedded as literals in the
+    oracle SQL, so both engines share IDENTICAL constants."""
+    import math
+    w = {}
+    for k in FS_M:
+        m, u = FS_M[k], FS_U[k]
+        w[k] = (int(math.floor(math.log2(m / u) * 1e6 + 0.5)),
+                int(math.floor(math.log2((1 - m) / (1 - u)) * 1e6
+                               + 0.5)))
+    return w
+
+
+def customer_fellegi_sunter(sf_dir):
+    """Fellegi-Sunter probabilistic record linkage over the customer
+    table: candidate pairs blocked on (nation, mktsegment), three
+    agreement features (same name tail digit, balance within $500,
+    same $2000 balance bucket), and the classic sum of per-feature
+    log2(m/u) / log2((1-m)/(1-u)) weights — all integer because every
+    weight is a pre-quantized 1e-6 constant. The result is the
+    agreement-PATTERN histogram (<= 8 rows: pattern, pair count, score,
+    match/possible/non_match decision), never the pair table itself.
+    Scale shape: one bucketed shuffle colocates whole blocks; pair
+    generation is a vectorized per-block self-merge (O(B^2) within a
+    block — the documented blocking trade-off, measured by the sibling
+    `customer_blocking_eval`); only 8 pattern partials leave each
+    bucket. Complements `customer_entity_resolution` (deterministic
+    edit-distance + CC) with the probabilistic-scoring shape."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    w = _fs_weights()
+    feats = list(FS_M)
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cents = sql_round(g["c_acctbal"].to_numpy(np.float64) * 100.0,
+                          0).astype(np.int64)
+        g = g.assign(
+            cents=cents,
+            tail=g["c_name"].str[-1],
+            bucket=(cents + FS_BAL_OFFSET) // FS_BAL_BUCKET_CENTS)
+        g = g[["c_custkey", "c_nationkey", "c_mktsegment", "cents",
+               "tail", "bucket"]]
+        m = g.merge(g, on=["c_nationkey", "c_mktsegment"],
+                    suffixes=("_a", "_b"))
+        m = m[m["c_custkey_a"] < m["c_custkey_b"]]
+        out = pd.DataFrame({
+            "f_name_tail": (m["tail_a"] == m["tail_b"])
+                           .to_numpy().astype(np.int64),
+            "f_bal_close": (np.abs(m["cents_a"].to_numpy(np.int64)
+                                   - m["cents_b"].to_numpy(np.int64))
+                            <= FS_BAL_CLOSE_CENTS).astype(np.int64),
+            "f_bal_bucket": (m["bucket_a"] == m["bucket_b"])
+                            .to_numpy().astype(np.int64)})
+        out["n_pairs"] = np.int64(1)
+        return out.groupby(feats, as_index=False)["n_pairs"].sum()
+
+    parts = hash_bucket_aggregate(
+        ds, ["c_nationkey", "c_mktsegment"], per_bucket,
+        rows_hint=_nrows(sf_dir, "customer"))
+    agg = (parts.to_pandas().groupby(feats, as_index=False)["n_pairs"]
+           .sum())
+    score = np.zeros(len(agg), dtype=np.int64)
+    for k in feats:
+        score += np.where(agg[k].to_numpy(np.int64) == 1,
+                          w[k][0], w[k][1])
+    agg["score_fp"] = score
+    agg["decision"] = np.where(
+        score >= FS_UPPER_FP, "match",
+        np.where(score >= 0, "possible", "non_match"))
+    agg["n_pairs"] = agg["n_pairs"].astype(np.int64)
+    for k in feats:
+        agg[k] = agg[k].astype(np.int64)
+    return agg.sort_values(feats).reset_index(drop=True)
+
+
+def _sql_fellegi_sunter() -> str:
+    w = _fs_weights()
+    terms = " + ".join(
+        f"(CASE WHEN {k} = 1 THEN {w[k][0]} ELSE {w[k][1]} END)"
+        for k in FS_M)
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         ROUND(c_acctbal * 100)::BIGINT AS cents,
+         substr(c_name, length(c_name), 1) AS tail
+  FROM customer),
+p AS (
+  SELECT CASE WHEN a.tail = b.tail THEN 1 ELSE 0 END AS f_name_tail,
+         CASE WHEN abs(a.cents - b.cents) <= {FS_BAL_CLOSE_CENTS}
+              THEN 1 ELSE 0 END AS f_bal_close,
+         CASE WHEN (a.cents + {FS_BAL_OFFSET}) // {FS_BAL_BUCKET_CENTS}
+                 = (b.cents + {FS_BAL_OFFSET}) // {FS_BAL_BUCKET_CENTS}
+              THEN 1 ELSE 0 END AS f_bal_bucket
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+g AS (SELECT f_name_tail, f_bal_close, f_bal_bucket,
+             count(*)::BIGINT AS n_pairs
+      FROM p GROUP BY 1, 2, 3),
+s AS (SELECT *, ({terms})::BIGINT AS score_fp FROM g)
+SELECT f_name_tail::BIGINT AS f_name_tail,
+       f_bal_close::BIGINT AS f_bal_close,
+       f_bal_bucket::BIGINT AS f_bal_bucket, n_pairs, score_fp,
+       CASE WHEN score_fp >= {FS_UPPER_FP} THEN 'match'
+            WHEN score_fp >= 0 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13041,6 +13170,7 @@ QUERIES = {
     "events_hill_tail_index": events_hill_tail_index,
     "orders_daily_autocorr": orders_daily_autocorr,
     "embed_pca_top_component": embed_pca_top_component,
+    "customer_fellegi_sunter": customer_fellegi_sunter,
 }
 
 
@@ -13265,6 +13395,7 @@ ORACLES = {
     "events_hill_tail_index": SQL_EVENTS_HILL_TAIL_INDEX,
     "orders_daily_autocorr": SQL_ORDERS_DAILY_AUTOCORR,
     "embed_pca_top_component": _sql_pca(PCA_ITERS),
+    "customer_fellegi_sunter": _sql_fellegi_sunter(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
