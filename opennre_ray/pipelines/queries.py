@@ -12895,6 +12895,146 @@ FROM s
 """
 
 
+def _daily_event_counts(sf_dir) -> pd.DataFrame:
+    """Distributed daily event counts (map-side partials, driver fold —
+    the day series is calendar-bounded, so the driver table is tiny at
+    any corpus size). Day key matches DuckDB's strftime '%Y-%m-%d'."""
+    ds = _read(sf_dir, "events", ["ts"], rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "day": pd.to_datetime(df["ts"]).dt.strftime("%Y-%m-%d")})
+        out["n"] = np.int64(1)
+        return out.groupby("day", as_index=False).sum()
+
+    return (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby("day", as_index=False)["n"].sum()
+            .sort_values("day").reset_index(drop=True))
+
+
+def events_holt_smoothing(sf_dir):
+    """Holt's linear-trend double exponential smoothing of the daily
+    event-count series with alpha = beta = 1/2 — the level+trend
+    monitor a volume dashboard runs where single EWMA lags ramps
+    (sibling: `events_ewma`). The coupled recursion runs in EXACT 1e-6
+    fixed point: s' = floor((x + s + b)/2), b' = floor((s' - s + b)/2)
+    (dyadic alpha/beta make both steps pure integer), replayed
+    row-for-row by the recursive-CTE oracle. Scale shape: the daily
+    aggregate reduces map-side; the recursion itself runs over the
+    calendar-bounded day series on the driver — O(days), not O(rows)."""
+    daily = _daily_event_counts(sf_dir)
+    s = int(daily["n"].iloc[0]) * 1_000_000
+    b = 0
+    srow, brow = [s], [b]
+    for v in daily["n"].iloc[1:]:
+        x = int(v) * 1_000_000
+        s_new = (x + s + b) // 2
+        b = (s_new - s + b) // 2
+        s = s_new
+        srow.append(s)
+        brow.append(b)
+    out = daily.copy()
+    out["n"] = out["n"].astype(np.int64)
+    out["s_micro"] = np.asarray(srow, dtype=np.int64)
+    out["b_micro"] = np.asarray(brow, dtype=np.int64)
+    out["forecast_micro"] = out["s_micro"] + out["b_micro"]
+    return out
+
+
+def _sql_holt() -> str:
+    def fd2(a: str) -> str:
+        # exact floor((a)/2) for possibly-negative BIGINT (DuckDB //
+        # truncates toward zero)
+        return (f"(CASE WHEN {a} >= 0 THEN ({a}) // 2 "
+                f"ELSE -((-({a}) + 1) // 2) END)")
+
+    s_new = fd2("1000000 * idx.n + rec.s_micro + rec.b_micro")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY day),
+idx AS (SELECT day, n,
+               row_number() OVER (ORDER BY day)::BIGINT AS i
+        FROM daily),
+rec AS (
+  SELECT i, day, n, (1000000 * n)::BIGINT AS s_micro,
+         0::BIGINT AS b_micro
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.n,
+         {s_new}::BIGINT,
+         {fd2(s_new + " - rec.s_micro + rec.b_micro")}::BIGINT
+  FROM rec JOIN idx ON idx.i = rec.i + 1)
+SELECT day, n, s_micro, b_micro,
+       (s_micro + b_micro)::BIGINT AS forecast_micro
+FROM rec
+"""
+
+
+#: changepoint score scale (1e-5 grid on the count^2 ratio; ties break
+#: on the earlier day, deterministically on both sides)
+CHANGEPOINT_SCALE = 100_000
+
+
+def events_changepoint(sf_dir):
+    """Single-changepoint detection on the daily event-count series by
+    exact binary segmentation: the split k maximizing the variance-
+    reduction gain G(k) = Sl^2/k + Sr^2/(n-k) (equivalently minimizing
+    two-segment SSE). The gain is compared on an exact integer grid —
+    score_fp = (Sl^2*(n-k) + Sr^2*k) * 1e5 // (k*(n-k)) in BIGINT, ties
+    to the earlier day — so Ray and the window-function oracle pick the
+    IDENTICAL split. Daily counts reduce map-side; the O(days) split
+    scan runs on the calendar-bounded driver series."""
+    daily = _daily_event_counts(sf_dir)
+    n = len(daily)
+    xs = [int(v) for v in daily["n"]]
+    st = sum(xs)
+    best = None
+    sl = 0
+    for i in range(1, n):            # split AFTER position i (1-based)
+        sl += xs[i - 1]
+        sr = st - sl
+        score = ((sl * sl * (n - i) + sr * sr * i)
+                 * CHANGEPOINT_SCALE) // (i * (n - i))
+        key = (score, -i)
+        if best is None or key > best[0]:
+            best = (key, i, sl, sr)
+    _, k, sl, sr = best
+    return pd.DataFrame([{
+        "split_day": daily["day"].iloc[k - 1],
+        "k": np.int64(k), "n_days": np.int64(n),
+        "score_fp": np.int64(((sl * sl * (n - k) + sr * sr * k)
+                              * CHANGEPOINT_SCALE) // (k * (n - k))),
+        "left_mean_micro": np.int64(1_000_000 * sl // k),
+        "right_mean_micro": np.int64(1_000_000 * sr // (n - k))}])
+
+
+SQL_EVENTS_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY day),
+o AS (SELECT day, n,
+             row_number() OVER (ORDER BY day)::BIGINT AS i,
+             count(*) OVER ()::BIGINT AS nd,
+             sum(n) OVER (ORDER BY day)::BIGINT AS sl,
+             sum(n) OVER ()::BIGINT AS st
+      FROM daily),
+g AS (SELECT day, i, nd, sl, (st - sl)::BIGINT AS sr FROM o
+      WHERE i < nd)
+SELECT day AS split_day, i AS k, nd AS n_days,
+       ((sl * sl * (nd - i) + sr * sr * i)
+        * {CHANGEPOINT_SCALE} // (i * (nd - i)))::BIGINT AS score_fp,
+       (1000000 * sl // i)::BIGINT AS left_mean_micro,
+       (1000000 * sr // (nd - i))::BIGINT AS right_mean_micro
+FROM g
+ORDER BY score_fp DESC, split_day ASC
+LIMIT 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13171,6 +13311,8 @@ QUERIES = {
     "orders_daily_autocorr": orders_daily_autocorr,
     "embed_pca_top_component": embed_pca_top_component,
     "customer_fellegi_sunter": customer_fellegi_sunter,
+    "events_holt_smoothing": events_holt_smoothing,
+    "events_changepoint": events_changepoint,
 }
 
 
@@ -13396,6 +13538,8 @@ ORACLES = {
     "orders_daily_autocorr": SQL_ORDERS_DAILY_AUTOCORR,
     "embed_pca_top_component": _sql_pca(PCA_ITERS),
     "customer_fellegi_sunter": _sql_fellegi_sunter(),
+    "events_holt_smoothing": _sql_holt(),
+    "events_changepoint": SQL_EVENTS_CHANGEPOINT,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
