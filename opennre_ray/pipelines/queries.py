@@ -13035,6 +13035,195 @@ LIMIT 1
 """
 
 
+def events_trend_test(sf_dir):
+    """Mann-Kendall monotone-trend test + Theil-Sen slope over the
+    daily event-count series — the distribution-free trend monitor
+    (robust to outlier days) paired with its standard slope estimator.
+    S = sum of sign(x_j - x_i) over day pairs and the tie-corrected
+    variance are exact integers; z mirrors the oracle's double
+    expression and rounds to 12 decimals. The Sen slope is the LOWER
+    median of the per-pair integer slopes floor(1e6*dx/ddays)
+    (negative-safe floor division), so both engines select the
+    identical element. Scale shape: daily counts reduce map-side; the
+    O(days^2) pair scan runs over the calendar-bounded driver series."""
+    import math
+
+    from ..functions.sqlcompat import sql_round
+
+    daily = _daily_event_counts(sf_dir)
+    n = len(daily)
+    d = pd.to_datetime(daily["day"]).to_numpy(
+        "datetime64[D]").astype(np.int64)
+    x = daily["n"].to_numpy(np.int64)
+    s_stat = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = int(x[j]) - int(x[i])
+            s_stat += (dx > 0) - (dx < 0)
+            slopes.append((1_000_000 * dx) // (int(d[j]) - int(d[i])))
+    slopes.sort()
+    m = len(slopes)
+    sen = slopes[(m - 1) // 2]          # lower median, deterministic
+    _, t = np.unique(x, return_counts=True)
+    tie_term = int(sum(int(c) * (int(c) - 1) * (2 * int(c) + 5)
+                       for c in t))
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    var = var_num / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return pd.DataFrame([{
+        "n_days": np.int64(n), "n_pairs": np.int64(m),
+        "s_stat": np.int64(s_stat), "var_num": np.int64(var_num),
+        "z": float(sql_round(z, 12)),
+        "sen_slope_micro": np.int64(sen)}])
+
+
+SQL_EVENTS_TREND_TEST = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+pr AS (SELECT b.n - a.n AS dx, b.d - a.d AS dd
+       FROM daily a JOIN daily b ON b.d > a.d),
+sl AS (SELECT CASE WHEN 1000000 * dx >= 0 THEN (1000000 * dx) // dd
+              ELSE -((-(1000000 * dx) + dd - 1) // dd) END AS slope
+       FROM pr),
+sr AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+              count(*) OVER ()::BIGINT AS m
+       FROM sl),
+sen AS (SELECT slope AS sen_slope_micro, m FROM sr
+        WHERE rn = (m - 1) // 2 + 1),
+s AS (SELECT sum(CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1
+                 ELSE 0 END)::BIGINT AS s_stat
+      FROM pr),
+nn AS (SELECT count(*)::BIGINT AS n FROM daily),
+ties AS (SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)::BIGINT
+             AS tie_term
+         FROM (SELECT count(*)::BIGINT AS c FROM daily GROUP BY n)),
+v AS (SELECT (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+              - ties.tie_term)::BIGINT AS var_num
+      FROM nn, ties)
+SELECT nn.n AS n_days, sen.m AS n_pairs, s.s_stat, v.var_num,
+       ROUND(CASE WHEN s.s_stat > 0
+                  THEN (s.s_stat - 1) / sqrt(v.var_num / 18.0)
+                  WHEN s.s_stat < 0
+                  THEN (s.s_stat + 1) / sqrt(v.var_num / 18.0)
+                  ELSE 0.0 END, 12) AS z,
+       sen.sen_slope_micro
+FROM nn, s, v, sen
+"""
+
+
+#: top-k tokens reported by the MI feature-relevance screen
+TOKEN_MI_TOPK = 50
+
+
+def docs_token_lang_mi(sf_dir):
+    """Mutual-information feature relevance of tokens vs the document
+    language label — the classic filter-selection screen for training a
+    language-ID or quality classifier (which words carry label signal).
+    Per (token, lang) cell: (c/N)*log2(c*N/(ct*cl)), quantized ONCE to
+    a 1e-12 grid so per-token MI sums are order-free integers; the
+    top-k by (mi desc, token asc) is deterministic on both sides.
+    Scale shape: map-side (token, lang) Counter partials -> ONE
+    token-bucketed aggregate (lang marginals are a driver-sized
+    broadcast, token marginals fold inside the owning bucket) ->
+    per-bucket top-k partials merged on the driver."""
+    import math
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for lang, text in zip(df["lang"], df["text"]):
+            for w in text.split():
+                c[(w, lang)] += 1
+        if not c:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "lang": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64")})
+        ks = list(c)
+        return pd.DataFrame({
+            "token": [k[0] for k in ks], "lang": [k[1] for k in ks],
+            "c": np.fromiter((c[k] for k in ks), np.int64,
+                             count=len(ks))})
+
+    parts = ds.map_batches(tok_partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["token", "lang"], as_index=False)["c"].sum()
+
+    cells = hash_bucket_aggregate(
+        parts, ["token"], merge,
+        rows_hint=16 * _nrows(sf_dir, "documents")).materialize()
+
+    lang_tot = (cells.map_batches(
+        lambda df: df.groupby("lang", as_index=False)["c"].sum(),
+        batch_format="pandas").to_pandas()
+        .groupby("lang")["c"].sum().to_dict())
+    big_n = int(sum(lang_tot.values()))
+
+    def mi_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # token marginals are complete inside the owning bucket
+        tt = g.groupby("token")["c"].sum().to_dict()
+        mi: dict = {}
+        for token, lang, c in zip(g["token"], g["lang"], g["c"]):
+            c = int(c)
+            term = ((c / big_n)
+                    * math.log2((c * big_n)
+                                / (tt[token] * lang_tot[lang])))
+            mi[token] = mi.get(token, 0) + int(
+                math.floor(term * 1e12 + 0.5))
+        out = pd.DataFrame({"token": list(mi),
+                            "mi_fp": np.fromiter(mi.values(), np.int64,
+                                                 count=len(mi))})
+        out["n_token"] = out["token"].map(tt).astype(np.int64)
+        return (out.sort_values(["mi_fp", "token"],
+                                ascending=[False, True])
+                .head(TOKEN_MI_TOPK))
+
+    top = hash_bucket_aggregate(cells, ["token"], mi_topk,
+                                rows_hint=16 * _nrows(sf_dir,
+                                                      "documents"))
+    return (top.to_pandas()
+            .sort_values(["mi_fp", "token"], ascending=[False, True])
+            .head(TOKEN_MI_TOPK).reset_index(drop=True))
+
+
+SQL_DOCS_TOKEN_LANG_MI = rf"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT token, lang FROM tok WHERE token <> ''),
+cell AS (SELECT token, lang, count(*)::BIGINT AS c
+         FROM tok2 GROUP BY 1, 2),
+tt AS (SELECT token, sum(c)::BIGINT AS ct FROM cell GROUP BY 1),
+lt AS (SELECT lang, sum(c)::BIGINT AS cl FROM cell GROUP BY 1),
+nn AS (SELECT sum(c)::BIGINT AS n FROM cell),
+term AS (
+  SELECT cell.token, tt.ct,
+         CAST(floor((cell.c::DOUBLE / nn.n)
+                    * log2((cell.c::DOUBLE * nn.n)
+                           / (tt.ct::DOUBLE * lt.cl))
+                    * 1000000000000 + 0.5) AS BIGINT) AS f
+  FROM cell JOIN tt USING (token) JOIN lt USING (lang), nn)
+SELECT token, sum(f)::BIGINT AS mi_fp, any_value(ct) AS n_token
+FROM term GROUP BY token
+ORDER BY mi_fp DESC, token ASC
+LIMIT {TOKEN_MI_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13313,6 +13502,8 @@ QUERIES = {
     "customer_fellegi_sunter": customer_fellegi_sunter,
     "events_holt_smoothing": events_holt_smoothing,
     "events_changepoint": events_changepoint,
+    "events_trend_test": events_trend_test,
+    "docs_token_lang_mi": docs_token_lang_mi,
 }
 
 
@@ -13540,6 +13731,8 @@ ORACLES = {
     "customer_fellegi_sunter": _sql_fellegi_sunter(),
     "events_holt_smoothing": _sql_holt(),
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "events_trend_test": SQL_EVENTS_TREND_TEST,
+    "docs_token_lang_mi": SQL_DOCS_TOKEN_LANG_MI,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
