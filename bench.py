@@ -294,6 +294,35 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_mirror_groups", lambda: consume(Q.docs_mirror_groups(sf_dir)))
     timed("sentence_conformal_sets",
           lambda: Q.sentence_conformal_sets(sf_dir))
+    timed("events_ks_value_drift",
+          lambda: Q.events_ks_value_drift(sf_dir))
+    timed("lineitem_mannwhitney_returnflag",
+          lambda: Q.lineitem_mannwhitney_returnflag(sf_dir))
+    timed("lineitem_spearman_qty_price",
+          lambda: Q.lineitem_spearman_qty_price(sf_dir))
+    timed("events_chi_square_cohorts",
+          lambda: Q.events_chi_square_cohorts(sf_dir))
+    timed("events_hill_tail_index",
+          lambda: Q.events_hill_tail_index(sf_dir))
+    timed("orders_daily_autocorr",
+          lambda: Q.orders_daily_autocorr(sf_dir))
+    timed("embed_pca_top_component",
+          lambda: Q.embed_pca_top_component(sf_dir))
+    timed("customer_fellegi_sunter",
+          lambda: Q.customer_fellegi_sunter(sf_dir))
+    timed("events_holt_smoothing",
+          lambda: Q.events_holt_smoothing(sf_dir))
+    timed("events_changepoint", lambda: Q.events_changepoint(sf_dir))
+    timed("events_trend_test", lambda: Q.events_trend_test(sf_dir))
+    timed("docs_token_lang_mi", lambda: Q.docs_token_lang_mi(sf_dir))
+    timed("docs_langid_confusion",
+          lambda: Q.docs_langid_confusion(sf_dir))
+    timed("events_anova_value_by_type",
+          lambda: Q.events_anova_value_by_type(sf_dir))
+    timed("lineitem_ols_qty_discount",
+          lambda: Q.lineitem_ols_qty_discount(sf_dir))
+    timed("lineitem_kendall_qty_price",
+          lambda: Q.lineitem_kendall_qty_price(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

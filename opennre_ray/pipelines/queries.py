@@ -13224,6 +13224,290 @@ LIMIT {TOKEN_MI_TOPK}
 """
 
 
+def docs_langid_confusion(sf_dir):
+    """Confusion matrix of the heuristic language-ID predictor vs the
+    corpus's lang label — the eval that decides whether a cheap
+    function-word classifier is good enough to route documents (the
+    synthetic corpus's word-salad text makes 'und' fallbacks common;
+    that is the point of measuring). Per-block (true, pred) count
+    partials fold on the driver; overall accuracy is the exact integer
+    micro-ratio. One row-local pass — streams at read bandwidth."""
+    from ..functions.textstats import lang_id_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = lang_id_batch(t)
+        df = pd.DataFrame({"true_lang": t.column("lang").to_pylist(),
+                           "pred_lang": pred.column("pred_lang")
+                           .to_pylist()})
+        df["n"] = np.int64(1)
+        out = df.groupby(["true_lang", "pred_lang"],
+                         as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["true_lang", "pred_lang"], as_index=False)["n"]
+           .sum())
+    total = int(cnt["n"].sum())
+    correct = int(cnt.loc[cnt["true_lang"] == cnt["pred_lang"],
+                          "n"].sum())
+    out = cnt.sort_values(["true_lang", "pred_lang"]).reset_index(
+        drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["n_correct"] = np.int64(correct)
+    out["accuracy_micro"] = np.int64(1_000_000 * correct // total)
+    return out
+
+
+SQL_DOCS_LANGID_CONFUSION = f"""
+WITH pred AS ({SQL_DOCS_LANGID}),
+j AS (SELECT d.lang AS true_lang, p.pred_lang
+      FROM documents d JOIN pred p USING (doc_id)),
+c AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n
+      FROM j GROUP BY 1, 2),
+t AS (SELECT sum(n)::BIGINT AS total,
+             coalesce(sum(n) FILTER (WHERE true_lang = pred_lang),
+                      0)::BIGINT AS n_correct
+      FROM c)
+SELECT c.true_lang, c.pred_lang, c.n, t.n_correct,
+       (1000000 * t.n_correct // t.total)::BIGINT AS accuracy_micro
+FROM c, t
+"""
+
+
+def events_anova_value_by_type(sf_dir):
+    """One-way ANOVA of the event value across event types: the F
+    statistic and eta-squared effect size — the parametric companion to
+    the KS/Mann-Whitney drift tests (is between-type variance real
+    against within-type noise?). Values quantize to exact milli ints;
+    per-type (n, sum, sum-of-squares) moments reduce map-side and the
+    k-term between-group sum is folded in SORTED type order on both
+    sides, so the double arithmetic is bit-mirrored (k terms, fixed
+    order — no float-summation-order hazard). Floats round to 12."""
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "ss": pd.Series([], dtype="int64")})
+        v = sql_round(df["value"].to_numpy(np.float64) * 1000.0,
+                      0).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "n": np.int64(1), "s": v, "ss": v * v})
+        return out.groupby("event_type", as_index=False).sum()
+
+    g = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("event_type", as_index=False).sum()
+         .sort_values("event_type"))
+    k = len(g)
+    big_n = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    ss_tot = int(g["ss"].sum())
+    # ordered fold of S_g^2/n_g in type order — mirrors the oracle's
+    # list_sum(list(term ORDER BY event_type)) exactly
+    between = 0.0
+    for _, r in g.iterrows():
+        s_g, n_g = int(r["s"]), int(r["n"])
+        between += float(s_g * s_g) / n_g
+    ssb = between - float(s_tot * s_tot) / big_n
+    ssw = float(ss_tot) - between
+    f_stat = (ssb / (k - 1)) / (ssw / (big_n - k))
+    eta_sq = ssb / (ssb + ssw)
+    return pd.DataFrame([{
+        "k": np.int64(k), "n": np.int64(big_n),
+        "f_stat": float(sql_round(f_stat, 12)),
+        "eta_sq": float(sql_round(eta_sq, 12))}])
+
+
+SQL_EVENTS_ANOVA = """
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(ROUND(value * 1000)::BIGINT)::BIGINT AS s,
+         sum(ROUND(value * 1000)::BIGINT
+             * ROUND(value * 1000)::BIGINT)::BIGINT AS ss
+  FROM events GROUP BY event_type),
+t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS bign,
+             sum(s)::BIGINT AS st, sum(ss)::BIGINT AS sst,
+             list_sum(list((s::HUGEINT * s)::DOUBLE / n
+                           ORDER BY event_type)) AS between_
+      FROM g),
+f AS (SELECT k, bign,
+             between_ - (st::HUGEINT * st)::DOUBLE / bign AS ssb,
+             sst::DOUBLE - between_ AS ssw
+      FROM t)
+SELECT k, bign AS n,
+       ROUND((ssb / (k - 1)) / (ssw / (bign - k)), 12) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 12) AS eta_sq
+FROM f
+"""
+
+
+def lineitem_ols_qty_discount(sf_dir):
+    """Global simple-OLS regression of quantity on discount — the
+    price-elasticity sanity probe over the whole fact table, computed
+    from five exact integer moments (n, Sx, Sy, Sxx, Sxy in basis
+    points / units) that reduce map-side; no row ever reaches the
+    driver. The slope is reported on an exact integer 1e-6 grid
+    (floor((1e6*num)/den) with the quotient < 2^53, so the oracle's
+    exactly-divisible HUGEINT division is lossless), the intercept is
+    derived from the QUANTIZED slope (deterministic on both sides), and
+    r-squared mirrors the oracle's single-cast double expression."""
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("n", "sx", "sy", "sxx", "sxy", "syy")})
+        x = sql_round(df["l_discount"].to_numpy(np.float64) * 10000.0,
+                      0).astype(np.int64)
+        y = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [int(x.sum())],
+            "sy": [int(y.sum())], "sxx": [int((x * x).sum())],
+            "sxy": [int((x * y).sum())], "syy": [int((y * y).sum())]})
+
+    p = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .sum())
+    n, sx, sy = int(p["n"]), int(p["sx"]), int(p["sy"])
+    sxx, sxy, syy = int(p["sxx"]), int(p["sxy"]), int(p["syy"])
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope_micro = (1_000_000 * num) // den          # Python floor
+    icept_num = 1_000_000 * sy - slope_micro * sx
+    intercept_micro = icept_num // n
+    r2 = float(num * num) / float(den * den_y)
+    return pd.DataFrame([{
+        "n": np.int64(n), "slope_micro": np.int64(slope_micro),
+        "intercept_micro": np.int64(intercept_micro),
+        "r2": float(sql_round(r2, 12))}])
+
+
+SQL_LINEITEM_OLS = """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(ROUND(l_discount * 10000)::BIGINT)::BIGINT AS sx,
+         sum(l_quantity::BIGINT)::BIGINT AS sy,
+         sum(ROUND(l_discount * 10000)::BIGINT
+             * ROUND(l_discount * 10000)::BIGINT)::BIGINT AS sxx,
+         sum(ROUND(l_discount * 10000)::BIGINT
+             * l_quantity::BIGINT)::BIGINT AS sxy,
+         sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS syy
+  FROM lineitem),
+d AS (SELECT n, sx, sy,
+             (n::HUGEINT * sxy - sx::HUGEINT * sy) AS num,
+             (n::HUGEINT * sxx - sx::HUGEINT * sx) AS den,
+             (n::HUGEINT * syy - sy::HUGEINT * sy) AS den_y
+      FROM m),
+s AS (SELECT n, sx, sy, num, den, den_y,
+             -- exact HUGEINT floor division: subtract the positive
+             -- modulus, then the exactly-divisible quotient (< 2^53)
+             -- survives the double detour losslessly
+             CAST((1000000 * num
+                   - (((1000000 * num) % den) + den) % den)
+                  / den AS BIGINT) AS slope_micro
+      FROM d)
+SELECT n, slope_micro,
+       (CASE WHEN 1000000 * sy - slope_micro * sx >= 0
+             THEN (1000000 * sy - slope_micro * sx) // n
+             ELSE -((-(1000000 * sy - slope_micro * sx) + n - 1) // n)
+        END)::BIGINT AS intercept_micro,
+       ROUND((num * num)::DOUBLE / (den * den_y)::DOUBLE, 12) AS r2
+FROM s
+"""
+
+
+def lineitem_kendall_qty_price(sf_dir):
+    """Exact Kendall tau-b between l_quantity (ordinal, <=50 distinct)
+    and l_extendedprice — the third classical rank correlation next to
+    Pearson (`lineitem_qty_price_corr`) and Spearman. Concordant /
+    discordant pairs are counted by `functions/stats.py::kendall_tau_b`
+    — the vector-carried stitched prefix (one bucketed y aggregate to
+    per-y x-count vectors, one sort, per-block vectorized dominance
+    counting with the carried cumulative vector); C, D, and both tie
+    terms are exact integers. The oracle replays the dominance count
+    with per-quantity strict-window sums (RANGE ... 1 PRECEDING on
+    integer cents) sliced from a 50-slot list."""
+    from ..functions.sqlcompat import sql_round
+    from ..functions.stats import kendall_tau_b
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"],
+               rows_per_block=32768)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = sql_round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0)
+        return pd.DataFrame({
+            "q": df["l_quantity"].to_numpy(np.float64)
+                 .astype(np.int64),
+            "c": c.astype(np.int64)})
+
+    r = kendall_tau_b(ds.map_batches(prep, batch_format="pandas"),
+                      "q", "c", rows_hint=_nrows(sf_dir, "lineitem"))
+    return pd.DataFrame([{
+        "n": np.int64(r["n"]),
+        "concordant": np.int64(r["concordant"]),
+        "discordant": np.int64(r["discordant"]),
+        "tie_x_pairs": np.int64(r["tie_x_pairs"]),
+        "tie_y_pairs": np.int64(r["tie_y_pairs"]),
+        "tau_b": r["tau_b"]}])
+
+
+def _sql_kendall(q_lo: int = 1, q_hi: int = 50) -> str:
+    """Dominance-count replay: one strict-past window sum per quantity
+    value (same ORDER BY, so DuckDB shares the sort), packed into a
+    list so each cell row slices its below/above mass. Quantities
+    outside [q_lo, q_hi] never occur in TPC-H-shaped data; absent
+    values contribute zero columns and cannot change the sums."""
+    slots = ", ".join(
+        f"coalesce(sum(cnt) FILTER (WHERE q = {k}) OVER win, 0)"
+        for k in range(q_lo, q_hi + 1))
+    return f"""
+WITH x AS (
+  SELECT l_quantity::BIGINT AS q,
+         ROUND(l_extendedprice * 100)::BIGINT AS y
+  FROM lineitem),
+cell AS (SELECT y, q, count(*)::BIGINT AS cnt FROM x GROUP BY 1, 2),
+w AS (SELECT y, q, cnt, list_value({slots}) AS l
+      FROM cell
+      WINDOW win AS (ORDER BY y
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)),
+t AS (SELECT cnt,
+             CASE WHEN q <= {q_lo} THEN 0
+                  ELSE list_sum(l[1:(q - {q_lo})]) END AS below,
+             list_sum(l) - list_sum(l[1:(q - {q_lo} + 1)]) AS above
+      FROM w),
+cd AS (SELECT coalesce(sum(cnt * below), 0)::BIGINT AS c,
+              coalesce(sum(cnt * above), 0)::BIGINT AS d
+       FROM t),
+tx AS (SELECT sum(ct * (ct - 1) // 2)::BIGINT AS n1
+       FROM (SELECT count(*)::BIGINT AS ct FROM x GROUP BY q)),
+ty AS (SELECT sum(ct * (ct - 1) // 2)::BIGINT AS n2
+       FROM (SELECT count(*)::BIGINT AS ct FROM x GROUP BY y)),
+nn AS (SELECT count(*)::BIGINT AS n,
+              (count(*)::BIGINT * (count(*) - 1) // 2)::BIGINT AS n0
+       FROM x)
+SELECT nn.n, cd.c AS concordant, cd.d AS discordant,
+       tx.n1 AS tie_x_pairs, ty.n2 AS tie_y_pairs,
+       ROUND((cd.c - cd.d)::DOUBLE
+             / (sqrt((nn.n0 - tx.n1)::DOUBLE)
+                * sqrt((nn.n0 - ty.n2)::DOUBLE)), 12) AS tau_b
+FROM nn, cd, tx, ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13504,6 +13788,10 @@ QUERIES = {
     "events_changepoint": events_changepoint,
     "events_trend_test": events_trend_test,
     "docs_token_lang_mi": docs_token_lang_mi,
+    "docs_langid_confusion": docs_langid_confusion,
+    "events_anova_value_by_type": events_anova_value_by_type,
+    "lineitem_ols_qty_discount": lineitem_ols_qty_discount,
+    "lineitem_kendall_qty_price": lineitem_kendall_qty_price,
 }
 
 
@@ -13733,6 +14021,10 @@ ORACLES = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "events_trend_test": SQL_EVENTS_TREND_TEST,
     "docs_token_lang_mi": SQL_DOCS_TOKEN_LANG_MI,
+    "docs_langid_confusion": SQL_DOCS_LANGID_CONFUSION,
+    "events_anova_value_by_type": SQL_EVENTS_ANOVA,
+    "lineitem_ols_qty_discount": SQL_LINEITEM_OLS,
+    "lineitem_kendall_qty_price": _sql_kendall(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -80,6 +80,9 @@ def test_spearman_matches_pandas(ray_session):
         rx.std() * ry.std())
     assert got["n"] == n
     assert got["rho"] == pytest.approx(want, abs=1e-9)
+    # the generic (join-based) path must produce the IDENTICAL result
+    slow = spearman(_ds(df), "x", "y", x_broadcast_limit=0)
+    assert slow == got
 
 
 def test_pca_top_component_recovers_planted_direction(ray_session,
@@ -108,3 +111,29 @@ def test_pca_top_component_recovers_planted_direction(ray_session,
     v = got["v_fp"].to_numpy(np.float64)
     v /= np.linalg.norm(v)
     assert abs(float(v @ u)) > 0.995
+
+
+def test_kendall_tau_b_matches_bruteforce(ray_session):
+    from opennre_ray.functions.stats import kendall_tau_b
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    x = rng.integers(0, 12, size=n).astype(np.int64)
+    y = (x * 5 + rng.integers(0, 30, size=n)).astype(np.int64)
+    got = kendall_tau_b(_ds(pd.DataFrame({"x": x, "y": y})), "x", "y")
+    # O(n^2) brute force over all pairs
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    prod = dx[iu] * dy[iu]
+    c = int((prod > 0).sum())
+    d = int((prod < 0).sum())
+    tie_x = int((dx[iu] == 0).sum())
+    tie_y = int((dy[iu] == 0).sum())
+    n0 = n * (n - 1) // 2
+    assert got["concordant"] == c
+    assert got["discordant"] == d
+    assert got["tie_x_pairs"] == tie_x
+    assert got["tie_y_pairs"] == tie_y
+    tau = (c - d) / np.sqrt(float(n0 - tie_x) * float(n0 - tie_y))
+    assert got["tau_b"] == pytest.approx(tau, abs=1e-9)
