@@ -13508,6 +13508,202 @@ FROM nn, cd, tx, ty
 """
 
 
+#: "converted" = the user has a purchase above this value (every user
+#: in the synthetic stream has SOME purchase, so the bare any-purchase
+#: rate is degenerate at 1.0; >150 splits users roughly in half)
+AB_CONV_VALUE = 150.0
+
+
+def events_conversion_ab_test(sf_dir):
+    """Two-proportion z-test between hash-split user cohorts (user_id
+    parity = the A/B assignment) on the high-value purchase-conversion
+    rate (a purchase with value > 150) — the experiment-readout
+    primitive, run here as an A/A sanity check (a significant z on a
+    hash split means the bucketing is broken). Per-user conversion
+    flags reduce inside the user's hash bucket (one bucketed
+    aggregate); counts are exact integers and the pooled z mirrors the
+    oracle's double expression, rounded to 12."""
+    import math
+
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"],
+               rows_per_block=32768)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hit = ((g["event_type"] == "purchase")
+               & (g["value"] > AB_CONV_VALUE))
+        conv = g.assign(is_p=hit).groupby("user_id")["is_p"].any()
+        users = conv.index.to_numpy(np.int64)
+        out = pd.DataFrame({
+            "grp": users % 2,
+            "n": np.int64(1),
+            "conv": conv.to_numpy().astype(np.int64)})
+        return out.groupby("grp", as_index=False).sum()
+
+    g = (hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                               rows_hint=_nrows(sf_dir, "events"))
+         .to_pandas().groupby("grp", as_index=False).sum()
+         .sort_values("grp"))
+    n_a, c_a = int(g["n"].iloc[0]), int(g["conv"].iloc[0])
+    n_b, c_b = int(g["n"].iloc[1]), int(g["conv"].iloc[1])
+    p_pool = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+    z = (c_a / n_a - c_b / n_b) / se
+    return pd.DataFrame([{
+        "n_a": np.int64(n_a), "conv_a": np.int64(c_a),
+        "n_b": np.int64(n_b), "conv_b": np.int64(c_b),
+        "rate_a_micro": np.int64(1_000_000 * c_a // n_a),
+        "rate_b_micro": np.int64(1_000_000 * c_b // n_b),
+        "z": float(sql_round(z, 12))}])
+
+
+SQL_EVENTS_CONVERSION_AB = f"""
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                            AND value > {AB_CONV_VALUE}
+                      THEN 1 ELSE 0 END)::BIGINT AS conv
+           FROM events GROUP BY user_id),
+g AS (SELECT user_id % 2 AS grp, count(*)::BIGINT AS n,
+             sum(conv)::BIGINT AS conv
+      FROM u GROUP BY 1),
+w AS (SELECT max(CASE WHEN grp = 0 THEN n END)::BIGINT AS n_a,
+             max(CASE WHEN grp = 0 THEN conv END)::BIGINT AS conv_a,
+             max(CASE WHEN grp = 1 THEN n END)::BIGINT AS n_b,
+             max(CASE WHEN grp = 1 THEN conv END)::BIGINT AS conv_b
+      FROM g)
+SELECT n_a, conv_a, n_b, conv_b,
+       (1000000 * conv_a // n_a)::BIGINT AS rate_a_micro,
+       (1000000 * conv_b // n_b)::BIGINT AS rate_b_micro,
+       ROUND((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+             / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                    * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 12) AS z
+FROM w
+"""
+
+
+def docs_source_lang_diversity(sf_dir):
+    """Per-source language diversity: Simpson index 1 - sum((n_i/N)^2)
+    as the exact integer micro-ratio (1e6*(N^2 - sum n_i^2)) // N^2 —
+    the mixture-health audit a multilingual corpus runs per provider
+    (a source collapsing to one language skews the training mix).
+    (source, lang) counts reduce map-side; the fold over the tiny
+    source x lang table is exact integer arithmetic."""
+    ds = _read(sf_dir, "documents", ["source", "lang"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "lang": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"source": df["source"],
+                            "lang": df["lang"]})
+        out["n"] = np.int64(1)
+        return out.groupby(["source", "lang"], as_index=False).sum()
+
+    cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["source", "lang"], as_index=False)["n"].sum())
+    rows = []
+    for src, g in cnt.groupby("source"):
+        big_n = int(g["n"].sum())
+        ss = sum(int(v) * int(v) for v in g["n"])
+        rows.append({
+            "source": src, "n_docs": np.int64(big_n),
+            "n_langs": np.int64(len(g)),
+            "simpson_micro": np.int64(
+                1_000_000 * (big_n * big_n - ss) // (big_n * big_n))})
+    return (pd.DataFrame(rows).sort_values("source")
+            .reset_index(drop=True))
+
+
+SQL_DOCS_SOURCE_LANG_DIVERSITY = """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, sum(n)::BIGINT AS big_n,
+             count(*)::BIGINT AS n_langs,
+             sum(n * n)::BIGINT AS ss
+      FROM c GROUP BY source)
+SELECT source, big_n AS n_docs, n_langs,
+       (1000000 * (big_n * big_n - ss) // (big_n * big_n))::BIGINT
+           AS simpson_micro
+FROM s
+"""
+
+
+#: minimum support (order count) for a frequent triple to be reported
+FREQ_TRIPLE_MIN_SUPPORT = 2
+
+
+def lineitem_frequent_triples(sf_dir):
+    """Apriori level-3 market-basket mining: part triples co-occurring
+    in at least FREQ_TRIPLE_MIN_SUPPORT orders (the step after the
+    existing `lineitem_frequent_pairs`). Baskets are tiny (<= 7 lines
+    per order), so the C(b,3) expansion inside the order's hash bucket
+    is bounded and the (p1<p2<p3) triple counts reduce map-side through
+    ONE bucketed aggregate keyed by the triple."""
+    from itertools import combinations
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, parts in g.groupby("l_orderkey")["l_partkey"]:
+            ps = sorted(set(int(p) for p in parts))
+            for a, b, c in combinations(ps, 3):
+                rows.append((a, b, c))
+        if not rows:
+            return pd.DataFrame({
+                "p1": pd.Series([], dtype="int64"),
+                "p2": pd.Series([], dtype="int64"),
+                "p3": pd.Series([], dtype="int64"),
+                "support": pd.Series([], dtype="int64")})
+        out = pd.DataFrame(rows, columns=["p1", "p2", "p3"])
+        out["support"] = np.int64(1)
+        return out.groupby(["p1", "p2", "p3"], as_index=False).sum()
+
+    triples = hash_bucket_aggregate(
+        ds, ["l_orderkey"], expand,
+        rows_hint=_nrows(sf_dir, "lineitem"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "p1" not in g.columns:     # schema-less empty bucket block
+            return pd.DataFrame({
+                c: pd.Series([], dtype="int64")
+                for c in ("p1", "p2", "p3", "support")})
+        out = g.groupby(["p1", "p2", "p3"],
+                        as_index=False)["support"].sum()
+        return out[out["support"] >= FREQ_TRIPLE_MIN_SUPPORT]
+
+    out = hash_bucket_aggregate(
+        triples, ["p1", "p2", "p3"], merge,
+        rows_hint=_nrows(sf_dir, "lineitem")).to_pandas()
+    if "support" not in out.columns:   # every bucket filtered to empty
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("p1", "p2", "p3", "support")})
+    out = (out.sort_values(["p1", "p2", "p3"]).reset_index(drop=True))
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+SQL_LINEITEM_FREQUENT_TRIPLES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey::BIGINT AS p1, c.l_partkey::BIGINT AS p2,
+       d.l_partkey::BIGINT AS p3, count(*)::BIGINT AS support
+FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+              AND a.l_partkey < c.l_partkey
+         JOIN b d ON a.l_orderkey = d.l_orderkey
+              AND c.l_partkey < d.l_partkey
+GROUP BY 1, 2, 3
+HAVING count(*) >= {FREQ_TRIPLE_MIN_SUPPORT}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13792,6 +13988,9 @@ QUERIES = {
     "events_anova_value_by_type": events_anova_value_by_type,
     "lineitem_ols_qty_discount": lineitem_ols_qty_discount,
     "lineitem_kendall_qty_price": lineitem_kendall_qty_price,
+    "events_conversion_ab_test": events_conversion_ab_test,
+    "docs_source_lang_diversity": docs_source_lang_diversity,
+    "lineitem_frequent_triples": lineitem_frequent_triples,
 }
 
 
@@ -14025,6 +14224,9 @@ ORACLES = {
     "events_anova_value_by_type": SQL_EVENTS_ANOVA,
     "lineitem_ols_qty_discount": SQL_LINEITEM_OLS,
     "lineitem_kendall_qty_price": _sql_kendall(),
+    "events_conversion_ab_test": SQL_EVENTS_CONVERSION_AB,
+    "docs_source_lang_diversity": SQL_DOCS_SOURCE_LANG_DIVERSITY,
+    "lineitem_frequent_triples": SQL_LINEITEM_FREQUENT_TRIPLES,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
