@@ -326,6 +326,11 @@ class HLL:
             (int.from_bytes(hashlib.blake2b(str(it).encode(),
                                             digest_size=8).digest(), "little")
              for it in items), dtype=np.uint64, count=len(items))
+        return self.add_hashes(hashes)
+
+    def add_hashes(self, hashes: "np.ndarray"):
+        """Fold pre-computed uint64 hashes (e.g. the repo's md5-derived
+        ``_word_hash64``, which DuckDB can replay) into the registers."""
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         rest = hashes << np.uint64(self.p)
         # rank = leading zeros of the remaining bits + 1 (capped)

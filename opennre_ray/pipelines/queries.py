@@ -1621,12 +1621,98 @@ GROUP BY token ORDER BY cnt DESC, value ASC LIMIT 10
 """
 
 
-def events_approx_distinct_users(sf_dir):
-    """HLL approximate count-distinct of users (mergeable sketch)."""
-    from ..functions.sketches import approx_distinct
+#: HLL precision for the user count-distinct (2^12 registers)
+HLL_P = 12
+#: alpha constant quantized to 12 decimals and shared as a literal with
+#: the SQL replay (both engines parse the identical decimal string)
+HLL_ALPHA = float("%.12f" % (0.7213 / (1 + 1.079 / (1 << HLL_P))))
 
-    est = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
-    return pd.DataFrame({"approx_users": [round(est, 1)]})
+
+def events_approx_distinct_users(sf_dir):
+    """HLL approximate count-distinct of users — the SKETCH itself is
+    value-oracled, not just sanity-checked: hashing uses the repo's
+    md5-derived 64-bit (`dedup._word_hash64`), so DuckDB rebuilds the
+    4096 registers bit-for-bit (bucket = top 12 hash bits, rank =
+    leading-zero count of the rest via a generated comparison chain)
+    and replays the harmonic-mean estimate. The register denominator
+    sum(2^-reg) is folded as the EXACT integer sum(2^(53-reg)) so no
+    float-summation order exists; the one double expression (alpha
+    correction + small-range branch) is literal-shared and mirrored.
+    Scale shape: one 4096-byte register array per block, max-merged on
+    the driver."""
+    import math
+
+    from ..functions.dedup import _word_hash64
+    from ..functions.sketches import HLL
+    from ..functions.sqlcompat import sql_round
+
+    m = 1 << HLL_P
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        items = batch.column("user_id").to_pylist()
+        hashes = np.fromiter((_word_hash64(str(it)) for it in items),
+                             np.uint64, count=len(items))
+        h = HLL(HLL_P).add_hashes(hashes)
+        return pa.table({"sketch": pa.array([h.to_bytes()],
+                                            pa.binary())})
+
+    merged = HLL(HLL_P)
+    for b in (ds.map_batches(per_batch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for raw in b.column("sketch").to_pylist():
+            merged.merge(HLL.from_bytes(raw, HLL_P))
+    reg = merged.registers.astype(np.int64)
+    zeros = int((reg == 0).sum())
+    sum_reg = int(reg.sum())
+    denom = sum(1 << (53 - int(r)) for r in reg)   # exact sum 2^(53-r)
+    raw_est = (HLL_ALPHA * m * m) / (float(denom) / float(1 << 53))
+    if raw_est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = raw_est
+    return pd.DataFrame([{
+        "n_zero_registers": np.int64(zeros),
+        "sum_registers": np.int64(sum_reg),
+        "approx_users": float(sql_round(est, 6))}])
+
+
+def _sql_hll_users(p: int = HLL_P) -> str:
+    m = 1 << p
+    branches = " ".join(
+        # ::UBIGINT on every threshold: the bare 2^63 literal parses as
+        # DECIMAL(19) and drags the whole comparison into DECIMAL
+        f"WHEN rest >= {1 << (63 - i)}::UBIGINT THEN {i + 1}"
+        for i in range(64 - p))
+    # ::DOUBLE: the bare literal parses as DECIMAL(12,12) and the
+    # alpha*m*m chain then overflows DECIMAL(18)
+    alpha = "%.12f::DOUBLE" % HLL_ALPHA
+    est = (f"{alpha} * {m} * {m} / (denom::DOUBLE / {float(1 << 53)})")
+    return f"""
+WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))
+               ::UBIGINT AS hv
+           FROM (SELECT DISTINCT user_id FROM events)),
+rr AS (SELECT (hv >> {64 - p})::BIGINT AS idx,
+              ((hv % {1 << (64 - p)}::UBIGINT)
+               * {1 << p}::UBIGINT)::UBIGINT AS rest FROM h),
+rk AS (SELECT idx, CASE {branches} ELSE {64 - p + 1} END AS rank
+       FROM rr),
+reg AS (SELECT idx, max(rank)::BIGINT AS r FROM rk GROUP BY idx),
+agg AS (SELECT count(*)::BIGINT AS n_nonzero,
+               sum(r)::BIGINT AS sum_registers,
+               sum(1::UBIGINT << (53 - r))::HUGEINT AS denom_nz
+        FROM reg),
+fin AS (SELECT ({m} - n_nonzero)::BIGINT AS n_zero, sum_registers,
+               (denom_nz
+                + ({m} - n_nonzero)::HUGEINT
+                  * {1 << 53}::HUGEINT) AS denom
+        FROM agg)
+SELECT n_zero AS n_zero_registers, sum_registers,
+       ROUND(CASE WHEN {est} <= 2.5 * {m} AND n_zero > 0
+                  THEN {m} * ln({m}::DOUBLE / n_zero)
+                  ELSE {est} END, 6) AS approx_users
+FROM fin
+"""
 
 
 def events_distinct_users_exact(sf_dir):
@@ -13704,6 +13790,98 @@ HAVING count(*) >= {FREQ_TRIPLE_MIN_SUPPORT}
 """
 
 
+#: sorted-neighborhood lookback (each record pairs with the W-1
+#: preceding records in the global sort order)
+SNM_WINDOW = 4
+
+
+def customer_sorted_neighborhood(sf_dir):
+    """Sorted-neighborhood-method ER blocking: ONE global sort by
+    (c_name, c_custkey), then every record pairs with its W-1
+    predecessors in sort order — the classic alternative to hash
+    blocking that catches near-keys hash blocks split (compare
+    `customer_blocking_eval`). Cross-block windows are stitched by
+    carrying each block's (W-1)-row tail: the driver chains the tiny
+    tails (blocks x 3 rows) and hands each block its carry-in, so
+    pair generation is embarrassingly parallel after the sort.
+    Candidates are counted exactly; pairs at edit distance <= 1 are
+    the matches (capped two-row DP, bit-parity with DuckDB
+    ``levenshtein``)."""
+    import ray
+
+    from ..functions.dedup import levenshtein
+
+    k = SNM_WINDOW - 1
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    sorted_ds = ds.sort(["c_name", "c_custkey"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def tail(t: pa.Table, k=k):
+        return t.slice(max(0, t.num_rows - k))
+
+    tails = ray.get([tail.remote(r) for r in refs])
+    carries, cur = [], None
+    for t in tails:
+        carries.append(cur)
+        cur = (pa.concat_tables([cur, t]) if cur is not None else t)
+        cur = cur.slice(max(0, cur.num_rows - k))
+
+    @ray.remote
+    def pairs(t: pa.Table, carry, k=k):
+        if carry is not None and carry.num_rows:
+            t = pa.concat_tables([carry, t])
+            start = carry.num_rows
+        else:
+            start = 0
+        names = t.column("c_name").to_pylist()
+        keys = t.column("c_custkey").to_pylist()
+        n = t.num_rows
+        n_cand = 0
+        rows = []
+        for i in range(start, n):
+            for d in range(1, k + 1):
+                j = i - d
+                if j < 0:
+                    break
+                n_cand += 1
+                a, b = names[j], names[i]
+                if abs(len(a) - len(b)) > 1:
+                    continue
+                dist = levenshtein(a, b, cap=1)
+                if dist <= 1:
+                    rows.append((int(keys[j]), int(keys[i]), dist))
+        return n_cand, rows
+
+    out = ray.get([pairs.remote(r, c)
+                   for r, c in zip(refs, carries)])
+    n_candidates = sum(o[0] for o in out)
+    all_rows = [r for o in out for r in o[1]]
+    df = pd.DataFrame(all_rows, columns=["id_a", "id_b", "dist"]) \
+        if all_rows else pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("id_a", "id_b", "dist")})
+    df["n_candidates"] = np.int64(n_candidates)
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df.astype({c: np.int64 for c in df.columns})
+
+
+SQL_CUSTOMER_SORTED_NEIGHBORHOOD = f"""
+WITH r AS (SELECT c_custkey, c_name,
+                  row_number() OVER (ORDER BY c_name, c_custkey)
+                      AS rn
+           FROM customer),
+p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM r a JOIN r b
+        ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW - 1}),
+t AS (SELECT count(*)::BIGINT AS n_candidates FROM p)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       dist::BIGINT AS dist, t.n_candidates
+FROM p, t WHERE dist <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -13991,6 +14169,7 @@ QUERIES = {
     "events_conversion_ab_test": events_conversion_ab_test,
     "docs_source_lang_diversity": docs_source_lang_diversity,
     "lineitem_frequent_triples": lineitem_frequent_triples,
+    "customer_sorted_neighborhood": customer_sorted_neighborhood,
 }
 
 
@@ -14227,6 +14406,8 @@ ORACLES = {
     "events_conversion_ab_test": SQL_EVENTS_CONVERSION_AB,
     "docs_source_lang_diversity": SQL_DOCS_SOURCE_LANG_DIVERSITY,
     "lineitem_frequent_triples": SQL_LINEITEM_FREQUENT_TRIPLES,
+    "customer_sorted_neighborhood": SQL_CUSTOMER_SORTED_NEIGHBORHOOD,
+    "events_approx_distinct_users": _sql_hll_users(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
