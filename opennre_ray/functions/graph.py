@@ -2115,3 +2115,162 @@ def k_truss(edges_ds, k: int, rounds: int = 8, *,
                                          batch_format="pyarrow"))
         n_edges = n_keep
     raise RuntimeError(f"k_truss did not converge in {rounds} rounds")
+
+
+#: rich-club degree thresholds reported (powers of two)
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def _sym_adj(edges_ds):
+    """Symmetrize distinct undirected (a, b) edges to (u, v) adjacency
+    rows (both orientations)."""
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = t.column("b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    return edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+
+
+def _degree_table(adj, rows_hint=None):
+    """(v, d) undirected degrees from the symmetrized adjacency — one
+    bucketed aggregate (assortativity's shape)."""
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u", as_index=False).size()
+        return pd.DataFrame({"v": out["u"].to_numpy(np.int64),
+                             "d": out["size"].to_numpy(np.int64)})
+
+    return hash_bucket_aggregate(adj, ["u"], deg_bucket,
+                                 rows_hint=rows_hint).materialize()
+
+
+def avg_neighbor_degree(edges_ds, *, rows_hint: int | None = None):
+    """Average-neighbor-degree curve knn(d) (Pastor-Satorras et al.
+    2001): for each degree class d, the mean over degree-d vertices of
+    their neighbors' mean degree — the functional view of degree
+    mixing that the single assortativity number summarizes (falling
+    knn(d) = disassortative). Plan: the assortativity head (degree
+    table, deg-onto-adjacency join, per-vertex neighbor-degree sum
+    s_v), then map-side (d, count, sum s) partials fold on the driver
+    (distinct degrees are few). Since mean_nbr(v) = s_v / d for every
+    degree-d vertex, the class average is sum(s_v) / (d * count) — one
+    exact integer floor to the 1e-6 grid, bit-matching the SQL replay.
+    Output: one row per degree class."""
+    from .relational import shuffle_join
+
+    adj = _sym_adj(edges_ds)
+    deg = _degree_table(adj, rows_hint=rows_hint)
+    joined = shuffle_join(adj, deg, "u", "v", ["v"], ["d"],
+                          rows_hint=rows_hint)
+
+    def nsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["d"].sum()
+        return pd.DataFrame({"v": out["v"].to_numpy(np.int64),
+                             "s": out["d"].to_numpy(np.int64)})
+
+    nsum = hash_bucket_aggregate(joined, ["v"], nsum_bucket,
+                                 rows_hint=rows_hint)
+    both = shuffle_join(deg, nsum, "v", "v", ["d"], ["s"],
+                        rows_hint=rows_hint)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "d" not in g.columns:
+            return pd.DataFrame({
+                "d": pd.Series([], dtype="int64"),
+                "n_vertices": pd.Series([], dtype="int64"),
+                "sum_nbr_deg": pd.Series([], dtype="int64")})
+        g2 = pd.DataFrame({"d": g["d"].to_numpy(np.int64),
+                           "s": g["s"].to_numpy(np.int64)})
+        out = g2.groupby("d", as_index=False).agg(
+            n_vertices=("s", "size"), sum_nbr_deg=("s", "sum"))
+        return out
+
+    agg = (both.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("d", as_index=False).sum().sort_values("d"))
+    d = agg["d"].to_numpy(np.int64)
+    cnt = agg["n_vertices"].to_numpy(np.int64)
+    ssum = agg["sum_nbr_deg"].to_numpy(np.int64)
+    micro = np.array([1_000_000 * int(s) // (int(dd) * int(c))
+                      for dd, c, s in zip(d, cnt, ssum)],
+                     dtype=np.int64)
+    return pd.DataFrame({
+        "d": d, "n_vertices": cnt.astype(np.int64),
+        "sum_nbr_deg": ssum.astype(np.int64),
+        "avg_nbr_deg_micro": micro})
+
+
+def rich_club(edges_ds, ks=RICH_CLUB_KS, *,
+              rows_hint: int | None = None):
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) over degree
+    thresholds: do high-degree vertices form a denser-than-random core?
+    (Colizza et al. 2006 — the hub-collusion screen a KG build runs on
+    its entity graph.) Plan: degree table; two bucketed joins attach
+    endpoint degrees to each undirected edge; the per-edge
+    min(d_a, d_b) histogram and the degree histogram reduce map-side,
+    so every phi(k) folds from two driver-sized histograms (E_k =
+    edges with min endpoint degree > k; N_k = vertices with d > k).
+    phi is the exact integer micro-ratio."""
+    from .relational import shuffle_join
+
+    adj = _sym_adj(edges_ds)
+    deg = _degree_table(adj, rows_hint=rows_hint)
+
+    def as_ab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("a").cast(pa.int64()),
+            "b": t.column("b").cast(pa.int64())})
+
+    e = edges_ds.map_batches(as_ab, batch_format="pyarrow")
+    ja = shuffle_join(e, deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]),
+        batch_format="pyarrow"), "a", "a", ["b"], ["da"],
+        rows_hint=rows_hint)
+
+    def recast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["b"].to_numpy(np.int64),
+                             "da": df["da"].to_numpy(np.int64)})
+
+    jb = shuffle_join(ja.map_batches(recast, batch_format="pandas"),
+                      deg.map_batches(
+                          lambda t: t.rename_columns(["b", "db"]),
+                          batch_format="pyarrow"),
+                      "b", "b", ["da"], ["db"], rows_hint=rows_hint)
+
+    def md_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "da" not in df.columns:
+            return pd.DataFrame({"md": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        md = np.minimum(df["da"].to_numpy(np.int64),
+                        df["db"].to_numpy(np.int64))
+        out = pd.DataFrame({"md": md})
+        out["n"] = np.int64(1)
+        return out.groupby("md", as_index=False).sum()
+
+    mdh = (jb.map_batches(md_hist, batch_format="pandas").to_pandas()
+           .groupby("md", as_index=False)["n"].sum())
+
+    def deg_hist(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("d").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    dh = (deg.map_batches(deg_hist, batch_format="pyarrow").to_pandas()
+          .groupby("d", as_index=False)["n"].sum())
+
+    rows = []
+    for k in ks:
+        n_k = int(dh.loc[dh["d"] > k, "n"].sum())
+        e_k = int(mdh.loc[mdh["md"] > k, "n"].sum())
+        phi = (2_000_000 * e_k // (n_k * (n_k - 1))
+               if n_k >= 2 else 0)
+        rows.append({"k": np.int64(k), "n_k": np.int64(n_k),
+                     "e_k": np.int64(e_k),
+                     "phi_micro": np.int64(phi)})
+    return pd.DataFrame(rows)

@@ -13882,6 +13882,82 @@ FROM p, t WHERE dist <= 1
 """
 
 
+_SQL_COPURCHASE_HEAD = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS vtx, count(*)::BIGINT AS d FROM adj GROUP BY u)"""
+
+
+def graph_avg_neighbor_degree_parts(sf_dir):
+    """Average-neighbor-degree curve knn(d) of the part co-purchase
+    graph — the functional degree-mixing profile behind the single
+    assortativity number (`graph_assortativity_parts`): a falling
+    curve means popular parts co-sell with long-tail parts. One
+    bucketed degree aggregate + one deg-onto-adjacency join +
+    per-vertex neighbor sums (the assortativity head), then map-side
+    per-degree-class partials; the class mean is the exact integer
+    floor of sum(s_v) / (d * count) on the 1e-6 grid."""
+    from ..functions.graph import (avg_neighbor_degree,
+                                   build_copurchase_edges)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+    n = _nrows(sf_dir, "lineitem")
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    return (avg_neighbor_degree(edges, rows_hint=8 * n)
+            .sort_values("d").reset_index(drop=True))
+
+
+SQL_GRAPH_AVG_NBR_DEG = _SQL_COPURCHASE_HEAD + """,
+ns AS (SELECT adj.v AS vtx, sum(du.d)::BIGINT AS s
+       FROM adj JOIN deg du ON adj.u = du.vtx GROUP BY adj.v),
+j AS (SELECT deg.d, ns.s FROM deg JOIN ns USING (vtx))
+SELECT d, count(*)::BIGINT AS n_vertices,
+       sum(s)::BIGINT AS sum_nbr_deg,
+       (1000000 * sum(s)::BIGINT // (d * count(*)))::BIGINT
+           AS avg_nbr_deg_micro
+FROM j GROUP BY d
+"""
+
+
+def graph_rich_club_parts(sf_dir):
+    """Rich-club coefficient phi(k) of the part co-purchase graph over
+    degree thresholds k in {1,2,4,8,16,32}: edge density among the
+    vertices of degree > k — do the bestseller parts form a
+    denser-than-random core? Endpoint degrees attach to each edge via
+    two bucketed joins; E_k and N_k fold from two driver-sized
+    histograms (min-endpoint-degree and degree), so adding thresholds
+    costs nothing. phi is the exact integer micro-ratio
+    2e6*E_k // (N_k*(N_k-1))."""
+    from ..functions.graph import build_copurchase_edges, rich_club
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+    n = _nrows(sf_dir, "lineitem")
+    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    return rich_club(edges, rows_hint=8 * n)
+
+
+SQL_GRAPH_RICH_CLUB = _SQL_COPURCHASE_HEAD + """,
+md AS (SELECT least(da.d, db.d) AS m
+       FROM e JOIN deg da ON e.a = da.vtx
+              JOIN deg db ON e.b = db.vtx),
+ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+f AS (SELECT k,
+             (SELECT count(*) FROM deg WHERE d > k)::BIGINT AS n_k,
+             (SELECT count(*) FROM md WHERE m > k)::BIGINT AS e_k
+      FROM ks)
+SELECT k::BIGINT AS k, n_k, e_k,
+       (CASE WHEN n_k >= 2
+             THEN 2000000 * e_k // (n_k * (n_k - 1))
+             ELSE 0 END)::BIGINT AS phi_micro
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14170,6 +14246,8 @@ QUERIES = {
     "docs_source_lang_diversity": docs_source_lang_diversity,
     "lineitem_frequent_triples": lineitem_frequent_triples,
     "customer_sorted_neighborhood": customer_sorted_neighborhood,
+    "graph_avg_neighbor_degree_parts": graph_avg_neighbor_degree_parts,
+    "graph_rich_club_parts": graph_rich_club_parts,
 }
 
 
@@ -14408,6 +14486,8 @@ ORACLES = {
     "lineitem_frequent_triples": SQL_LINEITEM_FREQUENT_TRIPLES,
     "customer_sorted_neighborhood": SQL_CUSTOMER_SORTED_NEIGHBORHOOD,
     "events_approx_distinct_users": _sql_hll_users(),
+    "graph_avg_neighbor_degree_parts": SQL_GRAPH_AVG_NBR_DEG,
+    "graph_rich_club_parts": SQL_GRAPH_RICH_CLUB,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
