@@ -323,6 +323,24 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.lineitem_ols_qty_discount(sf_dir))
     timed("lineitem_kendall_qty_price",
           lambda: Q.lineitem_kendall_qty_price(sf_dir))
+    timed("events_conversion_ab_test",
+          lambda: Q.events_conversion_ab_test(sf_dir))
+    timed("docs_source_lang_diversity",
+          lambda: Q.docs_source_lang_diversity(sf_dir))
+    timed("lineitem_frequent_triples",
+          lambda: Q.lineitem_frequent_triples(sf_dir))
+    timed("customer_sorted_neighborhood",
+          lambda: Q.customer_sorted_neighborhood(sf_dir))
+    timed("events_approx_distinct_users",
+          lambda: Q.events_approx_distinct_users(sf_dir))
+    timed("graph_avg_neighbor_degree_parts",
+          lambda: Q.graph_avg_neighbor_degree_parts(sf_dir))
+    timed("graph_rich_club_parts",
+          lambda: Q.graph_rich_club_parts(sf_dir))
+    timed("docs_code_detection",
+          lambda: consume(Q.docs_code_detection(sf_dir)))
+    timed("events_interarrival_stats",
+          lambda: Q.events_interarrival_stats(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -13958,6 +13958,144 @@ FROM f
 """
 
 
+#: character classes for the code-vs-prose screen
+CODE_SYMBOLS = "{}()[];=<>"
+CODE_DIGITS = "0123456789"
+CODE_SYMBOL_MICRO_GATE = 20_000      # flag when > 2% symbol chars
+
+
+def docs_code_detection(sf_dir):
+    """Heuristic code-vs-prose screen: per-document symbol-character
+    and digit ratios (exact integer micro-units) with a 2% symbol-rate
+    code flag — the cheap router that decides whether a crawl page
+    goes to the code or prose pipeline (fastText-style classifiers
+    start from exactly these surface features). Row-local, streams at
+    read bandwidth; counting is a single str.translate pass mirrored
+    by DuckDB's translate()."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sym_tbl = str.maketrans("", "", CODE_SYMBOLS)
+    dig_tbl = str.maketrans("", "", CODE_DIGITS)
+
+    def feats(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        nc, ns, nd = [], [], []
+        for x in t.column("text").to_pylist():
+            n = len(x)
+            nc.append(n)
+            ns.append(n - len(x.translate(sym_tbl)))
+            nd.append(n - len(x.translate(dig_tbl)))
+        nc_a = np.asarray(nc, dtype=np.int64)
+        ns_a = np.asarray(ns, dtype=np.int64)
+        nd_a = np.asarray(nd, dtype=np.int64)
+        den = np.maximum(nc_a, 1)
+        sym_micro = 1_000_000 * ns_a // den
+        dig_micro = 1_000_000 * nd_a // den
+        return pa.table({
+            "doc_id": ids,
+            "n_chars": pa.array(nc_a, pa.int64()),
+            "n_symbols": pa.array(ns_a, pa.int64()),
+            "n_digits": pa.array(nd_a, pa.int64()),
+            "symbol_micro": pa.array(sym_micro, pa.int64()),
+            "digit_micro": pa.array(dig_micro, pa.int64()),
+            "is_code": pa.array(
+                (sym_micro > CODE_SYMBOL_MICRO_GATE).astype(np.int64),
+                pa.int64())})
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+SQL_DOCS_CODE_DETECTION = f"""
+WITH f AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         (length(text)
+          - length(translate(text, '{CODE_SYMBOLS}', '')))::BIGINT
+             AS n_symbols,
+         (length(text)
+          - length(translate(text, '{CODE_DIGITS}', '')))::BIGINT
+             AS n_digits
+  FROM documents)
+SELECT doc_id, n_chars, n_symbols, n_digits,
+       (1000000 * n_symbols // greatest(n_chars, 1))::BIGINT
+           AS symbol_micro,
+       (1000000 * n_digits // greatest(n_chars, 1))::BIGINT
+           AS digit_micro,
+       (1000000 * n_symbols // greatest(n_chars, 1)
+        > {CODE_SYMBOL_MICRO_GATE})::BIGINT AS is_code
+FROM f
+"""
+
+
+def events_interarrival_stats(sf_dir):
+    """Per-user inter-event gap distribution: exact mean (integer
+    microseconds) and exact p50/p90/p99 of the gap in whole seconds —
+    the arrival-process profile behind session-timeout and debounce
+    window choices (`events_sessionize` / `events_debounce` consume
+    exactly these percentiles). Consecutive-gap extraction runs inside
+    the user's hash bucket (users never straddle buckets, the
+    transitions shape); each bucket reduces to a (gap_s, count)
+    histogram partial plus exact sum/count, so quantile selection
+    replays DuckDB's quantile_disc rank on the driver-sized histogram
+    (gap domain is bounded by the stream span in seconds)."""
+    import math
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"],
+               rows_per_block=32768)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = g["user_id"].to_numpy(np.int64)
+        gap = t[1:] - t[:-1]
+        keep = same[1:] == same[:-1]
+        gap = gap[keep]
+        if not len(gap):
+            return pd.DataFrame({
+                "gap_s": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "sum_us": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({"gap_s": gap // 1_000_000,
+                            "cnt": np.int64(1), "sum_us": gap})
+        return out.groupby("gap_s", as_index=False).sum()
+
+    h = (hash_bucket_aggregate(ds, ["user_id"], per_bucket,
+                               rows_hint=_nrows(sf_dir, "events"))
+         .to_pandas().groupby("gap_s", as_index=False).sum()
+         .sort_values("gap_s"))
+    n = int(h["cnt"].sum())
+    total_us = int(h["sum_us"].sum())
+    cum = h["cnt"].cumsum().to_numpy()
+    vals = h["gap_s"].to_numpy(np.int64)
+    def pick(q):
+        return int(vals[np.searchsorted(
+            cum, max(math.ceil(q * n) - 1, 0) + 1, side="left")])
+    return pd.DataFrame([{
+        "n_gaps": np.int64(n),
+        "mean_gap_us": np.int64(total_us // n),
+        "p50_s": np.int64(pick(0.5)),
+        "p90_s": np.int64(pick(0.9)),
+        "p99_s": np.int64(pick(0.99))}])
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                      AS prev
+           FROM events),
+g AS (SELECT (t - prev)::BIGINT AS gap_us,
+             ((t - prev) // 1000000)::BIGINT AS gap_s
+      FROM s WHERE prev IS NOT NULL)
+SELECT count(*)::BIGINT AS n_gaps,
+       (sum(gap_us)::BIGINT // count(*))::BIGINT AS mean_gap_us,
+       quantile_disc(gap_s, 0.5)::BIGINT AS p50_s,
+       quantile_disc(gap_s, 0.9)::BIGINT AS p90_s,
+       quantile_disc(gap_s, 0.99)::BIGINT AS p99_s
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14248,6 +14386,8 @@ QUERIES = {
     "customer_sorted_neighborhood": customer_sorted_neighborhood,
     "graph_avg_neighbor_degree_parts": graph_avg_neighbor_degree_parts,
     "graph_rich_club_parts": graph_rich_club_parts,
+    "docs_code_detection": docs_code_detection,
+    "events_interarrival_stats": events_interarrival_stats,
 }
 
 
@@ -14488,6 +14628,8 @@ ORACLES = {
     "events_approx_distinct_users": _sql_hll_users(),
     "graph_avg_neighbor_degree_parts": SQL_GRAPH_AVG_NBR_DEG,
     "graph_rich_club_parts": SQL_GRAPH_RICH_CLUB,
+    "docs_code_detection": SQL_DOCS_CODE_DETECTION,
+    "events_interarrival_stats": SQL_EVENTS_INTERARRIVAL,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
