@@ -14096,6 +14096,115 @@ FROM g
 """
 
 
+#: AMS tug-of-war estimator count (sign bits 0..63 of the md5 hash)
+AMS_K = 64
+#: median-of-means group width (AMS_K/AMS_G groups of AMS_G each)
+AMS_G = 8
+
+
+def docs_f2_moment(sf_dir):
+    """AMS tug-of-war sketch of the second frequency moment F2 = sum
+    f_x^2 of the corpus word distribution (Alon-Matias-Szegedy 1996) —
+    the repetitiveness/skew scalar behind join-size and self-join
+    estimation, here with the SKETCH value-oracled: estimator j's sign
+    for token x is bit j of the repo's md5-derived 64-bit hash, so
+    DuckDB replays all 64 counters exactly. Each block reduces to 64
+    integer counters Z_j = sum f*s_j (map-side, one hash per DISTINCT
+    token per block); the estimate is the standard median-of-means —
+    8 groups of 8 estimators, integer-exact as the lower median of the
+    8 group sums of Z_j^2 floor-divided by 8. The exact F2 rides along
+    from the same token-count partials (distinct-token squared counts
+    fold through one bucketed aggregate), giving the integer
+    relative-error report."""
+    from collections import Counter
+
+    from ..functions.dedup import _word_hash64
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _counts(t: pa.Table):
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            c.update(x.split())
+        toks = list(c)
+        cnt = np.fromiter((c[w] for w in toks), np.int64,
+                          count=len(toks))
+        return toks, cnt
+
+    def z_partial(t: pa.Table) -> pa.Table:
+        toks, cnt = _counts(t)
+        h = np.fromiter((_word_hash64(w) for w in toks), np.uint64,
+                        count=len(toks))
+        z = np.empty(AMS_K, dtype=np.int64)
+        for j in range(AMS_K):
+            s = (((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                 * 2 - 1)
+            z[j] = int((cnt * s).sum())
+        return pa.table({f"z{j}": pa.array([int(z[j])], pa.int64())
+                         for j in range(AMS_K)})
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks, cnt = _counts(t)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    zs = (ds.map_batches(z_partial, batch_format="pyarrow")
+          .to_pandas().sum())
+    z_tot = [int(zs[f"z{j}"]) for j in range(AMS_K)]
+
+    def f2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)["cnt"].sum()
+        c = out["cnt"].to_numpy(np.int64)
+        return pd.DataFrame({"f2": [int((c * c).sum())]})
+
+    f2_exact = int(hash_bucket_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"], f2_bucket,
+        rows_hint=16 * _nrows(sf_dir, "documents"))
+        .to_pandas()["f2"].sum())
+
+    n_groups = AMS_K // AMS_G
+    group_sums = sorted(
+        sum(z_tot[g * AMS_G + i] ** 2 for i in range(AMS_G))
+        for g in range(n_groups))
+    f2_ams = group_sums[(n_groups - 1) // 2] // AMS_G  # lower median
+    rel_err = 1_000_000 * abs(f2_ams - f2_exact) // f2_exact
+    return pd.DataFrame([{
+        "f2_exact": np.int64(f2_exact), "f2_ams": np.int64(f2_ams),
+        "rel_err_micro": np.int64(rel_err)}])
+
+
+def _sql_f2(k: int = AMS_K, g: int = AMS_G) -> str:
+    zs = ", ".join(
+        f"sum(cnt * (2 * ((h >> {j}) & 1)::BIGINT - 1))::BIGINT"
+        f" AS z{j}" for j in range(k))
+    n_groups = k // g
+    gsums = ", ".join(
+        "(" + " + ".join(f"z{gi * g + i}::HUGEINT * z{gi * g + i}"
+                         for i in range(g)) + ")"
+        for gi in range(n_groups))
+    return rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+      WHERE token <> '' GROUP BY token),
+hh AS (SELECT cnt,
+              ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h
+       FROM c),
+z AS (SELECT {zs} FROM hh),
+f AS (SELECT sum(cnt * cnt)::BIGINT AS f2_exact FROM c),
+m AS (SELECT (list_sort(list_value({gsums}))[{(n_groups - 1) // 2 + 1}]
+              // {g})::BIGINT AS f2_ams
+      FROM z)
+SELECT f.f2_exact, m.f2_ams,
+       (1000000 * abs(m.f2_ams - f.f2_exact) // f.f2_exact)::BIGINT
+           AS rel_err_micro
+FROM f, m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14388,6 +14497,7 @@ QUERIES = {
     "graph_rich_club_parts": graph_rich_club_parts,
     "docs_code_detection": docs_code_detection,
     "events_interarrival_stats": events_interarrival_stats,
+    "docs_f2_moment": docs_f2_moment,
 }
 
 
@@ -14630,6 +14740,7 @@ ORACLES = {
     "graph_rich_club_parts": SQL_GRAPH_RICH_CLUB,
     "docs_code_detection": SQL_DOCS_CODE_DETECTION,
     "events_interarrival_stats": SQL_EVENTS_INTERARRIVAL,
+    "docs_f2_moment": _sql_f2(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
