@@ -14205,6 +14205,92 @@ FROM f, m
 """
 
 
+#: Markov stationary-distribution fixed-point scale / iteration count
+MARKOV_SCALE = 10 ** 12
+MARKOV_ROUNDS = 20
+
+
+def events_markov_stationary(sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    (power iteration on the first-order transition matrix) — the
+    long-run behavioral mix used to weight session-simulation and
+    synthetic-traffic generators. Reuses the bucketed transition-count
+    pipeline (`events_type_transitions`: users never span buckets, 25
+    partial rows per bucket); the iteration itself runs on the driver
+    over the constant-size types x types matrix in exact integer
+    fixed-point (SCALE=1e12): pi'[j] = sum_i floor(pi[i]*c[i,j]/out[i])
+    plus floor(dangling_mass/n) uniform redistribution, 20 rounds from
+    the uniform floor(SCALE/n) start — every floor replayed verbatim by
+    the unrolled MATERIALIZED SQL rounds. Output is pi in parts per
+    billion, keyed by event_type."""
+    trans = events_type_transitions(sf_dir).to_pandas()
+    types = sorted(_read(sf_dir, "events", ["event_type"])
+                   .unique("event_type"))
+    n = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    cnt = np.zeros((n, n), dtype=np.int64)
+    for r in trans.itertuples(index=False):
+        cnt[idx[r.from_type], idx[r.to_type]] = r.cnt
+    out = cnt.sum(axis=1)
+
+    pi = [MARKOV_SCALE // n] * n
+    for _ in range(MARKOV_ROUNDS):
+        nxt = [0] * n
+        dang = 0
+        for i in range(n):
+            if out[i] == 0:
+                dang += pi[i]
+                continue
+            for j in range(n):
+                if cnt[i, j]:
+                    nxt[j] += pi[i] * int(cnt[i, j]) // int(out[i])
+        share = dang // n
+        pi = [v + share for v in nxt]
+
+    return pd.DataFrame({
+        "event_type": types,
+        "pi_ppb": np.asarray([p // 1000 for p in pi], np.int64),
+    }).sort_values("event_type", ignore_index=True)
+
+
+def _sql_markov(rounds: int = MARKOV_ROUNDS,
+                scale: int = MARKOV_SCALE) -> str:
+    body = [rf"""
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+trans AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::HUGEINT AS cnt
+          FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+outs AS (SELECT from_type, sum(cnt)::HUGEINT AS out_cnt
+         FROM trans GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM events),
+nt AS (SELECT count(*)::HUGEINT AS n FROM types),
+p0 AS (SELECT event_type, ({scale}::HUGEINT // nt.n)::HUGEINT AS pi
+       FROM types, nt)"""]
+    for r in range(1, rounds + 1):
+        body.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT ty.event_type,
+         (COALESCE(inc.s, 0) + d.share)::HUGEINT AS pi
+  FROM types ty
+  LEFT JOIN (SELECT t.to_type AS event_type,
+                    sum((p.pi * t.cnt) // o.out_cnt)::HUGEINT AS s
+             FROM trans t
+             JOIN p{r - 1} p ON p.event_type = t.from_type
+             JOIN outs o ON o.from_type = t.from_type
+             GROUP BY t.to_type) inc USING (event_type)
+  CROSS JOIN (SELECT (COALESCE(sum(p.pi), 0) // nt.n)::HUGEINT AS share
+              FROM nt LEFT JOIN p{r - 1} p
+                ON p.event_type NOT IN (SELECT from_type FROM outs)
+              GROUP BY nt.n) d)""")
+    return (",".join(body) + f"""
+SELECT event_type, (pi // 1000)::BIGINT AS pi_ppb
+FROM p{rounds} ORDER BY event_type
+""")
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14498,6 +14584,7 @@ QUERIES = {
     "docs_code_detection": docs_code_detection,
     "events_interarrival_stats": events_interarrival_stats,
     "docs_f2_moment": docs_f2_moment,
+    "events_markov_stationary": events_markov_stationary,
 }
 
 
@@ -14741,6 +14828,7 @@ ORACLES = {
     "docs_code_detection": SQL_DOCS_CODE_DETECTION,
     "events_interarrival_stats": SQL_EVENTS_INTERARRIVAL,
     "docs_f2_moment": _sql_f2(),
+    "events_markov_stationary": _sql_markov(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
