@@ -937,6 +937,115 @@ def sssp(edges_ds, seeds, iters: int = 4,
     return dists
 
 
+def multi_source_distances(edges_ds, seeds, iters: int = 4,
+                           rows_hint: int | None = None,
+                           local_edges_gate: int = PAGERANK_LOCAL_EDGES):
+    """Per-source round-limited BFS/Bellman-Ford distances: like
+    :func:`sssp` but each seed keeps its OWN distance frontier, so the
+    result is the (src, entity, dist) table the Eppstein-Wang closeness
+    estimator and landmark-distance features need. Same determinism
+    argument as ``sssp`` (integer weights + min are exactly associative)
+    and the same scale shape — per round one bucketed join of the
+    frontier onto the symmetrized adjacency plus one bucketed min, now
+    keyed by (src, entity); state size is |seeds| x reach, which is why
+    the caller samples seeds (k landmarks, not all vertices).
+
+    Inputs: ``edges_ds`` = (a, b, w) int64 undirected edges; ``seeds`` =
+    broadcast-sized iterable of int node ids. Returns a Dataset
+    (src, entity, dist) with dist exact within ``iters`` hops.
+    """
+    from .relational import compute_n_buckets, shuffle_join
+
+    schema = pa.schema([("src", pa.int64()), ("entity", pa.int64()),
+                        ("dist", pa.int64())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            return t.select(schema.names).cast(schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                              ("w", pa.int64())]).empty_table()
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        w = t.column("w").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "v": pa.concat_arrays([b, a]),
+                         "w": pa.concat_arrays([w, w])})
+
+    adj = edges_ds.map_batches(symmetrize,
+                               batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+    seed_list = sorted(set(int(s) for s in seeds))
+    seed0 = pd.DataFrame({
+        "src": pd.Series(seed_list, dtype="int64"),
+        "entity": pd.Series(seed_list, dtype="int64"),
+        "dist": pd.Series(0, index=range(len(seed_list)),
+                          dtype="int64")})
+
+    if n_adj <= local_edges_gate:
+        import ray.data as rd
+        apd = adj.to_pandas()
+        cur = seed0
+        for _ in range(iters):
+            j = apd.merge(cur, left_on="u", right_on="entity")
+            cand = pd.DataFrame({
+                "src": j["src"].to_numpy(np.int64),
+                "entity": j["v"].to_numpy(np.int64),
+                "dist": (j["dist"].to_numpy(np.int64)
+                         + j["w"].to_numpy(np.int64))})
+            cur = (pd.concat([cand, cur], ignore_index=True)
+                   .groupby(["src", "entity"], as_index=False)["dist"]
+                   .min().astype({"src": np.int64, "entity": np.int64,
+                                  "dist": np.int64}))
+        return rd.from_pandas(cur)
+
+    n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    adj = compact(adj)
+
+    import ray.data as rd
+    dists = compact(conform(rd.from_pandas(seed0)))
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "entity": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "src": df["src"].astype(np.int64).to_numpy(),
+            "entity": df["v"].astype(np.int64).to_numpy(),
+            "dist": (df["dist"].astype(np.int64).to_numpy()
+                     + df["w"].astype(np.int64).to_numpy())})
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src", "entity"], as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype("int64")
+        return out
+
+    for _ in range(iters):
+        joined = shuffle_join(adj, dists, "u", "entity",
+                              ["v", "w"], ["dist", "src"],
+                              n_buckets=n_parts)
+        relaxed = joined.map_batches(relax, batch_format="pandas")
+        dists = compact(conform(hash_bucket_aggregate(
+            relaxed.union(dists), ["src", "entity"], min_bucket,
+            n_buckets=n_parts)))
+
+    return dists
+
+
 HITS_SCALE = 10 ** 6
 
 

@@ -14291,6 +14291,93 @@ FROM p{rounds} ORDER BY event_type
 """)
 
 
+CLOSENESS_SEED_MOD = 40   # landmark sources (subset of the % 5 vertices)
+CLOSENESS_ITERS = 4
+
+
+def graph_closeness_parts(sf_dir):
+    """Harmonic closeness centrality of the sampled part co-purchase
+    graph, estimated from k landmark sources (Eppstein-Wang style:
+    undirected distances from a sampled seed set stand in for the full
+    all-pairs BFS, which is O(V·E) and off the table at web scale).
+    Per-source round-limited BFS via graph.multi_source_distances (one
+    bucketed frontier⋈adjacency join + one bucketed (src,entity) min
+    per round), then one bucketed per-entity fold: n_reached = #
+    landmarks within 4 hops, harmonic_micro = sum floor(1e6/dist) —
+    all-integer, so the unrolled-CTE SQL replay is value-identical."""
+    from ..functions.graph import (build_copurchase_edges,
+                                   multi_source_distances)
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(
+        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+
+    def unit_w(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "w", pa.array(np.ones(t.num_rows, np.int64)))
+
+    seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % CLOSENESS_SEED_MOD == 0)),
+        batch_format="pyarrow").to_pandas()["p_partkey"].tolist()
+    dists = multi_source_distances(
+        edges.map_batches(unit_w, batch_format="pyarrow"), seeds,
+        iters=CLOSENESS_ITERS, rows_hint=4 * n)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["dist"] > 0]
+        out = g.groupby("entity", as_index=False).agg(
+            n_reached=("dist", "size"),
+            harmonic_micro=("dist", lambda d: int(
+                (1_000_000 // d.to_numpy(np.int64)).sum())))
+        return out.astype({"entity": np.int64, "n_reached": np.int64,
+                           "harmonic_micro": np.int64})
+
+    out = hash_bucket_aggregate(dists, ["entity"], fold,
+                                rows_hint=len(seeds) * n).to_pandas()
+    return out.sort_values("entity", ignore_index=True)
+
+
+def _sql_closeness() -> str:
+    parts = [f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+d0 AS MATERIALIZED (
+  SELECT p_partkey::BIGINT AS src, p_partkey::BIGINT AS entity,
+         0::BIGINT AS dist
+  FROM part WHERE p_partkey % {CLOSENESS_SEED_MOD} = 0)"""]
+    for i in range(1, CLOSENESS_ITERS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT src, entity, min(dist)::BIGINT AS dist FROM (
+    SELECT src, entity, dist FROM d{i - 1}
+    UNION ALL
+    SELECT p.src, adj.v AS entity, p.dist + 1 AS dist
+    FROM adj JOIN d{i - 1} p ON adj.u = p.entity
+  ) GROUP BY src, entity)""")
+    parts.append(f"""
+SELECT entity::BIGINT AS entity, count(*)::BIGINT AS n_reached,
+       sum(1000000 // dist)::BIGINT AS harmonic_micro
+FROM d{CLOSENESS_ITERS} WHERE dist > 0
+GROUP BY entity ORDER BY entity""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14585,6 +14672,7 @@ QUERIES = {
     "events_interarrival_stats": events_interarrival_stats,
     "docs_f2_moment": docs_f2_moment,
     "events_markov_stationary": events_markov_stationary,
+    "graph_closeness_parts": graph_closeness_parts,
 }
 
 
@@ -14829,6 +14917,7 @@ ORACLES = {
     "events_interarrival_stats": SQL_EVENTS_INTERARRIVAL,
     "docs_f2_moment": _sql_f2(),
     "events_markov_stationary": _sql_markov(),
+    "graph_closeness_parts": _sql_closeness(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -826,3 +826,47 @@ def test_k_truss_known_graph(ray_session):
     ds6 = k_truss(edges, 6)
     assert ds6.count() == 0
     assert ds6.schema().names == ["a", "b", "support"]
+
+
+def test_multi_source_distances_hand(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import multi_source_distances
+
+    # path 1-2-3-4 plus spur 2-5: per-source frontiers stay separate
+    edges = pd.DataFrame({"a": [1, 2, 3, 2], "b": [2, 3, 4, 5],
+                          "w": [1, 1, 1, 1]})
+    out = multi_source_distances(rd.from_pandas(edges), [1, 4],
+                                 iters=3).to_pandas()
+    got = {(int(r.src), int(r.entity)): int(r.dist)
+           for r in out.itertuples(index=False)}
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+                   (1, 5): 2, (4, 4): 0, (4, 3): 1, (4, 2): 2,
+                   (4, 1): 3, (4, 5): 3}
+
+
+def test_multi_source_distances_distributed_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import multi_source_distances
+
+    rng = np.random.RandomState(7)
+    seen = {}
+    for a, b in rng.randint(0, 25, size=(70, 2)):
+        if a == b:
+            continue
+        seen.setdefault((int(min(a, b)), int(max(a, b))),
+                        int(rng.randint(1, 5)))
+    df = pd.DataFrame([(a, b, w) for (a, b), w in sorted(seen.items())],
+                      columns=["a", "b", "w"])
+    seeds = [0, 7, 19]
+    kw = dict(iters=4, rows_hint=len(df) * 4)
+    local = multi_source_distances(
+        rd.from_pandas(df), seeds, **kw).to_pandas()
+    dist = multi_source_distances(
+        rd.from_pandas(df).repartition(4), seeds,
+        local_edges_gate=0, **kw).to_pandas()
+    key = ["src", "entity"]
+    lo = local.sort_values(key, ignore_index=True)
+    hi = dist.sort_values(key, ignore_index=True)[lo.columns]
+    pd.testing.assert_frame_equal(lo, hi)
