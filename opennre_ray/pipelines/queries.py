@@ -14378,6 +14378,141 @@ GROUP BY entity ORDER BY entity""")
     return "".join(parts)
 
 
+NDCG_KS = (10, 20)
+
+
+def docs_bm25_ndcg(sf_dir):
+    """nDCG@k ranking-quality eval of the BM25 retrieval run against a
+    deterministic graded-relevance judgment (rel = # distinct query
+    terms the doc contains, 0-3) — the standard IR eval an index build
+    runs before shipping a ranking change. DCG terms are fixed-point
+    BEFORE summing (floor((2^rel-1)/log2(p+1)*1e6+0.5)), so both the
+    observed and the ideal DCG are order-independent integers and
+    ndcg_micro = dcg*1e6 // idcg replays exactly in SQL. Scale shape:
+    the ranking is one global sort (global_rank), relevance is one
+    row-local pass, the eval folds only the top-max(k) rows to the
+    driver plus constant-size per-grade counts for the ideal ranking."""
+    import math
+
+    from ..functions.relational import global_rank, shuffle_join
+
+    terms = list(BM25_TERMS)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rel_batch(batch: pa.Table) -> pa.Table:
+        ids, rels = [], []
+        id_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, batch.column("text").to_pylist()):
+            s = set(t.split())
+            r = sum(q in s for q in terms)
+            if r:
+                ids.append(int(i))
+                rels.append(r)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rel": pa.array(rels, pa.int64())})
+
+    rel = ds.map_batches(rel_batch, batch_format="pyarrow")
+
+    def neg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "neg_fp": -b["score_fp"].to_numpy(np.int64)})
+
+    ranked = global_rank(
+        _bm25_scores(sf_dir).map_batches(neg, batch_format="pandas"),
+        ["neg_fp", "doc_id"], out_col="p")
+
+    kmax = max(NDCG_KS)
+    top = shuffle_join(
+        ranked.map_batches(
+            lambda b: b[b["p"] <= kmax][["doc_id", "p"]],
+            batch_format="pandas"),
+        rel, "doc_id", "doc_id", ["p"], ["rel"],
+        rows_hint=_nrows(sf_dir, "documents")).to_pandas()
+
+    def grade_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("rel", as_index=False).agg(
+            cnt=("rel", "size"))
+        return out.astype({"rel": np.int64, "cnt": np.int64})
+
+    gc = (rel.map_batches(grade_counts, batch_format="pandas")
+          .to_pandas().groupby("rel")["cnt"].sum())
+    ideal_rels = []
+    for g in sorted(gc.index, reverse=True):
+        ideal_rels.extend([int(g)] * int(gc[g]))
+        if len(ideal_rels) >= kmax:
+            break
+
+    def term_fp(p: int, r: int) -> int:
+        return int(math.floor((2.0 ** r - 1.0) / math.log2(p + 1.0)
+                              * 1_000_000 + 0.5))
+
+    rows = []
+    for k in NDCG_KS:
+        dcg = sum(term_fp(int(r.p), int(r.rel))
+                  for r in top.itertuples(index=False) if r.p <= k)
+        idcg = sum(term_fp(p, r)
+                   for p, r in enumerate(ideal_rels[:k], start=1))
+        rows.append({"k": np.int64(k), "dcg_fp": np.int64(dcg),
+                     "idcg_fp": np.int64(idcg),
+                     "ndcg_micro": np.int64(
+                         dcg * 1_000_000 // max(idcg, 1))})
+    return pd.DataFrame(rows)
+
+
+SQL_DOCS_BM25_NDCG = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, length(toks)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+       WHERE token IN ('merge', 'sort', 'hash') GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+sc AS (SELECT tf.doc_id,
+         sum(CAST(floor(
+           ln((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE)
+              / (tf + {BM25_K1}::DOUBLE
+                      * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                         + {BM25_B}::DOUBLE * dl.dl / avgdl)))
+           * 1000000 + 0.5::DOUBLE) AS BIGINT))::BIGINT AS score_fp
+       FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats
+       GROUP BY tf.doc_id),
+rel AS (SELECT doc_id, count(DISTINCT token)::BIGINT AS rel
+        FROM tf GROUP BY doc_id),
+ranked AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score_fp DESC, doc_id) AS p
+           FROM sc),
+terms AS (SELECT p, CAST(floor((pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                               / log2((p + 1)::DOUBLE)
+                               * 1000000 + 0.5::DOUBLE) AS BIGINT)
+                 AS term_fp
+          FROM ranked JOIN rel USING (doc_id)),
+ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS p, rel
+          FROM rel),
+iterms AS (SELECT p, CAST(floor((pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                                / log2((p + 1)::DOUBLE)
+                                * 1000000 + 0.5::DOUBLE) AS BIGINT)
+                  AS term_fp
+           FROM ideal),
+ks AS (SELECT unnest([{", ".join(str(k) for k in NDCG_KS)}]) AS k)
+SELECT k::BIGINT AS k,
+       COALESCE((SELECT sum(term_fp) FROM terms WHERE p <= ks.k),
+                0)::BIGINT AS dcg_fp,
+       COALESCE((SELECT sum(term_fp) FROM iterms WHERE p <= ks.k),
+                0)::BIGINT AS idcg_fp,
+       (COALESCE((SELECT sum(term_fp) FROM terms WHERE p <= ks.k), 0)
+        * 1000000
+        // greatest(COALESCE((SELECT sum(term_fp) FROM iterms
+                              WHERE p <= ks.k), 0), 1))::BIGINT
+           AS ndcg_micro
+FROM ks ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14673,6 +14808,7 @@ QUERIES = {
     "docs_f2_moment": docs_f2_moment,
     "events_markov_stationary": events_markov_stationary,
     "graph_closeness_parts": graph_closeness_parts,
+    "docs_bm25_ndcg": docs_bm25_ndcg,
 }
 
 
@@ -14918,6 +15054,7 @@ ORACLES = {
     "docs_f2_moment": _sql_f2(),
     "events_markov_stationary": _sql_markov(),
     "graph_closeness_parts": _sql_closeness(),
+    "docs_bm25_ndcg": SQL_DOCS_BM25_NDCG,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
