@@ -556,6 +556,97 @@ def bigram_logprob(docs_ds, *, id_col: str = "doc_id",
                          broadcast_limit=broadcast_limit)
 
 
+#: Kneser-Ney absolute discount d = 0.75 in nano fixed-point
+KN_DISCOUNT_NANO = 750_000_000
+
+
+def kneser_ney_logprob(docs_ds, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       rows_hint: int | None = None,
+                       broadcast_limit: int = 2_000_000):
+    """Per-document log-likelihood under the corpus's own interpolated
+    Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999) — the
+    smoothing KenLM itself uses, one step up from ``bigram_logprob``'s
+    add-one model:
+
+        p(w2|w1) = max(c(w1 w2) − d, 0)/c(w1·)
+                   + d·N1+(w1·)/c(w1·) · N1+(·w2)/N_bigram_types
+
+    with d = 0.75. The whole chain is integer nano fixed-point — every
+    division a floor on int64 — so the per-bigram probability and its
+    1e-6-grid log weight replay exactly in SQL. Scale shape: ONE bigram
+    counting shuffle; the continuation counts N1+(·w2) fold in a
+    right-keyed bucketed pass (vocab-sized output) and bucket-join back
+    onto the bigram table; c(w1·) and N1+(w1·) are in-bucket transforms
+    of the left-keyed fold (no join); scoring streams via
+    ``_sum_token_fp``. Returns (id_col, n_bigrams, kn_fp); docs with <2
+    tokens score 0.
+    """
+    import math
+    from collections import Counter
+
+    from .relational import hash_bucket_aggregate, shuffle_join
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bi: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _tokens(t)
+            bi.update(zip(toks, toks[1:]))
+        keys = list(bi.keys())
+        return pa.table({
+            "left": pa.array([k[0] for k in keys], pa.string()),
+            "right": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([bi[k] for k in keys], pa.int64())})
+
+    def sum_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["left", "right"], as_index=False) \
+            .agg(cnt=("cnt", "sum"))
+
+    counts = hash_bucket_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["left", "right"], sum_per_bucket, rows_hint=rows_hint) \
+        .materialize()
+    n_types = counts.count()
+
+    def ncont_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("right", as_index=False).agg(
+            ncont=("right", "size"))
+        return out.astype({"ncont": np.int64})
+
+    ncont = hash_bucket_aggregate(counts, ["right"], ncont_bucket,
+                                  rows_hint=rows_hint)
+    joined = shuffle_join(counts, ncont, "right", "right",
+                          ["left", "cnt"], ["ncont"],
+                          rows_hint=rows_hint)
+
+    d_nano = KN_DISCOUNT_NANO
+
+    def fp_per_left(g: pd.DataFrame) -> pd.DataFrame:
+        c1 = g.groupby("left")["cnt"].transform("sum") \
+            .to_numpy(np.int64)
+        n1p = g.groupby("left")["cnt"].transform("size") \
+            .to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        nc = g["ncont"].to_numpy(np.int64)
+        term1 = np.maximum(c * 10 ** 9 - d_nano, 0) // c1
+        lam = d_nano * n1p // c1
+        pcont = nc * 10 ** 9 // n_types
+        p_nano = term1 + lam * pcont // 10 ** 9
+        fp = np.asarray([
+            math.floor(math.log(int(p) / 1e9) * 1_000_000 + 0.5)
+            for p in p_nano], dtype=np.int64)
+        return pd.DataFrame({"token": g["left"] + " " + g["right"],
+                             "fp": fp})
+
+    fp_ds = hash_bucket_aggregate(joined, ["left"], fp_per_left,
+                                  rows_hint=rows_hint).materialize()
+    return _sum_token_fp(docs_ds, fp_ds, id_col=id_col,
+                         text_col=text_col, out_col="kn_fp",
+                         n_col="n_bigrams", terms_fn=_bigrams,
+                         rows_hint=rows_hint,
+                         broadcast_limit=broadcast_limit)
+
+
 def source_divergence(docs_ds, *, group_col: str = "source",
                       text_col: str = "text",
                       rows_hint: int | None = None):

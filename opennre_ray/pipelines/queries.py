@@ -14513,6 +14513,54 @@ FROM ks ORDER BY k
 """
 
 
+def docs_kneser_ney(sf_dir):
+    """Per-doc log-likelihood under the corpus's own interpolated
+    Kneser-Ney bigram LM — KenLM's smoothing, the quality signal CCNet
+    actually ships (vs docs_bigram_logprob's add-one baseline). The
+    whole probability chain is integer nano fixed-point (see
+    functions/textstats.py::kneser_ney_logprob), so the SQL replay is
+    value-identical: one bigram counting shuffle, a right-keyed
+    continuation-count fold + bucket join, a left-bucketed weight fold,
+    streaming scoring."""
+    from ..functions.textstats import kneser_ney_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return kneser_ney_logprob(ds,
+                              rows_hint=16 * _nrows(sf_dir, "documents"))
+
+
+SQL_DOCS_KNESER_NEY = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+cnt AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY bigram),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS l, sum(c)::BIGINT AS c1,
+               count(*)::BIGINT AS n1p
+        FROM cnt GROUP BY 1),
+rc AS (SELECT split_part(bigram, ' ', 2) AS r, count(*)::BIGINT AS ncont
+       FROM cnt GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n_types FROM cnt),
+fp AS (SELECT bigram,
+         CAST(floor(ln((
+           (greatest(c * 1000000000 - 750000000, 0) // ctx.c1)
+           + ((750000000 * ctx.n1p // ctx.c1)
+              * (rc.ncont * 1000000000 // nt.n_types) // 1000000000)
+         )::DOUBLE / 1000000000) * 1000000 + 0.5) AS BIGINT) AS fp
+       FROM cnt
+       JOIN ctx ON split_part(cnt.bigram, ' ', 1) = ctx.l
+       JOIN rc ON split_part(cnt.bigram, ' ', 2) = rc.r, nt),
+per AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(fp.fp)::BIGINT AS kn_fp
+        FROM bg JOIN fp USING (bigram) GROUP BY bg.doc_id)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(per.kn_fp, 0)::BIGINT AS kn_fp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14809,6 +14857,7 @@ QUERIES = {
     "events_markov_stationary": events_markov_stationary,
     "graph_closeness_parts": graph_closeness_parts,
     "docs_bm25_ndcg": docs_bm25_ndcg,
+    "docs_kneser_ney": docs_kneser_ney,
 }
 
 
@@ -15055,6 +15104,7 @@ ORACLES = {
     "events_markov_stationary": _sql_markov(),
     "graph_closeness_parts": _sql_closeness(),
     "docs_bm25_ndcg": SQL_DOCS_BM25_NDCG,
+    "docs_kneser_ney": SQL_DOCS_KNESER_NEY,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
