@@ -14561,6 +14561,182 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def events_weekday_seasonality(sf_dir):
+    """Weekday seasonal profile of event volume: per day-of-week, the
+    number of distinct active days, total events, and the seasonal
+    index (that weekday's mean daily volume over the overall mean, in
+    micro units) — the additive-seasonality prior a traffic forecaster
+    fits before Holt-Winters. Day and weekday are pure integer epoch
+    math ((epoch_days + 3) % 7, 0 = Monday) so no engine/SQL calendar
+    disagreement is possible; the index is one exact integer expression
+    (sum_dow * n_days_total * 1e6) // (n_days_dow * total). Scale
+    shape: map-side per-day partials, one day-keyed bucketed sum (the
+    day table is tiny), then a 7-row driver fold."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = us // 86_400_000_000
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def day_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("day", as_index=False)["cnt"].sum()
+        return out.astype({"day": np.int64, "cnt": np.int64})
+
+    daily = hash_bucket_aggregate(
+        ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], day_bucket,
+        rows_hint=_nrows(sf_dir, "events")).to_pandas()
+    daily["dow"] = (daily["day"] + 3) % 7
+    total = int(daily["cnt"].sum())
+    n_days_total = len(daily)
+    g = daily.groupby("dow").agg(n_days=("day", "size"),
+                                 n_events=("cnt", "sum"))
+    rows = []
+    for dow in sorted(g.index):
+        nd, ne = int(g.loc[dow, "n_days"]), int(g.loc[dow, "n_events"])
+        rows.append({
+            "dow": np.int64(dow), "n_days": np.int64(nd),
+            "n_events": np.int64(ne),
+            "index_micro": np.int64(
+                ne * n_days_total * 1_000_000 // (nd * total))})
+    return pd.DataFrame(rows)
+
+
+SQL_EVENTS_WEEKDAY_SEASONALITY = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nd_total
+        FROM d)
+SELECT ((day + 3) % 7)::BIGINT AS dow, count(*)::BIGINT AS n_days,
+       sum(cnt)::BIGINT AS n_events,
+       (sum(cnt) * nd_total * 1000000
+        // (count(*) * total))::BIGINT AS index_micro
+FROM d, tot GROUP BY dow, nd_total, total ORDER BY dow
+"""
+
+
+#: decision-stump candidate features over lineitem
+GINI_FEATURES = ("quantity", "discount_cents")
+
+
+def lineitem_gini_stump(sf_dir):
+    """Exact distributed decision-stump training: for each candidate
+    feature (integer quantity, discount in cents) find the threshold t
+    minimizing the weighted Gini impurity of the split x <= t against
+    the label l_returnflag = 'R' — CART's split search expressed as a
+    data pipeline. The corpus reduces map-side to (feature, value,
+    n, pos) counts (<= ~60 rows per feature); prefix sums + the Gini
+    fold run on the driver in exact arbitrary-precision integers
+    (g = 1e6 - (p^2 + (n-p)^2) * 1e6 // n^2, weighted = (n_l*g_l +
+    n_r*g_r) // n), so the SQL replay (HUGEINT window prefix sums)
+    is value-identical. Ties break toward the smaller threshold."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_returnflag"],
+               rows_per_block=32768)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        lab = np.asarray(
+            [x == "R" for x in t.column("l_returnflag").to_pylist()],
+            np.int64)
+        feats = {"quantity": np.floor(qty + 0.5).astype(np.int64),
+                 "discount_cents":
+                     np.floor(disc * 100 + 0.5).astype(np.int64)}
+        fs, vs, ns, ps = [], [], [], []
+        for name, v in feats.items():
+            u = np.unique(v)
+            for val in u:
+                m = v == val
+                fs.append(name)
+                vs.append(int(val))
+                ns.append(int(m.sum()))
+                ps.append(int(lab[m].sum()))
+        return pa.table({"feature": pa.array(fs, pa.string()),
+                         "value": pa.array(vs, pa.int64()),
+                         "n": pa.array(ns, pa.int64()),
+                         "pos": pa.array(ps, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby(["feature", "value"], as_index=False)[["n", "pos"]]
+           .sum())
+
+    def gini(n: int, p: int) -> int:
+        if n == 0:
+            return 0
+        return 1_000_000 - (p * p + (n - p) * (n - p)) * 1_000_000 \
+            // (n * n)
+
+    rows = []
+    for feat in GINI_FEATURES:
+        f = agg[agg["feature"] == feat].sort_values("value")
+        n_tot, p_tot = int(f["n"].sum()), int(f["pos"].sum())
+        best = None
+        nl = pl = 0
+        for r in f.itertuples(index=False):
+            nl += int(r.n)
+            pl += int(r.pos)
+            if nl == n_tot:      # degenerate split: nothing on the right
+                break
+            w = (nl * gini(nl, pl)
+                 + (n_tot - nl) * gini(n_tot - nl, p_tot - pl)) // n_tot
+            if best is None or w < best[1]:
+                best = (int(r.value), w, nl, pl)
+        rows.append({"feature": feat,
+                     "threshold": np.int64(best[0]),
+                     "gini_micro": np.int64(best[1]),
+                     "n_left": np.int64(best[2]),
+                     "pos_left": np.int64(best[3])})
+    return pd.DataFrame(rows).sort_values("feature", ignore_index=True)
+
+
+SQL_LINEITEM_GINI_STUMP = """
+WITH base AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS quantity,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_cents,
+         (l_returnflag = 'R')::BIGINT AS pos
+  FROM lineitem),
+long AS (
+  SELECT 'quantity' AS feature, quantity AS value, pos FROM base
+  UNION ALL
+  SELECT 'discount_cents', discount_cents, pos FROM base),
+cnt AS (SELECT feature, value, count(*)::HUGEINT AS n,
+               sum(pos)::HUGEINT AS p
+        FROM long GROUP BY 1, 2),
+cum AS (SELECT feature, value,
+               sum(n) OVER w AS nl, sum(p) OVER w AS pl,
+               sum(n) OVER (PARTITION BY feature) AS nt,
+               sum(p) OVER (PARTITION BY feature) AS pt
+        FROM cnt
+        WINDOW w AS (PARTITION BY feature ORDER BY value
+                     ROWS UNBOUNDED PRECEDING)),
+scored AS (
+  SELECT feature, value AS threshold, nl, pl,
+         ((nl * (1000000 - (pl*pl + (nl-pl)*(nl-pl)) * 1000000
+                           // (nl*nl))
+           + (nt-nl) * (CASE WHEN nt = nl THEN 0 ELSE
+               1000000 - ((pt-pl)*(pt-pl)
+                          + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl)))
+                         * 1000000 // ((nt-nl)*(nt-nl)) END))
+          // nt) AS w
+  FROM cum WHERE nl < nt),
+best AS (SELECT feature, threshold, w, nl, pl,
+                row_number() OVER (PARTITION BY feature
+                                   ORDER BY w, threshold) AS rn
+         FROM scored)
+SELECT feature, threshold::BIGINT AS threshold, w::BIGINT AS gini_micro,
+       nl::BIGINT AS n_left, pl::BIGINT AS pos_left
+FROM best WHERE rn = 1 ORDER BY feature
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -14858,6 +15034,8 @@ QUERIES = {
     "graph_closeness_parts": graph_closeness_parts,
     "docs_bm25_ndcg": docs_bm25_ndcg,
     "docs_kneser_ney": docs_kneser_ney,
+    "events_weekday_seasonality": events_weekday_seasonality,
+    "lineitem_gini_stump": lineitem_gini_stump,
 }
 
 
@@ -15105,6 +15283,8 @@ ORACLES = {
     "graph_closeness_parts": _sql_closeness(),
     "docs_bm25_ndcg": SQL_DOCS_BM25_NDCG,
     "docs_kneser_ney": SQL_DOCS_KNESER_NEY,
+    "events_weekday_seasonality": SQL_EVENTS_WEEKDAY_SEASONALITY,
+    "lineitem_gini_stump": SQL_LINEITEM_GINI_STUMP,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
