@@ -14737,6 +14737,60 @@ FROM best WHERE rn = 1 ORDER BY feature
 """
 
 
+def embed_mutual_knn(sf_dir):
+    """Reciprocal-nearest-neighbor pairs: (a, b) kept iff b ∈ kNN(a)
+    AND a ∈ kNN(b) — the mutual-kNN filter entity resolution and
+    semantic clustering seed on, far higher precision than raw kNN
+    edges. One bucketed fold over the directed kNN edges keyed by the
+    unordered pair (both directions co-locate; size-2 groups survive).
+    Cosine is symmetric on the engine's 1e-6 rounding, so either
+    direction's value reports identically."""
+    from ..functions.relational import hash_bucket_aggregate
+    from ..functions.similarity import knn_graph
+
+    edges = knn_graph(_read_embeddings(sf_dir), k=KNN_GRAPH_K)
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id").to_numpy(zero_copy_only=False)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array(np.minimum(a, b), pa.int64()),
+            "hi": pa.array(np.maximum(a, b), pa.int64()),
+            "cosine": t.column("cosine")})
+
+    def mutual_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lo", "hi"], as_index=False).agg(
+            n=("cosine", "size"), cosine=("cosine", "min"))
+        out = out[out["n"] == 2]
+        return out[["lo", "hi", "cosine"]].astype(
+            {"lo": np.int64, "hi": np.int64})
+
+    out = hash_bucket_aggregate(
+        edges.map_batches(key_batch, batch_format="pyarrow"),
+        ["lo", "hi"], mutual_bucket,
+        rows_hint=KNN_GRAPH_K * _nrows(sf_dir, "documents")).to_pandas()
+    return out.sort_values(["lo", "hi"], ignore_index=True)
+
+
+SQL_EMBED_MUTUAL_KNN = f"""
+WITH s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)),
+                        6) AS cosine
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+SELECT r1.vec_id AS lo, r1.neighbor_id AS hi, r1.cosine
+FROM r r1 JOIN r r2 ON r1.vec_id = r2.neighbor_id
+                   AND r1.neighbor_id = r2.vec_id
+WHERE r1.rank <= {KNN_GRAPH_K} AND r2.rank <= {KNN_GRAPH_K}
+  AND r1.vec_id < r1.neighbor_id
+ORDER BY lo, hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15036,6 +15090,7 @@ QUERIES = {
     "docs_kneser_ney": docs_kneser_ney,
     "events_weekday_seasonality": events_weekday_seasonality,
     "lineitem_gini_stump": lineitem_gini_stump,
+    "embed_mutual_knn": embed_mutual_knn,
 }
 
 
@@ -15285,6 +15340,7 @@ ORACLES = {
     "docs_kneser_ney": SQL_DOCS_KNESER_NEY,
     "events_weekday_seasonality": SQL_EVENTS_WEEKDAY_SEASONALITY,
     "lineitem_gini_stump": SQL_LINEITEM_GINI_STUMP,
+    "embed_mutual_knn": SQL_EMBED_MUTUAL_KNN,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
