@@ -1046,6 +1046,269 @@ def multi_source_distances(edges_ds, seeds, iters: int = 4,
     return dists
 
 
+#: Brandes dependency fixed-point scale (delta in micro units)
+BETWEENNESS_SCALE = 10 ** 6
+
+
+def betweenness_landmarks(edges_ds, seeds, iters: int = 4,
+                          rows_hint: int | None = None,
+                          local_edges_gate: int = PAGERANK_LOCAL_EDGES):
+    """Approximate betweenness centrality from sampled landmark sources
+    (Brandes 2001 dependency accumulation; Brandes-Pich 2007 source
+    sampling — exact betweenness is an all-sources O(V·E) and off the
+    table at web scale). Unweighted, round-limited to ``iters`` hops.
+
+    Exact integer semantics shared by the local replay, the distributed
+    path and the SQL oracle (every division a floor, every sum
+    order-independent):
+
+        sigma(s, v at level r) = sum over preds u at level r-1 of
+                                 sigma(s, u)            (sigma(s,s)=1)
+        delta(s, v at level l) = sum over succs w at level l+1 of
+            sigma(s,v) * (SCALE + delta(s,w)) // sigma(s,w)   (0 at the
+                                            deepest level / no succs)
+        bc_micro(v) = sum over s != v of delta(s, v)
+
+    Scale shape (distributed path): per-source BFS levels come from
+    :func:`multi_source_distances`; each forward round is one
+    node-keyed join + one packed-(src,node)-keyed membership join + one
+    bucketed sum, each backward round the mirror image — the frontier
+    state is |seeds| x reach and never touches the driver. Below
+    ``local_edges_gate`` symmetrized edges the identical math runs in
+    one pandas process (value-identical; the gate is the same policy as
+    ``pagerank``). Returns a Dataset (entity, bc_micro) over visited
+    non-source nodes, zeros included.
+    """
+    import ray.data as rd
+
+    from .relational import compute_n_buckets, shuffle_join
+
+    scale = BETWEENNESS_SCALE
+    seed_list = sorted(set(int(s) for s in seeds))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("u", pa.int64()),
+                              ("dst", pa.int64())]).empty_table()
+        a = t.column("a").combine_chunks().cast(pa.int64())
+        b = t.column("b").combine_chunks().cast(pa.int64())
+        return pa.table({"u": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    adj = edges_ds.map_batches(symmetrize,
+                               batch_format="pyarrow").materialize()
+    n_adj = adj.count()
+
+    if n_adj <= local_edges_gate:
+        apd = adj.to_pandas()
+        succ: dict = {}
+        for u, v in zip(apd["u"].to_numpy(np.int64),
+                        apd["dst"].to_numpy(np.int64)):
+            succ.setdefault(int(u), []).append(int(v))
+        bc: dict = {}
+        for s in seed_list:
+            dist = {s: 0}
+            sigma = {s: 1}
+            levels = [[s]]
+            for r in range(1, iters + 1):
+                nxt: dict = {}
+                for u in levels[r - 1]:
+                    for v in succ.get(u, ()):
+                        if v in dist and dist[v] < r:
+                            continue
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+                nxt = {v: c for v, c in nxt.items() if v not in dist}
+                if not nxt:
+                    break
+                for v, c in nxt.items():
+                    dist[v] = r
+                    sigma[v] = c
+                levels.append(sorted(nxt))
+            delta = {v: 0 for v in dist}
+            for l in range(len(levels) - 2, -1, -1):
+                for v in levels[l]:
+                    acc = 0
+                    for w in succ.get(v, ()):
+                        if dist.get(w) == l + 1:
+                            acc += (sigma[v] * (scale + delta[w])
+                                    // sigma[w])
+                    delta[v] = acc
+            for v, d in delta.items():
+                if v != s:
+                    bc[v] = bc.get(v, 0) + d
+        out = pd.DataFrame(
+            {"entity": pd.Series(sorted(bc), dtype="int64"),
+             "bc_micro": pd.Series([bc[v] for v in sorted(bc)],
+                                   dtype="int64")})
+        return rd.from_pandas(out)
+
+    n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    adj = compact(adj)
+
+    dists = multi_source_distances(
+        edges_ds.map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(t.num_rows, np.int64)))
+            if "w" not in t.schema.names else t,
+            batch_format="pyarrow"),
+        seed_list, iters=iters, rows_hint=rows_hint,
+        local_edges_gate=0).materialize()
+
+    def pack(df: pd.DataFrame, src: str, node: str) -> pd.Series:
+        return (df[src].astype(np.int64).astype(str) + ":"
+                + df[node].astype(np.int64).astype(str))
+
+    def lvl_table(r: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["dist"] == r]
+            return pd.DataFrame({"pk": pack(df, "src", "entity")})
+        return compact(dists.map_batches(fn, batch_format="pandas"))
+
+    def sum_sigma(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src", "v"], as_index=False)["sigma"].sum()
+        return out.astype({"src": np.int64, "v": np.int64,
+                           "sigma": np.int64})
+
+    # forward: per-level sigma tables sg[r] = (src, v, sigma)
+    sg = [compact(rd.from_pandas(pd.DataFrame({
+        "src": pd.Series(seed_list, dtype="int64"),
+        "v": pd.Series(seed_list, dtype="int64"),
+        "sigma": pd.Series(1, index=range(len(seed_list)),
+                           dtype="int64")})))]
+    for r in range(1, iters + 1):
+        cand = shuffle_join(adj, sg[r - 1], "u", "v",
+                            ["dst"], ["sigma", "src"],
+                            n_buckets=n_parts)
+
+        def pack_cand(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "pk": pd.Series([], dtype=object),
+                    "src": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64"),
+                    "sigma": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "pk": pack(df, "src", "dst"),
+                "src": df["src"].astype(np.int64),
+                "v": df["dst"].astype(np.int64),
+                "sigma": df["sigma"].astype(np.int64)})
+
+        members = shuffle_join(
+            cand.map_batches(pack_cand, batch_format="pandas"),
+            lvl_table(r), "pk", "pk", ["src", "v", "sigma"], [],
+            how="left_semi", n_buckets=n_parts)
+        sg.append(compact(hash_bucket_aggregate(
+            members, ["src", "v"], sum_sigma, n_buckets=n_parts)))
+
+    # backward: per-level delta tables dl[l] = (src, v, sigma, delta)
+    def with_delta0(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["delta"] = np.int64(0)
+        return out
+
+    dl = sg[iters].map_batches(with_delta0, batch_format="pandas")
+    acc = []  # (src, v, delta) per level, v != src
+
+    def keep_nonsource(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["v"] != df["src"]]
+        return pd.DataFrame({
+            "src": df["src"].astype(np.int64),
+            "v": df["v"].astype(np.int64),
+            "delta": df["delta"].astype(np.int64)})
+
+    acc.append(dl.map_batches(keep_nonsource, batch_format="pandas"))
+    for l in range(iters - 1, -1, -1):
+        # succs at level l+1 joined onto adjacency by the succ node
+        contrib = shuffle_join(adj, dl, "dst", "v", ["u"],
+                               ["sigma", "delta", "src"],
+                               n_buckets=n_parts)
+
+        def pack_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "pk": pd.Series([], dtype=object),
+                    "sigma_w": pd.Series([], dtype="int64"),
+                    "delta_w": pd.Series([], dtype="int64")})
+            return pd.DataFrame({
+                "pk": pack(df, "src", "u"),
+                "sigma_w": df["sigma"].astype(np.int64),
+                "delta_w": df["delta"].astype(np.int64)})
+
+        def pack_sg(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "pk": pd.Series([], dtype=object),
+                    "src": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64"),
+                    "sigma": pd.Series([], dtype="int64")})
+            out = pd.DataFrame({
+                "pk": pack(df, "src", "v"),
+                "src": df["src"].astype(np.int64),
+                "v": df["v"].astype(np.int64),
+                "sigma": df["sigma"].astype(np.int64)})
+            return out
+
+        sgl_packed = sg[l].map_batches(pack_sg, batch_format="pandas")
+        terms = shuffle_join(
+            contrib.map_batches(pack_contrib, batch_format="pandas"),
+            sgl_packed, "pk", "pk", ["sigma_w", "delta_w"], ["sigma"],
+            n_buckets=n_parts)
+
+        def term_val(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "pk": pd.Series([], dtype=object),
+                    "delta": pd.Series([], dtype="int64")})
+            su = df["sigma"].astype(np.int64).to_numpy()
+            sw = df["sigma_w"].astype(np.int64).to_numpy()
+            dw = df["delta_w"].astype(np.int64).to_numpy()
+            return pd.DataFrame({
+                "pk": df["pk"],
+                "delta": su * (scale + dw) // sw})
+
+        def sum_delta(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("pk", as_index=False)["delta"].sum()
+            out["delta"] = out["delta"].astype(np.int64)
+            return out
+
+        sums = hash_bucket_aggregate(
+            terms.map_batches(term_val, batch_format="pandas"),
+            ["pk"], sum_delta, n_buckets=n_parts)
+        merged = shuffle_join(sgl_packed, sums, "pk", "pk",
+                              ["src", "v", "sigma"], ["delta"],
+                              how="left", n_buckets=n_parts)
+
+        def fill0(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": df["src"].astype(np.int64),
+                "v": df["v"].astype(np.int64),
+                "sigma": df["sigma"].astype(np.int64),
+                "delta": df["delta"].fillna(0).astype(np.int64)})
+
+        dl = compact(merged.map_batches(fill0, batch_format="pandas"))
+        acc.append(dl.map_batches(keep_nonsource,
+                                  batch_format="pandas"))
+
+    all_deltas = acc[0]
+    for d in acc[1:]:
+        all_deltas = all_deltas.union(d)
+
+    def sum_bc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", as_index=False)["delta"].sum()
+        return pd.DataFrame({"entity": out["v"].astype(np.int64),
+                             "bc_micro": out["delta"].astype(np.int64)})
+
+    return hash_bucket_aggregate(all_deltas, ["v"], sum_bc,
+                                 n_buckets=n_parts)
+
+
 HITS_SCALE = 10 ** 6
 
 

@@ -14791,6 +14791,101 @@ ORDER BY lo, hi
 """
 
 
+def graph_betweenness_parts(sf_dir):
+    """Approximate betweenness centrality of the sampled part
+    co-purchase graph from the CLOSENESS_SEED_MOD landmark sources
+    (Brandes 2001 dependency accumulation, Brandes-Pich 2007 source
+    sampling) — the bridge-detection signal, round-limited to 4 hops.
+    Sigma counts and micro-fixed-point dependency deltas are exact
+    integers with floor division at every step, so the distributed
+    result, the size-gated local replay and the unrolled-CTE SQL oracle
+    are value-identical — see functions/graph.py::betweenness_landmarks
+    for the per-round join shape."""
+    from ..functions.graph import (betweenness_landmarks,
+                                   build_copurchase_edges)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(
+        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+    seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % CLOSENESS_SEED_MOD == 0)),
+        batch_format="pyarrow").to_pandas()["p_partkey"].tolist()
+    out = betweenness_landmarks(edges, seeds, iters=CLOSENESS_ITERS,
+                                rows_hint=4 * n).to_pandas()
+    return out.sort_values("entity", ignore_index=True)
+
+
+def _sql_betweenness() -> str:
+    from ..functions.graph import BETWEENNESS_SCALE
+
+    r_max = CLOSENESS_ITERS
+    parts = [f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+d0 AS MATERIALIZED (
+  SELECT p_partkey::BIGINT AS src, p_partkey::BIGINT AS entity,
+         0::BIGINT AS dist
+  FROM part WHERE p_partkey % {CLOSENESS_SEED_MOD} = 0)"""]
+    for i in range(1, r_max + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT src, entity, min(dist)::BIGINT AS dist FROM (
+    SELECT src, entity, dist FROM d{i - 1}
+    UNION ALL
+    SELECT p.src, adj.v AS entity, p.dist + 1 AS dist
+    FROM adj JOIN d{i - 1} p ON adj.u = p.entity
+  ) GROUP BY src, entity)""")
+    parts.append(f""",
+sg0 AS MATERIALIZED (
+  SELECT src, entity AS v, 1::HUGEINT AS sigma FROM d0)""")
+    for r in range(1, r_max + 1):
+        parts.append(f""",
+sg{r} AS MATERIALIZED (
+  SELECT p.src, adj.v AS v, sum(p.sigma)::HUGEINT AS sigma
+  FROM adj JOIN sg{r - 1} p ON adj.u = p.v
+  JOIN d{r_max} d ON d.src = p.src AND d.entity = adj.v
+                 AND d.dist = {r}
+  GROUP BY p.src, adj.v)""")
+    parts.append(f""",
+dl{r_max} AS MATERIALIZED (
+  SELECT src, v, sigma, 0::HUGEINT AS delta FROM sg{r_max})""")
+    for l in range(r_max - 1, -1, -1):
+        parts.append(f""",
+dl{l} AS MATERIALIZED (
+  SELECT s.src, s.v, s.sigma, COALESCE(c.delta, 0)::HUGEINT AS delta
+  FROM sg{l} s LEFT JOIN (
+    SELECT w.src, adj.u AS v,
+           sum(su.sigma * ({BETWEENNESS_SCALE} + w.delta)
+               // w.sigma)::HUGEINT AS delta
+    FROM adj
+    JOIN dl{l + 1} w ON adj.v = w.v
+    JOIN sg{l} su ON su.src = w.src AND su.v = adj.u
+    GROUP BY w.src, adj.u) c
+  ON c.src = s.src AND c.v = s.v)""")
+    union = " UNION ALL ".join(
+        f"SELECT src, v, delta FROM dl{l}" for l in range(r_max + 1))
+    parts.append(f"""
+SELECT v::BIGINT AS entity, sum(delta)::BIGINT AS bc_micro
+FROM ({union}) WHERE v <> src
+GROUP BY v ORDER BY entity""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15091,6 +15186,7 @@ QUERIES = {
     "events_weekday_seasonality": events_weekday_seasonality,
     "lineitem_gini_stump": lineitem_gini_stump,
     "embed_mutual_knn": embed_mutual_knn,
+    "graph_betweenness_parts": graph_betweenness_parts,
 }
 
 
@@ -15341,6 +15437,7 @@ ORACLES = {
     "events_weekday_seasonality": SQL_EVENTS_WEEKDAY_SEASONALITY,
     "lineitem_gini_stump": SQL_LINEITEM_GINI_STUMP,
     "embed_mutual_knn": SQL_EMBED_MUTUAL_KNN,
+    "graph_betweenness_parts": _sql_betweenness(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -870,3 +870,46 @@ def test_multi_source_distances_distributed_parity(ray_session):
     lo = local.sort_values(key, ignore_index=True)
     hi = dist.sort_values(key, ignore_index=True)[lo.columns]
     pd.testing.assert_frame_equal(lo, hi)
+
+
+def test_betweenness_hand(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import (BETWEENNESS_SCALE,
+                                             betweenness_landmarks)
+
+    # path graph 1-2-3-4-5, sources {1, 5}: the middle node 3 carries
+    # the most shortest paths
+    edges = pd.DataFrame({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]})
+    out = betweenness_landmarks(rd.from_pandas(edges), [1, 5],
+                                iters=4).to_pandas()
+    got = dict(zip(out["entity"], out["bc_micro"]))
+    s = BETWEENNESS_SCALE
+    # from src 1: delta(2)=3s, delta(3)=2s, delta(4)=s (targets beyond
+    # each node); mirrored from src 5 -> every interior node totals 4s,
+    # endpoints are never intermediate (delta 0)
+    assert got[2] == got[3] == got[4] == 4 * s
+    assert got[1] == got[5] == 0
+
+
+def test_betweenness_distributed_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import betweenness_landmarks
+
+    rng = np.random.RandomState(11)
+    seen = set()
+    for a, b in rng.randint(0, 22, size=(60, 2)):
+        if a != b:
+            seen.add((int(min(a, b)), int(max(a, b))))
+    df = pd.DataFrame(sorted(seen), columns=["a", "b"])
+    seeds = [0, 5, 13]
+    kw = dict(iters=4, rows_hint=len(df) * 4)
+    local = betweenness_landmarks(
+        rd.from_pandas(df), seeds, **kw).to_pandas()
+    dist = betweenness_landmarks(
+        rd.from_pandas(df).repartition(4), seeds,
+        local_edges_gate=0, **kw).to_pandas()
+    lo = local.sort_values("entity", ignore_index=True)
+    hi = dist.sort_values("entity", ignore_index=True)[lo.columns]
+    pd.testing.assert_frame_equal(lo, hi)
