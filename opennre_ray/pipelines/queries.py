@@ -14886,6 +14886,147 @@ GROUP BY v ORDER BY entity""")
     return "".join(parts)
 
 
+#: acctbal binning for the Naive Bayes feature (non-negative shift /
+#: width in cents: TPC-H acctbal spans [-999.99, 9999.99])
+NB_BAL_SHIFT_CENTS = 100_000
+NB_BAL_BIN_CENTS = 200_000
+
+
+def customer_naive_bayes(sf_dir):
+    """Multinomial Naive Bayes trained AND applied as one pipeline:
+    predict c_mktsegment from (nation, acctbal bin) with Laplace
+    smoothing, then report the resubstitution confusion matrix — the
+    classic weak-classifier audit a curation stack runs to see whether
+    cheap metadata predicts a label before paying for model scoring.
+    Training reduces map-side to (segment, feature, value) counts (a
+    few hundred rows); the log-likelihood table is 1e-6-grid fixed
+    point (floor(ln(num/den)*1e6+0.5), num/den exact integers) and
+    broadcasts; scoring is a stateless streaming argmax (ties break on
+    segment name); the confusion fold is a tiny bucketed count. Value-
+    identical to the SQL replay. Bin edges are integer cents math so
+    no float-boundary drift is possible."""
+    import math
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def featurize(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "seg": t.column("c_mktsegment").to_pylist(),
+            "nat": t.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "bin": (cents + NB_BAL_SHIFT_CENTS) // NB_BAL_BIN_CENTS})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        df = featurize(t)
+        out = df.groupby(["seg", "nat", "bin"], as_index=False).agg(
+            n=("seg", "size"))
+        return pa.table({
+            "seg": pa.array(out["seg"], pa.string()),
+            "nat": pa.array(out["nat"].astype(np.int64)),
+            "bin": pa.array(out["bin"].astype(np.int64)),
+            "n": pa.array(out["n"].astype(np.int64))})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .to_pandas().groupby(["seg", "nat", "bin"],
+                                   as_index=False)["n"].sum())
+    segs = sorted(counts["seg"].unique())
+    n_total = int(counts["n"].sum())
+    n_seg = {s: int(counts.loc[counts["seg"] == s, "n"].sum())
+             for s in segs}
+    v_nat = counts["nat"].nunique()
+    v_bin = counts["bin"].nunique()
+    nat_cnt = counts.groupby(["seg", "nat"])["n"].sum()
+    bin_cnt = counts.groupby(["seg", "bin"])["n"].sum()
+
+    def fp(num: int, den: int) -> int:
+        return int(math.floor(math.log(num / den) * 1_000_000 + 0.5))
+
+    prior = {s: fp(n_seg[s], n_total) for s in segs}
+    nat_fp = {(s, int(v)): fp(int(nat_cnt.get((s, v), 0)) + 1,
+                              n_seg[s] + v_nat)
+              for s in segs for v in counts["nat"].unique()}
+    bin_fp = {(s, int(v)): fp(int(bin_cnt.get((s, v), 0)) + 1,
+                              n_seg[s] + v_bin)
+              for s in segs for v in counts["bin"].unique()}
+
+    import ray
+    ref = ray.put((segs, prior, nat_fp, bin_fp))
+
+    def classify(t: pa.Table) -> pa.Table:
+        sgs, pr, nf, bf = ray.get(ref)
+        df = featurize(t)
+        best_seg = []
+        for seg_a, nat, bn in zip(df["seg"], df["nat"], df["bin"]):
+            scored = sorted(
+                ((-(pr[s] + nf[(s, int(nat))] + bf[(s, int(bn))]), s)
+                 for s in sgs))
+            best_seg.append(scored[0][1])
+        out = (pd.DataFrame({"actual": df["seg"], "pred": best_seg})
+               .groupby(["actual", "pred"], as_index=False)
+               .agg(n=("pred", "size")))
+        return pa.table({
+            "actual": pa.array(out["actual"], pa.string()),
+            "pred": pa.array(out["pred"], pa.string()),
+            "n": pa.array(out["n"].astype(np.int64))})
+
+    conf = (ds.map_batches(classify, batch_format="pyarrow")
+            .to_pandas().groupby(["actual", "pred"],
+                                 as_index=False)["n"].sum())
+    conf["n"] = conf["n"].astype(np.int64)
+    return conf.sort_values(["actual", "pred"], ignore_index=True)
+
+
+SQL_CUSTOMER_NAIVE_BAYES = f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment AS seg, c_nationkey::BIGINT AS nat,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+          + {NB_BAL_SHIFT_CENTS}) // {NB_BAL_BIN_CENTS} AS bin
+  FROM customer),
+segs AS (SELECT seg, count(*)::BIGINT AS n_seg FROM base GROUP BY seg),
+tot AS (SELECT count(*)::BIGINT AS n_total,
+               count(DISTINCT nat)::BIGINT AS v_nat,
+               count(DISTINCT bin)::BIGINT AS v_bin
+        FROM base),
+natc AS (SELECT seg, nat, count(*)::BIGINT AS n
+         FROM base GROUP BY seg, nat),
+binc AS (SELECT seg, bin, count(*)::BIGINT AS n
+         FROM base GROUP BY seg, bin),
+prior AS (SELECT seg,
+    CAST(floor(ln(n_seg::DOUBLE / n_total) * 1000000 + 0.5) AS BIGINT)
+        AS fp
+  FROM segs, tot),
+natfp AS (SELECT s.seg, v.nat,
+    CAST(floor(ln((COALESCE(c.n, 0) + 1)::DOUBLE / (s.n_seg + t.v_nat))
+               * 1000000 + 0.5) AS BIGINT) AS fp
+  FROM segs s CROSS JOIN (SELECT DISTINCT nat FROM base) v
+  CROSS JOIN tot t
+  LEFT JOIN natc c ON c.seg = s.seg AND c.nat = v.nat),
+binfp AS (SELECT s.seg, v.bin,
+    CAST(floor(ln((COALESCE(c.n, 0) + 1)::DOUBLE / (s.n_seg + t.v_bin))
+               * 1000000 + 0.5) AS BIGINT) AS fp
+  FROM segs s CROSS JOIN (SELECT DISTINCT bin FROM base) v
+  CROSS JOIN tot t
+  LEFT JOIN binc c ON c.seg = s.seg AND c.bin = v.bin),
+scored AS (SELECT b.c_custkey, b.seg AS actual, p.seg AS cand,
+                  p.fp + nf.fp + bf.fp AS score
+  FROM base b
+  JOIN prior p ON true
+  JOIN natfp nf ON nf.seg = p.seg AND nf.nat = b.nat
+  JOIN binfp bf ON bf.seg = p.seg AND bf.bin = b.bin),
+pred AS (SELECT c_custkey, actual, cand AS pred,
+                row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY score DESC, cand) AS rn
+         FROM scored)
+SELECT actual, pred, count(*)::BIGINT AS n
+FROM pred WHERE rn = 1
+GROUP BY actual, pred ORDER BY actual, pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15187,6 +15328,7 @@ QUERIES = {
     "lineitem_gini_stump": lineitem_gini_stump,
     "embed_mutual_knn": embed_mutual_knn,
     "graph_betweenness_parts": graph_betweenness_parts,
+    "customer_naive_bayes": customer_naive_bayes,
 }
 
 
@@ -15438,6 +15580,7 @@ ORACLES = {
     "lineitem_gini_stump": SQL_LINEITEM_GINI_STUMP,
     "embed_mutual_knn": SQL_EMBED_MUTUAL_KNN,
     "graph_betweenness_parts": _sql_betweenness(),
+    "customer_naive_bayes": SQL_CUSTOMER_NAIVE_BAYES,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
