@@ -15027,6 +15027,155 @@ GROUP BY actual, pred ORDER BY actual, pred
 """
 
 
+def docs_good_turing(sf_dir):
+    """Good-Turing frequency smoothing over the corpus unigram
+    distribution: the count-of-counts table N_r (how many word types
+    occur exactly r times) for r <= 10 plus the GT-adjusted count
+    r* = (r+1)·N_{r+1}/N_r in micro units — the unseen-mass estimator
+    (N_1/N) every LM smoother builds on. One token-count shuffle
+    (bucketed exact), then count-of-counts reduces map-side to <= 11
+    rows per block and folds on the driver; the micro ratio is a single
+    exact integer expression."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            c.update(x.split())
+        toks = list(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "cnt": pa.array([c[w] for w in toks],
+                                         pa.int64())})
+
+    def freq_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)["cnt"].sum()
+        cc = out.groupby("cnt", as_index=False).agg(n_types=("cnt",
+                                                             "size"))
+        return cc.astype({"cnt": np.int64, "n_types": np.int64})
+
+    cc = (hash_bucket_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"], freq_bucket,
+        rows_hint=16 * _nrows(sf_dir, "documents"))
+        .to_pandas().groupby("cnt", as_index=False)["n_types"].sum())
+    nr = dict(zip((int(x) for x in cc["cnt"]),
+                  (int(x) for x in cc["n_types"])))
+    rows = []
+    for r in range(1, 11):
+        n_r, n_r1 = nr.get(r, 0), nr.get(r + 1, 0)
+        rows.append({
+            "r": np.int64(r), "n_types": np.int64(n_r),
+            "r_star_micro": np.int64(
+                (r + 1) * n_r1 * 1_000_000 // n_r if n_r else 0)})
+    return pd.DataFrame(rows)
+
+
+SQL_DOCS_GOOD_TURING = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+      WHERE token <> '' GROUP BY token),
+cc AS (SELECT cnt AS r, count(*)::BIGINT AS n_types FROM c GROUP BY cnt),
+rs AS (SELECT unnest(range(1, 11)) AS r)
+SELECT rs.r::BIGINT AS r, COALESCE(a.n_types, 0)::BIGINT AS n_types,
+       CASE WHEN COALESCE(a.n_types, 0) = 0 THEN 0
+            ELSE (rs.r + 1) * COALESCE(b.n_types, 0) * 1000000
+                 // a.n_types END::BIGINT AS r_star_micro
+FROM rs LEFT JOIN cc a ON a.r = rs.r
+        LEFT JOIN cc b ON b.r = rs.r + 1
+ORDER BY rs.r
+"""
+
+
+def lineitem_welch_ttest(sf_dir):
+    """Welch's unequal-variance t-test comparing l_extendedprice
+    between returned (l_returnflag = 'R') and other line items — the
+    two-sample mean-shift check that doesn't assume equal variances
+    (vs the rank-based Mann-Whitney already in the suite). Exact
+    integer moments (n, sum of cents, sum of squared cents) reduce
+    map-side; t and the Welch-Satterthwaite degrees of freedom are a
+    fixed float op chain over those integers, rounded to 6 dp exactly
+    as the SQL replay computes them."""
+    import math
+
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_returnflag"], rows_per_block=32768)
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        grp = np.asarray(
+            [x == "R" for x in t.column("l_returnflag").to_pylist()])
+        rows = {}
+        for g in (0, 1):
+            m = grp == bool(g)
+            c = cents[m]
+            rows[g] = (int(m.sum()), int(c.sum()), int((c * c).sum()))
+        return pa.table({
+            "grp": pa.array([0, 1], pa.int64()),
+            "n": pa.array([rows[0][0], rows[1][0]], pa.int64()),
+            "s1": pa.array([rows[0][1], rows[1][1]], pa.int64()),
+            "s2": pa.array([rows[0][2], rows[1][2]], pa.int64())})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    stats = {}
+    for g in (0, 1):
+        rows_g = parts[parts["grp"] == g]
+        # Python-int fold: the squared-cents total exceeds int64 at
+        # corpus scale (pandas sum would wrap silently)
+        n = sum(int(x) for x in rows_g["n"])
+        s1 = float(sum(int(x) for x in rows_g["s1"]))
+        s2 = float(sum(int(x) for x in rows_g["s2"]))
+        # mirror the SQL's DOUBLE-cast op order exactly
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        stats[g] = (n, mean, var)
+    n0, m0, v0 = stats[0]
+    n1, m1, v1 = stats[1]
+    a, b = v1 / n1, v0 / n0
+    se2 = a + b
+    t_stat = (m1 - m0) / math.sqrt(se2)
+    dof = se2 * se2 / (a * a / (n1 - 1) + b * b / (n0 - 1))
+    return pd.DataFrame([{
+        "n_returned": np.int64(n1), "n_other": np.int64(n0),
+        "t_stat": float(sql_round(np.asarray([t_stat]), 6)[0]),
+        "welch_dof": float(sql_round(np.asarray([dof]), 6)[0])}])
+
+
+SQL_LINEITEM_WELCH_TTEST = """
+WITH m AS (
+  SELECT (l_returnflag = 'R')::BIGINT AS grp,
+         count(*)::BIGINT AS n,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS s1,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             ::HUGEINT AS s2
+  FROM lineitem GROUP BY 1),
+s AS (SELECT grp, n, s1::DOUBLE / n AS mean,
+             (s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1) AS var
+      FROM m),
+w AS (SELECT r.n AS n1, o.n AS n0,
+             r.var / r.n + o.var / o.n AS se2,
+             r.mean - o.mean AS md,
+             r.var / r.n AS a, o.var / o.n AS b,
+             r.n - 1 AS dr, o.n - 1 AS dor
+      FROM (SELECT * FROM s WHERE grp = 1) r,
+           (SELECT * FROM s WHERE grp = 0) o)
+SELECT n1 AS n_returned, n0 AS n_other,
+       round(md / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2 / (a * a / dr + b * b / dor), 6) AS welch_dof
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15329,6 +15478,8 @@ QUERIES = {
     "embed_mutual_knn": embed_mutual_knn,
     "graph_betweenness_parts": graph_betweenness_parts,
     "customer_naive_bayes": customer_naive_bayes,
+    "docs_good_turing": docs_good_turing,
+    "lineitem_welch_ttest": lineitem_welch_ttest,
 }
 
 
@@ -15581,6 +15732,8 @@ ORACLES = {
     "embed_mutual_knn": SQL_EMBED_MUTUAL_KNN,
     "graph_betweenness_parts": _sql_betweenness(),
     "customer_naive_bayes": SQL_CUSTOMER_NAIVE_BAYES,
+    "docs_good_turing": SQL_DOCS_GOOD_TURING,
+    "lineitem_welch_ttest": SQL_LINEITEM_WELCH_TTEST,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
