@@ -15176,6 +15176,275 @@ FROM w
 """
 
 
+#: burstiness report: min corpus frequency and result size
+BURST_MIN_CNT = 50
+BURST_TOPK = 20
+
+
+def docs_burstiness(sf_dir):
+    """Token burstiness (Church & Gale 1995): variance-to-mean ratio of
+    per-document counts — content words clump ('bursty'), function
+    words spread evenly, so VMR separates topical vocabulary from glue
+    and flags boilerplate injection. Per-block (token, doc_freq, sum c,
+    sum c^2) partials fold through one token-bucketed aggregate;
+    VMR_micro = 1e6·(N·s2 − s1²) // (N·s1) is exact arbitrary-precision
+    integer arithmetic over those moments (zero-count docs contribute
+    nothing to either sum, so the population variance over all N docs
+    falls out of the same partials). Top-20 by (VMR desc, token) among
+    tokens with corpus count >= 50."""
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n_docs = _nrows(sf_dir, "documents")
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        s1: Counter = Counter()
+        s2: Counter = Counter()
+        df_: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            c = Counter(x.split())
+            for w, k in c.items():
+                s1[w] += k
+                s2[w] += k * k
+                df_[w] += 1
+        toks = list(s1)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "s1": pa.array([s1[w] for w in toks], pa.int64()),
+            "s2": pa.array([s2[w] for w in toks], pa.int64()),
+            "df": pa.array([df_[w] for w in toks], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)[["s1", "s2", "df"]] \
+            .sum()
+        out = out[out["s1"] >= BURST_MIN_CNT]
+        burst = [int(1_000_000 * (n_docs * int(b) - int(a) * int(a))
+                     // (n_docs * int(a)))
+                 for a, b in zip(out["s1"], out["s2"])]
+        out = pd.DataFrame({
+            "token": out["token"],
+            "total_cnt": out["s1"].astype(np.int64),
+            "doc_freq": out["df"].astype(np.int64),
+            "burst_micro": pd.Series(burst, dtype="int64",
+                                     index=out.index)})
+        # per-bucket top-k prune; exact because buckets partition tokens
+        return out.sort_values(["burst_micro", "token"],
+                               ascending=[False, True]) \
+            .head(BURST_TOPK)
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"], fold,
+        rows_hint=16 * n_docs).to_pandas()
+    return (parts.sort_values(["burst_micro", "token"],
+                              ascending=[False, True])
+            .head(BURST_TOPK).reset_index(drop=True))
+
+
+SQL_DOCS_BURSTINESS = rf"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+c AS (SELECT doc_id, unnest(toks) AS token FROM t),
+pc AS (SELECT token, doc_id, count(*)::BIGINT AS k
+       FROM c GROUP BY token, doc_id),
+m AS (SELECT token, sum(k)::HUGEINT AS s1,
+             sum(k * k)::HUGEINT AS s2,
+             count(*)::BIGINT AS doc_freq
+      FROM pc GROUP BY token),
+n AS (SELECT count(*)::HUGEINT AS n_docs FROM documents)
+SELECT token, s1::BIGINT AS total_cnt, doc_freq,
+       (1000000 * (n_docs * s2 - s1 * s1)
+        // (n_docs * s1))::BIGINT AS burst_micro
+FROM m, n WHERE s1 >= {BURST_MIN_CNT}
+ORDER BY burst_micro DESC, token LIMIT {BURST_TOPK}
+"""
+
+
+#: Allen census: max gap (days) for the 'before'/'meets' classes
+ALLEN_GAP_DAYS = 30
+
+
+def orders_allen_relations(sf_dir):
+    """Allen interval-algebra census over same-customer order
+    fulfillment windows (window = order date + priority-dependent
+    duration, the `orders_concurrent_pairs` convention): each
+    canonically-ordered pair within a 30-day proximity band classifies
+    into one of {before, meets, overlaps, starts, finished_by,
+    contains, equals} — the temporal-relation profile an event-KG
+    build reports before asserting interval edges. Customer-bucketed
+    vectorized pair expansion (baskets are tiny; the band bounds the
+    'before' class so the census never goes quadratic in history
+    length), identical CASE cascade on both sides, integer epoch-day
+    arithmetic throughout."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority"])
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        dur = 10 + 7 * df["o_orderpriority"].str[0].astype(np.int64)
+        return pd.DataFrame({"cust": df["o_custkey"].astype(np.int64),
+                             "key": df["o_orderkey"].astype(np.int64),
+                             "s": day, "e": day + dur.to_numpy()})
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="cust", suffixes=("_a", "_b"))
+        lex = ((m["s_a"] < m["s_b"])
+               | ((m["s_a"] == m["s_b"]) & (m["e_a"] < m["e_b"]))
+               | ((m["s_a"] == m["s_b"]) & (m["e_a"] == m["e_b"])
+                  & (m["key_a"] < m["key_b"])))
+        m = m[lex & (m["s_b"] <= m["e_a"] + ALLEN_GAP_DAYS)]
+        rel = np.select(
+            [(m["s_a"] == m["s_b"]) & (m["e_a"] == m["e_b"]),
+             m["s_a"] == m["s_b"],
+             m["e_a"] < m["s_b"],
+             m["e_a"] == m["s_b"],
+             m["e_a"] == m["e_b"],
+             m["e_b"] < m["e_a"]],
+            ["equals", "starts", "before", "meets", "finished_by",
+             "contains"],
+            default="overlaps")
+        out = (pd.DataFrame({"relation": rel})
+               .groupby("relation", as_index=False)
+               .agg(n=("relation", "size")))
+        return out.astype({"n": np.int64})
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(to_days, batch_format="pandas"),
+        ["cust"], census,
+        rows_hint=_nrows(sf_dir, "orders")).to_pandas()
+    out = parts.groupby("relation", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("relation", ignore_index=True)
+
+
+SQL_ORDERS_ALLEN_RELATIONS = f"""
+WITH iv AS (
+  SELECT o_custkey AS cust, o_orderkey AS okey,
+         epoch_us(o_orderdate) // 86400000000 AS s,
+         epoch_us(o_orderdate) // 86400000000
+           + 10 + 7 * substr(o_orderpriority, 1, 1)::BIGINT AS e
+  FROM orders),
+pairs AS (
+  SELECT a.s AS s_a, a.e AS e_a, b.s AS s_b, b.e AS e_b
+  FROM iv a JOIN iv b ON a.cust = b.cust
+  WHERE (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+         OR (a.s = b.s AND a.e = b.e AND a.okey < b.okey))
+    AND b.s <= a.e + {ALLEN_GAP_DAYS})
+SELECT CASE
+         WHEN s_a = s_b AND e_a = e_b THEN 'equals'
+         WHEN s_a = s_b THEN 'starts'
+         WHEN e_a < s_b THEN 'before'
+         WHEN e_a = s_b THEN 'meets'
+         WHEN e_a = e_b THEN 'finished_by'
+         WHEN e_b < e_a THEN 'contains'
+         ELSE 'overlaps' END AS relation,
+       count(*)::BIGINT AS n
+FROM pairs GROUP BY relation ORDER BY relation
+"""
+
+
+DIAMETER_ITERS = 6
+
+
+def graph_diameter_parts(sf_dir):
+    """Two-sweep diameter lower bound of the sampled part co-purchase
+    graph (the standard double-BFS heuristic: BFS from a deterministic
+    start — the minimum vertex id — then BFS again from the farthest
+    node found): reports both sweeps' eccentricities and the peripheral
+    pair, round-limited to 6 hops. Each sweep is one single-source run
+    of graph.multi_source_distances; argmax ties break toward the
+    smaller node id on both engines."""
+    from ..functions.graph import (build_copurchase_edges,
+                                   multi_source_distances)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(
+        ds.map_batches(sample, batch_format="pyarrow"),
+        rows_hint=4 * n).materialize()
+
+    def unit_w(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "w", pa.array(np.ones(t.num_rows, np.int64)))
+
+    from ray.data.aggregate import Min
+
+    wedges = edges.map_batches(unit_w, batch_format="pyarrow")
+    src0 = int(edges.aggregate(Min("a"))["min(a)"])
+
+    def farthest(dists) -> tuple[int, int]:
+        df = dists.to_pandas()
+        df = df.sort_values(["dist", "entity"],
+                            ascending=[False, True])
+        top = df.iloc[0]
+        return int(top["entity"]), int(top["dist"])
+
+    u, ecc0 = farthest(multi_source_distances(
+        wedges, [src0], iters=DIAMETER_ITERS, rows_hint=4 * n))
+    v, ecc1 = farthest(multi_source_distances(
+        wedges, [u], iters=DIAMETER_ITERS, rows_hint=4 * n))
+    return pd.DataFrame([{
+        "start": np.int64(src0), "sweep1_far": np.int64(u),
+        "sweep1_ecc": np.int64(ecc0), "sweep2_far": np.int64(v),
+        "diameter_lb": np.int64(ecc1)}])
+
+
+def _sql_diameter() -> str:
+    r_max = DIAMETER_ITERS
+
+    def bfs(tag: str, seed_expr: str) -> str:
+        parts = [f"""
+{tag}0 AS MATERIALIZED (
+  SELECT {seed_expr} AS entity, 0::BIGINT AS dist)"""]
+        for i in range(1, r_max + 1):
+            parts.append(f""",
+{tag}{i} AS MATERIALIZED (
+  SELECT entity, min(dist)::BIGINT AS dist FROM (
+    SELECT entity, dist FROM {tag}{i - 1}
+    UNION ALL
+    SELECT adj.v AS entity, p.dist + 1 AS dist
+    FROM adj JOIN {tag}{i - 1} p ON adj.u = p.entity
+  ) GROUP BY entity)""")
+        return "".join(parts)
+
+    return f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+{bfs("f", "(SELECT min(a)::BIGINT FROM e0)")},
+far1 AS (SELECT entity, dist FROM f{r_max}
+         ORDER BY dist DESC, entity LIMIT 1),
+{bfs("g", "(SELECT entity FROM far1)")},
+far2 AS (SELECT entity, dist FROM g{r_max}
+         ORDER BY dist DESC, entity LIMIT 1)
+SELECT (SELECT min(a)::BIGINT FROM e0) AS start,
+       far1.entity::BIGINT AS sweep1_far,
+       far1.dist::BIGINT AS sweep1_ecc,
+       far2.entity::BIGINT AS sweep2_far,
+       far2.dist::BIGINT AS diameter_lb
+FROM far1, far2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15480,6 +15749,9 @@ QUERIES = {
     "customer_naive_bayes": customer_naive_bayes,
     "docs_good_turing": docs_good_turing,
     "lineitem_welch_ttest": lineitem_welch_ttest,
+    "docs_burstiness": docs_burstiness,
+    "orders_allen_relations": orders_allen_relations,
+    "graph_diameter_parts": graph_diameter_parts,
 }
 
 
@@ -15734,6 +16006,9 @@ ORACLES = {
     "customer_naive_bayes": SQL_CUSTOMER_NAIVE_BAYES,
     "docs_good_turing": SQL_DOCS_GOOD_TURING,
     "lineitem_welch_ttest": SQL_LINEITEM_WELCH_TTEST,
+    "docs_burstiness": SQL_DOCS_BURSTINESS,
+    "orders_allen_relations": SQL_ORDERS_ALLEN_RELATIONS,
+    "graph_diameter_parts": _sql_diameter(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
