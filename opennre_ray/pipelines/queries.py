@@ -15445,6 +15445,119 @@ FROM far1, far2
 """
 
 
+LOGREG_ROUNDS = 10
+LOGREG_LR_DEN = 10_000   # lr = 1e-4 on the micro-unit mean gradient
+
+
+def lineitem_logreg(sf_dir):
+    """Bit-deterministic distributed logistic regression: predict
+    l_returnflag = 'R' from (quantity, discount_cents) by full-batch
+    gradient descent in micro fixed-point — the TransE recipe applied
+    to a GLM. Per row the sigmoid activation is floored ONCE to the
+    1e-6 grid (floor(1e6/(1+exp(-z))), z the exact integer logit /1e6
+    — libm-parity with the SQL replay), so each round's gradient is an
+    order-independent integer sum (three map-side scalars per block);
+    the weight update divides truncating-toward-zero exactly like
+    DuckDB's `//`. 10 unrolled rounds; the final pass reports weights
+    and resubstitution accuracy. Scale shape: R passes over the corpus
+    emitting 3 ints per block each — the textbook distributed GD."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_returnflag"],
+               rows_per_block=32768)
+    n_rows = _nrows(sf_dir, "lineitem")
+
+    def featurize(t: pa.Table):
+        x1 = np.floor(t.column("l_quantity").to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        x2 = np.floor(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        y = np.asarray(
+            [v == "R" for v in t.column("l_returnflag").to_pylist()],
+            np.int64)
+        return x1, x2, y
+
+    def sig_fp(z_fp: np.ndarray) -> np.ndarray:
+        z = z_fp.astype(np.float64) / 1_000_000.0
+        with np.errstate(over="ignore"):
+            return np.floor(1_000_000.0 / (1.0 + np.exp(-z))) \
+                .astype(np.int64)
+
+    def trunc_div(a: int, b: int) -> int:
+        # DuckDB's integer `//` truncates toward zero
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    w = [0, 0, 0]  # bias, w1, w2 in micro units
+    for _ in range(LOGREG_ROUNDS):
+        b_, w1_, w2_ = w
+
+        def grad_partial(t: pa.Table) -> pa.Table:
+            x1, x2, y = featurize(t)
+            z = b_ + w1_ * x1 + w2_ * x2
+            r = sig_fp(z) - y * 1_000_000
+            return pa.table({
+                "g0": pa.array([int(r.sum())], pa.int64()),
+                "g1": pa.array([int((r * x1).sum())], pa.int64()),
+                "g2": pa.array([int((r * x2).sum())], pa.int64())})
+
+        gp = (ds.map_batches(grad_partial, batch_format="pyarrow")
+              .to_pandas())
+        g = [sum(int(x) for x in gp[c]) for c in ("g0", "g1", "g2")]
+        w = [wi - trunc_div(gi, n_rows * LOGREG_LR_DEN)
+             for wi, gi in zip(w, g)]
+
+    b_, w1_, w2_ = w
+
+    def acc_partial(t: pa.Table) -> pa.Table:
+        x1, x2, y = featurize(t)
+        pred = (b_ + w1_ * x1 + w2_ * x2 > 0).astype(np.int64)
+        return pa.table({
+            "n_correct": pa.array([int((pred == y).sum())], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    ap = ds.map_batches(acc_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "bias_fp": np.int64(w[0]), "w_quantity_fp": np.int64(w[1]),
+        "w_discount_fp": np.int64(w[2]),
+        "n_correct": np.int64(ap["n_correct"].sum()),
+        "n_total": np.int64(ap["n"].sum())}])
+
+
+def _sql_logreg() -> str:
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+         (l_returnflag = 'R')::BIGINT AS y
+  FROM lineitem),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+w0 AS (SELECT 0::BIGINT AS b, 0::BIGINT AS w1, 0::BIGINT AS w2)"""]
+    for r in range(1, LOGREG_ROUNDS + 1):
+        parts.append(f""",
+g{r} AS MATERIALIZED (
+  SELECT sum(s - y1m)::BIGINT AS g0,
+         sum((s - y1m) * x1)::BIGINT AS g1,
+         sum((s - y1m) * x2)::BIGINT AS g2
+  FROM (SELECT y * 1000000 AS y1m, x1, x2,
+               CAST(floor(1000000 / (1 + exp(
+                 -((w.b + w.w1 * x1 + w.w2 * x2)::DOUBLE / 1000000))))
+                 AS BIGINT) AS s
+        FROM base, w{r - 1} w)),
+w{r} AS MATERIALIZED (
+  SELECT (w.b - g.g0 // (nn.n * {LOGREG_LR_DEN}))::BIGINT AS b,
+         (w.w1 - g.g1 // (nn.n * {LOGREG_LR_DEN}))::BIGINT AS w1,
+         (w.w2 - g.g2 // (nn.n * {LOGREG_LR_DEN}))::BIGINT AS w2
+  FROM w{r - 1} w, g{r} g, nn)""")
+    parts.append(f"""
+SELECT w.b AS bias_fp, w.w1 AS w_quantity_fp, w.w2 AS w_discount_fp,
+       sum(((w.b + w.w1 * x1 + w.w2 * x2 > 0)::BIGINT = y)::BIGINT)
+           ::BIGINT AS n_correct,
+       count(*)::BIGINT AS n_total
+FROM base, w{LOGREG_ROUNDS} w
+GROUP BY w.b, w.w1, w.w2""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15752,6 +15865,7 @@ QUERIES = {
     "docs_burstiness": docs_burstiness,
     "orders_allen_relations": orders_allen_relations,
     "graph_diameter_parts": graph_diameter_parts,
+    "lineitem_logreg": lineitem_logreg,
 }
 
 
@@ -16009,6 +16123,7 @@ ORACLES = {
     "docs_burstiness": SQL_DOCS_BURSTINESS,
     "orders_allen_relations": SQL_ORDERS_ALLEN_RELATIONS,
     "graph_diameter_parts": _sql_diameter(),
+    "lineitem_logreg": _sql_logreg(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
