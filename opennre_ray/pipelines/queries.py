@@ -15558,6 +15558,85 @@ GROUP BY w.b, w.w1, w.w2""")
     return "".join(parts)
 
 
+HITTING_ROUNDS = 15
+HITTING_ABSORB = "purchase"
+
+
+def events_hitting_time(sf_dir):
+    """Expected steps-to-purchase from each behavioral state: value
+    iteration on the per-user event-type Markov chain with 'purchase'
+    absorbing — h(s) = 1 + sum_t P(s,t)·h(t), h(purchase) = 0 — the
+    funnel-depth scalar a growth team reads next to the stationary
+    mix. Transition counts come from the same bucketed pipeline as
+    `events_type_transitions`; the iteration runs on the driver over
+    the constant-size matrix in exact micro fixed-point (h' = 1e6 +
+    (sum cnt·h) // out, one floor per state per round, 15 rounds from
+    0), replayed verbatim by the unrolled MATERIALIZED SQL rounds.
+    States with no outgoing transitions report their iterate
+    unchanged (0)."""
+    trans = events_type_transitions(sf_dir).to_pandas()
+    types = sorted(_read(sf_dir, "events", ["event_type"])
+                   .unique("event_type"))
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    cnt = np.zeros((n, n), dtype=np.int64)
+    for r in trans.itertuples(index=False):
+        cnt[idx[r.from_type], idx[r.to_type]] = r.cnt
+    out = cnt.sum(axis=1)
+    absorb = idx.get(HITTING_ABSORB)
+
+    h = [0] * n
+    for _ in range(HITTING_ROUNDS):
+        nxt = list(h)
+        for i in range(n):
+            if i == absorb or out[i] == 0:
+                nxt[i] = 0 if i == absorb else h[i]
+                continue
+            s = sum(int(cnt[i, j]) * h[j] for j in range(n)
+                    if cnt[i, j])
+            nxt[i] = 1_000_000 + s // int(out[i])
+        h = nxt
+
+    return pd.DataFrame({
+        "event_type": types,
+        "steps_micro": np.asarray(h, np.int64)})
+
+
+def _sql_hitting(rounds: int = HITTING_ROUNDS) -> str:
+    body = [f"""
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+trans AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::HUGEINT AS cnt
+          FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+outs AS (SELECT from_type, sum(cnt)::HUGEINT AS out_cnt
+         FROM trans GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM events),
+h0 AS (SELECT event_type, 0::HUGEINT AS h FROM types)"""]
+    for r in range(1, rounds + 1):
+        body.append(f"""
+h{r} AS MATERIALIZED (
+  SELECT ty.event_type,
+         CASE WHEN ty.event_type = '{HITTING_ABSORB}' THEN 0
+              WHEN o.out_cnt IS NULL THEN p.h
+              ELSE 1000000 + inc.s // o.out_cnt
+         END::HUGEINT AS h
+  FROM types ty
+  JOIN h{r - 1} p USING (event_type)
+  LEFT JOIN outs o ON o.from_type = ty.event_type
+  LEFT JOIN (SELECT t.from_type AS event_type,
+                    sum(t.cnt * p.h)::HUGEINT AS s
+             FROM trans t JOIN h{r - 1} p
+               ON p.event_type = t.to_type
+             GROUP BY t.from_type) inc USING (event_type))""")
+    return (",".join(body) + f"""
+SELECT event_type, h::BIGINT AS steps_micro
+FROM h{rounds} ORDER BY event_type
+""")
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15866,6 +15945,7 @@ QUERIES = {
     "orders_allen_relations": orders_allen_relations,
     "graph_diameter_parts": graph_diameter_parts,
     "lineitem_logreg": lineitem_logreg,
+    "events_hitting_time": events_hitting_time,
 }
 
 
@@ -16124,6 +16204,7 @@ ORACLES = {
     "orders_allen_relations": SQL_ORDERS_ALLEN_RELATIONS,
     "graph_diameter_parts": _sql_diameter(),
     "lineitem_logreg": _sql_logreg(),
+    "events_hitting_time": _sql_hitting(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
