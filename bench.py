@@ -341,6 +341,31 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: consume(Q.docs_code_detection(sf_dir)))
     timed("events_interarrival_stats",
           lambda: Q.events_interarrival_stats(sf_dir))
+    timed("docs_f2_moment", lambda: Q.docs_f2_moment(sf_dir))
+    timed("events_markov_stationary",
+          lambda: Q.events_markov_stationary(sf_dir))
+    timed("graph_closeness_parts",
+          lambda: Q.graph_closeness_parts(sf_dir))
+    timed("docs_bm25_ndcg", lambda: Q.docs_bm25_ndcg(sf_dir))
+    timed("docs_kneser_ney", lambda: consume(Q.docs_kneser_ney(sf_dir)))
+    timed("events_weekday_seasonality",
+          lambda: Q.events_weekday_seasonality(sf_dir))
+    timed("lineitem_gini_stump", lambda: Q.lineitem_gini_stump(sf_dir))
+    timed("embed_mutual_knn", lambda: Q.embed_mutual_knn(sf_dir))
+    timed("graph_betweenness_parts",
+          lambda: Q.graph_betweenness_parts(sf_dir))
+    timed("customer_naive_bayes",
+          lambda: Q.customer_naive_bayes(sf_dir))
+    timed("docs_good_turing", lambda: Q.docs_good_turing(sf_dir))
+    timed("lineitem_welch_ttest",
+          lambda: Q.lineitem_welch_ttest(sf_dir))
+    timed("docs_burstiness", lambda: Q.docs_burstiness(sf_dir))
+    timed("orders_allen_relations",
+          lambda: Q.orders_allen_relations(sf_dir))
+    timed("graph_diameter_parts",
+          lambda: Q.graph_diameter_parts(sf_dir))
+    timed("lineitem_logreg", lambda: Q.lineitem_logreg(sf_dir))
+    timed("events_hitting_time", lambda: Q.events_hitting_time(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

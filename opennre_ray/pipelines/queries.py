@@ -15637,6 +15637,97 @@ FROM h{rounds} ORDER BY event_type
 """)
 
 
+NEYMAN_BUDGET = 1000
+
+
+def events_neyman_allocation(sf_dir):
+    """Neyman optimal allocation for a stratified sample of the event
+    stream: per event_type stratum, sample size n_h proportional to
+    N_h·sigma_h (the allocation that minimizes the variance of the
+    stratified mean for a fixed budget of 1000) — what a curation
+    pipeline computes before drawing an audit sample. Integer moments
+    (n, sum cents, sum cents^2) reduce map-side with a Python-int
+    driver fold; sigma_h follows the exact SQL double chain; the
+    allocation itself is integer largest-remainder over
+    1e-6-quantized weights (floor base + top-remainder distribution,
+    ties toward the lexicographically smaller type) so both engines
+    pick identical integers."""
+    import math
+
+    from ..functions.sqlcompat import sql_round
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "cents": np.floor(t.column("value").to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64)})
+        g = df.groupby("event_type")
+        out = pd.DataFrame({
+            "event_type": list(g.groups),
+            "n": g.size().to_numpy(np.int64),
+            "s1": g["cents"].sum().to_numpy(np.int64),
+            "s2": g["cents"].apply(
+                lambda c: int((c.to_numpy(np.int64) ** 2).sum()))
+            .to_numpy(np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    types = sorted(parts["event_type"].unique())
+    rows = []
+    for ty in types:
+        p = parts[parts["event_type"] == ty]
+        n = sum(int(x) for x in p["n"])
+        s1 = float(sum(int(x) for x in p["s1"]))
+        s2 = float(sum(int(x) for x in p["s2"]))
+        var = (s2 - s1 * s1 / n) / n     # population variance, cents^2
+        sd = math.sqrt(var)
+        w_fp = int(math.floor(n * sd * 1_000_000 + 0.5))
+        rows.append([ty, n, sd, w_fp])
+    tot = sum(r[3] for r in rows)
+    base = {r[0]: NEYMAN_BUDGET * r[3] // tot for r in rows}
+    rem = NEYMAN_BUDGET - sum(base.values())
+    order = sorted(rows, key=lambda r: (-(NEYMAN_BUDGET * r[3] % tot),
+                                        r[0]))
+    extra = {r[0]: 1 if i < rem else 0 for i, r in enumerate(order)}
+    return pd.DataFrame([{
+        "event_type": ty,
+        "n_events": np.int64(n),
+        "sd_cents": float(sql_round(np.asarray([sd]), 6)[0]),
+        "n_alloc": np.int64(base[ty] + extra[ty])}
+        for ty, n, sd, _ in rows])
+
+
+SQL_EVENTS_NEYMAN = f"""
+WITH m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT))::HUGEINT AS s2
+  FROM events GROUP BY event_type),
+sdv AS (SELECT event_type, n,
+               sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / n) AS sd
+        FROM m),
+w AS (SELECT event_type, n, sd,
+             CAST(floor(n * sd * 1000000 + 0.5) AS BIGINT) AS w_fp
+      FROM sdv),
+a AS (SELECT event_type, n, sd, w_fp,
+             sum(w_fp) OVER () AS tot FROM w),
+b AS (SELECT event_type, n, sd,
+             {NEYMAN_BUDGET} * w_fp // tot AS base,
+             row_number() OVER (
+               ORDER BY ({NEYMAN_BUDGET} * w_fp % tot) DESC,
+                        event_type) AS rk,
+             sum({NEYMAN_BUDGET} * w_fp // tot) OVER () AS base_tot
+      FROM a)
+SELECT event_type, n AS n_events, round(sd, 6) AS sd_cents,
+       (base + CASE WHEN rk <= {NEYMAN_BUDGET} - base_tot
+                    THEN 1 ELSE 0 END)::BIGINT AS n_alloc
+FROM b ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -15946,6 +16037,7 @@ QUERIES = {
     "graph_diameter_parts": graph_diameter_parts,
     "lineitem_logreg": lineitem_logreg,
     "events_hitting_time": events_hitting_time,
+    "events_neyman_allocation": events_neyman_allocation,
 }
 
 
@@ -16205,6 +16297,7 @@ ORACLES = {
     "graph_diameter_parts": _sql_diameter(),
     "lineitem_logreg": _sql_logreg(),
     "events_hitting_time": _sql_hitting(),
+    "events_neyman_allocation": SQL_EVENTS_NEYMAN,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
