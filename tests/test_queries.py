@@ -668,3 +668,45 @@ def test_kg_snapshot_diff_matches_sequential(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         got.astype({"n_triples": "int64", "checksum": "int64"}),
         want.astype({"n_triples": "int64", "checksum": "int64"}))
+
+
+def test_kneser_ney_hand_math_and_scale_path(ray_session):
+    """Kneser-Ney bigram LM matches a hand replay of the integer nano
+    fixed-point chain (d = 0.75), docs with <2 tokens score 0, and the
+    beyond-broadcast scoring path is row-identical."""
+    import math
+
+    import ray.data as rd
+
+    from opennre_ray.functions.textstats import kneser_ney_logprob
+
+    rows = [
+        {"doc_id": 0, "text": "aa bb aa"},
+        {"doc_id": 1, "text": "aa bb"},
+        {"doc_id": 2, "text": "cc"},
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    base = (kneser_ney_logprob(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    # bigram counts: (aa,bb):2, (bb,aa):1 -> n_types=2
+    # c1(aa)=2 n1p(aa)=1; c1(bb)=1 n1p(bb)=1; ncont(bb)=1, ncont(aa)=1
+    def p_nano(c, c1, n1p, nc, nt=2):
+        t1 = max(c * 10 ** 9 - 750_000_000, 0) // c1
+        lam = 750_000_000 * n1p // c1
+        pc = nc * 10 ** 9 // nt
+        return t1 + lam * pc // 10 ** 9
+
+    def fp(p):
+        return math.floor(math.log(p / 1e9) * 1_000_000 + 0.5)
+
+    fp_aabb = fp(p_nano(2, 2, 1, 1))
+    fp_bbaa = fp(p_nano(1, 1, 1, 1))
+    assert base["kn_fp"].tolist() == [fp_aabb + fp_bbaa, fp_aabb, 0, 0]
+    assert base["n_bigrams"].tolist() == [2, 1, 0, 0]
+
+    scale = (kneser_ney_logprob(ds, broadcast_limit=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True)
+             .astype(base.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(scale, base)
