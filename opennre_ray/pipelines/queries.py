@@ -15728,6 +15728,81 @@ FROM b ORDER BY event_type
 """
 
 
+def docs_entropy_rate(sf_dir):
+    """Corpus entropy rate: the conditional entropy H(W_next | W_prev)
+    of the bigram process, in nats — the single scalar that tracks how
+    predictable the corpus is (drops under boilerplate/duplication,
+    rises with topic diversity); the language-model-free cousin of a
+    perplexity sweep. H = -(1/T)·sum over bigrams c(w1,w2)·ln(c(w1,w2)
+    /c(w1·)), where T = total bigram tokens. Each bigram's term is
+    rounded ONCE to the 1e-6 grid scaled by its count (integer), so
+    the global sum is order-independent and SQL-exact; the per-bigram
+    c(w1·) context total folds inside the left-keyed bucket — no join.
+    One counting shuffle, three integer scalars out."""
+    import math
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            bi.update(zip(toks, toks[1:]))
+        keys = list(bi.keys())
+        return pa.table({
+            "left": pa.array([k[0] for k in keys], pa.string()),
+            "right": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([bi[k] for k in keys], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        ctx = g.groupby("left")["cnt"].transform("sum") \
+            .to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        term = np.asarray([
+            int(k) * math.floor(math.log(int(k) / int(x))
+                                * 1_000_000 + 0.5)
+            for k, x in zip(c, ctx)], dtype=np.int64)
+        return pd.DataFrame({"t": [int(c.sum())],
+                             "n_types": [len(g)],
+                             "h_sum": [int(term.sum())]})
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["left"], fold,
+        rows_hint=16 * _nrows(sf_dir, "documents")).to_pandas()
+    t_tot = int(parts["t"].sum())
+    h_sum = int(parts["h_sum"].sum())
+    return pd.DataFrame([{
+        "n_bigram_tokens": np.int64(t_tot),
+        "n_bigram_types": np.int64(parts["n_types"].sum()),
+        "entropy_rate_micro": np.int64(-h_sum // t_tot)}])
+
+
+SQL_DOCS_ENTROPY_RATE = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, length(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+cnt AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY bigram),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS l, sum(c)::BIGINT AS ctx
+        FROM cnt GROUP BY 1),
+terms AS (SELECT c,
+                 c * CAST(floor(ln(c::DOUBLE / ctx.ctx) * 1000000 + 0.5)
+                          AS BIGINT) AS term
+          FROM cnt JOIN ctx ON split_part(cnt.bigram, ' ', 1) = ctx.l)
+SELECT sum(c)::BIGINT AS n_bigram_tokens,
+       count(*)::BIGINT AS n_bigram_types,
+       ((0 - sum(term)) // sum(c))::BIGINT AS entropy_rate_micro
+FROM terms
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16038,6 +16113,7 @@ QUERIES = {
     "lineitem_logreg": lineitem_logreg,
     "events_hitting_time": events_hitting_time,
     "events_neyman_allocation": events_neyman_allocation,
+    "docs_entropy_rate": docs_entropy_rate,
 }
 
 
@@ -16298,6 +16374,7 @@ ORACLES = {
     "lineitem_logreg": _sql_logreg(),
     "events_hitting_time": _sql_hitting(),
     "events_neyman_allocation": SQL_EVENTS_NEYMAN,
+    "docs_entropy_rate": SQL_DOCS_ENTROPY_RATE,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
