@@ -15803,6 +15803,95 @@ FROM terms
 """
 
 
+LORENZ_TILES = 10
+
+
+def customer_lorenz_deciles(sf_dir):
+    """Lorenz concentration curve of customer revenue: customers ranked
+    by lifetime spend (ascending, custkey tiebreak), NTILE(10), and per
+    decile the exact cent totals, the revenue share, and the cumulative
+    share in micro units — the 80/20 table a marketplace reads next to
+    the Gini. One bucketed per-customer cent sum, one global rank, a
+    stateless NTILE formula over rank offsets (exact SQL semantics, the
+    perplexity-tiers pattern), then <= 10 rows fold on the driver with
+    integer shares."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import global_rank, hash_bucket_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": t.column("o_custkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100 + 0.5).astype(np.int64))})
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cust", as_index=False)["cents"].sum()
+        return out.astype({"cust": np.int64, "cents": np.int64})
+
+    rev = hash_bucket_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["cust"], per_cust, rows_hint=_nrows(sf_dir, "orders"))
+    n_cust = rev.count()
+    ranked = global_rank(rev, ["cents", "cust"], out_col="rn")
+    q, r = divmod(n_cust, LORENZ_TILES)
+
+    def tile_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["rn"].to_numpy(np.int64)
+        big = r * (q + 1)
+        t = np.where(rn <= big, (rn - 1) // max(q + 1, 1),
+                     r + (rn - 1 - big) // max(q, 1)) + 1
+        out = pd.DataFrame({"decile": t.astype(np.int64),
+                            "cents": b["cents"].astype(np.int64)})
+        out = out.groupby("decile", as_index=False).agg(
+            n_customers=("cents", "size"), revenue_cents=("cents",
+                                                          "sum"))
+        return out.astype({"n_customers": np.int64,
+                           "revenue_cents": np.int64})
+
+    parts = (ranked.map_batches(tile_partial, batch_format="pandas")
+             .to_pandas().groupby("decile", as_index=False)
+             [["n_customers", "revenue_cents"]].sum())
+    total = int(parts["revenue_cents"].sum())
+    parts = parts.sort_values("decile", ignore_index=True)
+    cum = parts["revenue_cents"].cumsum()
+    return pd.DataFrame({
+        "decile": parts["decile"].astype(np.int64),
+        "n_customers": parts["n_customers"].astype(np.int64),
+        "revenue_cents": parts["revenue_cents"].astype(np.int64),
+        "share_micro": (parts["revenue_cents"].astype(object)
+                        * 1_000_000 // total).astype(np.int64),
+        "cum_share_micro": (cum.astype(object) * 1_000_000
+                            // total).astype(np.int64)})
+
+
+SQL_CUSTOMER_LORENZ = f"""
+WITH rev AS (
+  SELECT o_custkey AS cust,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents
+  FROM orders GROUP BY o_custkey),
+tiled AS (SELECT cents,
+                 ntile({LORENZ_TILES}) OVER (ORDER BY cents, cust)
+                     AS decile
+          FROM rev),
+d AS (SELECT decile, count(*)::BIGINT AS n_customers,
+             sum(cents)::HUGEINT AS revenue_cents
+      FROM tiled GROUP BY decile),
+tot AS (SELECT sum(revenue_cents)::HUGEINT AS total FROM d)
+SELECT decile::BIGINT AS decile, n_customers,
+       revenue_cents::BIGINT AS revenue_cents,
+       (revenue_cents * 1000000 // total)::BIGINT AS share_micro,
+       (sum(revenue_cents) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING)
+        * 1000000 // total)::BIGINT AS cum_share_micro
+FROM d, tot ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16114,6 +16203,7 @@ QUERIES = {
     "events_hitting_time": events_hitting_time,
     "events_neyman_allocation": events_neyman_allocation,
     "docs_entropy_rate": docs_entropy_rate,
+    "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
 
@@ -16375,6 +16465,7 @@ ORACLES = {
     "events_hitting_time": _sql_hitting(),
     "events_neyman_allocation": SQL_EVENTS_NEYMAN,
     "docs_entropy_rate": SQL_DOCS_ENTROPY_RATE,
+    "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
