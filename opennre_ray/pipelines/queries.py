@@ -15892,6 +15892,80 @@ FROM d, tot ORDER BY decile
 """
 
 
+def docs_yule_k(sf_dir):
+    """Yule's characteristic K per source — the classic vocabulary-
+    richness statistic (K = 10^4·(S2−S1)/S1² with S1 = token count,
+    S2 = Σ c(w)² over word frequencies): low K means diverse vocabulary,
+    high K means repetitive boilerplate — the lexical cousin of the
+    compression-ratio filter. S1/S2/type counts are exact integers per
+    (source, token) group, so the statistic is bit-stable; the single
+    big product runs in Python ints / HUGEINT and only the final
+    micro-scaled quotient is reported.
+
+    Scale shape: map-side (source, token) count partials, one bucketed
+    aggregate emitting three integer partials per source per bucket,
+    driver folds |sources| rows."""
+    from collections import Counter
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            c.update((s, w) for w in t.split())
+        keys = list(c.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["source", "token"], as_index=False)["cnt"].sum()
+        c = g["cnt"].to_numpy(np.int64)
+        out = pd.DataFrame({"source": g["source"], "c": c, "c2": c * c})
+        return (out.groupby("source", as_index=False)
+                .agg(n_tokens=("c", "sum"), n_types=("c", "size"),
+                     s2=("c2", "sum"))
+                .astype({"n_tokens": np.int64, "n_types": np.int64,
+                         "s2": np.int64}))
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "token"], fold,
+        rows_hint=64 * _nrows(sf_dir, "documents")).to_pandas()
+    agg = parts.groupby("source", as_index=False)[
+        ["n_tokens", "n_types", "s2"]].sum()
+    s1 = agg["n_tokens"].astype(object)
+    s2 = agg["s2"].astype(object)
+    k = ((s2 - s1) * 10_000 * 1_000_000 // (s1 * s1)).astype(np.int64)
+    return (pd.DataFrame({
+        "source": agg["source"],
+        "n_tokens": agg["n_tokens"].astype(np.int64),
+        "n_types": agg["n_types"].astype(np.int64),
+        "s2": agg["s2"].astype(np.int64),
+        "yule_k_micro": k})
+        .sort_values("source").reset_index(drop=True))
+
+
+SQL_DOCS_YULE_K = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM tok
+        WHERE token <> '' GROUP BY source, token),
+s AS (SELECT source, sum(c)::HUGEINT AS s1, count(*)::BIGINT AS n_types,
+             sum(c * c)::HUGEINT AS s2
+      FROM cnt GROUP BY source)
+SELECT source, s1::BIGINT AS n_tokens, n_types, s2::BIGINT AS s2,
+       ((s2 - s1) * 10000 * 1000000 // (s1 * s1))::BIGINT AS yule_k_micro
+FROM s ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16203,6 +16277,7 @@ QUERIES = {
     "events_hitting_time": events_hitting_time,
     "events_neyman_allocation": events_neyman_allocation,
     "docs_entropy_rate": docs_entropy_rate,
+    "docs_yule_k": docs_yule_k,
     "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
@@ -16465,6 +16540,7 @@ ORACLES = {
     "events_hitting_time": _sql_hitting(),
     "events_neyman_allocation": SQL_EVENTS_NEYMAN,
     "docs_entropy_rate": SQL_DOCS_ENTROPY_RATE,
+    "docs_yule_k": SQL_DOCS_YULE_K,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
