@@ -15966,6 +15966,86 @@ FROM s ORDER BY source
 """
 
 
+def customer_theil_index(sf_dir):
+    """Theil T inequality index of customer lifetime revenue — the
+    decomposable entropy-based companion to the Lorenz decile table:
+    T = Σ (x_i/S)·ln(n·x_i/S) over per-customer cent totals x_i (0 for
+    perfectly equal spend, ln(n) when one customer owns the market).
+    Each customer's log factor is rounded ONCE to the 1e-6 grid and
+    weighted by the exact integer x_i, so the global numerator is an
+    order-independent integer sum; n·x_i and S stay below 2^53 at
+    sandbox scales so the DOUBLE division inside ln is exact on both
+    engines. The final quotient mirrors DuckDB's truncating `//`.
+
+    Scale shape: one bucketed per-customer cent sum (the Lorenz
+    shuffle), a scalar (n, S) fold, then a second stateless pass over
+    the revenue table emitting one integer partial per block."""
+    import math
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": t.column("o_custkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100 + 0.5).astype(np.int64))})
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cust", as_index=False)["cents"].sum()
+        return out.astype({"cust": np.int64, "cents": np.int64})
+
+    rev = hash_bucket_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["cust"], per_cust,
+        rows_hint=_nrows(sf_dir, "orders")).materialize()
+    n = rev.count()
+    total = 0
+    for b in rev.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b.column("cents")).as_py())
+
+    def term_partial(t: pa.Table, n=n, s=total) -> pa.Table:
+        x = t.column("cents").to_numpy(zero_copy_only=False)
+        ln_fp = np.asarray(
+            [math.floor(math.log(float(int(v) * n) / float(s))
+                        * 1_000_000 + 0.5) for v in x], dtype=np.int64)
+        return pa.table({"num": pa.array(
+            [int((x.astype(object) * ln_fp.astype(object)).sum())],
+            pa.int64())})
+
+    num = sum(r["num"] for r in
+              rev.map_batches(term_partial,
+                              batch_format="pyarrow").take_all())
+    # DuckDB // truncates toward zero; mirror it (num can sit a hair
+    # below 0 for a perfectly flat distribution after rounding)
+    q = abs(num) // total
+    theil = q if num >= 0 else -q
+    return pd.DataFrame([{"n_customers": np.int64(n),
+                          "total_cents": np.int64(total),
+                          "theil_micro": np.int64(theil)}])
+
+
+SQL_CUSTOMER_THEIL = """
+WITH rev AS (
+  SELECT o_custkey AS cust,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents
+  FROM orders GROUP BY o_custkey),
+s AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS total FROM rev),
+terms AS (SELECT cents::HUGEINT
+            * CAST(floor(ln((cents::HUGEINT * s.n)::DOUBLE
+                            / s.total::DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+            AS num
+          FROM rev, s)
+SELECT s.n AS n_customers, s.total AS total_cents,
+       ((SELECT sum(num) FROM terms) // s.total::HUGEINT)::BIGINT
+           AS theil_micro
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16278,6 +16358,7 @@ QUERIES = {
     "events_neyman_allocation": events_neyman_allocation,
     "docs_entropy_rate": docs_entropy_rate,
     "docs_yule_k": docs_yule_k,
+    "customer_theil_index": customer_theil_index,
     "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
@@ -16541,6 +16622,7 @@ ORACLES = {
     "events_neyman_allocation": SQL_EVENTS_NEYMAN,
     "docs_entropy_rate": SQL_DOCS_ENTROPY_RATE,
     "docs_yule_k": SQL_DOCS_YULE_K,
+    "customer_theil_index": SQL_CUSTOMER_THEIL,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
