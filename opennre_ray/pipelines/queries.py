@@ -16046,6 +16046,83 @@ FROM s
 """
 
 
+def orders_hhi_by_nation(sf_dir):
+    """Herfindahl-Hirschman concentration of order revenue per nation:
+    HHI = Σ_i (x_i/S)² over each nation's customer revenue shares — the
+    antitrust-style market-concentration scalar next to the Lorenz /
+    Theil inequality views (10000-µ ≈ monopoly, 1e6/n ≈ atomistic).
+    Customer cent totals are exact integers; the share-square sum runs
+    as Σx_i²·10^6 // S² in Python ints / HUGEINT, so the report is
+    bit-stable with no float in the chain.
+
+    Scale shape: both dimensions broadcast into the fact scan, one
+    bucketed per-customer aggregate keyed on custkey (each customer
+    belongs to one nation, so nation partials fold in-bucket), ≤25
+    driver rows."""
+    from ..functions.relational import broadcast_join, hash_bucket_aggregate
+
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    dim = cust.merge(nation, on="c_nationkey")[["o_custkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey")
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": b["n_name"],
+            "cust": b["o_custkey"].astype(np.int64),
+            "cents": np.floor(b["o_totalprice"].to_numpy(np.float64)
+                              * 100 + 0.5).astype(np.int64)})
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby(["n_name", "cust"], as_index=False)["cents"].sum()
+        c = x["cents"].to_numpy(np.int64)
+        x = pd.DataFrame({"n_name": x["n_name"], "c": c, "c2": c * c})
+        return (x.groupby("n_name", as_index=False)
+                .agg(n_customers=("c", "size"), revenue_cents=("c", "sum"),
+                     sum_sq=("c2", "sum"))
+                .astype({"n_customers": np.int64,
+                         "revenue_cents": np.int64, "sum_sq": np.int64}))
+
+    parts = hash_bucket_aggregate(
+        joined.map_batches(cents, batch_format="pandas"),
+        ["cust"], per_nation,
+        rows_hint=_nrows(sf_dir, "orders")).to_pandas()
+    agg = parts.groupby("n_name", as_index=False)[
+        ["n_customers", "revenue_cents", "sum_sq"]].sum()
+    s = agg["revenue_cents"].astype(object)
+    hhi = (agg["sum_sq"].astype(object) * 1_000_000 // (s * s)) \
+        .astype(np.int64)
+    return (pd.DataFrame({
+        "n_name": agg["n_name"],
+        "n_customers": agg["n_customers"].astype(np.int64),
+        "revenue_cents": agg["revenue_cents"].astype(np.int64),
+        "hhi_micro": hhi})
+        .sort_values("n_name").reset_index(drop=True))
+
+
+SQL_ORDERS_HHI = """
+WITH rev AS (
+  SELECT n.n_name, o.o_custkey,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_custkey),
+agg AS (SELECT n_name, count(*)::BIGINT AS n_customers,
+               sum(cents)::HUGEINT AS s,
+               sum(cents::HUGEINT * cents)::HUGEINT AS sum_sq
+        FROM rev GROUP BY n_name)
+SELECT n_name, n_customers, s::BIGINT AS revenue_cents,
+       (sum_sq * 1000000 // (s * s))::BIGINT AS hhi_micro
+FROM agg ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16359,6 +16436,7 @@ QUERIES = {
     "docs_entropy_rate": docs_entropy_rate,
     "docs_yule_k": docs_yule_k,
     "customer_theil_index": customer_theil_index,
+    "orders_hhi_by_nation": orders_hhi_by_nation,
     "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
@@ -16623,6 +16701,7 @@ ORACLES = {
     "docs_entropy_rate": SQL_DOCS_ENTROPY_RATE,
     "docs_yule_k": SQL_DOCS_YULE_K,
     "customer_theil_index": SQL_CUSTOMER_THEIL,
+    "orders_hhi_by_nation": SQL_ORDERS_HHI,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
