@@ -1744,6 +1744,99 @@ def adamic_adar(edges_ds, k: int = 50, *, rows_hint: int | None = None):
             .limit(k))
 
 
+def square_census(edges_ds, k: int = 50, *, rows_hint: int | None = None):
+    """Per-vertex 4-cycle (square) participation over an a<b edge
+    Dataset — the bipartite-ish cohesion signal triangles miss (two
+    parts never bought together but sharing two co-purchase partners
+    close a square). Every 4-cycle u-v-w-x has exactly one diagonal
+    through each vertex, so squares(u) = Σ_w C(cn(u, w), 2) where cn
+    counts DISTINCT common neighbors of the (ordered-free) diagonal
+    pair — each square counted once per diagonal endpoint, i.e. once
+    per vertex, and the global total is Σ_pairs C(cn, 2) / 2.
+
+    Plan (the adamic_adar wedge shape): symmetrize to (middle,
+    neighbor) adjacency, bucket by middle, emit each middle's oriented
+    neighbor pairs with cn = 1 map-side combined; one bucketed (a, b)
+    aggregate folds cn, converts to C(cn, 2) and explodes the pair to
+    its two diagonal-endpoint partials IN-BUCKET; a final bucketed
+    vertex sum + per-block top-k prune feeds the k-row global sort.
+    All counts are exact integers. Parallel duplicate pairs are
+    allowed upstream (neighbor sets are uniqued per middle bucket), so
+    callers can skip the distinct exchange.
+
+    Partitioning assumption: wedge emission is sum(deg²) — same bound
+    and same upstream vertex-sample / hub-salt contract as
+    ``adamic_adar`` / ``triangle_count``.
+    """
+    import pyarrow as pa
+
+    from .relational import hash_bucket_aggregate
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("a"), batch.column("b")
+        return pa.concat_tables([pa.table({"v": a, "n": b}),
+                                 pa.table({"v": b, "n": a})])
+
+    adj = edges_ds.map_batches(symmetrize, batch_format="pyarrow")
+
+    triu_cache: dict = {}
+
+    def expand_middle(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby("v", sort=False):
+            nb = np.unique(grp["n"].to_numpy(dtype=np.int64))
+            d = nb.size
+            if d < 2:
+                continue
+            if d not in triu_cache:
+                triu_cache[d] = np.triu_indices(d, 1)
+            iu, ju = triu_cache[d]
+            frames.append(pd.DataFrame({"a": nb[iu], "b": nb[ju],
+                                        "cn": np.int64(1)}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("a", "b", "cn")})
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["a", "b"], as_index=False, sort=False)
+                .agg(cn=("cn", "sum")))
+
+    wedges = hash_bucket_aggregate(adj, ["v"], expand_middle,
+                                   rows_hint=rows_hint)
+
+    def diag_partials(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"], as_index=False, sort=False) \
+            .agg(cn=("cn", "sum"))
+        cn = per["cn"].to_numpy(np.int64)
+        sq = cn * (cn - 1) // 2
+        keep = sq > 0
+        out = pd.DataFrame({
+            "entity": np.concatenate([per["a"].to_numpy(np.int64)[keep],
+                                      per["b"].to_numpy(np.int64)[keep]]),
+            "squares": np.concatenate([sq[keep], sq[keep]])})
+        # map-side combine before the vertex exchange
+        return out.groupby("entity", as_index=False, sort=False) \
+            .agg(squares=("squares", "sum"))
+
+    node_parts = hash_bucket_aggregate(wedges, ["a", "b"], diag_partials,
+                                       rows_hint=rows_hint)
+
+    def sum_vertex(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity", as_index=False, sort=False) \
+            .agg(squares=("squares", "sum"))
+        return out.astype({"entity": np.int64, "squares": np.int64})
+
+    summed = hash_bucket_aggregate(node_parts, ["entity"], sum_vertex,
+                                   rows_hint=rows_hint)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["squares", "entity"],
+                             ascending=[False, True]).head(k)
+
+    return (summed.map_batches(local_topk, batch_format="pandas")
+            .sort(["squares", "entity"], descending=[True, False])
+            .limit(k))
+
+
 def negative_samples(edges_ds, k: int = 2, *, salt: str = "",
                      broadcast_limit: int = 2_000_000,
                      rows_hint: int | None = None):

@@ -16123,6 +16123,52 @@ FROM agg ORDER BY n_name
 """
 
 
+SQUARES_TOPK = 50
+
+
+def graph_squares_parts(sf_dir):
+    """Per-vertex 4-cycle (square) census on the sampled part
+    co-purchase graph: squares(v) = Σ_w C(cn(v, w), 2) — every square
+    has exactly one diagonal through each vertex, so the count is
+    exact per vertex and complements the triangle/clustering view with
+    the bipartite-style cohesion triangles can't see. Top-50 vertices
+    by (squares desc, entity). Runs on the deterministic partkey-mod
+    vertex sample shared with link prediction / clustering (wedge
+    volume is sum(deg²)); the oracle replays the filter."""
+    from ..functions.graph import build_copurchase_edges, square_census
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % AA_VERTEX_MOD == 0))
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    n = _nrows(sf_dir, "lineitem") // AA_VERTEX_MOD
+    edges = build_copurchase_edges(ds, rows_hint=4 * n, distinct=False)
+    return square_census(edges, k=SQUARES_TOPK, rows_hint=8 * n)
+
+
+SQL_GRAPH_SQUARES_PARTS = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_partkey % {AA_VERTEX_MOD} = 0),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+wed AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS cn
+        FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+        GROUP BY x.n, y.n),
+sq AS (SELECT a, b, (cn * (cn - 1) // 2)::BIGINT AS s FROM wed
+       WHERE cn >= 2),
+nodes AS (SELECT a AS entity, s FROM sq UNION ALL SELECT b, s FROM sq),
+agg AS (SELECT entity, sum(s)::BIGINT AS squares FROM nodes
+        GROUP BY entity)
+SELECT entity, squares FROM agg
+ORDER BY squares DESC, entity LIMIT {SQUARES_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16437,6 +16483,7 @@ QUERIES = {
     "docs_yule_k": docs_yule_k,
     "customer_theil_index": customer_theil_index,
     "orders_hhi_by_nation": orders_hhi_by_nation,
+    "graph_squares_parts": graph_squares_parts,
     "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
@@ -16702,6 +16749,7 @@ ORACLES = {
     "docs_yule_k": SQL_DOCS_YULE_K,
     "customer_theil_index": SQL_CUSTOMER_THEIL,
     "orders_hhi_by_nation": SQL_ORDERS_HHI,
+    "graph_squares_parts": SQL_GRAPH_SQUARES_PARTS,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
