@@ -16169,6 +16169,84 @@ ORDER BY squares DESC, entity LIMIT {SQUARES_TOPK}
 """
 
 
+def events_seasonal_decompose(sf_dir):
+    """Classical additive seasonal decomposition of the daily event
+    volume: trend = centered 7-row moving average over the observed
+    day sequence, seasonal = per-weekday mean of the detrended series,
+    residual = value − trend − seasonal — the moving-average
+    decomposition behind every ops dashboard, next to the weekday
+    seasonal index and the Holt smoother. All arithmetic is exact
+    integer micro-units; per-weekday means mirror DuckDB's truncating
+    `//` (detrended sums can be negative). Days are integer epoch-days
+    (weekday = (day + 3) % 7, Monday = 0 — no date functions, so both
+    engines agree by construction); edge rows without a full 7-row
+    window are dropped, matching the SQL count(*) OVER guard.
+
+    Scale shape: map-side (day, n) partials, one calendar-bounded
+    driver fold (the cusum/Holt contract)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        out = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"day": np.int64, "n": np.int64})
+
+    daily = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+             .groupby("day", as_index=False)["n"].sum()
+             .sort_values("day").reset_index(drop=True))
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    n = daily["n"].astype(np.int64).to_numpy()
+    days = daily["day"].to_numpy(np.int64)
+    if len(n) < 7:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("day", "weekday", "n_events",
+                                       "trend_micro", "seasonal_micro",
+                                       "residual_micro")})
+    win = np.convolve(n, np.ones(7, dtype=np.int64), "valid")  # len-6
+    trend = (win * 1_000_000) // 7
+    inner = slice(3, len(n) - 3)
+    detr = n[inner] * 1_000_000 - trend
+    wd = (days[inner] + 3) % 7
+    seas_map = {int(w): tdiv(int(detr[wd == w].sum()),
+                             int((wd == w).sum()))
+                for w in np.unique(wd)}
+    seas = np.asarray([seas_map[int(w)] for w in wd], dtype=np.int64)
+    return pd.DataFrame({
+        "day": days[inner], "weekday": wd.astype(np.int64),
+        "n_events": n[inner],
+        "trend_micro": trend.astype(np.int64),
+        "seasonal_micro": seas,
+        "residual_micro": (detr - seas).astype(np.int64)})
+
+
+SQL_EVENTS_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+w AS (SELECT day, (day + 3) % 7 AS weekday, n,
+             sum(n) OVER win AS s7, count(*) OVER win AS c7
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)),
+t AS (SELECT day, weekday, n,
+             (s7 * 1000000 // 7)::BIGINT AS trend_micro,
+             (n * 1000000 - s7 * 1000000 // 7)::BIGINT AS detr
+      FROM w WHERE c7 = 7),
+s AS (SELECT weekday, (sum(detr) // count(*))::BIGINT AS seasonal_micro
+      FROM t GROUP BY weekday)
+SELECT t.day, t.weekday, t.n AS n_events, t.trend_micro,
+       s.seasonal_micro,
+       (t.detr - s.seasonal_micro)::BIGINT AS residual_micro
+FROM t JOIN s USING (weekday) ORDER BY t.day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16484,6 +16562,7 @@ QUERIES = {
     "customer_theil_index": customer_theil_index,
     "orders_hhi_by_nation": orders_hhi_by_nation,
     "graph_squares_parts": graph_squares_parts,
+    "events_seasonal_decompose": events_seasonal_decompose,
     "customer_lorenz_deciles": customer_lorenz_deciles,
 }
 
@@ -16750,6 +16829,7 @@ ORACLES = {
     "customer_theil_index": SQL_CUSTOMER_THEIL,
     "orders_hhi_by_nation": SQL_ORDERS_HHI,
     "graph_squares_parts": SQL_GRAPH_SQUARES_PARTS,
+    "events_seasonal_decompose": SQL_EVENTS_SEASONAL_DECOMPOSE,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
 }
 
