@@ -366,6 +366,17 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.graph_diameter_parts(sf_dir))
     timed("lineitem_logreg", lambda: Q.lineitem_logreg(sf_dir))
     timed("events_hitting_time", lambda: Q.events_hitting_time(sf_dir))
+    timed("events_neyman_allocation",
+          lambda: Q.events_neyman_allocation(sf_dir))
+    timed("docs_entropy_rate", lambda: Q.docs_entropy_rate(sf_dir))
+    timed("docs_yule_k", lambda: Q.docs_yule_k(sf_dir))
+    timed("customer_theil_index", lambda: Q.customer_theil_index(sf_dir))
+    timed("orders_hhi_by_nation", lambda: Q.orders_hhi_by_nation(sf_dir))
+    timed("graph_squares_parts", lambda: Q.graph_squares_parts(sf_dir))
+    timed("events_seasonal_decompose",
+          lambda: Q.events_seasonal_decompose(sf_dir))
+    timed("customer_lorenz_deciles",
+          lambda: Q.customer_lorenz_deciles(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
