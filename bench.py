@@ -377,6 +377,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.events_seasonal_decompose(sf_dir))
     timed("customer_lorenz_deciles",
           lambda: Q.customer_lorenz_deciles(sf_dir))
+    timed("docs_burrows_delta", lambda: Q.docs_burrows_delta(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

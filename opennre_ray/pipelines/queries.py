@@ -16247,6 +16247,150 @@ FROM t JOIN s USING (weekday) ORDER BY t.day
 """
 
 
+BURROWS_M = 50          # function-word panel size (top-M corpus tokens)
+BURROWS_FREQ_SCALE = 1_000_000_000   # relative frequency, nano units
+BURROWS_Z_SCALE = 1_000_000          # z-score, micro units
+
+
+def docs_burrows_delta(sf_dir):
+    """Burrows' Delta stylometric distance between sources — the standard
+    authorship-attribution statistic: z-score each source's relative
+    frequency of the top-M corpus "function words" across sources, then
+    Delta(a,b) = mean |z_a − z_b| over the panel. In a curation pipeline
+    this flags near-mirror / same-author source pairs that survive
+    document-level dedup (boilerplate farms share style even when texts
+    differ). Exact integer chain: nano-unit relative frequencies via
+    floor division, per-word deviations d = f·S − Σf (exact ints), sd as
+    the INTEGER sqrt of Σd² (isqrt in Python; floor(sqrt)+adjust in SQL,
+    exact because the double error on a ≤2^73 radicand perturbs the root
+    by ≪1), micro-unit z via truncating division (d is signed — mirrors
+    DuckDB's trunc `//`), so every pair's delta is bit-stable.
+
+    Scale shape: one map-side-combined (source, token) count shuffle
+    (the only corpus-scale pass), a vocab-scale token-total aggregate
+    + sort-limit for the panel, and a ≤|sources|·M dense matrix folded
+    on the driver — sources and M are both small by construction."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    n_docs = _nrows(sf_dir, "documents")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            c.update((s, w) for w in t.split())
+        keys = list(c.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "cnt": pa.array([c[k] for k in keys], pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "token"], as_index=False)["cnt"].sum()
+        return out.astype({"cnt": np.int64})
+
+    counts = hash_bucket_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "token"], fold,
+        rows_hint=64 * n_docs).materialize()
+
+    # per-source token totals over the FULL vocabulary (few groups)
+    totals = {r["source"]: int(r["sum(cnt)"]) for r in
+              counts.groupby("source").aggregate(Sum("cnt")).take_all()}
+    sources = sorted(totals)
+    s_cnt = len(sources)
+
+    # corpus top-M panel: vocab-scale aggregate, deterministic tie-break
+    def tok_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)["cnt"].sum()
+        return out.astype({"cnt": np.int64})
+
+    panel_rows = (hash_bucket_aggregate(counts, ["token"], tok_fold,
+                                        rows_hint=64 * n_docs)
+                  .sort(["cnt", "token"], descending=[True, False])
+                  .limit(BURROWS_M).take_all())
+    panel = [r["token"] for r in panel_rows]
+    m = len(panel)
+
+    # dense S×M matrix: counts restricted to the panel (≤ S·M rows)
+    panel_set = set(panel)
+    sub = counts.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("token"),
+                                    pa.array(sorted(panel_set)))),
+        batch_format="pyarrow").take_all()
+    cnt_of = {(r["source"], r["token"]): int(r["cnt"]) for r in sub}
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    f = {(s, w): cnt_of.get((s, w), 0) * BURROWS_FREQ_SCALE // totals[s]
+         for s in sources for w in panel}
+    z: dict = {}
+    for w in panel:
+        sumf = sum(f[(s, w)] for s in sources)
+        d = {s: f[(s, w)] * s_cnt - sumf for s in sources}
+        sd = math.isqrt(sum(v * v for v in d.values()))
+        for s in sources:
+            z[(s, w)] = (trunc_div(d[s] * BURROWS_Z_SCALE, sd)
+                         if sd else 0)
+    rows = [{"source_a": a, "source_b": b,
+             "delta_micro": np.int64(
+                 sum(abs(z[(a, w)] - z[(b, w)]) for w in panel) // m)}
+            for i, a in enumerate(sources) for b in sources[i + 1:]]
+    return (pd.DataFrame(rows, columns=["source_a", "source_b",
+                                        "delta_micro"])
+            .astype({"delta_micro": np.int64})
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
+SQL_DOCS_BURROWS_DELTA = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+cnt AS (SELECT source, token, count(*)::BIGINT AS c FROM tok
+        WHERE token <> '' GROUP BY source, token),
+tot AS (SELECT source, sum(c)::HUGEINT AS t FROM cnt GROUP BY source),
+ns AS (SELECT count(*)::HUGEINT AS s FROM tot),
+topm AS (SELECT token FROM (
+           SELECT token, sum(c) AS tc FROM cnt GROUP BY token
+           ORDER BY tc DESC, token LIMIT {BURROWS_M})),
+dense AS (
+  SELECT tot.source, topm.token,
+         COALESCE(cnt.c, 0)::HUGEINT * {BURROWS_FREQ_SCALE} // tot.t AS f
+  FROM tot CROSS JOIN topm
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.token = topm.token),
+dev AS (
+  SELECT source, token,
+         f * (SELECT s FROM ns) - sum(f) OVER (PARTITION BY token) AS d
+  FROM dense),
+sd0 AS (SELECT token, sum(d * d) AS d2 FROM dev GROUP BY token),
+sdr AS (SELECT token, d2,
+               CAST(floor(sqrt(d2::DOUBLE)) AS HUGEINT) AS s0
+        FROM sd0),
+sdc AS (SELECT token,
+               s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= d2 THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > d2 THEN 1 ELSE 0 END) AS sd
+        FROM sdr),
+z AS (SELECT dev.source, dev.token,
+             CASE WHEN sdc.sd = 0 THEN 0::HUGEINT
+                  ELSE (dev.d * {BURROWS_Z_SCALE}) // sdc.sd END AS z
+      FROM dev JOIN sdc USING (token))
+SELECT a.source AS source_a, b.source AS source_b,
+       (sum(abs(a.z - b.z))
+        // (SELECT count(*)::HUGEINT FROM topm))::BIGINT AS delta_micro
+FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16564,6 +16708,7 @@ QUERIES = {
     "graph_squares_parts": graph_squares_parts,
     "events_seasonal_decompose": events_seasonal_decompose,
     "customer_lorenz_deciles": customer_lorenz_deciles,
+    "docs_burrows_delta": docs_burrows_delta,
 }
 
 
@@ -16831,6 +16976,7 @@ ORACLES = {
     "graph_squares_parts": SQL_GRAPH_SQUARES_PARTS,
     "events_seasonal_decompose": SQL_EVENTS_SEASONAL_DECOMPOSE,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
+    "docs_burrows_delta": SQL_DOCS_BURROWS_DELTA,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
