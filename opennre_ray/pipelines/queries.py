@@ -16391,6 +16391,127 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+DOREMI_ROUNDS = 5                  # multiplicative-weights iterations
+DOREMI_ETA_DEN = 10                # η = 1/DOREMI_ETA_DEN per round
+DOREMI_SMOOTH = 200_000            # ε·1e6: uniform smoothing of the output
+DOREMI_W_SCALE = 1_000_000
+
+
+def docs_doremi_weights(sf_dir):
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023): domains
+    whose text the corpus LM finds hardest get upweighted via
+    multiplicative weights on per-domain excess loss, then ε-smoothed
+    toward uniform. With no external proxy model in the sandbox, the
+    per-domain loss is the corpus's own unigram LM (the same CCNet-style
+    signal as docs_unigram_logprob), so excess loss is fixed across
+    rounds and the MW iteration is exactly replayable. Every step is
+    integer fixed-point: per-domain loss = trunc(−Σ lp_fp / n_tokens)
+    in micro-nats (exact integer sums), per-round score =
+    floor(exp(excess/η⁻¹·1e6)·1e6 + ½) (libm exp parity, same contract
+    as the ln-grid queries), renormalization by truncating division —
+    no float accumulates across rounds.
+
+    Scale shape: the corpus passes are unigram_logprob's (one vocab
+    aggregate + one size-gated broadcast scoring map) keyed by source,
+    so the shuffle payload is |sources| integer partials; the MW rounds
+    run on ≤|sources| rows on the driver."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    per_doc = unigram_logprob(
+        ds.select_columns(["source", "text"]), id_col="source",
+        rows_hint=16 * _nrows(sf_dir, "documents"))
+    per = (per_doc.groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("logprob_fp", alias_name="logprob_fp"))
+           .to_pandas())
+    per = per[per["n_tokens"] > 0].sort_values("source")
+    srcs = list(per["source"])
+    loss = {s: (-int(lp)) // int(n) for s, n, lp in
+            zip(per["source"], per["n_tokens"], per["logprob_fp"])}
+    mn = min(loss.values())
+    excess = {s: loss[s] - mn for s in srcs}
+    nd = len(srcs)
+    w = {s: DOREMI_W_SCALE // nd for s in srcs}
+    score = {s: int(math.floor(
+        math.exp(excess[s] / (DOREMI_ETA_DEN * 1_000_000.0))
+        * 1_000_000 + 0.5)) for s in srcs}
+    for _ in range(DOREMI_ROUNDS):
+        wp = {s: w[s] * score[s] for s in srcs}
+        tot = sum(wp.values())
+        w = {s: wp[s] * DOREMI_W_SCALE // tot for s in srcs}
+    u = DOREMI_W_SCALE // nd
+    return pd.DataFrame({
+        "source": srcs,
+        "n_tokens": per["n_tokens"].astype(np.int64).to_numpy(),
+        "loss_micro": np.asarray([loss[s] for s in srcs], np.int64),
+        "excess_micro": np.asarray([excess[s] for s in srcs], np.int64),
+        "weight_micro": np.asarray(
+            [(w[s] * (DOREMI_W_SCALE - DOREMI_SMOOTH)
+              + DOREMI_SMOOTH * u) // DOREMI_W_SCALE for s in srcs],
+            np.int64)}).reset_index(drop=True)
+
+
+def _sql_doremi() -> str:
+    """Unrolled MW rounds — each round CTE is referenced twice (value +
+    normalizer), so AS MATERIALIZED keeps DuckDB from re-expanding the
+    plan exponentially (same lesson as the kcenter oracle)."""
+    head = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+tok2 AS (SELECT source, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok2 GROUP BY token),
+tot AS (SELECT sum(c) AS t FROM cnt),
+lp AS (SELECT token, CAST(floor(ln(c / t) * 1000000 + 0.5) AS BIGINT) AS fp
+       FROM cnt, tot),
+per AS MATERIALIZED (
+  SELECT t2.source, count(*)::BIGINT AS n_tokens,
+         sum(lp.fp)::BIGINT AS lp_sum
+  FROM tok2 t2 JOIN lp USING (token) GROUP BY t2.source),
+loss AS MATERIALIZED (
+  SELECT source, n_tokens, ((-lp_sum) // n_tokens)::BIGINT AS loss_micro
+  FROM per WHERE n_tokens > 0),
+ex AS MATERIALIZED (
+  SELECT source, n_tokens, loss_micro,
+         (loss_micro - (SELECT min(loss_micro) FROM loss))::HUGEINT
+             AS excess
+  FROM loss),
+d AS (SELECT count(*)::HUGEINT AS nd FROM ex),
+sc AS MATERIALIZED (
+  SELECT source, CAST(floor(exp(excess::DOUBLE
+                                / {DOREMI_ETA_DEN * 1_000_000}.0)
+                            * 1000000 + 0.5) AS HUGEINT) AS score
+  FROM ex),
+w0 AS MATERIALIZED (
+  SELECT source, ({DOREMI_W_SCALE}::HUGEINT // (SELECT nd FROM d)) AS w
+  FROM ex)"""
+    rounds = []
+    for t in range(1, DOREMI_ROUNDS + 1):
+        rounds.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT w{t - 1}.source, w{t - 1}.w * sc.score AS wp
+  FROM w{t - 1} JOIN sc USING (source)),
+w{t} AS MATERIALIZED (
+  SELECT source, wp * {DOREMI_W_SCALE} // (SELECT sum(wp) FROM r{t}) AS w
+  FROM r{t})""")
+    tail = f"""
+SELECT ex.source, ex.n_tokens, ex.loss_micro,
+       ex.excess::BIGINT AS excess_micro,
+       ((w{DOREMI_ROUNDS}.w * {DOREMI_W_SCALE - DOREMI_SMOOTH}
+         + {DOREMI_SMOOTH} * ({DOREMI_W_SCALE}::HUGEINT
+                              // (SELECT nd FROM d)))
+        // {DOREMI_W_SCALE})::BIGINT AS weight_micro
+FROM ex JOIN w{DOREMI_ROUNDS} USING (source) ORDER BY ex.source
+"""
+    return head + "".join(rounds) + tail
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16709,6 +16830,7 @@ QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "customer_lorenz_deciles": customer_lorenz_deciles,
     "docs_burrows_delta": docs_burrows_delta,
+    "docs_doremi_weights": docs_doremi_weights,
 }
 
 
@@ -16977,6 +17099,7 @@ ORACLES = {
     "events_seasonal_decompose": SQL_EVENTS_SEASONAL_DECOMPOSE,
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
     "docs_burrows_delta": SQL_DOCS_BURROWS_DELTA,
+    "docs_doremi_weights": _sql_doremi(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
