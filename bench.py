@@ -379,6 +379,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.customer_lorenz_deciles(sf_dir))
     timed("docs_burrows_delta", lambda: Q.docs_burrows_delta(sf_dir))
     timed("docs_doremi_weights", lambda: Q.docs_doremi_weights(sf_dir))
+    timed("embed_grid_clusters",
+          lambda: consume(Q.embed_grid_clusters(sf_dir)))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

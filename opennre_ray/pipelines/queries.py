@@ -16512,6 +16512,129 @@ FROM ex JOIN w{DOREMI_ROUNDS} USING (source) ORDER BY ex.source
     return head + "".join(rounds) + tail
 
 
+GRID_CELL_MICRO = 125_000      # 2-D grid pitch in 1e-6 embedding units
+GRID_MINPTS = 8                # DBSCAN-style core-cell density threshold
+GRID_ENC = 1 << 20             # cell id encoding: (cx+OFF)*ENC + (cy+OFF)
+GRID_OFF = 1 << 19
+
+
+def embed_grid_clusters(sf_dir):
+    """Grid-density clustering (GriDBSCAN-style) over the first two
+    embedding dimensions — the density-based companion to the k-means /
+    k-center / SemDeDup family: quantize each vector onto a fixed 2-D
+    micro-grid, mark cells holding ≥ minPts vectors as core, union
+    8-adjacent core cells into clusters, and label every vector with its
+    cell's cluster (−1 = noise). Exact integer chain: the 1e-6
+    quantization is the embed_label_centroids grid, cell assignment is
+    pure floor division (DuckDB replays it with the
+    ((q % C) + C) % C remainder trick since its `//` truncates), and
+    cluster ids are min encoded-cell ids via transitive closure.
+
+    Scale shape: one streaming pass emits map-side (cx, cy) count
+    partials; the cell table is BOUNDED by the fixed grid resolution
+    (≤ (range/pitch)² cells regardless of corpus size), so the core-cell
+    union-find folds on the driver and the final labeling is a stateless
+    broadcast map — no per-vector shuffle at any scale."""
+    from collections import Counter
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def cell_of(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch.column("embedding").to_pylist()])
+        q = (np.sign(m[:, :2]) * np.floor(np.abs(m[:, :2]) * 1e6 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cx": pa.array(q[:, 0] // GRID_CELL_MICRO, pa.int64()),
+            "cy": pa.array(q[:, 1] // GRID_CELL_MICRO, pa.int64())})
+
+    cells = ds.map_batches(cell_of, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c = Counter(zip(t.column("cx").to_pylist(),
+                        t.column("cy").to_pylist()))
+        ks = list(c.keys())
+        return pa.table({"cx": pa.array([k[0] for k in ks], pa.int64()),
+                         "cy": pa.array([k[1] for k in ks], pa.int64()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    occ: Counter = Counter()
+    for b in (cells.map_batches(count_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for cx, cy, n in zip(b.column("cx").to_pylist(),
+                             b.column("cy").to_pylist(),
+                             b.column("n").to_pylist()):
+            occ[(cx, cy)] += n
+    core = sorted(k for k, v in occ.items() if v >= GRID_MINPTS)
+
+    def enc(c) -> int:
+        return (c[0] + GRID_OFF) * GRID_ENC + (c[1] + GRID_OFF)
+
+    # union-find over the bounded core-cell 8-adjacency graph
+    parent = {c: c for c in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    core_set = set(core)
+    for (cx, cy) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in core_set:
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    label = {c: enc(find(c)) for c in core}
+
+    def tag(t: pa.Table) -> pa.Table:
+        lab = [label.get((cx, cy), -1)
+               for cx, cy in zip(t.column("cx").to_pylist(),
+                                 t.column("cy").to_pylist())]
+        return t.append_column("cluster", pa.array(lab, pa.int64()))
+
+    return cells.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_EMBED_GRID_CLUSTERS = rf"""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         CAST(CASE WHEN e0 >= 0 THEN floor(e0 * 1000000 + 0.5)
+              ELSE -floor(-e0 * 1000000 + 0.5) END AS BIGINT) AS q0,
+         CAST(CASE WHEN e1 >= 0 THEN floor(e1 * 1000000 + 0.5)
+              ELSE -floor(-e1 * 1000000 + 0.5) END AS BIGINT) AS q1
+  FROM (SELECT vec_id, embedding[1]::DOUBLE AS e0,
+               embedding[2]::DOUBLE AS e1 FROM embeddings)),
+cell AS (
+  SELECT vec_id,
+         (q0 - ((q0 % {GRID_CELL_MICRO}) + {GRID_CELL_MICRO})
+               % {GRID_CELL_MICRO}) // {GRID_CELL_MICRO} AS cx,
+         (q1 - ((q1 % {GRID_CELL_MICRO}) + {GRID_CELL_MICRO})
+               % {GRID_CELL_MICRO}) // {GRID_CELL_MICRO} AS cy
+  FROM q),
+core AS (
+  SELECT cx, cy, (cx + {GRID_OFF}) * {GRID_ENC} + (cy + {GRID_OFF}) AS cell
+  FROM cell GROUP BY cx, cy HAVING count(*) >= {GRID_MINPTS}),
+lbl AS (
+  SELECT cell, cell AS comp FROM core
+  UNION
+  SELECT b.cell, l.comp
+  FROM lbl l JOIN core a ON a.cell = l.cell
+             JOIN core b ON abs(a.cx - b.cx) <= 1
+                        AND abs(a.cy - b.cy) <= 1),
+comp AS (SELECT cell, min(comp)::BIGINT AS cluster FROM lbl GROUP BY cell)
+SELECT cell.vec_id, cell.cx, cell.cy,
+       COALESCE(comp.cluster, -1)::BIGINT AS cluster
+FROM cell
+LEFT JOIN core USING (cx, cy)
+LEFT JOIN comp ON comp.cell = core.cell
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16831,6 +16954,7 @@ QUERIES = {
     "customer_lorenz_deciles": customer_lorenz_deciles,
     "docs_burrows_delta": docs_burrows_delta,
     "docs_doremi_weights": docs_doremi_weights,
+    "embed_grid_clusters": embed_grid_clusters,
 }
 
 
@@ -17100,6 +17224,7 @@ ORACLES = {
     "customer_lorenz_deciles": SQL_CUSTOMER_LORENZ,
     "docs_burrows_delta": SQL_DOCS_BURROWS_DELTA,
     "docs_doremi_weights": _sql_doremi(),
+    "embed_grid_clusters": SQL_EMBED_GRID_CLUSTERS,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
