@@ -381,6 +381,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_doremi_weights", lambda: Q.docs_doremi_weights(sf_dir))
     timed("embed_grid_clusters",
           lambda: consume(Q.embed_grid_clusters(sf_dir)))
+    timed("events_shapley_attribution",
+          lambda: Q.events_shapley_attribution(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -16635,6 +16635,138 @@ LEFT JOIN comp ON comp.cell = core.cell
 """
 
 
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # bit i = 1 << i
+SHAPLEY_WINDOW_US = 72 * 3_600_000_000   # pre-purchase attribution window
+
+
+def events_shapley_attribution(sf_dir):
+    """Exact Shapley-value channel attribution: each non-purchase event
+    type is a marketing 'channel'; a user converts at their FIRST
+    purchase, and their touchpoint set is the distinct channels seen in
+    the 72 h window before it (same attribution window as
+    events_timed_conversion). The coalition value v(S) counts converted
+    users whose touchpoint set ⊆ S; φ_c = Σ_S |S|!(n−1−|S|)!/n!·
+    (v(S∪c)−v(S)) is computed EXACTLY with factorial weights scaled by
+    n! = 24 — v is monotone so every marginal is a non-negative integer
+    and the final micro-unit division truncates identically on both
+    engines. Efficiency Σφ_c = v(N) − v(∅) holds exactly in the scaled
+    integers. The game-theoretic companion to the position/time-decay
+    credit in events_attribution_credit.
+
+    Scale shape: one user-bucketed fold over raw (user, type, ts) rows
+    (first-purchase time and windowed mask need the whole user history
+    co-located — the events_sessionize shuffle shape), a ≤2ⁿ-row mask
+    census, then the 2ⁿ-subset Shapley fold on the driver — constant
+    work once the mask table is built."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    bit = {c: 1 << i for i, c in enumerate(SHAPLEY_CHANNELS)}
+    n = len(SHAPLEY_CHANNELS)
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "et": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        fp = (g[g["et"] == "purchase"].groupby("user_id")["ts_us"].min())
+        if fp.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "mask": pd.Series([], dtype=np.int64)})
+        t = g[g["et"] != "purchase"].merge(
+            fp.rename("fp"), left_on="user_id", right_index=True)
+        t = t[(t["ts_us"] < t["fp"])
+              & (t["ts_us"] >= t["fp"] - SHAPLEY_WINDOW_US)]
+        t["b"] = t["et"].map(bit).fillna(0).astype(np.int64)
+        m = t.groupby("user_id")["b"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64))))
+        out = pd.DataFrame({"user_id": fp.index.to_numpy(np.int64)})
+        out["mask"] = (out["user_id"].map(m).fillna(0)
+                       .astype(np.int64))
+        return out
+
+    users = hash_bucket_aggregate(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], fold, rows_hint=_nrows(sf_dir, "events"))
+
+    # mask census: ≤ 2^n keys — fold per-block partials on the driver
+    cnt: dict = {}
+    for b in users.map_batches(
+            lambda g: g.groupby("mask", as_index=False)
+            .agg(n=("user_id", "size")),
+            batch_format="pandas").iter_batches(batch_format="pyarrow"):
+        for m, c in zip(b.column("mask").to_pylist(),
+                        b.column("n").to_pylist()):
+            cnt[m] = cnt.get(m, 0) + int(c)
+
+    def v(S: int) -> int:
+        return sum(c for m, c in cnt.items() if m & ~S == 0)
+
+    fact = [1, 1, 2, 6, 24]
+    rows = []
+    for c in SHAPLEY_CHANNELS:
+        bc = bit[c]
+        phi = 0
+        for S in range(1 << n):
+            if S & bc:
+                continue
+            k = bin(S).count("1")
+            phi += fact[k] * fact[n - 1 - k] * (v(S | bc) - v(S))
+        rows.append({"channel": c,
+                     "phi_num": np.int64(phi),
+                     "shapley_micro": np.int64(
+                         phi * 1_000_000 // fact[n])})
+    return pd.DataFrame(rows, columns=["channel", "phi_num",
+                                       "shapley_micro"])
+
+
+def _sql_shapley() -> str:
+    ch_vals = ", ".join(f"('{c}', {1 << i})"
+                        for i, c in enumerate(SHAPLEY_CHANNELS))
+    n = len(SHAPLEY_CHANNELS)
+    return f"""
+WITH ch (name, bit) AS (VALUES {ch_vals}),
+fp AS (SELECT user_id, min(epoch_us(ts)) AS fp FROM events
+       WHERE event_type = 'purchase' GROUP BY user_id),
+touch AS (
+  SELECT fp.user_id, ch.bit
+  FROM fp JOIN events e ON e.user_id = fp.user_id
+          JOIN ch ON ch.name = e.event_type
+  WHERE epoch_us(e.ts) < fp.fp
+    AND epoch_us(e.ts) >= fp.fp - {SHAPLEY_WINDOW_US}
+  GROUP BY fp.user_id, ch.bit),
+mk AS (SELECT user_id, sum(bit)::BIGINT AS mask FROM touch
+       GROUP BY user_id),
+usr AS (SELECT fp.user_id, COALESCE(mk.mask, 0)::BIGINT AS mask
+        FROM fp LEFT JOIN mk USING (user_id)),
+cnt AS (SELECT mask, count(*)::BIGINT AS n FROM usr GROUP BY mask),
+subs AS (SELECT unnest(range(0, {1 << n}))::BIGINT AS s),
+v AS MATERIALIZED (
+  SELECT subs.s,
+         COALESCE((SELECT sum(cnt.n) FROM cnt
+                   WHERE (cnt.mask & subs.s) = cnt.mask), 0)::BIGINT AS val
+  FROM subs),
+fct (k, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24)),
+shap AS (
+  SELECT ch.name AS channel,
+         sum(f1.f * f2.f * (v1.val - v0.val))::BIGINT AS phi_num
+  FROM ch
+  JOIN subs ON (subs.s & ch.bit) = 0
+  JOIN v v0 ON v0.s = subs.s
+  JOIN v v1 ON v1.s = (subs.s | ch.bit)
+  JOIN fct f1 ON f1.k = bit_count(subs.s)
+  JOIN fct f2 ON f2.k = {n} - 1 - bit_count(subs.s)
+  GROUP BY ch.name)
+SELECT channel, phi_num,
+       (phi_num::HUGEINT * 1000000 // {[1, 1, 2, 6, 24][n]})::BIGINT
+           AS shapley_micro
+FROM shap ORDER BY channel
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -16955,6 +17087,7 @@ QUERIES = {
     "docs_burrows_delta": docs_burrows_delta,
     "docs_doremi_weights": docs_doremi_weights,
     "embed_grid_clusters": embed_grid_clusters,
+    "events_shapley_attribution": events_shapley_attribution,
 }
 
 
@@ -17225,6 +17358,7 @@ ORACLES = {
     "docs_burrows_delta": SQL_DOCS_BURROWS_DELTA,
     "docs_doremi_weights": _sql_doremi(),
     "embed_grid_clusters": SQL_EMBED_GRID_CLUSTERS,
+    "events_shapley_attribution": _sql_shapley(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
