@@ -16767,6 +16767,105 @@ FROM shap ORDER BY channel
 """
 
 
+SEQPAT_MINSUP = 5        # min distinct-user support for a reported pattern
+
+
+def events_sequence_patterns(sf_dir):
+    """Sequential pattern mining (PrefixSpan-style support counting):
+    for every ordered TYPE triple (t1, t2, t3), the number of distinct
+    users whose event history contains it as a (not necessarily
+    contiguous) subsequence. Subsequence existence uses the standard
+    greedy argument — earliest t1, then earliest t2 after it, then any
+    t3 after that — so both engines check the identical witness; event
+    order is the deterministic (ts, event_id) rank within each user.
+    Unlike lineitem_frequent_pairs/_triples (unordered co-occurrence
+    itemsets) or events_type_transitions (adjacent bigrams), this
+    counts ORDER-sensitive, gap-tolerant patterns — the funnel-mining
+    primitive.
+
+    Scale shape: one user-bucketed history fold (the events_sessionize
+    shuffle); per user the greedy check runs over |types|³ bounded
+    patterns with searchsorted on per-type position lists; per-bucket
+    partial supports (≤125 keys) fold on the driver."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "et": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        support: dict = {}
+        for _, grp in g.groupby("user_id", sort=False):
+            seq = grp["et"].to_numpy()
+            types = sorted(set(seq))
+            pos = {t: np.flatnonzero(seq == t) for t in types}
+            for t1 in types:
+                p1 = pos[t1][0]
+                for t2 in types:
+                    a2 = pos[t2]
+                    i2 = np.searchsorted(a2, p1, side="right")
+                    if i2 >= len(a2):
+                        continue
+                    p2 = a2[i2]
+                    for t3 in types:
+                        a3 = pos[t3]
+                        if len(a3) and a3[-1] > p2:
+                            k = (t1, t2, t3)
+                            support[k] = support.get(k, 0) + 1
+        ks = sorted(support)
+        return pd.DataFrame({
+            "t1": [k[0] for k in ks], "t2": [k[1] for k in ks],
+            "t3": [k[2] for k in ks],
+            "support": pd.Series([support[k] for k in ks],
+                                 dtype=np.int64)})
+
+    parts = hash_bucket_aggregate(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], fold, rows_hint=_nrows(sf_dir, "events"))
+
+    total: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for t1, t2, t3, s in zip(b.column("t1").to_pylist(),
+                                 b.column("t2").to_pylist(),
+                                 b.column("t3").to_pylist(),
+                                 b.column("support").to_pylist()):
+            k = (t1, t2, t3)
+            total[k] = total.get(k, 0) + int(s)
+    ks = sorted(k for k, v in total.items() if v >= SEQPAT_MINSUP)
+    return pd.DataFrame({
+        "t1": [k[0] for k in ks], "t2": [k[1] for k in ks],
+        "t3": [k[2] for k in ks],
+        "support": pd.Series([total[k] for k in ks], dtype=np.int64)})
+
+
+SQL_EVENTS_SEQUENCE_PATTERNS = f"""
+WITH ev AS (
+  SELECT user_id, event_type AS et,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+f1 AS (SELECT user_id, et AS t1, min(rn) AS r1 FROM ev
+       GROUP BY user_id, et),
+f2 AS (SELECT f1.user_id, f1.t1, e2.et AS t2, min(e2.rn) AS r2
+       FROM f1 JOIN ev e2 ON e2.user_id = f1.user_id AND e2.rn > f1.r1
+       GROUP BY f1.user_id, f1.t1, e2.et),
+f3 AS (SELECT DISTINCT f2.user_id, f2.t1, f2.t2, e3.et AS t3
+       FROM f2 JOIN ev e3 ON e3.user_id = f2.user_id AND e3.rn > f2.r2)
+SELECT t1, t2, t3, count(*)::BIGINT AS support
+FROM f3 GROUP BY t1, t2, t3 HAVING count(*) >= {SEQPAT_MINSUP}
+ORDER BY t1, t2, t3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17088,6 +17187,7 @@ QUERIES = {
     "docs_doremi_weights": docs_doremi_weights,
     "embed_grid_clusters": embed_grid_clusters,
     "events_shapley_attribution": events_shapley_attribution,
+    "events_sequence_patterns": events_sequence_patterns,
 }
 
 
@@ -17359,6 +17459,7 @@ ORACLES = {
     "docs_doremi_weights": _sql_doremi(),
     "embed_grid_clusters": SQL_EMBED_GRID_CLUSTERS,
     "events_shapley_attribution": _sql_shapley(),
+    "events_sequence_patterns": SQL_EVENTS_SEQUENCE_PATTERNS,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
