@@ -96,3 +96,30 @@ def test_tokenization_matches_duckdb(text):
         r"x -> x <> '')", [text]).fetchone()[0]
     c.close()
     assert list(got) == text.split()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.one_of(
+    st.integers(min_value=0, max_value=10**22),
+    # adversarial: exact squares and their neighbors, where floor(sqrt)
+    # off-by-one errors from the double conversion would surface
+    st.integers(min_value=0, max_value=10**11).flatmap(
+        lambda r: st.sampled_from([r * r, max(r * r - 1, 0), r * r + 1]))))
+def test_integer_sqrt_matches_duckdb(x):
+    """The floor(sqrt(x::DOUBLE)) + adjust HUGEINT expression used by the
+    docs_burrows_delta oracle == math.isqrt for the full radicand range
+    the query can produce (sum of squared deviations ≤ ~8e21). x is
+    embedded as a LITERAL: the Python client binds ints > 2^63 through
+    DOUBLE, which would corrupt the radicand before the cast (the oracle
+    itself computes x natively in HUGEINT, so binding never applies)."""
+    import math
+    c = duckdb.connect()
+    got = c.execute(f"""
+        SELECT s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                  - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END)
+        FROM (SELECT {x}::HUGEINT AS x,
+                     CAST(floor(sqrt({x}::HUGEINT::DOUBLE)) AS HUGEINT)
+                         AS s0)
+        """).fetchone()[0]
+    c.close()
+    assert int(got) == math.isqrt(x)
