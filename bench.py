@@ -385,6 +385,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.events_shapley_attribution(sf_dir))
     timed("events_sequence_patterns",
           lambda: Q.events_sequence_patterns(sf_dir))
+    timed("orders_wasserstein_by_nation",
+          lambda: Q.orders_wasserstein_by_nation(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -16866,6 +16866,108 @@ ORDER BY t1, t2, t3
 """
 
 
+W1_BINW_CENTS = 50_000       # $500 histogram bins over order totals
+
+
+def orders_wasserstein_by_nation(sf_dir):
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between each
+    nation's order-price distribution and the global one, on a fixed
+    $500 histogram grid: W1 = Σ_b |F_nation(b) − F_global(b)|·binw —
+    the distribution-drift scalar next to the KS/PSI tests
+    (events_ks_value_drift tests ONE pair of samples; this profiles
+    every segment against the corpus with a shared bounded grid). The
+    CDF difference is kept as the cross-multiplied integer
+    |cum_n·N_g − cum_g·N_n| so the per-nation sum is exact; ONE final
+    truncating division lands on the micro-dollar grid.
+
+    Scale shape: nation dim broadcast into the fact scan, map-side
+    (nation, bin) count partials over the BOUNDED price grid (≤ nations
+    × ~1000 bins regardless of row count — no shuffle at all), driver
+    folds the census and the cumulative sums."""
+    from ..functions.relational import broadcast_join
+
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    dim = cust.merge(nation, on="c_nationkey")[["o_custkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"n_name": b["n_name"],
+                            "bin": cents // W1_BINW_CENTS})
+        return (out.groupby(["n_name", "bin"], as_index=False)
+                .agg(n=("bin", "size")).astype({"n": np.int64}))
+
+    cnt: dict = {}
+    for blk in (joined.map_batches(partial, batch_format="pandas")
+                .iter_batches(batch_format="pyarrow")):
+        for name, b, c in zip(blk.column("n_name").to_pylist(),
+                              blk.column("bin").to_pylist(),
+                              blk.column("n").to_pylist()):
+            cnt[(name, b)] = cnt.get((name, b), 0) + int(c)
+
+    g: dict = {}
+    for (name, b), c in cnt.items():
+        g[b] = g.get(b, 0) + c
+    ng = sum(g.values())
+    max_bin = max(g)
+    names = sorted({k[0] for k in cnt})
+    rows = []
+    for name in names:
+        nn = sum(c for (nm, _), c in cnt.items() if nm == name)
+        cn = cg = s = 0
+        for b in range(max_bin + 1):
+            cn += cnt.get((name, b), 0)
+            cg += g.get(b, 0)
+            s += abs(cn * ng - cg * nn)
+        rows.append({"n_name": name, "n_orders": np.int64(nn),
+                     "w1_micro": np.int64(
+                         s * W1_BINW_CENTS * 10_000 // (nn * ng))})
+    return pd.DataFrame(rows, columns=["n_name", "n_orders", "w1_micro"])
+
+
+SQL_ORDERS_WASSERSTEIN = f"""
+WITH o AS (
+  SELECT n.n_name,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             // {W1_BINW_CENTS} AS bin
+  FROM orders
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+nb AS (SELECT n_name, bin, count(*)::BIGINT AS n FROM o
+       GROUP BY n_name, bin),
+nt AS (SELECT n_name, sum(n)::HUGEINT AS nn FROM nb GROUP BY n_name),
+gb AS (SELECT bin, sum(n)::HUGEINT AS gn FROM nb GROUP BY bin),
+gt AS (SELECT sum(gn)::HUGEINT AS ng FROM gb),
+bins AS (SELECT unnest(range(0, (SELECT max(bin) FROM gb) + 1))::BIGINT
+             AS bin),
+dense AS (
+  SELECT nt.n_name, bins.bin,
+         COALESCE(nb.n, 0)::HUGEINT AS n, COALESCE(gb.gn, 0) AS gn
+  FROM nt CROSS JOIN bins
+  LEFT JOIN nb ON nb.n_name = nt.n_name AND nb.bin = bins.bin
+  LEFT JOIN gb ON gb.bin = bins.bin),
+cum AS (
+  SELECT n_name, bin,
+         sum(n) OVER (PARTITION BY n_name ORDER BY bin) AS cn,
+         sum(gn) OVER (PARTITION BY n_name ORDER BY bin) AS cg
+  FROM dense),
+agg AS (
+  SELECT cum.n_name, nt.nn,
+         sum(abs(cn * (SELECT ng FROM gt) - cg * nt.nn)) AS s
+  FROM cum JOIN nt USING (n_name) GROUP BY cum.n_name, nt.nn)
+SELECT n_name, nn::BIGINT AS n_orders,
+       (s * {W1_BINW_CENTS} * 10000
+        // (nn * (SELECT ng FROM gt)))::BIGINT AS w1_micro
+FROM agg ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17188,6 +17290,7 @@ QUERIES = {
     "embed_grid_clusters": embed_grid_clusters,
     "events_shapley_attribution": events_shapley_attribution,
     "events_sequence_patterns": events_sequence_patterns,
+    "orders_wasserstein_by_nation": orders_wasserstein_by_nation,
 }
 
 
@@ -17460,6 +17563,7 @@ ORACLES = {
     "embed_grid_clusters": SQL_EMBED_GRID_CLUSTERS,
     "events_shapley_attribution": _sql_shapley(),
     "events_sequence_patterns": SQL_EVENTS_SEQUENCE_PATTERNS,
+    "orders_wasserstein_by_nation": SQL_ORDERS_WASSERSTEIN,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
