@@ -21,6 +21,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import hash_bucket_aggregate
 
@@ -821,6 +822,102 @@ def label_propagation(edges_ds, seeds_ds, iters: int = 3,
     return labels
 
 
+def _delta_bf_rounds(adj, seed_df, key_cols, iters, n_parts, compact):
+    """Frontier-delta synchronous Bellman-Ford over a symmetrized
+    (u, v, w) adjacency Dataset: each round joins ONLY the labels that
+    improved in the previous round against the adjacency, then one
+    bucketed merge of the relaxed candidates with the settled table
+    computes both the new per-key minima and the improved flag. This is
+    the classic delta optimization — a label whose value did not change
+    was already relaxed in the round after it last improved, so its
+    re-relaxation is dominated (induction over rounds) and the settled
+    table after ``iters`` rounds is value-identical to re-relaxing the
+    full table every round. Join + aggregate volume drops from
+    rounds × |settled| × deg to Σ_r |frontier_r| × deg, which is what
+    makes k-landmark BFS linear-ish in total traffic at scale (the
+    frontier empties once the reachable set saturates, and the loop
+    exits early).
+
+    ``key_cols`` is ["entity"] (sssp) or ["src", "entity"]
+    (multi_source_distances); ``seed_df`` holds the distance-0 labels.
+    Returns a Dataset with key_cols + dist (int64).
+    """
+    import ray.data as rd
+
+    from .relational import shuffle_join
+
+    carry = [c for c in key_cols if c != "entity"]
+    out_schema = pa.schema([(c, pa.int64()) for c in key_cols]
+                           + [("dist", pa.int64())])
+    st_schema = pa.schema([(c, pa.int64()) for c in key_cols]
+                          + [("dist", pa.int64()), ("imp", pa.int64())])
+
+    def conform(ds, schema):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            return t.select(schema.names).cast(schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        # shuffle_join output: (u, v, w, dist[, carry]) — candidate
+        # label at v via edge (u, v), flagged fresh for the merge
+        cols: dict = {}
+        if not len(df):
+            for c in key_cols:
+                cols[c] = np.array([], np.int64)
+            cols["dist"] = np.array([], np.int64)
+            cols["fresh"] = np.array([], np.int64)
+            return pd.DataFrame(cols)
+        for c in carry:
+            cols[c] = df[c].astype(np.int64).to_numpy()
+        cols["entity"] = df["v"].astype(np.int64).to_numpy()
+        cols["dist"] = (df["dist"].astype(np.int64).to_numpy()
+                        + df["w"].astype(np.int64).to_numpy())
+        cols["fresh"] = np.ones(len(df), np.int64)
+        return pd.DataFrame(cols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby(key_cols, as_index=False)["dist"].min()
+        oldb = (g[g["fresh"] == 0]
+                .groupby(key_cols)["dist"].min().rename("old"))
+        m = new.join(oldb, on=key_cols)
+        imp = m["old"].isna() | (m["dist"] < m["old"])
+        out = m[key_cols + ["dist"]].copy()
+        out["dist"] = out["dist"].astype("int64")
+        out["imp"] = imp.to_numpy().astype(np.int64)
+        return out
+
+    def as_old(t: pa.Table) -> pa.Table:
+        # settled rows re-enter the merge flagged not-fresh
+        t = t.drop_columns(["imp"])
+        return t.append_column(
+            "fresh", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def keep_imp(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("imp"), 1))
+
+    seed_df = seed_df.copy()
+    seed_df["imp"] = np.int64(1)
+    settled = compact(conform(rd.from_pandas(seed_df), st_schema))
+    frontier = settled
+
+    for _ in range(iters):
+        if frontier.count() == 0:
+            break
+        joined = shuffle_join(adj, frontier, "u", "entity",
+                              ["v", "w"], ["dist"] + carry,
+                              n_buckets=n_parts)
+        relaxed = joined.map_batches(relax, batch_format="pandas")
+        old = settled.map_batches(as_old, batch_format="pyarrow")
+        settled = compact(conform(hash_bucket_aggregate(
+            relaxed.union(old), key_cols, merge_bucket,
+            n_buckets=n_parts), st_schema))
+        frontier = settled.map_batches(keep_imp, batch_format="pyarrow")
+
+    return conform(settled, out_schema)
+
+
 def sssp(edges_ds, seeds, iters: int = 4,
          rows_hint: int | None = None,
          local_edges_gate: int = PAGERANK_LOCAL_EDGES):
@@ -848,15 +945,6 @@ def sssp(edges_ds, seeds, iters: int = 4,
     counts re-compact per round like ``pagerank``.
     """
     from .relational import compute_n_buckets, shuffle_join
-
-    dist_schema = pa.schema([("entity", pa.int64()), ("dist", pa.int64())])
-
-    def conform(ds):
-        def fix(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return dist_schema.empty_table()
-            return t.select(dist_schema.names).cast(dist_schema)
-        return ds.map_batches(fix, batch_format="pyarrow")
 
     def symmetrize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -903,38 +991,204 @@ def sssp(edges_ds, seeds, iters: int = 4,
 
     adj = compact(adj)
 
-    import ray.data as rd
-    dists = compact(conform(rd.from_pandas(pd.DataFrame({
+    seed0 = pd.DataFrame({
         "entity": pd.Series(sorted(set(int(s) for s in seeds)),
                             dtype="int64"),
         "dist": pd.Series(0, index=range(len(set(seeds))),
-                          dtype="int64")}))))
+                          dtype="int64")})
+    return _delta_bf_rounds(adj, seed0, ["entity"], iters, n_parts,
+                            compact)
 
-    def relax(df: pd.DataFrame) -> pd.DataFrame:
-        # shuffle_join output: (u, v, w, dist) — candidate v via u
-        if not len(df):
-            return pd.DataFrame({
-                "entity": pd.Series([], dtype="int64"),
-                "dist": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "entity": df["v"].astype(np.int64).to_numpy(),
-            "dist": (df["dist"].astype(np.int64).to_numpy()
-                     + df["w"].astype(np.int64).to_numpy())})
 
-    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("entity", as_index=False)["dist"].min()
-        out["dist"] = out["dist"].astype("int64")
-        return out
+#: seed-count ceiling for the packed-bitmask BFS fast path (64 words
+#: of mask per row — beyond this the row payload stops being "small")
+MSD_BITSET_MAX_SEEDS = 4096
 
-    for _ in range(iters):
-        joined = shuffle_join(adj, dists, "u", "entity",
-                              ["v", "w"], ["dist"], n_buckets=n_parts)
-        relaxed = joined.map_batches(relax, batch_format="pandas")
-        dists = compact(conform(hash_bucket_aggregate(
-            relaxed.union(dists), ["entity"], min_bucket,
-            n_buckets=n_parts)))
 
-    return dists
+def _bitset_bfs(adj, seed_list, iters, n_parts, compact):
+    """Packed-bitmask multi-source BFS for unit-weight graphs with a
+    broadcast-sized seed set (the landmark case): instead of shuffling
+    (src, entity, dist) label rows — whose join volume is
+    |reached pairs| × degree per round once the reach saturates — keep
+    ONE row per entity holding a ⌈|seeds|/64⌉-word bitmask of the seeds
+    that have reached it, OR-aggregate neighbor masks per round
+    (np.bitwise_or.reduceat per bucket — no per-group Python), and emit
+    each (src, entity, dist=r) exactly once, the round its bit first
+    turns on. Per-round shuffle volume is |incident edges of changed
+    entities| × mask bytes (e.g. 500 seeds → 64 B) independent of how
+    many seeds already reached a node, and the emitted pair table is
+    written once, never re-shuffled — the HyperANF/Palmer-style
+    reformulation of k-landmark BFS. Value-identical to round-limited
+    Bellman-Ford with w=1: a bit set in round r ⇔ min-hop distance r.
+    """
+    import ray.data as rd
+
+    from .relational import shuffle_join
+
+    S = len(seed_list)
+    words = (S + 63) // 64
+    wcols = [f"m{i}" for i in range(words)]
+    nbcols = [f"nb{i}" for i in range(words)]
+    seeds_arr = np.asarray(seed_list, dtype=np.int64)
+
+    out_schema = pa.schema([("src", pa.int64()), ("entity", pa.int64()),
+                            ("dist", pa.int64())])
+    st_schema = pa.schema([("entity", pa.int64())]
+                          + [(c, pa.int64()) for c in wcols]
+                          + [("chg", pa.int64())])
+
+    def conform(ds, schema):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            return t.select(schema.names).cast(schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    idx = np.arange(S)
+    masks0 = np.zeros((S, words), dtype=np.uint64)
+    masks0[idx, idx // 64] = np.uint64(1) << np.uint64(idx % 64)
+    init = {"entity": seeds_arr}
+    for wi, c in enumerate(wcols):
+        init[c] = masks0[:, wi].view(np.int64)
+    init["chg"] = np.ones(S, np.int64)
+    state = compact(conform(rd.from_pandas(pd.DataFrame(init)),
+                            st_schema))
+
+    def keep_chg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("chg"), 1))
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        # joined (v, m*) — the mask of u flows to its neighbor v
+        cols = {"entity": (df["v"].astype(np.int64).to_numpy()
+                           if len(df) else np.array([], np.int64))}
+        for c in wcols:
+            cols[c] = (df[c].astype(np.int64).to_numpy()
+                       if len(df) else np.array([], np.int64))
+        cols["fresh"] = np.ones(len(df), np.int64)
+        return pd.DataFrame(cols)
+
+    def as_old(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["chg"])
+        return t.append_column(
+            "fresh", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def or_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {"entity": np.array([], np.int64)}
+        if not len(g):
+            for c in wcols + nbcols:
+                out[c] = np.array([], np.int64)
+            out["chg"] = np.array([], np.int64)
+            return pd.DataFrame(out)
+        g = g.sort_values("entity", kind="mergesort")
+        ent = g["entity"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ent[1:] != ent[:-1]])
+        uents = ent[starts]
+        newm = np.empty((len(uents), words), np.uint64)
+        for wi, c in enumerate(wcols):
+            vals = np.ascontiguousarray(
+                g[c].to_numpy(np.int64)).view(np.uint64)
+            newm[:, wi] = np.bitwise_or.reduceat(vals, starts)
+        oldg = g[g["fresh"] == 0]
+        oldm = np.zeros((len(uents), words), np.uint64)
+        if len(oldg):
+            pos = np.searchsorted(uents,
+                                  oldg["entity"].to_numpy(np.int64))
+            for wi, c in enumerate(wcols):
+                oldm[pos, wi] = np.ascontiguousarray(
+                    oldg[c].to_numpy(np.int64)).view(np.uint64)
+        nb = newm & ~oldm
+        out["entity"] = uents
+        for wi, c in enumerate(wcols):
+            out[c] = newm[:, wi].view(np.int64)
+        for wi, c in enumerate(nbcols):
+            out[c] = nb[:, wi].view(np.int64)
+        out["chg"] = nb.any(axis=1).astype(np.int64)
+        return pd.DataFrame(out)
+
+    def expand_factory(r: int):
+        def expand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            ent = t.column("entity").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nb = np.empty((t.num_rows, words), np.uint64)
+            for wi, c in enumerate(nbcols):
+                nb[:, wi] = np.ascontiguousarray(t.column(c).to_numpy(
+                    zero_copy_only=False).astype(np.int64)).view(
+                        np.uint64)
+            # little-endian x86: word i's uint8 view is bits 64i..64i+63
+            bits = np.unpackbits(nb.view(np.uint8).reshape(
+                t.num_rows, words * 8), axis=1, bitorder="little")[:, :S]
+            rows, bidx = np.nonzero(bits)
+            return pa.table({"src": pa.array(seeds_arr[bidx]),
+                             "entity": pa.array(ent[rows]),
+                             "dist": pa.array(
+                                 np.full(len(rows), r, np.int64))})
+        return expand
+
+    emits = [conform(rd.from_pandas(pd.DataFrame({
+        "src": seeds_arr, "entity": seeds_arr,
+        "dist": np.zeros(S, np.int64)})), out_schema)]
+
+    for r in range(1, iters + 1):
+        front = state.map_batches(keep_chg, batch_format="pyarrow")
+        if front.count() == 0:
+            break
+        joined = shuffle_join(adj, front, "u", "entity", ["v"], wcols,
+                              n_buckets=n_parts)
+        fresh = joined.map_batches(contrib, batch_format="pandas")
+        old = state.map_batches(as_old, batch_format="pyarrow")
+        merged = compact(hash_bucket_aggregate(
+            fresh.union(old), ["entity"], or_bucket,
+            n_buckets=n_parts))
+        emits.append(compact(conform(merged.map_batches(
+            expand_factory(r), batch_format="pyarrow"), out_schema)))
+        state = conform(merged, st_schema)
+
+    acc = emits[0]
+    for e in emits[1:]:
+        acc = acc.union(e)
+    return compact(conform(acc, out_schema))
+
+
+def _bitset_bfs_local(apd: pd.DataFrame, seed_list: list[int],
+                      iters: int) -> list[pd.DataFrame]:
+    """Single-process companion of :func:`_bitset_bfs`: the same
+    packed-bitmask BFS over the symmetrized (u, v) edge frame, one
+    numpy OR-scatter per round. The per-round (src, entity, dist)
+    frames come back as a list so the caller can feed Ray one block per
+    round instead of one monolithic frame. Value-identical to the
+    pandas merge/groupby-min replay (a bit turns on in round r ⇔
+    min-hop distance r), but |pairs| × degree work becomes
+    |edges| × mask-words."""
+    S = len(seed_list)
+    words = (S + 63) // 64
+    seeds_arr = np.asarray(seed_list, dtype=np.int64)
+    u = apd["u"].to_numpy(np.int64) if len(apd) else np.array([], np.int64)
+    v = apd["v"].to_numpy(np.int64) if len(apd) else np.array([], np.int64)
+    ents = np.unique(np.concatenate([u, v, seeds_arr]))
+    ui = np.searchsorted(ents, u)
+    vi = np.searchsorted(ents, v)
+    si = np.searchsorted(ents, seeds_arr)
+    masks = np.zeros((len(ents), words), np.uint64)
+    bit = np.arange(S)
+    masks[si, bit // 64] |= np.uint64(1) << np.uint64(bit % 64)
+    frames = [pd.DataFrame({"src": seeds_arr, "entity": seeds_arr,
+                            "dist": np.zeros(S, np.int64)})]
+    for r in range(1, iters + 1):
+        new = masks.copy()
+        np.bitwise_or.at(new, vi, masks[ui])
+        nb = new & ~masks
+        if not nb.any():
+            break
+        rows, bidx = np.nonzero(np.unpackbits(
+            nb.view(np.uint8).reshape(len(ents), words * 8),
+            axis=1, bitorder="little")[:, :S])
+        frames.append(pd.DataFrame({
+            "src": seeds_arr[bidx], "entity": ents[rows],
+            "dist": np.full(len(rows), r, np.int64)}))
+        masks = new
+    return frames
 
 
 def multi_source_distances(edges_ds, seeds, iters: int = 4,
@@ -955,16 +1209,6 @@ def multi_source_distances(edges_ds, seeds, iters: int = 4,
     (src, entity, dist) with dist exact within ``iters`` hops.
     """
     from .relational import compute_n_buckets, shuffle_join
-
-    schema = pa.schema([("src", pa.int64()), ("entity", pa.int64()),
-                        ("dist", pa.int64())])
-
-    def conform(ds):
-        def fix(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return schema.empty_table()
-            return t.select(schema.names).cast(schema)
-        return ds.map_batches(fix, batch_format="pyarrow")
 
     def symmetrize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -990,6 +1234,11 @@ def multi_source_distances(edges_ds, seeds, iters: int = 4,
     if n_adj <= local_edges_gate:
         import ray.data as rd
         apd = adj.to_pandas()
+        if (0 < len(seed_list) <= MSD_BITSET_MAX_SEEDS
+                and (n_adj == 0
+                     or (apd["w"].to_numpy(np.int64) == 1).all())):
+            return rd.from_pandas(
+                _bitset_bfs_local(apd, seed_list, iters))
         cur = seed0
         for _ in range(iters):
             j = apd.merge(cur, left_on="u", right_on="entity")
@@ -1014,40 +1263,146 @@ def multi_source_distances(edges_ds, seeds, iters: int = 4,
 
     adj = compact(adj)
 
-    import ray.data as rd
-    dists = compact(conform(rd.from_pandas(seed0)))
+    # unit-weight + broadcast-sized seed set → packed-bitmask BFS (the
+    # landmark case both production callers hit); anything else keeps
+    # the general weighted frontier-delta Bellman-Ford
+    if 0 < len(seed_list) <= MSD_BITSET_MAX_SEEDS and n_adj > 0:
+        from ray.data.aggregate import Max, Min
+        mm = adj.aggregate(Min("w"), Max("w"))
+        if mm and mm.get("min(w)") == 1 and mm.get("max(w)") == 1:
+            return _bitset_bfs(adj, seed_list, iters, n_parts, compact)
 
-    def relax(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "src": pd.Series([], dtype="int64"),
-                "entity": pd.Series([], dtype="int64"),
-                "dist": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "src": df["src"].astype(np.int64).to_numpy(),
-            "entity": df["v"].astype(np.int64).to_numpy(),
-            "dist": (df["dist"].astype(np.int64).to_numpy()
-                     + df["w"].astype(np.int64).to_numpy())})
-
-    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["src", "entity"], as_index=False)["dist"].min()
-        out["dist"] = out["dist"].astype("int64")
-        return out
-
-    for _ in range(iters):
-        joined = shuffle_join(adj, dists, "u", "entity",
-                              ["v", "w"], ["dist", "src"],
-                              n_buckets=n_parts)
-        relaxed = joined.map_batches(relax, batch_format="pandas")
-        dists = compact(conform(hash_bucket_aggregate(
-            relaxed.union(dists), ["src", "entity"], min_bucket,
-            n_buckets=n_parts)))
-
-    return dists
+    return _delta_bf_rounds(adj, seed0, ["src", "entity"], iters,
+                            n_parts, compact)
 
 
 #: Brandes dependency fixed-point scale (delta in micro units)
 BETWEENNESS_SCALE = 10 ** 6
+
+
+def _bits_of(words: np.ndarray, width: int) -> np.ndarray:
+    # (n,) uint64 -> (n, width) bool, bit i = source i of the chunk
+    return np.unpackbits(words[:, None].view(np.uint8), axis=1,
+                         bitorder="little")[:, :width].astype(bool)
+
+
+def _brandes_chunk(sh: dict, c0: int) -> tuple[np.ndarray, np.ndarray]:
+    """One 64-source Brandes chunk over the shared dense-id edge
+    arrays; returns (bc partial, visit-count partial), both (nV,)
+    int64. Pure numpy — runs serially or as a Ray task."""
+    ui, vi = sh["ui"], sh["vi"]
+    ui_s, vi_s = sh["ui_s"], sh["vi_s"]
+    ui_t, vi_t = sh["ui_t"], sh["vi_t"]
+    si, nV = sh["si"], sh["nV"]
+    iters, scale = sh["iters"], sh["scale"]
+
+    chunk = np.arange(c0, min(c0 + 64, sh["n_seeds"]))
+    width = len(chunk)
+    sic = si[chunk]
+    # BFS level masks: nb[r][v] bit i set iff source chunk[i] first
+    # reaches v in round r
+    mask = np.zeros(nV, np.uint64)
+    mask[sic] = np.uint64(1) << np.uint64(np.arange(width))
+    nb = [mask.copy()]
+    for _ in range(iters):
+        new = mask.copy()
+        np.bitwise_or.at(new, vi, mask[ui])
+        fresh = new & ~mask
+        if not fresh.any():
+            break
+        nb.append(fresh)
+        mask = new
+    R = len(nb) - 1
+
+    sigma = np.zeros((nV, width), np.int64)
+    sigma[sic, np.arange(width)] = 1
+    for r in range(1, R + 1):
+        aw = nb[r - 1][ui_s] & nb[r][vi_s]
+        sel = np.flatnonzero(aw)
+        if not len(sel):
+            continue
+        act = _bits_of(aw[sel], width)
+        contrib = sigma[ui_s[sel]] * act
+        vsel = vi_s[sel]
+        starts = np.flatnonzero(np.r_[True, vsel[1:] != vsel[:-1]])
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        sigma[vsel[starts]] += sums
+
+    delta = np.zeros((nV, width), np.int64)
+    for l in range(R - 1, -1, -1):
+        aw = nb[l][ui_t] & nb[l + 1][vi_t]
+        sel = np.flatnonzero(aw)
+        if not len(sel):
+            continue
+        act = _bits_of(aw[sel], width)
+        div = np.where(act, sigma[vi_t[sel]], 1)
+        contrib = (sigma[ui_t[sel]] * (scale + delta[vi_t[sel]])
+                   // div) * act
+        usel = ui_t[sel]
+        starts = np.flatnonzero(np.r_[True, usel[1:] != usel[:-1]])
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        urows = usel[starts]
+        at_l = _bits_of(nb[l][urows], width)
+        delta[urows] = np.where(at_l, sums, delta[urows])
+
+    bc = delta.sum(axis=1)
+    bc[sic] -= delta[sic, np.arange(width)]   # own-source excluded
+    nvis = _bits_of(mask, width).sum(axis=1)
+    return bc, nvis
+
+
+def _brandes_local_vec(apd: pd.DataFrame, seed_list: list[int],
+                       iters: int, scale: int) -> pd.DataFrame:
+    """Single-node Brandes over sampled sources, vectorized across
+    sources in 64-wide bitmask chunks: BFS levels come from the packed
+    OR-scatter (one uint64 word per chunk), sigma and delta are
+    edge-sorted ``np.add.reduceat`` accumulations over (edge, source)
+    matrices, and independent chunks fan out as Ray tasks (the shared
+    edge arrays ship once via ray.put). Bit-for-bit the same integer
+    semantics as the per-source dict replay it replaced (per-edge floor
+    division BEFORE the sum; sigma only accumulates along
+    dist[u]+1 == dist[v] DAG edges; each source's own delta excluded
+    from its bc) — the distributed-parity pytest pins that. Cost is
+    O(rounds × |E| × chunks/64) numpy ops spread over the chunk tasks
+    instead of Python dict loops per source."""
+    u = (apd["u"].to_numpy(np.int64) if len(apd)
+         else np.array([], np.int64))
+    v = (apd["dst"].to_numpy(np.int64) if len(apd)
+         else np.array([], np.int64))
+    seeds_arr = np.asarray(sorted(set(seed_list)), dtype=np.int64)
+    ents = np.unique(np.concatenate([u, v, seeds_arr]))
+    nV = len(ents)
+    ui = np.searchsorted(ents, u)
+    vi = np.searchsorted(ents, v)
+    si = np.searchsorted(ents, seeds_arr)
+
+    # edges sorted by destination (sigma gather) and by source (delta)
+    pv = np.argsort(vi, kind="stable")
+    pu = np.argsort(ui, kind="stable")
+    sh = {"ui": ui, "vi": vi, "ui_s": ui[pv], "vi_s": vi[pv],
+          "ui_t": ui[pu], "vi_t": vi[pu], "si": si, "nV": nV,
+          "n_seeds": len(seeds_arr), "iters": iters, "scale": scale}
+
+    starts = list(range(0, len(seeds_arr), 64))
+    import ray
+    if len(starts) > 1 and ray.is_initialized():
+        shref = ray.put(sh)
+        fn = ray.remote(num_cpus=1)(_brandes_chunk)
+        outs = ray.get([fn.remote(shref, c0) for c0 in starts])
+    else:
+        outs = [_brandes_chunk(sh, c0) for c0 in starts]
+
+    bc = np.zeros(nV, np.int64)
+    nvis = np.zeros(nV, np.int64)
+    for bc_c, nvis_c in outs:
+        bc += bc_c
+        nvis += nvis_c
+    is_seed = np.zeros(nV, np.int64)
+    is_seed[si] = 1
+    keep = (nvis - is_seed) > 0
+    return pd.DataFrame({"entity": ents[keep],
+                         "bc_micro": bc[keep]}).astype(
+                             {"entity": np.int64, "bc_micro": np.int64})
 
 
 def betweenness_landmarks(edges_ds, seeds, iters: int = 4,
@@ -1101,46 +1456,8 @@ def betweenness_landmarks(edges_ds, seeds, iters: int = 4,
 
     if n_adj <= local_edges_gate:
         apd = adj.to_pandas()
-        succ: dict = {}
-        for u, v in zip(apd["u"].to_numpy(np.int64),
-                        apd["dst"].to_numpy(np.int64)):
-            succ.setdefault(int(u), []).append(int(v))
-        bc: dict = {}
-        for s in seed_list:
-            dist = {s: 0}
-            sigma = {s: 1}
-            levels = [[s]]
-            for r in range(1, iters + 1):
-                nxt: dict = {}
-                for u in levels[r - 1]:
-                    for v in succ.get(u, ()):
-                        if v in dist and dist[v] < r:
-                            continue
-                        nxt[v] = nxt.get(v, 0) + sigma[u]
-                nxt = {v: c for v, c in nxt.items() if v not in dist}
-                if not nxt:
-                    break
-                for v, c in nxt.items():
-                    dist[v] = r
-                    sigma[v] = c
-                levels.append(sorted(nxt))
-            delta = {v: 0 for v in dist}
-            for l in range(len(levels) - 2, -1, -1):
-                for v in levels[l]:
-                    acc = 0
-                    for w in succ.get(v, ()):
-                        if dist.get(w) == l + 1:
-                            acc += (sigma[v] * (scale + delta[w])
-                                    // sigma[w])
-                    delta[v] = acc
-            for v, d in delta.items():
-                if v != s:
-                    bc[v] = bc.get(v, 0) + d
-        out = pd.DataFrame(
-            {"entity": pd.Series(sorted(bc), dtype="int64"),
-             "bc_micro": pd.Series([bc[v] for v in sorted(bc)],
-                                   dtype="int64")})
-        return rd.from_pandas(out)
+        return rd.from_pandas(
+            _brandes_local_vec(apd, seed_list, iters, scale))
 
     n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
 

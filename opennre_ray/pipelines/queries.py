@@ -14334,11 +14334,11 @@ def graph_closeness_parts(sf_dir):
         iters=CLOSENESS_ITERS, rows_hint=4 * n)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["dist"] > 0]
+        g = g[g["dist"] > 0].copy()
+        g["inv_micro"] = 1_000_000 // g["dist"].to_numpy(np.int64)
         out = g.groupby("entity", as_index=False).agg(
             n_reached=("dist", "size"),
-            harmonic_micro=("dist", lambda d: int(
-                (1_000_000 // d.to_numpy(np.int64)).sum())))
+            harmonic_micro=("inv_micro", "sum"))
         return out.astype({"entity": np.int64, "n_reached": np.int64,
                            "harmonic_micro": np.int64})
 

@@ -872,6 +872,54 @@ def test_multi_source_distances_distributed_parity(ray_session):
     pd.testing.assert_frame_equal(lo, hi)
 
 
+def test_multi_source_distances_bitset_parity(ray_session):
+    # unit weights + small seed set hit the packed-bitmask BFS path;
+    # it must agree pair-for-pair with the local pandas replay
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import multi_source_distances
+
+    rng = np.random.RandomState(11)
+    seen = set()
+    for a, b in rng.randint(0, 140, size=(400, 2)):
+        if a != b:
+            seen.add((int(min(a, b)), int(max(a, b))))
+    df = pd.DataFrame(sorted(seen), columns=["a", "b"])
+    df["w"] = 1
+    seeds = [0, 7, 19, 64, 65, 66, 130]   # straddles one 64-bit word
+    kw = dict(iters=4, rows_hint=len(df) * 4)
+    local = multi_source_distances(
+        rd.from_pandas(df), seeds, **kw).to_pandas()
+    dist = multi_source_distances(
+        rd.from_pandas(df).repartition(4), seeds,
+        local_edges_gate=0, **kw).to_pandas()
+    key = ["src", "entity"]
+    lo = local.sort_values(key, ignore_index=True)
+    hi = dist.sort_values(key, ignore_index=True)[lo.columns]
+    pd.testing.assert_frame_equal(lo, hi)
+
+
+def test_multi_source_distances_bitset_many_seeds(ray_session):
+    # >64 seeds exercises the multi-word mask plumbing end to end
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import multi_source_distances
+
+    n = 90
+    df = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    df["w"] = 1                               # a path graph 0-1-...-89
+    seeds = list(range(0, n, 1))[:70]          # 70 seeds -> 2 words
+    out = multi_source_distances(
+        rd.from_pandas(df).repartition(3), seeds, iters=3,
+        local_edges_gate=0).to_pandas()
+    got = {(int(r.src), int(r.entity)): int(r.dist)
+           for r in out.itertuples(index=False)}
+    for s in seeds:
+        for e in range(max(0, s - 3), min(n, s + 4)):
+            assert got[(s, e)] == abs(s - e)
+    assert all(d <= 3 for d in got.values())
+
+
 def test_betweenness_hand(ray_session):
     import ray.data as rd
 
