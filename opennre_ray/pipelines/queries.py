@@ -16626,6 +16626,14 @@ def embed_grid_clusters(sf_dir):
                              b.column("cy").to_pylist(),
                              b.column("n").to_pylist()):
             occ[(cx, cy)] += n
+    # the (cx+OFF)*ENC+(cy+OFF) cell encoding (and its tuple-order ==
+    # numeric-order property) only holds for coords in [-OFF, OFF);
+    # an embedding component ≳ 65536 would silently collide — fail
+    # loudly instead (cheap: the cell table is grid-bounded)
+    if occ and max(max(abs(cx), abs(cy)) for cx, cy in occ) >= GRID_OFF:
+        raise ValueError("embed_grid_clusters: cell coordinate outside "
+                         f"[-{GRID_OFF}, {GRID_OFF}) — embedding scale "
+                         "exceeds the grid encoding range")
     core = sorted(k for k, v in occ.items() if v >= GRID_MINPTS)
 
     def enc(c) -> int:
@@ -17353,6 +17361,26 @@ QUERIES = {
     "orders_wasserstein_by_nation": orders_wasserstein_by_nation,
 }
 
+# The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()
+# entries in dict order (CLAUDE.md): keep that prefix curated — every
+# entry SQL/pin-oracled — and rotate each round's strongest new
+# operators in so they gain driver-hash signal (round-4 additions had
+# sweep-only signal; the displaced round-≤3 entries keep their sweep
+# + pytest oracles).
+_PREFIX_PROMOTE = [
+    "graph_closeness_parts", "graph_betweenness_parts",
+    "docs_kneser_ney", "lineitem_logreg", "docs_burrows_delta",
+    "docs_doremi_weights", "embed_grid_clusters",
+    "events_shapley_attribution", "events_sequence_patterns",
+    "orders_wasserstein_by_nation", "lineitem_mannwhitney_returnflag",
+    "lineitem_spearman_qty_price", "events_chi_square_cohorts",
+    "embed_pca_top_component", "events_changepoint",
+]
+_keep = [n for n in QUERIES if n not in _PREFIX_PROMOTE]
+QUERIES = {**{n: QUERIES[n] for n in _keep[:35]},
+           **{n: QUERIES[n] for n in _PREFIX_PROMOTE},
+           **{n: QUERIES[n] for n in _keep[35:]}}
+del _keep
 
 
 ORACLES = {

@@ -115,27 +115,66 @@ def load_checkpoint(path: str) -> dict:
     return fix_lists(root)
 
 
+class LinearWarmupSchedule:
+    """Linear warmup then linear decay to zero — the reference's
+    ``transformers.get_linear_schedule_with_warmup`` semantics
+    (``framework/sentence_re.py:84-88``):
+
+        multiplier(step) = step / max(1, warmup)            step < warmup
+                         = max(0, (total - step)
+                                  / max(1, total - warmup)) otherwise
+
+    Step 0 therefore runs at lr 0 when warmup > 0 (the HF LambdaLR
+    applies lambda(0) before the first optimizer step)."""
+
+    def __init__(self, warmup_step: int, training_steps: int):
+        self.warmup = int(warmup_step)
+        self.total = int(training_steps)
+
+    def multiplier(self, step: int) -> float:
+        if step < self.warmup:
+            return step / max(1, self.warmup)
+        return max(0.0, (self.total - step)
+                   / max(1, self.total - self.warmup))
+
+
 class SgdOptimizer:
-    def __init__(self, lr=0.1, weight_decay=1e-5):
+    def __init__(self, lr=0.1, weight_decay=1e-5, schedule=None):
         self.lr = lr
         self.wd = weight_decay
+        self.schedule = schedule
+        self.steps = 0
+        self.lr_trace: list[float] = []
+
+    def _lr(self) -> float:
+        lr = self.lr if self.schedule is None else \
+            self.lr * self.schedule.multiplier(self.steps)
+        self.steps += 1
+        self.lr_trace.append(lr)
+        return lr
 
     def step(self, params: dict[str, np.ndarray], grads: dict[str, np.ndarray]):
+        lr = self._lr()
         for k, g in grads.items():
             p = params[k]
-            p -= self.lr * (g + self.wd * p)
+            p -= lr * (g + self.wd * p)
 
 
 class AdamOptimizer:
     def __init__(self, lr=1e-3, beta1=0.9, beta2=0.999, eps=1e-8,
-                 weight_decay=1e-5):
+                 weight_decay=1e-5, schedule=None):
         self.lr, self.b1, self.b2, self.eps, self.wd = (lr, beta1, beta2,
                                                         eps, weight_decay)
         self.m: dict = {}
         self.v: dict = {}
         self.t = 0
+        self.schedule = schedule
+        self.lr_trace: list[float] = []
 
     def step(self, params, grads):
+        lr = self.lr if self.schedule is None else \
+            self.lr * self.schedule.multiplier(self.t)
+        self.lr_trace.append(lr)
         self.t += 1
         for k, g in grads.items():
             g = g + self.wd * params[k]
@@ -145,7 +184,49 @@ class AdamOptimizer:
             v += (1 - self.b2) * (g * g - v)
             mh = m / (1 - self.b1 ** self.t)
             vh = v / (1 - self.b2 ** self.t)
-            params[k] -= self.lr * mh / (np.sqrt(vh) + self.eps)
+            params[k] -= lr * mh / (np.sqrt(vh) + self.eps)
+
+
+#: reference BERT no-decay list ['bias', 'LayerNorm.bias',
+#: 'LayerNorm.weight'] (framework/sentence_re.py:66) mapped onto this
+#: repo's parameter naming: *_b bias vectors, ln_*/norm* layer norms
+ADAMW_NO_DECAY = ("bias", "_b", "ln_", "norm")
+
+
+class AdamWOptimizer:
+    """BERT-style AdamW with parameter groups — the reference's
+    ``opt == 'adamw'`` branch (``framework/sentence_re.py:62-80``):
+    decoupled weight decay 0.01 applied only to parameters whose name
+    matches none of the no-decay patterns, ``correct_bias=False`` (no
+    bias-correction terms, per ``transformers.AdamW``), optional
+    :class:`LinearWarmupSchedule`."""
+
+    def __init__(self, lr=2e-5, beta1=0.9, beta2=0.999, eps=1e-6,
+                 weight_decay=0.01, schedule=None,
+                 no_decay=ADAMW_NO_DECAY):
+        self.lr, self.b1, self.b2, self.eps, self.wd = (lr, beta1, beta2,
+                                                        eps, weight_decay)
+        self.no_decay = tuple(no_decay)
+        self.schedule = schedule
+        self.m: dict = {}
+        self.v: dict = {}
+        self.t = 0
+        self.lr_trace: list[float] = []
+
+    def step(self, params, grads):
+        lr = self.lr if self.schedule is None else \
+            self.lr * self.schedule.multiplier(self.t)
+        self.lr_trace.append(lr)
+        self.t += 1
+        for k, g in grads.items():
+            m = self.m.setdefault(k, np.zeros_like(g))
+            v = self.v.setdefault(k, np.zeros_like(g))
+            m += (1 - self.b1) * (g - m)
+            v += (1 - self.b2) * (g * g - v)
+            upd = lr * m / (np.sqrt(v) + self.eps)
+            if not any(p in k for p in self.no_decay):
+                upd = upd + lr * self.wd * params[k]
+            params[k] -= upd
 
 
 class CnnSoftmaxTrainer:
@@ -565,18 +646,36 @@ def train_bag_re(model, instances_df, *, epochs=3, bags_per_batch=16,
 
 def train_sentence_re(model, instances_ds, *, epochs=3, batch_size=64,
                       lr=0.1, weight_decay=1e-5, optimizer="sgd",
-                      val_ds=None, ckpt_path=None, seed=42,
-                      loss_weights=None, metric="acc"):
+                      warmup_step=0, val_ds=None, ckpt_path=None,
+                      seed=42, loss_weights=None, metric="acc"):
     """Epoch loop over a Ray Data instance Dataset (L1 semantics).
 
     ``instances_ds`` columns: text, h_start, h_end, t_start, t_end,
     relation. Shuffling is ``ds.random_shuffle(seed=epoch-keyed)`` (O8);
     batches stream to the trainer via ``iter_batches``. Returns history and
     (optionally) writes the best checkpoint by validation accuracy.
+
+    ``warmup_step > 0`` attaches the reference's linear
+    warmup-then-decay schedule (``framework/sentence_re.py:84-88``)
+    with ``training_steps = len(dataset) // batch_size * epochs``;
+    ``optimizer='adamw'`` selects the BERT-style no-decay parameter
+    groups (``framework/sentence_re.py:62-80``).
     """
     fix_seed(seed)
-    opt = (SgdOptimizer(lr, weight_decay) if optimizer == "sgd"
-           else AdamOptimizer(lr, weight_decay=weight_decay))
+    if not isinstance(optimizer, str):
+        opt = optimizer                     # caller-built instance
+    else:
+        schedule = None
+        if warmup_step > 0:
+            training_steps = (instances_ds.count() // batch_size) * epochs
+            schedule = LinearWarmupSchedule(warmup_step, training_steps)
+        if optimizer == "sgd":
+            opt = SgdOptimizer(lr, weight_decay, schedule=schedule)
+        elif optimizer == "adamw":
+            opt = AdamWOptimizer(lr, schedule=schedule)
+        else:
+            opt = AdamOptimizer(lr, weight_decay=weight_decay,
+                                schedule=schedule)
     from .models import PcnnSentenceEncoder
     trainer_cls = (PcnnSoftmaxTrainer
                    if isinstance(model.encoder, PcnnSentenceEncoder)

@@ -99,6 +99,29 @@ def test_tokenization_matches_duckdb(text):
 
 
 @settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**8))
+def test_exp_grid_matches_duckdb(x):
+    """floor(exp(excess/1e7)·1e6 + 0.5) — the docs_doremi_weights score
+    grid — must agree between Python libm (math.exp) and DuckDB's
+    vectorized exp over the whole excess range the query can produce
+    (excess ≤ ~1e8 micro ⇒ exp argument ≤ 10). A divergence near a
+    .5 rounding boundary would otherwise only surface as a full-query
+    hash mismatch."""
+    import math
+    from opennre_ray.pipelines.queries import DOREMI_ETA_DEN
+    c = duckdb.connect()
+    got = c.execute(f"""
+        SELECT CAST(floor(exp({x}::HUGEINT::DOUBLE
+                              / {DOREMI_ETA_DEN * 1_000_000}.0)
+                          * 1000000 + 0.5) AS HUGEINT)
+        """).fetchone()[0]
+    c.close()
+    want = int(math.floor(
+        math.exp(x / (DOREMI_ETA_DEN * 1_000_000.0)) * 1_000_000 + 0.5))
+    assert int(got) == want
+
+
+@settings(max_examples=60, deadline=None)
 @given(st.one_of(
     st.integers(min_value=0, max_value=10**22),
     # adversarial: exact squares and their neighbors, where floor(sqrt)

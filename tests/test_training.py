@@ -160,3 +160,71 @@ def test_checkpoint_restore_refreshes_conv_cache():
     got_pred, got_score = fresh.head.infer_batch(rep2)
     assert (got_pred == want_pred).all()
     np.testing.assert_allclose(got_score, want_score, rtol=0, atol=1e-6)
+
+
+def test_linear_warmup_schedule_matches_reference():
+    """multiplier(step) hand-computed for warmup_step in {0, 300} —
+    the reference's get_linear_schedule_with_warmup semantics
+    (framework/sentence_re.py:84-88)."""
+    from opennre_ray.training import LinearWarmupSchedule
+
+    s = LinearWarmupSchedule(300, 1000)
+    # warmup leg: step / 300
+    assert s.multiplier(0) == 0.0
+    assert s.multiplier(150) == 150 / 300
+    assert s.multiplier(299) == 299 / 300
+    # decay leg: (1000 - step) / (1000 - 300)
+    assert s.multiplier(300) == 700 / 700
+    assert s.multiplier(650) == 350 / 700
+    assert s.multiplier(1000) == 0.0
+    assert s.multiplier(2000) == 0.0          # clamped at zero
+
+    # warmup_step=0: reference sets scheduler=None -> constant lr; the
+    # schedule object itself becomes pure linear decay
+    z = LinearWarmupSchedule(0, 10)
+    assert z.multiplier(0) == 1.0
+    assert z.multiplier(5) == 0.5
+    assert z.multiplier(10) == 0.0
+
+
+def test_adamw_no_decay_groups():
+    """Parameters matching the no-decay name list (bias vectors) must
+    see NO weight decay; others decay by lr*wd*p (decoupled, i.e. not
+    through the moment estimates) — framework/sentence_re.py:62-80."""
+    from opennre_ray.training import AdamWOptimizer
+
+    params = {"fc_w": np.ones(4, np.float64),
+              "fc_b": np.ones(4, np.float64)}
+    grads = {"fc_w": np.zeros(4), "fc_b": np.zeros(4)}
+    opt = AdamWOptimizer(lr=0.1, weight_decay=0.01)
+    opt.step(params, grads)
+    # zero grads: moments stay zero, so the only movement is decay
+    np.testing.assert_allclose(params["fc_w"], 1 - 0.1 * 0.01)
+    np.testing.assert_allclose(params["fc_b"], 1.0)
+
+
+def test_train_sentence_re_warmup_lr_trace(ray_session):
+    """End-to-end: the optimizer's per-step lr trace equals
+    base_lr * multiplier(step) for the computed training_steps."""
+    import ray.data as rd
+
+    from opennre_ray.training import LinearWarmupSchedule
+
+    from opennre_ray.training import AdamWOptimizer
+
+    rows = [{"text": r[0], "h_start": r[1], "h_end": r[2], "t_start": r[3],
+             "t_end": r[4], "relation": r[5]} for r in TEXTS * 8]
+    ds = rd.from_items(rows)
+    model = get_model("wiki80_cnn_softmax")
+    n = len(rows)
+    epochs, bs, warmup = 2, 8, 3
+    steps_total = (n // bs) * epochs
+    sched = LinearWarmupSchedule(warmup, steps_total)
+    opt = AdamWOptimizer(lr=0.2, schedule=sched)
+    hist = train_sentence_re(model, ds, epochs=epochs, batch_size=bs,
+                             optimizer=opt)
+    assert len(hist) == epochs
+    want = [0.2 * sched.multiplier(i) for i in range(len(opt.lr_trace))]
+    assert len(opt.lr_trace) == steps_total
+    np.testing.assert_allclose(opt.lr_trace, want, rtol=0, atol=0)
+    assert opt.lr_trace[0] == 0.0 and opt.lr_trace[warmup] > 0
