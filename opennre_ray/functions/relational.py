@@ -102,7 +102,7 @@ def canonical_bucket(df: "pd.DataFrame", key_cols, n_buckets: int):
 
 
 def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None,
-                          rows_hint: int | None = None):
+                          rows_hint: int | None = None, partial=None):
     """High-cardinality grouped aggregation via coarse hash buckets.
 
     ``ds.groupby(keys)`` with tens of thousands of tiny groups pays Python
@@ -120,11 +120,25 @@ def hash_bucket_aggregate(ds, key_cols, per_bucket, n_buckets: int | None = None
     (pass the parquet-metadata row count when cheaply known) so per-bucket
     size stays bounded as inputs grow — a fixed count would put rows/64 of
     the input in a single worker's heap at 100× scale.
+
+    ``partial``: optional map-side combiner fn(DataFrame) -> DataFrame
+    run per input BLOCK before the bucket shuffle. For a decomposable
+    aggregate (sum/count/min/max/mergeable sketch) pass the per-block
+    pre-aggregation and write ``per_bucket`` against the partial rows:
+    a hot key then contributes at most one row PER BLOCK to its bucket
+    instead of its entire row set — without it, a single 10M-row key
+    lands 10M rows in one bucket task (the canonicalize phase-1 / bag
+    salted-partial pattern, generalized).
     """
     import pandas as pd
 
     if n_buckets is None:
         n_buckets = compute_n_buckets(rows_hint)
+
+    if partial is not None:
+        def partial_block(df: pd.DataFrame) -> pd.DataFrame:
+            return partial(df) if len(df) else df
+        ds = ds.map_batches(partial_block, batch_format="pandas")
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -3,11 +3,11 @@
 Image/audio/video ride as ``binary`` columns with sidecar metadata columns;
 decode / feature-extract stages are actor-pool ``map_batches`` stages whose
 Ray-side plumbing (schema, batch sizing, actor signature, output layout) is
-real and tested, while the codec itself is STUBBED — no image/audio libraries
-exist in this container. ``DecodeImage(fake=True)`` substitutes a
-deterministic fake decoder so pipelines exercise end-to-end; ``fake=False``
-raises ``NotImplementedError`` at the decode call, marking exactly where a
-real codec (PIL/libvips/ffmpeg) plugs in.
+real and tested. Still images now have a REAL in-sandbox decode path
+(``imagecodec``: stdlib PNG + PPM — see ``DecodeImage``); video/audio
+codecs remain stubbed (``SampleFrames(fake=False)`` raises
+``NotImplementedError`` marking exactly where ffmpeg plugs in) since no
+container-safe pure-python implementation exists for them.
 
 Scale notes: binary payloads dominate block size — these stages run with
 small ``batch_size`` and the payload column is dropped as soon as features
@@ -50,10 +50,15 @@ def synthesize_media_batch(batch: pa.Table, payload_from: str = "text",
 class DecodeImage:
     """Actor stage: payload binary → (H, W, 3) uint8 image tensor column.
 
-    Real decoder NOT available in this sandbox: ``fake=True`` derives a
-    deterministic pixel block from the payload bytes (stable across retries);
-    ``fake=False`` raises NotImplementedError — the plumbing contract is
-    what's under test.
+    ``fake=True`` derives a deterministic pixel block from the payload
+    bytes (stable across retries) so synthetic pipelines exercise the
+    plumbing end to end. ``fake=False`` runs the REAL stdlib codec
+    (``imagecodec.sniff_decode``: PNG 8-bit non-interlaced + PPM P6 via
+    zlib/struct — no PIL needed); codecs beyond that (JPEG, 16-bit,
+    interlaced) raise ``NotImplementedError`` naming where PIL/turbojpeg
+    plugs in. Batches must be dimension-homogeneous (the meta
+    width/height columns are the contract; decoded dims are checked
+    against them).
     """
 
     def __init__(self, fake: bool = True):
@@ -61,8 +66,12 @@ class DecodeImage:
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "no image codec in this environment; plug PIL/turbojpeg here")
+            from .imagecodec import sniff_decode
+            img = sniff_decode(payload)
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f"decoded dims {img.shape[:2]} != meta ({h}, {w})")
+            return img
         raw = np.frombuffer(
             (payload * ((w * h * 3) // max(len(payload), 1) + 1))[: w * h * 3],
             dtype=np.uint8)

@@ -328,3 +328,46 @@ def test_shuffle_join_full_outer(ray_session):
     # both outer directions actually fired
     assert out.loc[out["k"] == 3, "rv"].isna().all()
     assert out.loc[out["k"] == 5, "lv"].isna().all()
+
+
+def test_hash_bucket_aggregate_partial_combiner_bounds_hot_key(ray_session):
+    """The partial= map-side combiner must (a) keep results exact and
+    (b) bound a hot key's per-bucket row count to one row per input
+    block — per_bucket ASSERTS the bound, so a missing combine fails
+    the query, not just the timing."""
+    import ray.data as rd
+
+    from opennre_ray.functions.relational import hash_bucket_aggregate
+
+    n, blocks = 4_000_000, 32
+    ds = rd.range(n, override_num_blocks=blocks).map_batches(
+        lambda b: pd.DataFrame({"k": np.where(b["id"] % 97 == 0,
+                                              b["id"] % 3, 0),
+                                "v": b["id"]}),
+        batch_format="numpy")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("k", as_index=False).agg(
+            s=("v", "sum"), c=("v", "size"),
+            mn=("v", "min"), mx=("v", "max"))
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # every block contributes <= 3 partial rows per key-bucket
+        assert len(g) <= 3 * blocks, f"unbounded bucket: {len(g)} rows"
+        out = g.groupby("k", as_index=False).agg(
+            s=("s", "sum"), c=("c", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        return out
+
+    got = hash_bucket_aggregate(ds, ["k"], fold, n_buckets=8,
+                                partial=part).to_pandas()
+    got = got.sort_values("k", ignore_index=True)
+
+    ids = np.arange(n, dtype=np.int64)
+    k = np.where(ids % 97 == 0, ids % 3, 0)
+    exp = (pd.DataFrame({"k": k, "v": ids}).groupby("k", as_index=False)
+           .agg(s=("v", "sum"), c=("v", "size"),
+                mn=("v", "min"), mx=("v", "max"))
+           .sort_values("k", ignore_index=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))

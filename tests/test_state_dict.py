@@ -7,6 +7,8 @@ reference torch key convention) rebuilds a model whose forward replays
 the original bit-exactly.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -103,3 +105,33 @@ def test_shape_mismatch_raises(tmp_path):
     with pytest.raises(ValueError, match="relations"):
         load_model("wiki80_cnn_softmax", path,
                    rel2id={"NA": 0, "only_rel": 1})
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("OPENNRE_RAY_WIKI80_CKPT")
+         and os.path.exists(os.path.join(
+             os.environ.get("OPENNRE_RAY_WIKI80_CKPT", ""),
+             "wiki80_cnn_softmax.npz"))),
+    reason="real wiki80 checkpoint not present (no torch/network in "
+           "sandbox) — convert with scripts/convert_wiki80_ckpt.py and "
+           "set OPENNRE_RAY_WIKI80_CKPT")
+def test_real_wiki80_checkpoint_golden_parity():
+    """The reference's golden inference (tests/test_inference.py:8-11):
+    ('father', 0.7500484585762024 ± 1e-6) through load_model on the
+    converted real checkpoint + real vocab."""
+    import json
+
+    d = os.environ["OPENNRE_RAY_WIKI80_CKPT"]
+    with open(os.path.join(d, "rel2id.json")) as fh:
+        rel2id = json.load(fh)
+    with open(os.path.join(d, "word2id.json")) as fh:
+        word2id = json.load(fh)
+    m = load_model("wiki80_cnn_softmax",
+                   os.path.join(d, "wiki80_cnn_softmax.npz"),
+                   rel2id=rel2id, word2id=word2id)
+    rel, score = m.infer({
+        "text": "He was the son of Máel Dúin mac Máele Fithrich, and "
+                "grandson of the high king Áed Uaridnach (died 612).",
+        "h": {"pos": (18, 46)}, "t": {"pos": (78, 91)}})
+    assert rel == "father"
+    assert abs(score - 0.7500484585762024) < 1e-6
