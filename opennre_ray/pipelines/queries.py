@@ -3664,11 +3664,23 @@ def _stage_cached(sf_dir, tag, build):
 
 def _pair_instances(sf_dir):
     """read → extract → NER → pairs (everything before model scoring),
-    materialized once per session per sf_dir."""
+    materialized once per session per sf_dir. A scored-candidate cache
+    entry retains every pre-score column, so when one already exists
+    for this sf_dir it is reused instead of paying a second front-half
+    pass (the flagship usually runs first and populates it)."""
+    import ray
+
     from ..sources.pages import read_pages
     from ..stages.extract import ExtractText
     from ..stages.ner import mentions_udf
     from ..stages.pairs import generate_pairs
+
+    job = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    want = os.path.abspath(sf_dir)
+    for (sf, tag, j), ds in _STAGE_CACHE.items():
+        if sf == want and j == job and tag.startswith("scored:"):
+            return ds
 
     def build():
         return (read_pages(sf_dir)
@@ -3680,16 +3692,17 @@ def _pair_instances(sf_dir):
 
 
 def _scored_candidates(sf_dir, model_name=None):
-    """kg.candidate_instances equivalent (pairs + scorer_udf argmax),
-    built on the cached pair table and itself cached per model."""
-    from ..stages.score import scorer_udf
-    from .kg import DEFAULT_MODEL
+    """kg.candidate_instances output (pairs + scorer_udf argmax),
+    cached per model. Built as ONE fused streaming chain — a separate
+    pair-level materialize barrier between the stages measured ~1 s
+    slower on the cold flagship path."""
+    from .kg import DEFAULT_MODEL, candidate_instances
+    from ..sources.pages import read_pages
 
     model = model_name or DEFAULT_MODEL
 
     def build():
-        return _pair_instances(sf_dir).map_batches(
-            scorer_udf(model), batch_format="pyarrow")
+        return candidate_instances(read_pages(sf_dir), model_name=model)
 
     return _stage_cached(sf_dir, f"scored:{model}", build)
 
