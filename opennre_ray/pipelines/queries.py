@@ -17049,6 +17049,390 @@ FROM agg ORDER BY n_name
 """
 
 
+BOILER_W = 5          # shingle width (tokens)
+BOILER_MIN_DOCS = 3   # template threshold: distinct docs per source
+
+
+def docs_boilerplate_shingles(sf_dir):
+    """Per-source boilerplate/template detection: a ``BOILER_W``-gram
+    that appears in ≥ ``BOILER_MIN_DOCS`` DISTINCT documents of the
+    same source is a template shingle (the CC-style header/footer
+    signature a curation pipeline strips before training). Reports per
+    source: n_docs, n_template (distinct template shingles) and
+    occ_template (total occurrences of those shingles in the source).
+
+    Scale shape: one corpus pass emits per-block (source, g, doc_id, n)
+    partials (pre-reduced inside the block), ONE bucketed aggregate
+    keyed by (source, g) computes distinct-doc counts + thresholds, and
+    the per-source fold reduces map-side to ≤ |sources| rows per
+    bucket. Nothing driver-side is corpus-sized."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"],
+               rows_per_block=32768)
+
+    def shingle_partial(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, gs, dids = [], [], []
+        for did, txt, src in zip(df["doc_id"].to_numpy(np.int64),
+                                 df["text"], df["source"]):
+            toks = str(txt).split()
+            for i in range(len(toks) - BOILER_W + 1):
+                gs.append(" ".join(toks[i:i + BOILER_W]))
+                srcs.append(src)
+                dids.append(did)
+        out = pd.DataFrame({"source": srcs, "g": gs, "doc_id": dids})
+        if not len(out):
+            out["n"] = pd.Series([], dtype="int64")
+            return out
+        return (out.groupby(["source", "g", "doc_id"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = ds.map_batches(shingle_partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_template": pd.Series([], dtype="int64"),
+            "occ_template": pd.Series([], dtype="int64")})
+        if not len(g) or "doc_id" not in g.columns:
+            return empty
+        g = g.dropna(subset=["doc_id"])
+        if not len(g):
+            return empty
+        agg = g.groupby(["source", "g"]).agg(
+            df_=("doc_id", "nunique"), occ=("n", "sum"))
+        tpl = agg[agg["df_"] >= BOILER_MIN_DOCS]
+        if not len(tpl):
+            return empty
+        out = tpl.groupby(level="source").agg(
+            n_template=("df_", "size"), occ_template=("occ", "sum"))
+        return out.reset_index().astype(
+            {"n_template": np.int64, "occ_template": np.int64})
+
+    rows_hint = 64 * _nrows(sf_dir, "documents")
+    folded = hash_bucket_aggregate(parts, ["source", "g"], fold,
+                                   rows_hint=rows_hint).to_pandas()
+    if not len(folded) or "n_template" not in folded.columns:
+        folded = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_template": pd.Series([], dtype="int64"),
+            "occ_template": pd.Series([], dtype="int64")})
+    per_src = (folded.groupby("source", as_index=False)
+               [["n_template", "occ_template"]].sum())
+    nd = _read(sf_dir, "documents", ["source"]).to_pandas() \
+        .groupby("source", as_index=False).size() \
+        .rename(columns={"size": "n_docs"})
+    out = nd.merge(per_src, on="source", how="left").fillna(0)
+    return (out.astype({"n_docs": np.int64, "n_template": np.int64,
+                        "occ_template": np.int64})
+            .sort_values("source", ignore_index=True))
+
+
+SQL_DOCS_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, source,
+         unnest(range(1, length(toks) - {BOILER_W} + 2)) AS i, toks
+  FROM toks WHERE length(toks) >= {BOILER_W}),
+g2 AS (SELECT doc_id, source,
+              array_to_string(toks[i:i + {BOILER_W} - 1], ' ') AS g
+       FROM pos),
+agg AS (SELECT source, g, count(DISTINCT doc_id) AS df, count(*) AS occ
+        FROM g2 GROUP BY source, g),
+tpl AS (SELECT source, count(*)::BIGINT AS n_template,
+               sum(occ)::BIGINT AS occ_template
+        FROM agg WHERE df >= {BOILER_MIN_DOCS} GROUP BY source)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       coalesce(any_value(t.n_template), 0)::BIGINT AS n_template,
+       coalesce(any_value(t.occ_template), 0)::BIGINT AS occ_template
+FROM documents d LEFT JOIN tpl t USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+THEILSEN_TARGET = 512   # sampled points (sample mod derives from n)
+
+
+def lineitem_theil_sen(sf_dir):
+    """Theil-Sen robust slope of extendedprice (cents) on quantity over
+    a deterministic md5 row sample — the outlier-proof complement to
+    the OLS fit (median of pairwise slopes; breakdown point 29%).
+
+    Exact integer contract shared with the SQL replay: the sample
+    keeps rows whose md5-derived uint64 of (orderkey*10+linenumber)
+    is ≡ 0 mod ``greatest(1024, n//THEILSEN_TARGET)`` (the mod scales
+    with the table so the sample stays ~constant at ANY corpus size);
+    slope_micro = trunc((cents_j - cents_i) * 1e6 / (q_j - q_i))
+    (DuckDB ``//`` truncates — mirrored via trunc_div since slopes may
+    be negative); the reported median is the LOWER median (row
+    (n_pairs-1)//2 of the sorted slopes) so no float/interp convention
+    can drift. The sampled point set is ~THEILSEN_TARGET rows by
+    construction, so the pair matrix is driver-bounded; the corpus
+    pass itself is one distributed filtered scan."""
+    import hashlib
+
+    n = _nrows(sf_dir, "lineitem")
+    mod = max(1024, n // THEILSEN_TARGET)
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice"], rows_per_block=32768)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"q": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64"),
+                                 "key": pd.Series([], dtype="int64")})
+        key = (df["l_orderkey"].to_numpy(np.int64) * 10
+               + df["l_linenumber"].to_numpy(np.int64))
+        h = np.fromiter(
+            (int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
+             for k in key), np.uint64, len(key))
+        m = (h % np.uint64(mod)) == 0
+        # DuckDB round() is half-AWAY-from-zero; np.rint is banker's
+        # — mirror with floor(x + 0.5) (all values non-negative)
+        return pd.DataFrame({
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64)[m]
+                          + 0.5).astype(np.int64),
+            "cents": np.floor(df["l_extendedprice"]
+                              .to_numpy(np.float64)[m] * 100 + 0.5)
+                 .astype(np.int64),
+            "key": key[m]})
+
+    # the synthetic data can repeat (orderkey, linenumber): pair by
+    # rank over the FULL deterministic sort (key, q, cents) — matches
+    # the SQL row_number() pairing exactly even under key collisions
+    pts = (ds.map_batches(keep, batch_format="pandas").to_pandas()
+           .sort_values(["key", "q", "cents"], ignore_index=True))
+    q = pts["q"].to_numpy(np.int64)
+    c = pts["cents"].to_numpy(np.int64)
+    m_ = len(pts)
+    assert m_ <= 8 * THEILSEN_TARGET, "sample mod mis-sized"
+    dq = q[None, :] - q[:, None]
+    dc = c[None, :] - c[:, None]
+    iu = np.triu_indices(m_, k=1)
+    dq, dc = dq[iu], dc[iu]
+    sel = dq != 0
+    dq, dc = dq[sel], dc[sel]
+    num = dc * 1_000_000
+    slopes = np.where(np.sign(num) * np.sign(dq) >= 0,
+                      abs(num) // abs(dq),
+                      -(abs(num) // abs(dq)))      # trunc toward zero
+    slopes = np.sort(slopes)
+    n_pairs = len(slopes)
+    med = int(slopes[(n_pairs - 1) // 2]) if n_pairs else 0
+    return pd.DataFrame({
+        "n_points": pd.Series([m_], dtype=np.int64),
+        "n_pairs": pd.Series([n_pairs], dtype=np.int64),
+        "median_slope_micro": pd.Series([med], dtype=np.int64)})
+
+
+SQL_LINEITEM_THEIL_SEN = f"""
+WITH md AS (SELECT greatest(1024,
+                 (SELECT count(*) FROM lineitem) // {THEILSEN_TARGET})
+                 AS m),
+pts AS (
+  SELECT (l_orderkey * 10 + l_linenumber)::BIGINT AS key,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem, md
+  WHERE ('0x' || substr(md5((l_orderkey * 10
+                             + l_linenumber)::VARCHAR), 1, 16))::UBIGINT
+        % md.m = 0),
+rk AS (SELECT *, row_number() OVER (ORDER BY key, q, cents) AS rn
+       FROM pts),
+pr AS (
+  SELECT (b.cents - a.cents)::HUGEINT * 1000000
+           // (b.q - a.q)::HUGEINT AS slope
+  FROM rk a JOIN rk b ON a.rn < b.rn AND a.q <> b.q),
+n AS (SELECT count(*)::BIGINT AS n_pairs FROM pr)
+SELECT (SELECT count(*) FROM pts)::BIGINT AS n_points,
+       n.n_pairs,
+       coalesce((SELECT slope::BIGINT FROM pr ORDER BY slope
+                 LIMIT 1 OFFSET ((SELECT n_pairs FROM n) - 1) // 2),
+                0)::BIGINT AS median_slope_micro
+FROM n
+"""
+
+
+CRAMER_MOD = 4   # props.k cohort arms
+
+
+def events_cramers_v_props(sf_dir):
+    """Cramér's V association between event_type and a cohort parsed
+    out of the semi-structured ``props`` JSON column (k % CRAMER_MOD) —
+    effect size for the chi-square family (V = sqrt(chi2 / (N·k)),
+    k = min(r,c)−1), plus the JSON-extraction operator the engine
+    needed (regexp pull of ``$.k``, vectorized; DuckDB side uses the
+    byte-identical regexp). Integer contract: chi2 quantizes per cell
+    to the 1e-6 grid exactly like events_chi_square_cohorts, and
+    v_micro = isqrt(chi2_micro·1e6 // (N·k)) with the verified
+    HUGEINT isqrt expression. Counts reduce map-side; the contingency
+    grid is |types|×|arms| — driver-bounded."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type", "props"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "arm": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        k = (df["props"].astype(str)
+             .str.extract(r'"k":\s*(-?\d+)', expand=False)
+             .astype("int64"))
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "arm": (k % CRAMER_MOD).to_numpy(np.int64)})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "arm"], as_index=False).sum()
+
+    cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["event_type", "arm"], as_index=False)["n"].sum())
+    types = sorted(cnt["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(CRAMER_MOD)],
+        names=["event_type", "arm"]).to_frame(index=False)
+    g = grid.merge(cnt, how="left").fillna({"n": 0})
+    g["n"] = g["n"].astype(np.int64)
+    rt = g.groupby("event_type")["n"].sum().to_dict()
+    ct = g.groupby("arm")["n"].sum().to_dict()
+    big_n = int(g["n"].sum())
+    chi2_micro = 0
+    for _, r in g.iterrows():
+        e_raw = (rt[r["event_type"]] * ct[r["arm"]]) / big_n
+        chi2_micro += int(math.floor(
+            (r["n"] - e_raw) ** 2 / e_raw * 1_000_000 + 0.5))
+    kmin = min(len(types), CRAMER_MOD) - 1
+    v_micro = math.isqrt(chi2_micro * 1_000_000 // (big_n * kmin))
+    return pd.DataFrame({
+        "n": pd.Series([big_n], dtype=np.int64),
+        "dof": pd.Series([(len(types) - 1) * (CRAMER_MOD - 1)],
+                         dtype=np.int64),
+        "chi2_micro": pd.Series([chi2_micro], dtype=np.int64),
+        "v_micro": pd.Series([v_micro], dtype=np.int64)})
+
+
+SQL_EVENTS_CRAMERS_V = f"""
+WITH b AS (SELECT event_type,
+                  (regexp_extract(props, '"k":\\s*(-?\\d+)', 1)::BIGINT)
+                  % {CRAMER_MOD} AS arm
+           FROM events),
+c AS (SELECT event_type, arm, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM b),
+ar AS (SELECT unnest(range({CRAMER_MOD}))::BIGINT AS arm),
+g AS (SELECT ty.event_type, ar.arm, coalesce(c.n, 0)::BIGINT AS n
+      FROM ty CROSS JOIN ar
+      LEFT JOIN c ON c.event_type = ty.event_type AND c.arm = ar.arm),
+rt AS (SELECT event_type, sum(n)::BIGINT AS rt FROM g GROUP BY 1),
+ct AS (SELECT arm, sum(n)::BIGINT AS ct FROM g GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS bign FROM g),
+f AS (SELECT CAST(floor((g.n - (rt.rt * ct.ct)::DOUBLE / t.bign)
+                        * (g.n - (rt.rt * ct.ct)::DOUBLE / t.bign)
+                        / ((rt.rt * ct.ct)::DOUBLE / t.bign)
+                        * 1000000 + 0.5) AS BIGINT) AS cm
+      FROM g JOIN rt USING (event_type) JOIN ct USING (arm), t),
+s AS (SELECT (SELECT sum(cm) FROM f)::HUGEINT AS chi2_micro,
+             (SELECT bign FROM t)::HUGEINT AS bign,
+             (least((SELECT count(*) FROM ty), {CRAMER_MOD})
+              - 1)::HUGEINT AS kmin),
+r AS (SELECT chi2_micro, bign, kmin,
+             chi2_micro * 1000000 // (bign * kmin) AS x,
+             CAST(floor(sqrt((chi2_micro * 1000000
+                              // (bign * kmin))::DOUBLE)) AS HUGEINT)
+                 AS s0
+      FROM s)
+SELECT bign::BIGINT AS n,
+       (((SELECT count(*) FROM ty) - 1) * {CRAMER_MOD - 1})::BIGINT
+           AS dof,
+       chi2_micro::BIGINT AS chi2_micro,
+       (s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+           - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END))::BIGINT
+           AS v_micro
+FROM r
+"""
+
+
+def nation_order_hhi(sf_dir):
+    """Herfindahl-Hirschman concentration of order revenue across the
+    customers of each nation — the market-concentration audit (HHI in
+    parts-per-million of the squared-share sum). Exact integers both
+    sides: per-customer cents = Σ round(o_totalprice·100); per nation
+    hhi_ppm = Σ (cents_i·1e6 // S)² // 1e6 (double floor division
+    mirrored; all quantities non-negative so // floors identically).
+
+    Scale shape: per-customer totals via ONE bucketed aggregate WITH
+    the map-side partial combiner (a hot customer pre-reduces to one
+    row per block before the shuffle), one bucketed customer→nation
+    join, then a per-nation fold whose input is |customers| rows."""
+    from ..functions.relational import hash_bucket_aggregate, shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=32768)
+
+    def cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "cents": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+        return out.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    def cents_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False)["cents"].sum()
+        return out.astype({"o_custkey": np.int64, "cents": np.int64})
+
+    n_cust = _nrows(sf_dir, "customer")
+    per_cust = hash_bucket_aggregate(
+        orders, ["o_custkey"], cents_fold, rows_hint=n_cust,
+        partial=cents_partial)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = shuffle_join(per_cust, cust, "o_custkey", "c_custkey",
+                          ["cents"], ["c_nationkey"],
+                          rows_hint=n_cust)
+
+    def hhi_fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, gg in g.groupby("c_nationkey"):
+            cents = gg["cents"].to_numpy(np.int64)
+            s = int(cents.sum())
+            shares = cents * 1_000_000 // s
+            rows.append((int(nk), len(cents), s,
+                         int((shares * shares).sum() // 1_000_000)))
+        return pd.DataFrame(rows, columns=[
+            "nationkey", "n_customers", "total_cents", "hhi_ppm"]) \
+            .astype(np.int64)
+
+    out = hash_bucket_aggregate(joined, ["c_nationkey"], hhi_fold,
+                                rows_hint=25).to_pandas()
+    return out.sort_values("nationkey", ignore_index=True)
+
+
+SQL_NATION_ORDER_HHI = """
+WITH pc AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             ::BIGINT AS cents
+  FROM orders GROUP BY o_custkey),
+j AS (SELECT c.c_nationkey AS nationkey, pc.cents
+      FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+s AS (SELECT nationkey, count(*)::BIGINT AS n_customers,
+             sum(cents)::BIGINT AS total_cents
+      FROM j GROUP BY nationkey),
+sh AS (SELECT j.nationkey,
+              (j.cents::HUGEINT * 1000000 // s.total_cents) AS share
+       FROM j JOIN s USING (nationkey))
+SELECT s.nationkey::BIGINT AS nationkey, s.n_customers, s.total_cents,
+       (sum(sh.share * sh.share) // 1000000)::BIGINT AS hhi_ppm
+FROM sh JOIN s USING (nationkey)
+GROUP BY s.nationkey, s.n_customers, s.total_cents
+ORDER BY s.nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17372,6 +17756,10 @@ QUERIES = {
     "events_shapley_attribution": events_shapley_attribution,
     "events_sequence_patterns": events_sequence_patterns,
     "orders_wasserstein_by_nation": orders_wasserstein_by_nation,
+    "docs_boilerplate_shingles": docs_boilerplate_shingles,
+    "lineitem_theil_sen": lineitem_theil_sen,
+    "events_cramers_v_props": events_cramers_v_props,
+    "nation_order_hhi": nation_order_hhi,
 }
 
 # The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()
@@ -17665,6 +18053,10 @@ ORACLES = {
     "events_shapley_attribution": _sql_shapley(),
     "events_sequence_patterns": SQL_EVENTS_SEQUENCE_PATTERNS,
     "orders_wasserstein_by_nation": SQL_ORDERS_WASSERSTEIN,
+    "docs_boilerplate_shingles": SQL_DOCS_BOILERPLATE,
+    "lineitem_theil_sen": SQL_LINEITEM_THEIL_SEN,
+    "events_cramers_v_props": SQL_EVENTS_CRAMERS_V,
+    "nation_order_hhi": SQL_NATION_ORDER_HHI,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
