@@ -3056,3 +3056,167 @@ def rich_club(edges_ds, ks=RICH_CLUB_KS, *,
                      "e_k": np.int64(e_k),
                      "phi_micro": np.int64(phi)})
     return pd.DataFrame(rows)
+
+
+#: personalized-PageRank fixed-point scale and damping (85/100)
+PPR_SCALE = 10 ** 12
+PPR_NUM, PPR_DEN = 85, 100
+
+
+def multi_source_ppr(edges_ds, seeds, iters: int = 3,
+                     rows_hint: int | None = None,
+                     local_edges_gate: int = PAGERANK_LOCAL_EDGES):
+    """Personalized PageRank from each landmark seed — one rank VECTOR
+    per source (random walk with restart; Jeh-Widom 2003 / Tong et al.
+    RWR), the similarity kernel behind KG entity-relatedness and
+    local-community queries. Distinct from :func:`pagerank`'s seed-SET
+    teleport (TrustRank): here every seed keeps its own diffusion.
+
+    Integer contract (bit-identical across the local replay, the
+    distributed path and an unrolled-CTE SQL replay — same argument as
+    ``pagerank``):
+
+        pi_0(s, v)   = SCALE if v == s else 0
+        contrib(u→v) = pi_t(s, u) * NUM // (DEN * deg(u))
+        pi_{t+1}(s,v)= (v == s ? SCALE*(DEN-NUM)//DEN : 0) + Σ contrib
+
+    over the symmetrized adjacency (deg = undirected degree). State is
+    |seeds| × reach rows keyed (src, entity); per round ONE bucketed
+    join of the rank table onto the adjacency plus one bucketed sum —
+    the landmark-sampled shape that stays linear at scale. Below the
+    edge gate the identical arithmetic runs as 64-source numpy chunks
+    (edge-sorted reduceat, the ``_brandes_chunk`` pattern).
+
+    Returns a Dataset (src, entity, pi) with pi in SCALE units,
+    zero rows omitted.
+    """
+    import ray.data as rd
+
+    from .relational import compute_n_buckets, shuffle_join
+
+    seed_list = sorted(set(int(s) for s in seeds))
+    adj = _sym_adj(edges_ds).materialize()
+    n_adj = adj.count()
+
+    if n_adj <= local_edges_gate or not seed_list:
+        apd = adj.to_pandas()
+        return rd.from_pandas(
+            _ppr_local_vec(apd, seed_list, iters))
+
+    n_parts = max(2, compute_n_buckets(rows_hint or n_adj))
+
+    def compact(ds):
+        ds = ds.materialize()
+        if ds.num_blocks() > n_parts:
+            ds = ds.repartition(n_parts).materialize()
+        return ds
+
+    adj = compact(adj)
+    deg = _degree_table(adj, rows_hint=rows_hint)
+    adj_deg = compact(shuffle_join(adj, deg, "u", "v", ["v"], ["d"],
+                                   n_buckets=n_parts))
+    # adj_deg: (u, v, d) with d = deg(u)
+
+    seeds_arr = np.asarray(seed_list, np.int64)
+    base = np.int64(PPR_SCALE * (PPR_DEN - PPR_NUM) // PPR_DEN)
+    tele = pd.DataFrame({"src": seeds_arr, "entity": seeds_arr,
+                         "pi": np.full(len(seeds_arr), base, np.int64)})
+    pi_schema = pa.schema([("src", pa.int64()), ("entity", pa.int64()),
+                           ("pi", pa.int64())])
+
+    def conform(ds):
+        def fix(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pi_schema.empty_table()
+            return t.select(pi_schema.names).cast(pi_schema)
+        return ds.map_batches(fix, batch_format="pyarrow")
+
+    state = compact(conform(rd.from_pandas(pd.DataFrame({
+        "src": seeds_arr, "entity": seeds_arr,
+        "pi": np.full(len(seeds_arr), np.int64(PPR_SCALE))}))))
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="int64"),
+                "entity": pd.Series([], dtype="int64"),
+                "pi": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "src": df["src"].astype(np.int64).to_numpy(),
+            "entity": df["v"].astype(np.int64).to_numpy(),
+            "pi": (df["pi"].astype(np.int64).to_numpy() * PPR_NUM
+                   // (PPR_DEN * df["d"].astype(np.int64).to_numpy()))})
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src", "entity"], as_index=False)["pi"].sum()
+        return out.astype({"src": np.int64, "entity": np.int64,
+                           "pi": np.int64})
+
+    tele_ds = conform(rd.from_pandas(tele))
+    for _ in range(iters):
+        joined = shuffle_join(adj_deg, state, "u", "entity",
+                              ["v", "d"], ["pi", "src"],
+                              n_buckets=n_parts)
+        contrib = joined.map_batches(relax, batch_format="pandas")
+        state = compact(conform(hash_bucket_aggregate(
+            contrib.union(tele_ds), ["src", "entity"], sum_bucket,
+            n_buckets=n_parts)))
+
+    def drop_zero(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("pi"), 0))
+
+    return state.map_batches(drop_zero, batch_format="pyarrow")
+
+
+def _ppr_local_vec(apd: pd.DataFrame, seed_list: list[int],
+                   iters: int) -> pd.DataFrame:
+    """Single-node PPR replay: 64-source chunks, edge-sorted reduceat
+    accumulation — identical int64 arithmetic to the distributed path
+    (sum order-independent, floor division exact)."""
+    if not seed_list:
+        return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                             "entity": pd.Series([], dtype="int64"),
+                             "pi": pd.Series([], dtype="int64")})
+    u = (apd["u"].to_numpy(np.int64) if len(apd)
+         else np.array([], np.int64))
+    v = (apd["v"].to_numpy(np.int64) if len(apd)
+         else np.array([], np.int64))
+    seeds_arr = np.asarray(seed_list, np.int64)
+    ents = np.unique(np.concatenate([u, v, seeds_arr]))
+    nV = len(ents)
+    ui = np.searchsorted(ents, u)
+    vi = np.searchsorted(ents, v)
+    si = np.searchsorted(ents, seeds_arr)
+    deg = np.bincount(ui, minlength=nV).astype(np.int64)
+    degc = np.maximum(deg, 1)          # isolated seeds never divide
+    pv = np.argsort(vi, kind="stable")
+    ui_s, vi_s = ui[pv], vi[pv]
+    starts = (np.flatnonzero(np.r_[True, vi_s[1:] != vi_s[:-1]])
+              if len(vi_s) else np.array([], np.int64))
+    vrows = vi_s[starts] if len(vi_s) else np.array([], np.int64)
+    base = np.int64(PPR_SCALE * (PPR_DEN - PPR_NUM) // PPR_DEN)
+
+    frames = []
+    for c0 in range(0, len(seeds_arr), 64):
+        chunk = np.arange(c0, min(c0 + 64, len(seeds_arr)))
+        width = len(chunk)
+        sic = si[chunk]
+        pi = np.zeros((nV, width), np.int64)
+        pi[sic, np.arange(width)] = PPR_SCALE
+        for _ in range(iters):
+            nxt = np.zeros((nV, width), np.int64)
+            nxt[sic, np.arange(width)] = base
+            if len(starts):
+                contrib = (pi[ui_s] * PPR_NUM
+                           // (PPR_DEN * degc[ui_s][:, None]))
+                sums = np.add.reduceat(contrib, starts, axis=0)
+                nxt[vrows] += sums
+            pi = nxt
+        rows, cols = np.nonzero(pi > 0)
+        frames.append(pd.DataFrame({
+            "src": seeds_arr[chunk[cols]],
+            "entity": ents[rows],
+            "pi": pi[rows, cols]}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"src": np.int64, "entity": np.int64,
+                       "pi": np.int64})

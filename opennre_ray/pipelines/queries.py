@@ -17433,6 +17433,160 @@ ORDER BY s.nationkey
 """
 
 
+PPR_SEED_MOD = 100    # landmark sources for personalized PageRank
+PPR_ITERS = 3
+
+
+def graph_ppr_parts(sf_dir):
+    """Personalized PageRank (random walk with restart) from landmark
+    part seeds over the sampled co-purchase graph — per-seed entity
+    relatedness, the kernel behind local-community / related-item
+    queries (distinct from the TrustRank seed-SET teleport the engine
+    already has). Exact integer diffusion (graph.multi_source_ppr —
+    SCALE 1e12, 85/100 damping, floor division everywhere) so the
+    unrolled-CTE SQL replay is value-identical. Reported compactly per
+    source: reach, total mass, and the top related entity (max pi
+    excluding self, ties toward the smaller entity id)."""
+    from ..functions.graph import build_copurchase_edges, multi_source_ppr
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=32768)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+
+    n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
+    edges = build_copurchase_edges(
+        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+    seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy(zero_copy_only=False)
+            % PPR_SEED_MOD == 0)),
+        batch_format="pyarrow").to_pandas()["p_partkey"].tolist()
+    pi = multi_source_ppr(edges, seeds, iters=PPR_ITERS,
+                          rows_hint=4 * n).to_pandas()
+    rows = []
+    for src, g in pi.groupby("src"):
+        nz = g[g["pi"] > 0]
+        others = (nz[nz["entity"] != src]
+                  .sort_values(["pi", "entity"],
+                               ascending=[False, True]))
+        top_e = int(others.iloc[0]["entity"]) if len(others) else -1
+        top_pi = int(others.iloc[0]["pi"]) if len(others) else 0
+        rows.append((int(src), len(nz), int(nz["pi"].sum()),
+                     top_e, top_pi))
+    return pd.DataFrame(rows, columns=[
+        "src", "n_reached", "sum_pi", "top_entity", "top_pi"]) \
+        .astype(np.int64).sort_values("src", ignore_index=True)
+
+
+def _sql_ppr() -> str:
+    from ..functions.graph import PPR_DEN, PPR_NUM, PPR_SCALE
+    base = PPR_SCALE * (PPR_DEN - PPR_NUM) // PPR_DEN
+    parts = [f"""
+WITH lp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {LP_VERTEX_MOD} = 0),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+dg AS MATERIALIZED (SELECT u AS v, count(*)::BIGINT AS d
+                    FROM adj GROUP BY u),
+sd AS MATERIALIZED (
+  SELECT p_partkey::BIGINT AS s FROM part
+  WHERE p_partkey % {PPR_SEED_MOD} = 0),
+p0 AS MATERIALIZED (
+  SELECT s AS src, s AS entity, {PPR_SCALE}::BIGINT AS pi FROM sd)"""]
+    for i in range(1, PPR_ITERS + 1):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT src, entity, sum(pi)::BIGINT AS pi FROM (
+    SELECT s AS src, s AS entity, {base}::BIGINT AS pi FROM sd
+    UNION ALL
+    SELECT p.src, adj.v AS entity,
+           (p.pi * {PPR_NUM} // ({PPR_DEN} * dg.d))::BIGINT AS pi
+    FROM adj JOIN p{i - 1} p ON adj.u = p.entity
+             JOIN dg ON dg.v = adj.u
+  ) GROUP BY src, entity)""")
+    parts.append(f""",
+last AS MATERIALIZED (SELECT * FROM p{PPR_ITERS} WHERE pi > 0),
+tot AS (SELECT src, count(*)::BIGINT AS n_reached,
+               sum(pi)::BIGINT AS sum_pi FROM last GROUP BY src),
+tp AS (SELECT src, entity, pi,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY pi DESC, entity) AS rn
+       FROM last WHERE entity <> src)
+SELECT t.src::BIGINT AS src, t.n_reached, t.sum_pi,
+       coalesce(tp.entity, -1)::BIGINT AS top_entity,
+       coalesce(tp.pi, 0)::BIGINT AS top_pi
+FROM tot t LEFT JOIN tp ON tp.src = t.src AND tp.rn = 1
+ORDER BY t.src""")
+    return "".join(parts)
+
+
+DECAY_CAP_DAYS = 20
+#: 0.9^d in micro-units, exact integers (d = days before the corpus max)
+DECAY_W = tuple((10 ** 6 * 9 ** d) // 10 ** d
+                for d in range(DECAY_CAP_DAYS + 1))
+
+
+def events_decayed_counts(sf_dir):
+    """Exponentially time-decayed event counts per type (half-life-style
+    freshness weighting, 0.9/day, capped at ``DECAY_CAP_DAYS``) — the
+    recency-weighted activity metric a feature store serves instead of
+    raw counts. Exact integers: weight(d) = (1e6·9^d) // 10^d is
+    precomputed as literals on BOTH sides, d = days between the event
+    date and the corpus max date (capped), decayed_micro = Σ w(d).
+    Scale shape: one max-date pass, then map-side (event_type, d) count
+    partials (≤ types × 21 rows per block) and a driver fold."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"],
+               rows_per_block=32768)
+    mx = ds.max("ts")
+    mx_day = pd.Timestamp(mx).normalize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "d": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        days = ((mx_day - pd.to_datetime(df["ts"]).dt.normalize())
+                .dt.days.to_numpy(np.int64))
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "d": np.minimum(days, DECAY_CAP_DAYS)})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "d"], as_index=False).sum()
+
+    cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["event_type", "d"], as_index=False)["n"].sum())
+    w = np.asarray(DECAY_W, np.int64)
+    cnt["dec"] = cnt["n"].to_numpy(np.int64) * w[cnt["d"].to_numpy(np.int64)]
+    out = cnt.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), decayed_micro=("dec", "sum"))
+    return (out.astype({"n": np.int64, "decayed_micro": np.int64})
+            .sort_values("event_type", ignore_index=True))
+
+
+def _sql_decayed() -> str:
+    vals = ", ".join(f"({d}, {w})" for d, w in enumerate(DECAY_W))
+    return f"""
+WITH mx AS (SELECT max(ts::DATE) AS m FROM events),
+w(d, wm) AS (VALUES {vals}),
+e AS (SELECT event_type,
+             least(date_diff('day', ts::DATE, mx.m),
+                   {DECAY_CAP_DAYS})::BIGINT AS d
+      FROM events, mx)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(w.wm)::BIGINT AS decayed_micro
+FROM e JOIN w USING (d)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17760,6 +17914,8 @@ QUERIES = {
     "lineitem_theil_sen": lineitem_theil_sen,
     "events_cramers_v_props": events_cramers_v_props,
     "nation_order_hhi": nation_order_hhi,
+    "graph_ppr_parts": graph_ppr_parts,
+    "events_decayed_counts": events_decayed_counts,
 }
 
 # The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()
@@ -18057,6 +18213,8 @@ ORACLES = {
     "lineitem_theil_sen": SQL_LINEITEM_THEIL_SEN,
     "events_cramers_v_props": SQL_EVENTS_CRAMERS_V,
     "nation_order_hhi": SQL_NATION_ORDER_HHI,
+    "graph_ppr_parts": _sql_ppr(),
+    "events_decayed_counts": _sql_decayed(),
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate

@@ -961,3 +961,43 @@ def test_betweenness_distributed_parity(ray_session):
     lo = local.sort_values("entity", ignore_index=True)
     hi = dist.sort_values("entity", ignore_index=True)[lo.columns]
     pd.testing.assert_frame_equal(lo, hi)
+
+
+def test_multi_source_ppr_hand(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import (PPR_DEN, PPR_NUM, PPR_SCALE,
+                                             multi_source_ppr)
+
+    # star: 1-2, 1-3 (deg 1=2, deg 2=deg 3=1)
+    edges = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+    out = multi_source_ppr(rd.from_pandas(edges), [1],
+                           iters=1).to_pandas()
+    got = {(int(r.src), int(r.entity)): int(r.pi)
+           for r in out.itertuples(index=False)}
+    base = PPR_SCALE * (PPR_DEN - PPR_NUM) // PPR_DEN
+    contrib = PPR_SCALE * PPR_NUM // (PPR_DEN * 2)
+    assert got[(1, 1)] == base
+    assert got[(1, 2)] == contrib and got[(1, 3)] == contrib
+
+
+def test_multi_source_ppr_distributed_parity(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.functions.graph import multi_source_ppr
+
+    rng = np.random.RandomState(23)
+    seen = set()
+    for a, b in rng.randint(0, 120, size=(380, 2)):
+        if a != b:
+            seen.add((int(min(a, b)), int(max(a, b))))
+    df = pd.DataFrame(sorted(seen), columns=["a", "b"])
+    seeds = [0, 5, 64, 70, 119]
+    kw = dict(iters=3, rows_hint=len(df) * 4)
+    local = multi_source_ppr(rd.from_pandas(df), seeds, **kw).to_pandas()
+    dist = multi_source_ppr(rd.from_pandas(df).repartition(4), seeds,
+                            local_edges_gate=0, **kw).to_pandas()
+    key = ["src", "entity"]
+    lo = local.sort_values(key, ignore_index=True)
+    hi = dist.sort_values(key, ignore_index=True)[lo.columns]
+    pd.testing.assert_frame_equal(lo, hi)
