@@ -392,6 +392,15 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
           lambda: Q.events_sequence_patterns(sf_dir))
     timed("orders_wasserstein_by_nation",
           lambda: Q.orders_wasserstein_by_nation(sf_dir))
+    timed("docs_boilerplate_shingles",
+          lambda: Q.docs_boilerplate_shingles(sf_dir))
+    timed("lineitem_theil_sen", lambda: Q.lineitem_theil_sen(sf_dir))
+    timed("events_cramers_v_props",
+          lambda: Q.events_cramers_v_props(sf_dir))
+    timed("nation_order_hhi", lambda: Q.nation_order_hhi(sf_dir))
+    timed("graph_ppr_parts", lambda: Q.graph_ppr_parts(sf_dir))
+    timed("events_decayed_counts",
+          lambda: Q.events_decayed_counts(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

@@ -3644,7 +3644,7 @@ def kg_snowball_patterns(sf_dir):
 # object refs, and the dict is bounded FIFO.
 
 _STAGE_CACHE: dict = {}
-_STAGE_CACHE_MAX = 8
+_STAGE_CACHE_MAX = 24
 
 
 def _stage_cached(sf_dir, tag, build):
@@ -3722,6 +3722,33 @@ def _triples_cached(sf_dir, model_name=None, threshold=None):
         return finalize_triples(inst, canonicalize=True)
 
     return _stage_cached(sf_dir, f"triples:{model}:{thr}", build)
+
+
+def _copurchase_edges(sf_dir, vertex_mod=None, distinct=True):
+    """Cached part co-purchase edge table (parts sharing an order),
+    keyed by (vertex-sample mod, distinct): every graph_*_parts query
+    starts from one of a handful of these tables, and the build
+    (per-order pair expansion in the order's hash bucket + optional
+    distinct exchange) was re-run per query (~1.5-3 s each at sf0.1).
+    Cache miss = compute, so each query stays standalone."""
+    from ..functions.graph import build_copurchase_edges
+
+    def build():
+        ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                   rows_per_block=32768)
+        if vertex_mod:
+            def sample(batch: pa.Table) -> pa.Table:
+                pk = batch.column("l_partkey").to_numpy(
+                    zero_copy_only=False)
+                return batch.filter(pa.array(pk % vertex_mod == 0))
+
+            ds = ds.map_batches(sample, batch_format="pyarrow")
+        n = _nrows(sf_dir, "lineitem") // (vertex_mod or 1)
+        return build_copurchase_edges(ds, rows_hint=4 * n,
+                                      distinct=distinct)
+
+    return _stage_cached(sf_dir, f"coedges:{vertex_mod}:{distinct}",
+                         build)
 
 
 def _predicted_triples(sf_dir):
@@ -6073,14 +6100,12 @@ def graph_triangles_parts(sf_dir):
     an order). Edge build = per-order pair expansion in the order's hash
     bucket + one distinct; count = wedge join on the middle vertex + a
     bucketed semi-join closure. Output is two scalars."""
-    from ..functions.graph import build_copurchase_edges, triangle_count
+    from ..functions.graph import triangle_count
 
     # coarse blocks: cheap vectorized stages + bucketed shuffles (same
     # fixed-cost-per-block finding as graph_link_prediction_parts)
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
     n = _nrows(sf_dir, "lineitem")
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir)
     return triangle_count(edges, rows_hint=8 * n)
 
 
@@ -6112,18 +6137,10 @@ def graph_clustering_parts(sf_dir):
     triangle-free vertices report 0. Runs on the same deterministic
     partkey-mod vertex sample as link prediction (wedge volume is
     sum(deg²)); the oracle replays the filter."""
-    from ..functions.graph import build_copurchase_edges, local_clustering
+    from ..functions.graph import local_clustering
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % AA_VERTEX_MOD == 0))
-
-    ds = ds.map_batches(sample, batch_format="pyarrow")
     n = _nrows(sf_dir, "lineitem") // AA_VERTEX_MOD
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, AA_VERTEX_MOD)
     out = local_clustering(edges, rows_hint=8 * n).to_pandas()
     return out.sort_values("entity").reset_index(drop=True)
 
@@ -6161,12 +6178,10 @@ def graph_assortativity_parts(sf_dir):
     cross term is one bucketed deg-onto-adjacency join + neighbor-sum.
     Exact-integer moments → one float division, 12-dp rounded,
     bit-matching the HUGEINT SQL replay."""
-    from ..functions.graph import assortativity, build_copurchase_edges
+    from ..functions.graph import assortativity
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
     n = _nrows(sf_dir, "lineitem")
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir)
     return assortativity(edges, rows_hint=8 * n)
 
 
@@ -6197,23 +6212,15 @@ def graph_link_prediction_parts(sf_dir):
     order). The structural KG-completion baseline next to the TransE
     embedding path. Runs on a deterministic partkey-mod vertex sample
     (see AA_VERTEX_MOD); the oracle replays the same filter."""
-    from ..functions.graph import adamic_adar, build_copurchase_edges
+    from ..functions.graph import adamic_adar
 
     # coarse blocks: every stage here is a cheap vectorized pass feeding
     # THREE bucketed shuffles — at the 4096 default the sort barriers pay
     # ~150 blocks of fixed cost each (measured 18.1 s vs 2.2 s at 32k)
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % AA_VERTEX_MOD == 0))
-
-    ds = ds.map_batches(sample, batch_format="pyarrow")
     n = _nrows(sf_dir, "lineitem") // AA_VERTEX_MOD
     # distinct=False: adamic_adar dedupes parallel pairs in its own keyed
     # passes, saving the whole (a, b)-distinct exchange
-    edges = build_copurchase_edges(ds, rows_hint=4 * n, distinct=False)
+    edges = _copurchase_edges(sf_dir, AA_VERTEX_MOD, distinct=False)
     return adamic_adar(edges, k=AA_TOPK, rows_hint=8 * n)
 
 
@@ -10332,20 +10339,12 @@ def graph_kcore_parts(sf_dir):
     functions/graph.py::k_core. The oracle replays the peel as a
     round-capped recursive CTE with the SAME bound (both sides raise /
     stop at 64 rounds, reached by neither — measured max 6)."""
-    from ..functions.graph import build_copurchase_edges, k_core
+    from ..functions.graph import k_core
 
     # coarse blocks: cheap vectorized stages + bucketed shuffles (same
     # fixed-cost-per-block finding as graph_link_prediction_parts)
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % KCORE_VERTEX_MOD == 0))
-
-    ds = ds.map_batches(sample, batch_format="pyarrow")
     n = _nrows(sf_dir, "lineitem") // KCORE_VERTEX_MOD
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, KCORE_VERTEX_MOD)
     core = k_core(edges, KCORE_K, rows_hint=4 * n)
     if core.count() == 0:
         # Ray's to_pandas drops columns from all-empty blocks; hand the
@@ -10410,19 +10409,10 @@ def graph_ktruss_parts(sf_dir):
     all-pairs; size-gated local replay below the edge threshold
     (functions/graph.py::k_truss). Output: surviving edges with their
     in-truss support."""
-    from ..functions.graph import build_copurchase_edges, k_truss
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % TRUSS_VERTEX_MOD == 0))
+    from ..functions.graph import k_truss
 
     n = _nrows(sf_dir, "lineitem") // TRUSS_VERTEX_MOD
-    edges = build_copurchase_edges(ds.map_batches(sample,
-                                                  batch_format="pyarrow"),
-                                   rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, TRUSS_VERTEX_MOD)
     out = k_truss(edges, TRUSS_K, rounds=TRUSS_ROUNDS,
                   rows_hint=4 * n).to_pandas()
     if not len(out):
@@ -10477,20 +10467,11 @@ def graph_wl_colors_parts(sf_dir):
     ONE bucketed label⋈adjacency join + ONE node-bucketed sorted-agg
     hash, per-round block compaction; size-gated local replay below
     the edge threshold (functions/graph.py::wl_refinement)."""
-    from ..functions.graph import build_copurchase_edges, wl_refinement
+    from ..functions.graph import wl_refinement
     from ..functions.relational import hash_bucket_aggregate
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % WL_VERTEX_MOD == 0))
-
     n = _nrows(sf_dir, "lineitem") // WL_VERTEX_MOD
-    edges = build_copurchase_edges(ds.map_batches(sample,
-                                                  batch_format="pyarrow"),
-                                   rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, WL_VERTEX_MOD)
     colors = wl_refinement(edges, rounds=WL_ROUNDS, rows_hint=4 * n)
 
     def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -10550,19 +10531,10 @@ def graph_label_propagation_parts(sf_dir):
     oracle (one MATERIALIZED CTE per round). Scale shape: per round one
     bucketed label⋈adjacency join + one bucketed clamp/majority — see
     functions/graph.py::label_propagation."""
-    from ..functions.graph import build_copurchase_edges, label_propagation
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+    from ..functions.graph import label_propagation
 
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(ds.map_batches(sample,
-                                                  batch_format="pyarrow"),
-                                   rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD)
     seeds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
         lambda t: t.filter(pa.array(
             t.column("p_partkey").to_numpy(zero_copy_only=False)
@@ -10586,20 +10558,11 @@ def graph_sssp_parts(sf_dir):
     value-identical to the unrolled-CTE SQL oracle. Scale shape: per
     round one bucketed distance⋈adjacency join + one bucketed min —
     see functions/graph.py::sssp."""
-    from ..functions.graph import build_copurchase_edges, sssp
+    from ..functions.graph import sssp
     from ..functions.relational import hash_bucket_aggregate
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
-
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    pairs = build_copurchase_edges(ds.map_batches(sample,
-                                                  batch_format="pyarrow"),
-                                   rows_hint=4 * n, distinct=False)
+    pairs = _copurchase_edges(sf_dir, LP_VERTEX_MOD, distinct=False)
 
     def weight_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["a", "b"], as_index=False).size()
@@ -10689,21 +10652,12 @@ def graph_modularity_parts(sf_dir):
     (which re-runs the SAME unrolled LP rounds via the shared CTE
     prefix). Driver fold is |communities|^2-bounded (labels are the
     25-brand vocabulary), never edge-bounded."""
-    from ..functions.graph import build_copurchase_edges, label_propagation
+    from ..functions.graph import label_propagation
     from ..functions.relational import shuffle_join
     from ..functions.sqlcompat import sql_round
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
-
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(ds.map_batches(sample,
-                                                  batch_format="pyarrow"),
-                                   rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD)
     seeds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
         lambda t: t.filter(pa.array(
             t.column("p_partkey").to_numpy(zero_copy_only=False)
@@ -13973,13 +13927,10 @@ def graph_avg_neighbor_degree_parts(sf_dir):
     per-vertex neighbor sums (the assortativity head), then map-side
     per-degree-class partials; the class mean is the exact integer
     floor of sum(s_v) / (d * count) on the 1e-6 grid."""
-    from ..functions.graph import (avg_neighbor_degree,
-                                   build_copurchase_edges)
+    from ..functions.graph import avg_neighbor_degree
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
     n = _nrows(sf_dir, "lineitem")
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir)
     return (avg_neighbor_degree(edges, rows_hint=8 * n)
             .sort_values("d").reset_index(drop=True))
 
@@ -14005,12 +13956,10 @@ def graph_rich_club_parts(sf_dir):
     histograms (min-endpoint-degree and degree), so adding thresholds
     costs nothing. phi is the exact integer micro-ratio
     2e6*E_k // (N_k*(N_k-1))."""
-    from ..functions.graph import build_copurchase_edges, rich_club
+    from ..functions.graph import rich_club
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
     n = _nrows(sf_dir, "lineitem")
-    edges = build_copurchase_edges(ds, rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir)
     return rich_club(edges, rows_hint=8 * n)
 
 
@@ -14378,20 +14327,11 @@ def graph_closeness_parts(sf_dir):
     per round), then one bucketed per-entity fold: n_reached = #
     landmarks within 4 hops, harmonic_micro = sum floor(1e6/dist) —
     all-integer, so the unrolled-CTE SQL replay is value-identical."""
-    from ..functions.graph import (build_copurchase_edges,
-                                   multi_source_distances)
+    from ..functions.graph import multi_source_distances
     from ..functions.relational import hash_bucket_aggregate
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
-
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(
-        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD)
 
     def unit_w(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -14874,19 +14814,10 @@ def graph_betweenness_parts(sf_dir):
     result, the size-gated local replay and the unrolled-CTE SQL oracle
     are value-identical — see functions/graph.py::betweenness_landmarks
     for the per-round join shape."""
-    from ..functions.graph import (betweenness_landmarks,
-                                   build_copurchase_edges)
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+    from ..functions.graph import betweenness_landmarks
 
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(
-        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD)
     seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
         lambda t: t.filter(pa.array(
             t.column("p_partkey").to_numpy(zero_copy_only=False)
@@ -15435,20 +15366,10 @@ def graph_diameter_parts(sf_dir):
     pair, round-limited to 6 hops. Each sweep is one single-source run
     of graph.multi_source_distances; argmax ties break toward the
     smaller node id on both engines."""
-    from ..functions.graph import (build_copurchase_edges,
-                                   multi_source_distances)
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+    from ..functions.graph import multi_source_distances
 
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(
-        ds.map_batches(sample, batch_format="pyarrow"),
-        rows_hint=4 * n).materialize()
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD).materialize()
 
     def unit_w(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -16208,18 +16129,10 @@ def graph_squares_parts(sf_dir):
     by (squares desc, entity). Runs on the deterministic partkey-mod
     vertex sample shared with link prediction / clustering (wedge
     volume is sum(deg²)); the oracle replays the filter."""
-    from ..functions.graph import build_copurchase_edges, square_census
+    from ..functions.graph import square_census
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % AA_VERTEX_MOD == 0))
-
-    ds = ds.map_batches(sample, batch_format="pyarrow")
     n = _nrows(sf_dir, "lineitem") // AA_VERTEX_MOD
-    edges = build_copurchase_edges(ds, rows_hint=4 * n, distinct=False)
+    edges = _copurchase_edges(sf_dir, AA_VERTEX_MOD, distinct=False)
     return square_census(edges, k=SQUARES_TOPK, rows_hint=8 * n)
 
 
@@ -17447,18 +17360,10 @@ def graph_ppr_parts(sf_dir):
     unrolled-CTE SQL replay is value-identical. Reported compactly per
     source: reach, total mass, and the top related entity (max pi
     excluding self, ties toward the smaller entity id)."""
-    from ..functions.graph import build_copurchase_edges, multi_source_ppr
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
-               rows_per_block=32768)
-
-    def sample(batch: pa.Table) -> pa.Table:
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(pk % LP_VERTEX_MOD == 0))
+    from ..functions.graph import multi_source_ppr
 
     n = _nrows(sf_dir, "lineitem") // LP_VERTEX_MOD
-    edges = build_copurchase_edges(
-        ds.map_batches(sample, batch_format="pyarrow"), rows_hint=4 * n)
+    edges = _copurchase_edges(sf_dir, LP_VERTEX_MOD)
     seeds = _read(sf_dir, "part", ["p_partkey"]).map_batches(
         lambda t: t.filter(pa.array(
             t.column("p_partkey").to_numpy(zero_copy_only=False)
