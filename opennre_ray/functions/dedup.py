@@ -388,6 +388,39 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
     return sim
 
 
+def _dist_le1(a: str, b: str) -> int | None:
+    """Edit distance if ≤ 1, else None — O(len) scans instead of the
+    full DP (~118 µs → ~3 µs per pair; the max_dist=1 verify is the
+    hot loop of the blocked self-join)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return None
+        return 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return None
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return None
+    return 1
+
+
 def edit_distance_self_join(ds, *, id_col: str, str_col: str,
                             block_fn=None, max_dist: int = 1,
                             rows_hint: int | None = None):
@@ -421,6 +454,11 @@ def edit_distance_self_join(ds, *, id_col: str, str_col: str,
             ss = grp[str_col].tolist()
             for i in range(len(ss)):
                 for j in range(i + 1, len(ss)):
+                    if max_dist == 1:
+                        d = _dist_le1(ss[i], ss[j])
+                        if d is not None:
+                            rows.append((ids[i], ids[j], d))
+                        continue
                     d = levenshtein(ss[i], ss[j], cap=max_dist)
                     if d <= max_dist:
                         rows.append((ids[i], ids[j], d))
@@ -1247,45 +1285,69 @@ def containment_pair_join(docs_ds, threshold: float = 0.5, *,
 
     ex = docs_ds.map_batches(explode, batch_format="pyarrow")
 
-    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # ONE shuffle of the exploded table: a shingle's bucket sees its
+    # full posting list, so df-filter, per-doc capped-size PARTIALS and
+    # per-shingle pair partials all come out of the same bucket pass
+    # (tagged rows: kind 0 = (doc, partial size), kind 1 = (a, b, n)).
+    # The old three-pass shape re-shuffled the 9M-row table twice more.
+    def fused_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64"),
+                              "kind": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
         df = g.groupby("s")["doc_id"].transform("size")
-        out = g[df <= df_cap].copy()
-        out["pairable"] = (df[df <= df_cap] >= 2).to_numpy()
-        return out[["doc_id", "s", "pairable"]]
-
-    kept = hash_bucket_aggregate(ex, ["s"], keep_bucket,
-                                 rows_hint=rows_hint).materialize()
-
-    def size_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("doc_id", as_index=False).size()
-        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
-                             "sz": out["size"].to_numpy(np.int64)})
-
-    sizes = hash_bucket_aggregate(kept, ["doc_id"], size_bucket,
-                                  rows_hint=rows_hint)
-
-    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["pairable"]][["doc_id", "s"]]
-        m = g.merge(g, on="s")
+        kept = g[df <= df_cap]
+        if not len(kept):
+            return empty
+        szp = kept.groupby("doc_id", as_index=False).size()
+        size_rows = pd.DataFrame({
+            "a": szp["doc_id"].to_numpy(np.int64),
+            "b": np.full(len(szp), -1, np.int64),
+            "n": szp["size"].to_numpy(np.int64),
+            "kind": np.zeros(len(szp), np.int64)})
+        pairable = kept[(df[df <= df_cap] >= 2).to_numpy()][
+            ["doc_id", "s"]]
+        m = pairable.merge(pairable, on="s")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if not len(m):
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "n": pd.Series([], dtype="int64")})
-        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
-               .rename(columns={"doc_id_x": "a", "doc_id_y": "b",
-                                "size": "n"}))
-        return out.astype({"a": np.int64, "b": np.int64, "n": np.int64})
+        if len(m):
+            pr = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+                  .size())
+            pair_rows = pd.DataFrame({
+                "a": pr["doc_id_x"].to_numpy(np.int64),
+                "b": pr["doc_id_y"].to_numpy(np.int64),
+                "n": pr["size"].to_numpy(np.int64),
+                "kind": np.ones(len(pr), np.int64)})
+            return pd.concat([size_rows, pair_rows], ignore_index=True)
+        return size_rows
 
-    pairs = hash_bucket_aggregate(kept, ["s"], pair_bucket,
-                                  rows_hint=rows_hint)
+    fused = hash_bucket_aggregate(ex, ["s"], fused_bucket,
+                                  rows_hint=rows_hint).materialize()
+
+    def only(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t.column("kind"), kind)) \
+                    .drop_columns(["kind"])
+        return f
+
+    def size_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("a", as_index=False)["n"].sum()
+        return pd.DataFrame({"doc_id": out["a"].to_numpy(np.int64),
+                             "sz": out["n"].to_numpy(np.int64)})
+
+    sizes = hash_bucket_aggregate(
+        fused.map_batches(only(0), batch_format="pyarrow"), ["a"],
+        size_sum, rows_hint=rows_hint)
 
     def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["a", "b"], as_index=False)["n"].sum()
         return out.astype({"a": np.int64, "b": np.int64, "n": np.int64})
 
-    shared = hash_bucket_aggregate(pairs, ["a", "b"], sum_bucket,
-                                   rows_hint=rows_hint)
+    shared = hash_bucket_aggregate(
+        fused.map_batches(only(1), batch_format="pyarrow"), ["a", "b"],
+        sum_bucket, rows_hint=rows_hint)
 
     def orient(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
