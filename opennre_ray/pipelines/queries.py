@@ -17492,6 +17492,137 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+ZIPF_TOPK = 100
+
+
+def docs_zipf_slope(sf_dir):
+    """Zipf's-law exponent fit over the corpus vocabulary — the log-log
+    OLS slope of frequency on rank for the top ``ZIPF_TOPK`` tokens
+    (tokenizer/corpus-health QA: natural text sits near −1; a slope far
+    off flags template or synthetic inflation). Exact contract shared
+    with SQL: ranks break ties (freq desc, token asc); x = rint(ln r ·
+    1e6), y = rint(ln f · 1e6) quantize ONCE per point (the PSI
+    recipe); slope_micro = trunc((n·Σxy − Σx·Σy) · 1e6 /
+    (n·Σx² − (Σx)²)) with truncation mirrored for the negative slope.
+    Scale shape: ONE counting shuffle with map-side Counter partials;
+    the top-k and the 100-point fit are driver-trivial."""
+    import math
+
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=32768)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    cnt = cnt.sort_values(["cnt", "token"],
+                          ascending=[False, True]).head(ZIPF_TOPK)
+    freqs = cnt["cnt"].to_numpy(np.int64)
+    n = len(freqs)
+    xs = [int(math.floor(math.log(r) * 1_000_000 + 0.5))
+          for r in range(1, n + 1)]
+    ys = [int(math.floor(math.log(int(f)) * 1_000_000 + 0.5))
+          for f in freqs]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num = (n * sxy - sx * sy) * 1_000_000
+    den = n * sxx - sx * sx
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    return pd.DataFrame({
+        "n_points": pd.Series([n], dtype=np.int64),
+        "top_freq": pd.Series([int(freqs[0]) if n else 0],
+                              dtype=np.int64),
+        "slope_micro": pd.Series([trunc_div(num, den) if n > 1 else 0],
+                                 dtype=np.int64)})
+
+
+SQL_DOCS_ZIPF = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+cnt AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+        WHERE token <> '' GROUP BY token),
+top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
+        FROM cnt ORDER BY cnt DESC, token LIMIT {ZIPF_TOPK}),
+pts AS (SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS HUGEINT) AS x,
+               CAST(floor(ln(cnt) * 1000000 + 0.5) AS HUGEINT) AS y
+        FROM top),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts)
+SELECT n::BIGINT AS n_points,
+       (SELECT max(cnt) FROM top)::BIGINT AS top_freq,
+       ((n * sxy - sx * sy) * 1000000
+        // (n * sxx - sx * sx))::BIGINT AS slope_micro
+FROM s
+"""
+
+
+def docs_lang_entropy_by_source(sf_dir):
+    """Shannon entropy of the language mix per source — the
+    language-balance audit of a crawl partition (a source whose entropy
+    collapses got monolingual; one that spikes got contaminated). Each
+    (source, lang) cell quantizes −p·ln p ONCE to the 1e-6 grid
+    (PSI recipe) so the sum is an order-free integer. Map-side
+    (source, lang) count partials; the grid is |sources|×|langs| —
+    driver-bounded."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "lang"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out
+
+    cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby(["source", "lang"], as_index=False)["n"].sum())
+    rows = []
+    for src, g in cnt.groupby("source"):
+        tot = int(g["n"].sum())
+        h = 0
+        for ni in g["n"].to_numpy(np.int64):
+            p = ni / tot
+            h += int(math.floor(-p * math.log(p) * 1_000_000 + 0.5))
+        rows.append((src, tot, len(g), h))
+    return pd.DataFrame(rows, columns=[
+        "source", "n_docs", "n_langs", "entropy_micro"]).astype(
+            {"n_docs": np.int64, "n_langs": np.int64,
+             "entropy_micro": np.int64}).sort_values(
+                 "source", ignore_index=True)
+
+
+SQL_DOCS_LANG_ENTROPY = """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY source, lang),
+t AS (SELECT source, sum(n)::BIGINT AS tot FROM c GROUP BY source),
+e AS (SELECT c.source,
+             CAST(floor(-(c.n::DOUBLE / t.tot)
+                        * ln(c.n::DOUBLE / t.tot)
+                        * 1000000 + 0.5) AS BIGINT) AS h
+      FROM c JOIN t USING (source))
+SELECT c2.source, t.tot AS n_docs, count(*)::BIGINT AS n_langs,
+       (SELECT sum(e.h) FROM e WHERE e.source = c2.source)::BIGINT
+           AS entropy_micro
+FROM c c2 JOIN t USING (source)
+GROUP BY c2.source, t.tot ORDER BY c2.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17821,6 +17952,8 @@ QUERIES = {
     "nation_order_hhi": nation_order_hhi,
     "graph_ppr_parts": graph_ppr_parts,
     "events_decayed_counts": events_decayed_counts,
+    "docs_zipf_slope": docs_zipf_slope,
+    "docs_lang_entropy_by_source": docs_lang_entropy_by_source,
 }
 
 # The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()
@@ -18120,6 +18253,8 @@ ORACLES = {
     "nation_order_hhi": SQL_NATION_ORDER_HHI,
     "graph_ppr_parts": _sql_ppr(),
     "events_decayed_counts": _sql_decayed(),
+    "docs_zipf_slope": SQL_DOCS_ZIPF,
+    "docs_lang_entropy_by_source": SQL_DOCS_LANG_ENTROPY,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
