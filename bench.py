@@ -401,6 +401,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("graph_ppr_parts", lambda: Q.graph_ppr_parts(sf_dir))
     timed("events_decayed_counts",
           lambda: Q.events_decayed_counts(sf_dir))
+    timed("docs_zipf_slope", lambda: Q.docs_zipf_slope(sf_dir))
+    timed("docs_lang_entropy_by_source",
+          lambda: Q.docs_lang_entropy_by_source(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)
