@@ -1317,6 +1317,8 @@ def _brandes_chunk(sh: dict, c0: int) -> tuple[np.ndarray, np.ndarray]:
     sigma = np.zeros((nV, width), np.int64)
     sigma[sic, np.arange(width)] = 1
     for r in range(1, R + 1):
+        if sigma.dtype != object and int(sigma.max()) >= 2 ** 56:
+            sigma = sigma.astype(object)     # path counts near wrap
         aw = nb[r - 1][ui_s] & nb[r][vi_s]
         sel = np.flatnonzero(aw)
         if not len(sel):
@@ -1330,6 +1332,16 @@ def _brandes_chunk(sh: dict, c0: int) -> tuple[np.ndarray, np.ndarray]:
 
     delta = np.zeros((nV, width), np.int64)
     for l in range(R - 1, -1, -1):
+        # int64 headroom guard: sigma·(scale+delta) is exact in the SQL
+        # HUGEINT replay but would WRAP silently in numpy — on a graph
+        # dense enough to threaten 2^62, switch the matrices to Python
+        # ints (object dtype: elementwise ops and reduceat still work,
+        # just slower) for the remaining levels
+        if (sigma.dtype != object
+                and int(sigma.max()) * (scale + int(delta.max()))
+                >= 2 ** 62):
+            sigma = sigma.astype(object)
+            delta = delta.astype(object)
         aw = nb[l][ui_t] & nb[l + 1][vi_t]
         sel = np.flatnonzero(aw)
         if not len(sel):
@@ -1347,6 +1359,11 @@ def _brandes_chunk(sh: dict, c0: int) -> tuple[np.ndarray, np.ndarray]:
 
     bc = delta.sum(axis=1)
     bc[sic] -= delta[sic, np.arange(width)]   # own-source excluded
+    if bc.dtype == object:
+        # back to int64 for the caller's accumulator — OverflowError
+        # (loud) if a per-chunk total genuinely exceeds BIGINT, which
+        # the SQL replay's final ::BIGINT cast would also refuse
+        bc = bc.astype(np.int64)
     nvis = _bits_of(mask, width).sum(axis=1)
     return bc, nvis
 

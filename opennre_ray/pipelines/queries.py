@@ -3184,42 +3184,35 @@ def _triple_stats(triples_ds) -> pd.DataFrame:
 def kg_triples(sf_dir):
     """Flagship KG pipeline. ``score`` is emitted rounded to 6 dp (float64)
     so the full 4-row output is pinnable as a value oracle."""
-    from .kg import extract_triples
     return _round_score_col(_triples_cached(sf_dir))
 
 
 def kg_triples_pcnn(sf_dir):
     """Same KG pipeline with the piecewise-CNN scorer (T2 path)."""
-    from .kg import extract_triples
     return _triples_cached(sf_dir, "wiki80_pcnn_softmax")
 
 
 def kg_triples_bert(sf_dir):
     """Same KG pipeline with the BERT-style scorer (T3 path, wordpiece
     encode + transformer forward in the distributed stage)."""
-    from .kg import extract_triples
     return _triples_cached(sf_dir, "wiki80_bert_softmax", threshold=0.105)
 
 
 def kg_degree_stats(sf_dir):
     """Per-entity in/out-degree over the extracted knowledge graph."""
     from ..functions.graph import degree_stats
-    from .kg import extract_triples
     return degree_stats(_triples_cached(sf_dir))
 
 
 def kg_components(sf_dir):
     """Connected components of the extracted graph (min-label propagation)."""
     from ..functions.graph import connected_components
-    from .kg import extract_triples
     return connected_components(_triples_cached(sf_dir))
 
 
 def fewshot_classify(sf_dir):
     """Few-shot prototypical classification over extracted instances."""
     from ..fewshot import FewShotProto
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
     support = [
         ({"text": "the spark table join was fast",
@@ -3236,15 +3229,12 @@ def fewshot_classify(sf_dir):
 
 def sentence_relation_scores(sf_dir):
     """Per-instance scored candidates (pre-aggregation KG stream)."""
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
     return _scored_candidates(sf_dir).select_columns(
         ["url", "sent_idx", "h_id", "t_id", "pred_rel", "score", "model_hash"])
 
 
 def encoded_instances(sf_dir):
     """Standalone tokenize/encode operator output (M1 as a stage)."""
-    from ..sources.pages import read_pages
     from ..stages.extract import ExtractText
     from ..stages.ner import mentions_udf
     from ..stages.pairs import generate_pairs
@@ -3261,8 +3251,6 @@ def encoded_instances(sf_dir):
 def bag_relation_scores(sf_dir):
     """Distant-supervision bag pipeline over the extracted instances."""
     from .bag import bag_scores
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
     inst = _pair_instances(sf_dir).select_columns(
         ["text", "h_id", "h_start", "h_end", "t_id", "t_start", "t_end"])
@@ -3363,7 +3351,6 @@ def kg_truth_discovery(sf_dir):
     triple table keyed by (subj, pred); all reported columns are exact
     integers/strings, so the row set pins bit-stably (pins.py)."""
     from ..functions.relational import hash_bucket_aggregate
-    from .kg import extract_triples
 
     triples = _triples_cached(sf_dir)
 
@@ -3405,7 +3392,6 @@ def kg_type_violations(sf_dir):
     |schema|²-bounded, reduced map-side before a tiny driver fold. All
     columns exact ints/strings → full-table pin (pins.py)."""
     from ..fixtures import RELATION_SCHEMA, entity_type_table
-    from .kg import extract_triples
 
     types = entity_type_table()
     schema = dict(RELATION_SCHEMA)
@@ -3561,8 +3547,7 @@ def kg_snowball_patterns(sf_dir):
     import re
 
     from ..functions.relational import hash_bucket_aggregate
-    from .kg import SCORE_THRESHOLD, candidate_instances
-    from ..sources.pages import read_pages
+    from .kg import SCORE_THRESHOLD
 
     inst = _scored_candidates(sf_dir)
     n_hint = max(inst.count(), 1)
@@ -3882,8 +3867,6 @@ def kg_snapshot_diff(sf_dir):
     from ..functions.packing import split_draws
     from ..functions.relational import hash_bucket_aggregate
     from ..functions.rules import _triple_cksum, _CKSUM_MOD
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
     inst = _scored_candidates(sf_dir)
 
@@ -3955,8 +3938,6 @@ def sentence_calibration_bins(sf_dir):
     rows per block before the driver fold. All reported columns are
     exact integers, so the row set pins bit-stably (pins.py)."""
     from ..functions.relational import hash_bucket_aggregate, shuffle_join
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
     inst = _scored_candidates(sf_dir)
     n_hint = max(inst.count(), 1)
@@ -4039,7 +4020,6 @@ def sentence_temperature_scaling(sf_dir):
     argmax + ONE pair-keyed join, and the (T, bin) histogram reduces
     map-side to ≤ 60 rows per block."""
     from ..functions.relational import hash_bucket_aggregate, shuffle_join
-    from ..sources.pages import read_pages
     from ..stages.extract import ExtractText
     from ..stages.ner import mentions_udf
     from ..stages.pairs import generate_pairs
@@ -4161,7 +4141,6 @@ def sentence_conformal_sets(sf_dir):
     quantile + coverage + set size all fold from the ≤ 3·grid-row
     histogram on the driver. Pinned-value oracle (the model is not
     SQL-replayable)."""
-    from ..sources.pages import read_pages
     from ..stages.extract import ExtractText
     from ..stages.ner import mentions_udf
     from ..stages.pairs import generate_pairs
@@ -4235,14 +4214,12 @@ def sentence_conformal_sets(sf_dir):
 def kg_triples_pcnn_stats(sf_dir):
     """Pinned-aggregate companion to kg_triples_pcnn (960+ rows is too
     large for a full-table pin; these six BIGINTs fingerprint it)."""
-    from .kg import extract_triples
     return _triple_stats(_triples_cached(
         sf_dir, "wiki80_pcnn_softmax"))
 
 
 def kg_triples_bert_stats(sf_dir):
     """Pinned-aggregate companion to kg_triples_bert."""
-    from .kg import extract_triples
     return _triple_stats(_triples_cached(
         sf_dir, "wiki80_bert_softmax", threshold=0.105))
 
@@ -4266,7 +4243,6 @@ def sentence_uncertainty_sample(sf_dir):
     the global sort never touches the full instance stream.
     Deterministic total order: (margin, entropy, url, sent_idx, h_id,
     t_id)."""
-    from ..sources.pages import read_pages
     from ..stages.extract import ExtractText
     from ..stages.ner import mentions_udf
     from ..stages.pairs import generate_pairs
@@ -11925,8 +11901,6 @@ def kg_entity_cooccurrence(sf_dir):
     pair table is |E|²-bounded by the gazetteer.
 
     Scale shape: map-side pair/slot partial counts; one tiny fold."""
-    from .kg import candidate_instances
-    from ..sources.pages import read_pages
 
     inst = _pair_instances(sf_dir)
 
@@ -16072,24 +16046,35 @@ def orders_hhi_by_nation(sf_dir):
                               * 100 + 0.5).astype(np.int64)})
 
     def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        # Σc² per nation overflows int64 once per-customer cents reach
+        # ~1e8 at sf0.1 (silent numpy wrap; the SQL side is HUGEINT) —
+        # accumulate in Python ints and ship the partial as hi/lo int64
+        # halves (each < 2^62) across the Arrow boundary
         x = g.groupby(["n_name", "cust"], as_index=False)["cents"].sum()
-        c = x["cents"].to_numpy(np.int64)
-        x = pd.DataFrame({"n_name": x["n_name"], "c": c, "c2": c * c})
-        return (x.groupby("n_name", as_index=False)
-                .agg(n_customers=("c", "size"), revenue_cents=("c", "sum"),
-                     sum_sq=("c2", "sum"))
-                .astype({"n_customers": np.int64,
-                         "revenue_cents": np.int64, "sum_sq": np.int64}))
+        rows = []
+        for nm, gg in x.groupby("n_name"):
+            c = gg["cents"].to_numpy(np.int64)
+            ssq = sum(int(v) * int(v) for v in c)
+            rows.append((nm, len(c), int(c.sum()),
+                         ssq >> 62, ssq & ((1 << 62) - 1)))
+        return pd.DataFrame(rows, columns=[
+            "n_name", "n_customers", "revenue_cents",
+            "ssq_hi", "ssq_lo"]).astype(
+                {"n_customers": np.int64, "revenue_cents": np.int64,
+                 "ssq_hi": np.int64, "ssq_lo": np.int64})
 
     parts = hash_bucket_aggregate(
         joined.map_batches(cents, batch_format="pandas"),
         ["cust"], per_nation,
         rows_hint=_nrows(sf_dir, "orders")).to_pandas()
+    # object sums: Σ over buckets of the lo halves itself passes 2^63
+    for c in ("ssq_hi", "ssq_lo"):
+        parts[c] = parts[c].astype(object)
     agg = parts.groupby("n_name", as_index=False)[
-        ["n_customers", "revenue_cents", "sum_sq"]].sum()
+        ["n_customers", "revenue_cents", "ssq_hi", "ssq_lo"]].sum()
+    sum_sq = agg["ssq_hi"] * (1 << 62) + agg["ssq_lo"]
     s = agg["revenue_cents"].astype(object)
-    hhi = (agg["sum_sq"].astype(object) * 1_000_000 // (s * s)) \
-        .astype(np.int64)
+    hhi = (sum_sq * 1_000_000 // (s * s)).astype(np.int64)
     return (pd.DataFrame({
         "n_name": agg["n_name"],
         "n_customers": agg["n_customers"].astype(np.int64),
@@ -16554,9 +16539,11 @@ def embed_grid_clusters(sf_dir):
             occ[(cx, cy)] += n
     # the (cx+OFF)*ENC+(cy+OFF) cell encoding (and its tuple-order ==
     # numeric-order property) only holds for coords in [-OFF, OFF);
-    # an embedding component ≳ 65536 would silently collide — fail
-    # loudly instead (cheap: the cell table is grid-bounded)
-    if occ and max(max(abs(cx), abs(cy)) for cx, cy in occ) >= GRID_OFF:
+    # out-of-range cells would silently collide — fail loudly instead
+    # (cheap: the cell table is grid-bounded)
+    if occ and any(cx < -GRID_OFF or cx >= GRID_OFF
+                   or cy < -GRID_OFF or cy >= GRID_OFF
+                   for cx, cy in occ):
         raise ValueError("embed_grid_clusters: cell coordinate outside "
                          f"[-{GRID_OFF}, {GRID_OFF}) — embedding scale "
                          "exceeds the grid encoding range")
@@ -17123,7 +17110,10 @@ def lineitem_theil_sen(sf_dir):
     q = pts["q"].to_numpy(np.int64)
     c = pts["cents"].to_numpy(np.int64)
     m_ = len(pts)
-    assert m_ <= 8 * THEILSEN_TARGET, "sample mod mis-sized"
+    if m_ > 8 * THEILSEN_TARGET:      # not assert: must survive -O,
+        raise ValueError(               # and guards a driver-side m^2
+            f"lineitem_theil_sen: sample {m_} rows exceeds the "
+            f"{8 * THEILSEN_TARGET} pair-matrix bound — resize the mod")
     dq = q[None, :] - q[:, None]
     dc = c[None, :] - c[:, None]
     iu = np.triu_indices(m_, k=1)
@@ -17232,8 +17222,8 @@ def events_cramers_v_props(sf_dir):
 
 SQL_EVENTS_CRAMERS_V = f"""
 WITH b AS (SELECT event_type,
-                  (regexp_extract(props, '"k":\\s*(-?\\d+)', 1)::BIGINT)
-                  % {CRAMER_MOD} AS arm
+                  ((regexp_extract(props, '"k":\\s*(-?\\d+)', 1)::BIGINT)
+                   % {CRAMER_MOD} + {CRAMER_MOD}) % {CRAMER_MOD} AS arm
            FROM events),
 c AS (SELECT event_type, arm, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
 ty AS (SELECT DISTINCT event_type FROM b),
@@ -17585,8 +17575,12 @@ def docs_lang_entropy_by_source(sf_dir):
                rows_per_block=32768)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["source", "lang"], as_index=False).size() \
-            .rename(columns={"size": "n"})
+        # null-key contract: missing source/lang count as '' on BOTH
+        # sides (pandas groupby drops NaN keys; SQL GROUP BY keeps
+        # NULL — coalesce makes them agree)
+        out = (df.fillna({"source": "", "lang": ""})
+               .groupby(["source", "lang"], as_index=False).size()
+               .rename(columns={"size": "n"}))
         return out
 
     cnt = (ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -17607,8 +17601,9 @@ def docs_lang_entropy_by_source(sf_dir):
 
 
 SQL_DOCS_LANG_ENTROPY = """
-WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
-           FROM documents GROUP BY source, lang),
+WITH c AS (SELECT coalesce(source, '') AS source,
+                  coalesce(lang, '') AS lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
 t AS (SELECT source, sum(n)::BIGINT AS tot FROM c GROUP BY source),
 e AS (SELECT c.source,
              CAST(floor(-(c.n::DOUBLE / t.tot)

@@ -45,19 +45,27 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     })
 
 
+#: fixed split cap = 4 × the 32-CPU reference config. Deliberately NOT
+#: derived from the live cluster size: block boundaries decide the GEMM
+#: tail shapes inside the scorer, and BLAS results differ by ~1 ulp
+#: across shapes — a CPU-dependent layout made float-derived pinned
+#: oracles parallelism-dependent (a 16-CPU sweep flipped a rounding
+#: boundary the 32-CPU pin generation never saw). A constant cap keeps
+#: every session bit-identical; at low CPU counts the extra tasks just
+#: queue.
+SPLIT_BLOCK_CAP = 128
+
+
 def default_num_blocks(n_rows: int, rows_per_block: int = 64) -> int:
     """Block count for a single-row-group input file.
 
     The driver testdata ships one row group per file, which Ray cannot split
     at the read — without an explicit repartition every downstream fused
     stage runs as ONE task. A real 100 TB crawl has thousands of files and
-    never needs this; locally we split so blocks ≈ 4×CPUs with a floor on
-    rows per block.
+    never needs this; locally we split with a fixed cap (see
+    ``SPLIT_BLOCK_CAP``) and a floor on rows per block.
     """
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(1, min(4 * cpus, n_rows // rows_per_block or 1))
+    return max(1, min(SPLIT_BLOCK_CAP, n_rows // rows_per_block or 1))
 
 
 def read_pages(sf_dir: str, drop_text: bool = True,

@@ -223,10 +223,12 @@ class AdamWOptimizer:
             v = self.v.setdefault(k, np.zeros_like(g))
             m += (1 - self.b1) * (g - m)
             v += (1 - self.b2) * (g * g - v)
-            upd = lr * m / (np.sqrt(v) + self.eps)
+            # transformers.AdamW order: gradient update FIRST, then
+            # decoupled decay on the post-update parameter (distinct
+            # from torch.optim.AdamW's pre-update decay by lr²·wd·upd)
+            params[k] -= lr * m / (np.sqrt(v) + self.eps)
             if not any(p in k for p in self.no_decay):
-                upd = upd + lr * self.wd * params[k]
-            params[k] -= upd
+                params[k] -= lr * self.wd * params[k]
 
 
 class CnnSoftmaxTrainer:
