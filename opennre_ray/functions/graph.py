@@ -822,6 +822,20 @@ def label_propagation(edges_ds, seeds_ds, iters: int = 3,
     return labels
 
 
+def _conform_ds(ds, schema):
+    """Project/cast every block to ``schema`` (empty blocks included) —
+    the empty-block guard every iterative Dataset helper needs: Ray
+    emits schema-less empty blocks from unions/aggregates, and a later
+    select/cast/filter on one would throw."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def _delta_bf_rounds(adj, seed_df, key_cols, iters, n_parts, compact):
     """Frontier-delta synchronous Bellman-Ford over a symmetrized
     (u, v, w) adjacency Dataset: each round joins ONLY the labels that
@@ -852,12 +866,7 @@ def _delta_bf_rounds(adj, seed_df, key_cols, iters, n_parts, compact):
     st_schema = pa.schema([(c, pa.int64()) for c in key_cols]
                           + [("dist", pa.int64()), ("imp", pa.int64())])
 
-    def conform(ds, schema):
-        def fix(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return schema.empty_table()
-            return t.select(schema.names).cast(schema)
-        return ds.map_batches(fix, batch_format="pyarrow")
+    conform = _conform_ds
 
     def relax(df: pd.DataFrame) -> pd.DataFrame:
         # shuffle_join output: (u, v, w, dist[, carry]) — candidate
@@ -1037,12 +1046,7 @@ def _bitset_bfs(adj, seed_list, iters, n_parts, compact):
                           + [(c, pa.int64()) for c in wcols]
                           + [("chg", pa.int64())])
 
-    def conform(ds, schema):
-        def fix(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return schema.empty_table()
-            return t.select(schema.names).cast(schema)
-        return ds.map_batches(fix, batch_format="pyarrow")
+    conform = _conform_ds
 
     idx = np.arange(S)
     masks0 = np.zeros((S, words), dtype=np.uint64)
