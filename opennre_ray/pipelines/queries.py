@@ -17618,6 +17618,73 @@ GROUP BY c2.source, t.tot ORDER BY c2.source
 """
 
 
+def supplier_part_gini(sf_dir):
+    """Per-supplier Gini coefficient of shipped quantity across parts —
+    the supply-concentration audit (0 = a supplier ships every part
+    evenly, →1 = one part dominates). Exact integer Gini over the
+    ascending (qty, partkey) order:
+
+        g_micro = (2·Σ i·x_i − (n+1)·S) · 1e6 // (n·S)
+
+    (ties in x make Σ i·x order-invariant, so both engines agree).
+    Scale shape: map-side (suppkey, partkey, qty) partials, ONE
+    bucketed per-supplier fold (suppliers never span buckets; the sort
+    is |parts-per-supplier|-local), |suppliers| driver rows."""
+    from ..functions.relational import hash_bucket_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_quantity"],
+               rows_per_block=32768)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "sk": df["l_suppkey"].to_numpy(np.int64),
+            "pk": df["l_partkey"].to_numpy(np.int64),
+            "q": np.floor(df["l_quantity"].to_numpy(np.float64) + 0.5)
+                 .astype(np.int64)})
+        return out.groupby(["sk", "pk"], as_index=False)["q"].sum()
+
+    def gini_fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby(["sk", "pk"], as_index=False)["q"].sum()
+        rows = []
+        for sk, gg in x.groupby("sk"):
+            gg = gg.sort_values(["q", "pk"])
+            q = gg["q"].to_numpy(np.int64)
+            n = len(q)
+            s = int(q.sum())
+            iw = int((np.arange(1, n + 1, dtype=np.int64) * q).sum())
+            gm = (2 * iw - (n + 1) * s) * 1_000_000 // (n * s) \
+                if n and s else 0
+            rows.append((int(sk), n, s, gm))
+        return pd.DataFrame(rows, columns=[
+            "suppkey", "n_parts", "total_qty", "gini_micro"]).astype(
+                np.int64)
+
+    out = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), ["sk"],
+        gini_fold, rows_hint=_nrows(sf_dir, "supplier")).to_pandas()
+    return out.sort_values("suppkey", ignore_index=True)
+
+
+SQL_SUPPLIER_PART_GINI = """
+WITH pq AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS q
+  FROM lineitem GROUP BY 1, 2),
+rk AS (SELECT sk, q,
+              row_number() OVER (PARTITION BY sk ORDER BY q, pk) AS i
+       FROM pq),
+a AS (SELECT sk, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s,
+             sum(i::HUGEINT * q)::HUGEINT AS iw
+      FROM rk GROUP BY sk)
+SELECT sk::BIGINT AS suppkey, n::BIGINT AS n_parts,
+       s::BIGINT AS total_qty,
+       ((2 * iw - (n + 1) * s) * 1000000 // (n * s))::BIGINT
+           AS gini_micro
+FROM a ORDER BY suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -17949,6 +18016,7 @@ QUERIES = {
     "events_decayed_counts": events_decayed_counts,
     "docs_zipf_slope": docs_zipf_slope,
     "docs_lang_entropy_by_source": docs_lang_entropy_by_source,
+    "supplier_part_gini": supplier_part_gini,
 }
 
 # The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()
@@ -18250,6 +18318,7 @@ ORACLES = {
     "events_decayed_counts": _sql_decayed(),
     "docs_zipf_slope": SQL_DOCS_ZIPF,
     "docs_lang_entropy_by_source": SQL_DOCS_LANG_ENTROPY,
+    "supplier_part_gini": SQL_SUPPLIER_PART_GINI,
 }
 
 # Pinned-value oracles for the model pipelines (golden pins — regenerate
