@@ -13390,8 +13390,12 @@ def events_anova_value_by_type(sf_dir):
                             "n": np.int64(1), "s": v, "ss": v * v})
         return out.groupby("event_type", as_index=False).sum()
 
-    g = (ds.map_batches(partial, batch_format="pandas").to_pandas()
-         .groupby("event_type", as_index=False).sum()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # object accumulate: the corpus-total Σv² clears int64 only ~4x at
+    # sf0.1 and would wrap silently at a larger corpus
+    for c in ("s", "ss"):
+        parts[c] = parts[c].astype(object)
+    g = (parts.groupby("event_type", as_index=False).sum()
          .sort_values("event_type"))
     k = len(g)
     big_n = int(g["n"].sum())
@@ -15095,7 +15099,10 @@ def lineitem_welch_ttest(sf_dir):
         for g in (0, 1):
             m = grp == bool(g)
             c = cents[m]
-            rows[g] = (int(m.sum()), int(c.sum()), int((c * c).sum()))
+            # object math: an all-max-price block's squared-cents sum
+            # sits within ~1.1x of int64 wrap — keep the partial exact
+            co = c.astype(object)
+            rows[g] = (int(m.sum()), int(c.sum()), int((co * co).sum()))
         return pa.table({
             "grp": pa.array([0, 1], pa.int64()),
             "n": pa.array([rows[0][0], rows[1][0]], pa.int64()),
