@@ -146,3 +146,19 @@ def test_integer_sqrt_matches_duckdb(x):
         """).fetchone()[0]
     c.close()
     assert int(got) == math.isqrt(x)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc", max_size=8), st.text(alphabet="abc", max_size=8))
+def test_dist_le1_matches_levenshtein(a, b):
+    """The O(len) ≤1-edit fast path must agree with the capped DP for
+    every pair (None ⇔ distance > 1) — it is the hot verify of the
+    blocked string self-join."""
+    from opennre_ray.functions.dedup import _dist_le1, levenshtein
+
+    d = levenshtein(a, b, cap=1)
+    got = _dist_le1(a, b)
+    if d <= 1:
+        assert got == d
+    else:
+        assert got is None
