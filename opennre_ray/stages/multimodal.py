@@ -123,6 +123,32 @@ class ResizeImage:
         return {"media_id": batch["media_id"], "image": small}
 
 
+class DecodeAudio:
+    """Actor stage: WAV payload binary → fixed-width feature vector
+    column ([rms, zcr, duration] + per-frame RMS — see
+    ``audiocodec.audio_features``). The decode is REAL (stdlib RIFF/PCM
+    parser); non-PCM codecs raise ``NotImplementedError`` naming the
+    ffmpeg plug point. Same placement rules as DecodeImage: small
+    batches, payload column dropped at the feature boundary."""
+
+    def __init__(self, n_frames: int = 8):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> dict:
+        from .audiocodec import audio_features, decode_wav
+
+        feats = []
+        for p in batch.column("payload").to_pylist():
+            samples, rate = decode_wav(p)
+            feats.append(audio_features(samples, rate,
+                                        n_frames=self.n_frames))
+        return {
+            "media_id": batch.column("media_id").to_numpy(
+                zero_copy_only=False),
+            "features": np.stack(feats),
+        }
+
+
 class SampleFrames:
     """Actor stage for video-shaped payloads: decode every k-th frame.
 

@@ -421,3 +421,55 @@ def test_decode_image_real_codec_in_pipeline(ray_session):
     np.testing.assert_allclose(
         by_id["m0"][:3], imgs[0].astype(np.float32).mean(axis=(0, 1)),
         rtol=1e-5)
+
+
+def test_wav_roundtrip_and_variants():
+    from opennre_ray.stages.audiocodec import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-3000, 3000, size=(441, 2)).astype(np.int16)
+    payload = encode_wav(s, 44100)
+    got, rate = decode_wav(payload)
+    assert rate == 44100 and (got == s).all()
+
+    # float32 WAV (format tag 3) decodes too
+    import struct
+    f = np.linspace(-1, 1, 100, dtype="<f4").reshape(100, 1)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", f.nbytes) + f.tobytes())
+    got2, rate2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate2 == 8000 and np.allclose(got2[:, 0], f[:, 0])
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        # ADPCM format tag -> named plug point, not silence
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_audio_stage_in_pipeline(ray_session):
+    import ray.data as rd
+
+    from opennre_ray.stages.audiocodec import encode_wav
+    from opennre_ray.stages.multimodal import DecodeAudio
+
+    rng = np.random.RandomState(9)
+    clips = [rng.randint(-2000, 2000, size=(800, 1)).astype(np.int16)
+             for _ in range(5)]
+    tbl = pa.table({
+        "media_id": pa.array([f"a{i}" for i in range(5)]),
+        "payload": pa.array([encode_wav(c, 16000) for c in clips],
+                            pa.binary()),
+    })
+    out = (rd.from_arrow(tbl)
+           .map_batches(DecodeAudio, batch_format="pyarrow",
+                        batch_size=2, concurrency=(1, 2))
+           .take_all())
+    assert len(out) == 5
+    by_id = {r["media_id"]: r["features"] for r in out}
+    mono = clips[0].astype(np.float64).mean(axis=1)
+    assert abs(by_id["a0"][0] - np.sqrt((mono ** 2).mean())) < 1e-3
+    assert abs(by_id["a0"][2] - 800 / 16000) < 1e-6
