@@ -405,6 +405,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict, dict]:
     timed("docs_lang_entropy_by_source",
           lambda: Q.docs_lang_entropy_by_source(sf_dir))
     timed("supplier_part_gini", lambda: Q.supplier_part_gini(sf_dir))
+    timed("media_audio_stats", lambda: Q.media_audio_stats(sf_dir))
 
     # bag stage isolated (instances materialized first so the timing is the
     # bucketed encode+segment-reduce, not the upstream candidate chain)

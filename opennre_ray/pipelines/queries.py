@@ -5326,6 +5326,58 @@ def media_features(sf_dir):
     return feats.map_batches(flatten, batch_format="numpy")
 
 
+def media_audio_stats(sf_dir):
+    """REAL-codec audio modality end to end: deterministic int16 WAV
+    payloads synthesized per doc (seeded by doc_id), decoded by the
+    stdlib RIFF/PCM parser inside the DecodeAudio actor stage, feature
+    head (RMS / zero-crossing rate / duration / frame energies), then
+    one integer-checksum row (1e-3/1e-6 fixed-point sums) — the same
+    pin-able hard-signal contract as ``media_features_stats`` but with
+    nothing stubbed on the decode path."""
+    from ..stages.audiocodec import encode_wav
+    from ..stages.multimodal import DecodeAudio
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            rng = np.random.RandomState(int(d) % (2 ** 31 - 1))
+            clip = rng.randint(-2048, 2048,
+                               size=(256, 1)).astype(np.int16)
+            payloads.append(encode_wav(clip, 8000))
+        return pa.table({
+            "media_id": pa.array([f"a{int(d)}" for d in ids]),
+            "payload": pa.array(payloads, pa.binary())})
+
+    feats = (docs.map_batches(synth, batch_format="pyarrow")
+             .map_batches(DecodeAudio, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4)))
+
+    def fp_partial(b: dict) -> pd.DataFrame:
+        f = np.asarray(b["features"], np.float64)
+        return pd.DataFrame({
+            "n_clips": pd.Series([len(f)], dtype=np.int64),
+            "rms_checksum_fp": pd.Series(
+                [int(np.floor(f[:, 0] * 1e3 + 0.5).sum())],
+                dtype=np.int64),
+            "zcr_checksum_fp": pd.Series(
+                [int(np.floor(f[:, 1] * 1e6 + 0.5).sum())],
+                dtype=np.int64),
+            "dur_checksum_fp": pd.Series(
+                [int(np.floor(f[:, 2] * 1e6 + 0.5).sum())],
+                dtype=np.int64)})
+
+    parts = feats.map_batches(fp_partial, batch_format="numpy") \
+        .to_pandas()
+    return pd.DataFrame({c: pd.Series([int(parts[c].sum())],
+                                      dtype=np.int64)
+                         for c in ["n_clips", "rms_checksum_fp",
+                                   "zcr_checksum_fp",
+                                   "dur_checksum_fp"]})
+
+
 def media_features_stats(sf_dir):
     """Integer-checksum companion to ``media_features`` (same actor-pool
     decode→feature plumbing, deterministic fake codec): n_media plus
@@ -18024,6 +18076,7 @@ QUERIES = {
     "docs_zipf_slope": docs_zipf_slope,
     "docs_lang_entropy_by_source": docs_lang_entropy_by_source,
     "supplier_part_gini": supplier_part_gini,
+    "media_audio_stats": media_audio_stats,
 }
 
 # The driver's CORRECTNESS snapshot hashes the FIRST 50 queries()

@@ -102,6 +102,9 @@ PINNED = [
     # actor-pool multimodal plumbing with the deterministic fake codec —
     # blake2b payloads are not SQL-derivable, so the checksum row pins
     "media_features_stats",
+    # real-codec audio modality checksum row (WAV decode + RMS/ZCR
+    # head — deterministic seeded payloads; SQL cannot replay)
+    "media_audio_stats",
 ]
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
