@@ -710,3 +710,25 @@ def test_kneser_ney_hand_math_and_scale_path(ray_session):
              .sort_values("doc_id").reset_index(drop=True)
              .astype(base.dtypes.to_dict()))
     pd.testing.assert_frame_equal(scale, base)
+
+
+def test_stage_cache_reuses_and_stays_standalone(ray_session, sf_dir):
+    """The session-scoped model-stage cache must hand back the SAME
+    materialized dataset on a second request (one scoring pass per
+    session) while distinct stages/sf keys stay separate."""
+    import opennre_ray.pipelines.queries as Q
+
+    Q._STAGE_CACHE.clear()
+    a = Q._scored_candidates(sf_dir)
+    b = Q._scored_candidates(sf_dir)
+    assert a is b
+    # pair-level consumers reuse the scored entry (pre-score columns
+    # are retained), not a second front-half pass
+    p = Q._pair_instances(sf_dir)
+    assert p is a
+    # a different stage key gets its own entry
+    t = Q._predicted_triples(sf_dir)
+    assert t is not a
+    assert {k[1] for k in Q._STAGE_CACHE} >= {
+        "scored:wiki80_cnn_softmax", "pred_triples"}
+    Q._STAGE_CACHE.clear()
