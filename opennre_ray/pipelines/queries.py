@@ -18086,13 +18086,17 @@ QUERIES = {
 # sweep-only signal; the displaced round-≤3 entries keep their sweep
 # + pytest oracles).
 _PREFIX_PROMOTE = [
+    # round-4 flagships
     "graph_closeness_parts", "graph_betweenness_parts",
     "docs_kneser_ney", "lineitem_logreg", "docs_burrows_delta",
-    "docs_doremi_weights", "embed_grid_clusters",
-    "events_shapley_attribution", "events_sequence_patterns",
-    "orders_wasserstein_by_nation", "lineitem_mannwhitney_returnflag",
-    "lineitem_spearman_qty_price", "events_chi_square_cohorts",
-    "embed_pca_top_component", "events_changepoint",
+    "docs_doremi_weights", "events_shapley_attribution",
+    "orders_wasserstein_by_nation",
+    # round-5 flagships (bitset-BFS PPR, boilerplate detection,
+    # robust slope, HHI w/ map-side combine, real-codec audio,
+    # decayed counters, Zipf fit)
+    "graph_ppr_parts", "docs_boilerplate_shingles",
+    "lineitem_theil_sen", "nation_order_hhi", "media_audio_stats",
+    "events_decayed_counts", "docs_zipf_slope",
 ]
 _keep = [n for n in QUERIES if n not in _PREFIX_PROMOTE]
 QUERIES = {**{n: QUERIES[n] for n in _keep[:35]},
